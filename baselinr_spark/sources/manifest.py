@@ -1,0 +1,89 @@
+"""Processed-partition manifest — the checkpoint/resume anchor.
+
+Recasts baselinr's incremental state store
+(/root/reference/baselinr/incremental/state.py:34-205 and
+baselinr_table_state DDL /root/reference/baselinr/storage/schema.sql:69-83)
+at partition granularity: one row per (partition, run) with status +
+counts; the *latest* row per partition wins (the reference upserts; we
+append + resolve latest by completed_at, which is the Iceberg-friendly
+append-only pattern — MERGE INTO when an Iceberg catalog is present).
+
+Resume = list input partitions, anti-join against `done` partitions,
+process only the remainder (north rule: "resumable from checkpoint with
+per-partition lineage").
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+MANIFEST_DDL = (
+    "run_id string, partition string, status string, doc_count long, "
+    "kept_count long, completed_at timestamp, snapshot_id string"
+)
+
+
+def manifest_path(output_root: str) -> str:
+    return os.path.join(output_root, "processed_partitions")
+
+
+def read_manifest(spark: SparkSession, output_root: str) -> DataFrame:
+    path = manifest_path(output_root)
+    if not os.path.isdir(path):
+        return spark.createDataFrame([], schema=MANIFEST_DDL)
+    return spark.read.parquet(path)
+
+
+def latest_state(manifest: DataFrame) -> DataFrame:
+    """Latest row per partition (upsert resolution)."""
+    w = W.partitionBy("partition").orderBy(F.desc("completed_at"), F.desc("run_id"))
+    return (
+        manifest.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def done_partitions(spark: SparkSession, output_root: str) -> list[str]:
+    m = read_manifest(spark, output_root)
+    rows = (
+        latest_state(m)
+        .filter(F.col("status") == "done")
+        .select("partition")
+        .collect()
+    )
+    return sorted(r["partition"] for r in rows)
+
+
+def commit_partitions(
+    spark: SparkSession,
+    output_root: str,
+    run_id: str,
+    rows: list[dict],
+) -> None:
+    """Append manifest rows (one per completed partition). Called only
+    *after* the partition's data + metrics writes succeeded, so a crash
+    before this point leaves the partition un-manifested → re-done on
+    resume (idempotent thanks to dynamic partition overwrite)."""
+    if not rows:
+        return
+    df = spark.createDataFrame(
+        [
+            (
+                run_id,
+                r["partition"],
+                r.get("status", "done"),
+                r.get("doc_count"),
+                r.get("kept_count"),
+                r["completed_at"],
+                r.get("snapshot_id"),
+            )
+            for r in rows
+        ],
+        schema=MANIFEST_DDL,
+    )
+    df.coalesce(1).write.mode("append").parquet(manifest_path(output_root))

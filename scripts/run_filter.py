@@ -1,0 +1,67 @@
+#!/usr/bin/env python
+"""spark-submit entrypoint for the quality-filter pipeline.
+
+Usage:
+    spark-submit --py-files baselinr_spark.zip scripts/run_filter.py \
+        --input /path/to/pages --output /path/to/out \
+        [--gen-docs N] [--seed 42] [--checkpoint-every K] [--run-id ID]
+
+With --gen-docs, the deterministic synthetic pages warehouse is
+materialized at --input first (for bench/smoke runs; production points
+--input at an existing Iceberg/parquet pages table).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--gen-docs", type=int, default=0)
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--checkpoint-every", type=int, default=None)
+    ap.add_argument("--run-id", default=None)
+    ap.add_argument("--scrub-mode", choices=["pandas", "native"], default="pandas")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    # required session settings regardless of how the session was built
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    import os
+
+    if args.gen_docs and not os.path.isdir(args.input):
+        from baselinr_spark.sources.pages import write_pages_warehouse
+
+        write_pages_warehouse(spark, args.input, args.gen_docs, seed=args.seed)
+
+    if not os.path.isdir(args.input):
+        print(f"error: input path does not exist: {args.input}", file=sys.stderr)
+        return 2
+
+    from baselinr_spark.plans.pipeline import run_pipeline
+
+    summary = run_pipeline(
+        spark,
+        args.input,
+        args.output,
+        run_id=args.run_id,
+        checkpoint_every=args.checkpoint_every,
+        scrub_mode=args.scrub_mode,
+    )
+    print(json.dumps(summary))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
