@@ -1,38 +1,1208 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each entry in ``queries()`` is an operator from SURVEY.md §2 (or a
+training-data-pipeline operator) implemented Spark-first in
+``baselinr_spark``; ``oracle_sql()`` holds the equivalent ANSI SQL that
+DuckDB runs over the same parquet views. Column names and float rounding
+(6 dp) are aligned on both sides so the driver's order-insensitive
+value-hash comparison is meaningful.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+
+def _t(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(_t(sf_dir, name))
+
+
+def _r6(df: DataFrame, *cols: str) -> DataFrame:
+    out = df
+    for c in cols:
+        out = out.withColumn(c, F.round(F.col(c).cast("double"), 6))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# profiling (SURVEY.md §2.4)
+# ---------------------------------------------------------------------------
+
+_PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount")
+_PROFILE_METRICS = ("count", "null_count", "null_ratio", "distinct_count",
+                    "unique_ratio", "min", "max", "mean", "stddev")
+
+
+def q_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from baselinr_spark.operators.profiling import profile
+
+    df = _read(spark, sf_dir, "lineitem")
+    out = profile(df, columns=list(_PROFILE_COLS), metrics=_PROFILE_METRICS)
+    return _r6(out, "metric_value")
+
+
+def _sql_profile_lineitem() -> str:
+    parts = []
+    for c in _PROFILE_COLS:
+        parts.append(f"""
+        SELECT '{c}' AS column_name, m.metric_name, round(m.metric_value, 6) AS metric_value
+        FROM (
+          SELECT count(*)::double AS total,
+                 (count(*) - count({c}))::double AS nulls,
+                 count(DISTINCT {c})::double AS distinct_cnt,
+                 min({c})::double AS mn, max({c})::double AS mx,
+                 avg({c}::double) AS mean_v, stddev({c}::double) AS sd
+          FROM lineitem
+        ) s, LATERAL (VALUES
+          ('count', s.total),
+          ('null_count', s.nulls),
+          ('null_ratio', CASE WHEN s.total > 0 THEN s.nulls / s.total ELSE 0.0 END),
+          ('distinct_count', s.distinct_cnt),
+          ('unique_ratio', CASE WHEN s.total > 0 THEN s.distinct_cnt / s.total ELSE 0.0 END),
+          ('min', s.mn), ('max', s.mx), ('mean', s.mean_v), ('stddev', s.sd)
+        ) AS m(metric_name, metric_value)""")
+    return " UNION ALL ".join(parts)
+
+
+def q_histogram_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from baselinr_spark.operators.profiling import histogram
+
+    df = _read(spark, sf_dir, "lineitem")
+    out = histogram(df, "l_quantity", bins=10)
+    return _r6(out, "bin_start", "bin_end")
+
+
+_SQL_HISTOGRAM_QUANTITY = """
+WITH mm AS (
+  SELECT min(l_quantity)::double AS mn, max(l_quantity)::double AS mx FROM lineitem
+), b AS (
+  SELECT least(floor((l_quantity::double - mn) / ((mx - mn) / 10.0)), 9)::int AS bin, mn, mx
+  FROM lineitem, mm
+  WHERE l_quantity IS NOT NULL AND mx > mn
+)
+SELECT bin,
+       round(mn + bin * (mx - mn) / 10.0, 6) AS bin_start,
+       round(mn + (bin + 1) * (mx - mn) / 10.0, 6) AS bin_end,
+       count(*) AS count
+FROM b GROUP BY bin, mn, mx
+"""
+
+
+def q_string_lengths_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from baselinr_spark.operators.profiling import profile
+
+    df = _read(spark, sf_dir, "part")
+    out = profile(df, columns=["p_name", "p_brand", "p_type"],
+                  metrics=("min_length", "max_length", "avg_length"))
+    return _r6(out, "metric_value")
+
+
+def _sql_string_lengths_part() -> str:
+    parts = []
+    for c in ("p_name", "p_brand", "p_type"):
+        parts.append(f"""
+        SELECT '{c}' AS column_name, m.metric_name, round(m.metric_value, 6) AS metric_value
+        FROM (
+          SELECT min(length({c}))::double AS mnl, max(length({c}))::double AS mxl,
+                 avg(length({c}))::double AS avl
+          FROM part
+        ) s, LATERAL (VALUES
+          ('min_length', s.mnl), ('max_length', s.mxl), ('avg_length', s.avl)
+        ) AS m(metric_name, metric_value)""")
+    return " UNION ALL ".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# validation (SURVEY.md §2.10)
+# ---------------------------------------------------------------------------
+
+def q_validation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from baselinr_spark.operators.validation import Rule, validate
+
+    orders = _read(spark, sf_dir, "orders")
+    customer = _read(spark, sf_dir, "customer")
+    rules = [
+        Rule("orders_custkey_not_null", "not_null", "o_custkey"),
+        Rule("orders_totalprice_range", "range", "o_totalprice",
+             min_value=0.0, max_value=600000.0),
+        Rule("orders_status_enum", "enum", "o_orderstatus", values=("F", "O", "P")),
+        Rule("orders_priority_format", "format", "o_orderpriority",
+             pattern="^[1-5]-[A-Z ]+$"),
+        Rule("orders_orderkey_unique", "unique", "o_orderkey"),
+        Rule("orders_custkey_referential", "referential", "o_custkey",
+             ref_table="customer", ref_column="c_custkey"),
+    ]
+    out = validate(orders, rules, ref_dfs={"customer": customer})
+    return _r6(out, "failure_rate")
+
+
+_SQL_VALIDATION_SUITE = """
+WITH agg AS (
+  SELECT count(*)::bigint AS total,
+    sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)::bigint AS f_notnull,
+    sum(CASE WHEN o_totalprice IS NOT NULL AND (o_totalprice < 0.0 OR o_totalprice > 600000.0)
+        THEN 1 ELSE 0 END)::bigint AS f_range,
+    sum(CASE WHEN o_orderstatus IS NOT NULL AND o_orderstatus NOT IN ('F','O','P')
+        THEN 1 ELSE 0 END)::bigint AS f_enum,
+    sum(CASE WHEN o_orderpriority IS NOT NULL
+             AND NOT regexp_matches(o_orderpriority, '^[1-5]-[A-Z ]+$')
+        THEN 1 ELSE 0 END)::bigint AS f_format,
+    (count(o_orderkey) - count(DISTINCT o_orderkey))::bigint AS f_unique,
+    sum(CASE WHEN o_custkey IS NOT NULL
+             AND o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_custkey IS NOT NULL)
+        THEN 1 ELSE 0 END)::bigint AS f_ref
+  FROM orders
+)
+SELECT m.rule_name, m.column_name, m.rule_type, agg.total AS total_rows,
+       m.failed AS failed_rows,
+       round(CASE WHEN agg.total > 0 THEN m.failed * 100.0 / agg.total ELSE 0.0 END, 6)
+         AS failure_rate
+FROM agg, LATERAL (VALUES
+  ('orders_custkey_not_null', 'o_custkey', 'not_null', agg.f_notnull),
+  ('orders_totalprice_range', 'o_totalprice', 'range', agg.f_range),
+  ('orders_status_enum', 'o_orderstatus', 'enum', agg.f_enum),
+  ('orders_priority_format', 'o_orderpriority', 'format', agg.f_format),
+  ('orders_orderkey_unique', 'o_orderkey', 'unique', agg.f_unique),
+  ('orders_custkey_referential', 'o_custkey', 'referential', agg.f_ref)
+) AS m(rule_name, column_name, rule_type, failed)
+"""
+
+
+def q_duplicate_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from baselinr_spark.operators.validation import duplicate_samples
+
+    li = _read(spark, sf_dir, "lineitem")
+    return duplicate_samples(li, "l_orderkey", limit=10).withColumnRenamed(
+        "l_orderkey", "dup_value"
+    )
+
+
+_SQL_DUPLICATE_SAMPLES = """
+SELECT l_orderkey AS dup_value, count(*) AS dup_count
+FROM lineitem GROUP BY l_orderkey HAVING count(*) > 1
+ORDER BY dup_count DESC, dup_value ASC LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# drift tests (SURVEY.md §2.11) — cohorts = events before/after Jan 16
+# ---------------------------------------------------------------------------
+
+_SPLIT = "2024-01-16"
+
+
+def _event_cohorts(spark, sf_dir):
+    ev = _read(spark, sf_dir, "events")
+    base = ev.filter(F.col("ts") < _SPLIT)
+    cur = ev.filter(F.col("ts") >= _SPLIT)
+    return ev, base, cur
+
+
+def _value_buckets(ev, side):
+    """10 equi-width buckets of `value` over the GLOBAL min/max."""
+    mm = ev.agg(F.min(F.col("value").cast("double")).alias("mn"),
+                F.max(F.col("value").cast("double")).alias("mx"))
+    j = side.crossJoin(F.broadcast(mm))
+    v = F.col("value").cast("double")
+    w = (F.col("mx") - F.col("mn")) / 10.0
+    b = F.least(F.floor((v - F.col("mn")) / w).cast("int"), F.lit(9))
+    return (
+        j.filter(v.isNotNull() & (F.col("mx") > F.col("mn")))
+        .groupBy(b.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+
+
+_SQL_BUCKETS = f"""
+  mm AS (SELECT min(value)::double AS mn, max(value)::double AS mx FROM events),
+  base_b AS (
+    SELECT least(floor((value::double - mn) / ((mx - mn) / 10.0)), 9)::int AS bucket,
+           count(*)::double AS cnt
+    FROM events, mm WHERE ts < TIMESTAMP '{_SPLIT}' AND value IS NOT NULL AND mx > mn
+    GROUP BY 1
+  ),
+  cur_b AS (
+    SELECT least(floor((value::double - mn) / ((mx - mn) / 10.0)), 9)::int AS bucket,
+           count(*)::double AS cnt
+    FROM events, mm WHERE ts >= TIMESTAMP '{_SPLIT}' AND value IS NOT NULL AND mx > mn
+    GROUP BY 1
+  )
+"""
+
+
+def q_psi_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from baselinr_spark.operators.drift import psi
+
+    ev, base, cur = _event_cohorts(spark, sf_dir)
+    out = psi(_value_buckets(ev, base), _value_buckets(ev, cur))
+    return _r6(out, "psi")
+
+
+_SQL_PSI_VALUE = f"""
+WITH {_SQL_BUCKETS},
+norm AS (
+  SELECT coalesce(b.bucket, c.bucket) AS bucket,
+         CASE WHEN coalesce(b.cnt, 0) > 0
+              THEN b.cnt / (SELECT sum(cnt) FROM base_b) ELSE 0.0001 END AS pb,
+         CASE WHEN coalesce(c.cnt, 0) > 0
+              THEN c.cnt / (SELECT sum(cnt) FROM cur_b) ELSE 0.0001 END AS pc
+  FROM base_b b FULL OUTER JOIN cur_b c USING (bucket)
+)
+SELECT round(sum((pc - pb) * ln(pc / pb)), 6) AS psi,
+       sum((pc - pb) * ln(pc / pb)) > 0.2 AS drift,
+       CASE WHEN sum((pc - pb) * ln(pc / pb)) > 0.5 THEN 'high'
+            WHEN sum((pc - pb) * ln(pc / pb)) > 0.3 THEN 'medium'
+            WHEN sum((pc - pb) * ln(pc / pb)) > 0.2 THEN 'low'
+            ELSE 'none' END AS severity
+FROM norm
+"""
+
+
+def _type_counts(side):
+    return side.groupBy(F.col("event_type").alias("category")).agg(
+        F.count(F.lit(1)).alias("count")
+    )
+
+
+def q_chi_square_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from baselinr_spark.operators.drift import chi_square
+
+    ev, base, cur = _event_cohorts(spark, sf_dir)
+    out = chi_square(_type_counts(base), _type_counts(cur))
+    return _r6(out, "chi2")
+
+
+_SQL_CHI_SQUARE = f"""
+WITH b AS (SELECT event_type AS cat, count(*)::double AS n_b FROM events
+           WHERE ts < TIMESTAMP '{_SPLIT}' GROUP BY 1),
+c AS (SELECT event_type AS cat, count(*)::double AS n_c FROM events
+      WHERE ts >= TIMESTAMP '{_SPLIT}' GROUP BY 1),
+j AS (SELECT coalesce(b.cat, c.cat) AS cat, coalesce(n_b, 0) AS n_b, coalesce(n_c, 0) AS n_c
+      FROM b FULL OUTER JOIN c USING (cat)),
+t AS (SELECT sum(n_b) AS Nb, sum(n_c) AS Nc, count(*) AS k FROM j),
+terms AS (
+  SELECT CASE WHEN (n_b + n_c) * Nb / (Nb + Nc) > 0
+              THEN pow(n_b - (n_b + n_c) * Nb / (Nb + Nc), 2) / ((n_b + n_c) * Nb / (Nb + Nc))
+              ELSE 0 END
+       + CASE WHEN (n_b + n_c) * Nc / (Nb + Nc) > 0
+              THEN pow(n_c - (n_b + n_c) * Nc / (Nb + Nc), 2) / ((n_b + n_c) * Nc / (Nb + Nc))
+              ELSE 0 END AS term, t.k
+  FROM j, t
+)
+SELECT round(sum(term), 6) AS chi2, (any_value(k) - 1)::bigint AS dof,
+       sum(term) > 2 * (any_value(k) - 1) AS drift,
+       CASE WHEN sum(term) > 5 * (any_value(k) - 1) THEN 'high'
+            WHEN sum(term) > 3 * (any_value(k) - 1) THEN 'medium'
+            WHEN sum(term) > 2 * (any_value(k) - 1) THEN 'low'
+            ELSE 'none' END AS severity
+FROM terms
+"""
+
+
+def q_entropy_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from baselinr_spark.operators.drift import entropy_drift
+
+    ev, base, cur = _event_cohorts(spark, sf_dir)
+    out = entropy_drift(_type_counts(base), _type_counts(cur))
+    return _r6(out, "h_base", "h_cur", "entropy_diff")
+
+
+_SQL_ENTROPY = f"""
+WITH hb AS (
+  SELECT sum(-p * log2(p)) AS h FROM (
+    SELECT count(*)::double / sum(count(*)) OVER () AS p FROM events
+    WHERE ts < TIMESTAMP '{_SPLIT}' GROUP BY event_type)
+  WHERE p > 0
+), hc AS (
+  SELECT sum(-p * log2(p)) AS h FROM (
+    SELECT count(*)::double / sum(count(*)) OVER () AS p FROM events
+    WHERE ts >= TIMESTAMP '{_SPLIT}' GROUP BY event_type)
+  WHERE p > 0
+)
+SELECT round(hb.h, 6) AS h_base, round(hc.h, 6) AS h_cur,
+       round(abs(hc.h - hb.h), 6) AS entropy_diff,
+       abs(hc.h - hb.h) > 0.1 AS drift,
+       CASE WHEN abs(hc.h - hb.h) > 0.3 THEN 'high'
+            WHEN abs(hc.h - hb.h) > 0.2 THEN 'medium'
+            WHEN abs(hc.h - hb.h) > 0.1 THEN 'low'
+            ELSE 'none' END AS severity
+FROM hb, hc
+"""
+
+
+def q_topk_jaccard_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from baselinr_spark.operators.drift import top_k_jaccard
+
+    ev, base, cur = _event_cohorts(spark, sf_dir)
+    out = top_k_jaccard(_type_counts(base), _type_counts(cur), k=3)
+    return _r6(out, "jaccard")
+
+
+_SQL_TOPK_JACCARD = f"""
+WITH b AS (
+  SELECT event_type FROM events WHERE ts < TIMESTAMP '{_SPLIT}'
+  GROUP BY event_type ORDER BY count(*) DESC, event_type ASC LIMIT 3
+), c AS (
+  SELECT event_type FROM events WHERE ts >= TIMESTAMP '{_SPLIT}'
+  GROUP BY event_type ORDER BY count(*) DESC, event_type ASC LIMIT 3
+), s AS (
+  SELECT (SELECT count(*) FROM (SELECT * FROM b INTERSECT SELECT * FROM c))::double AS i,
+         (SELECT count(*) FROM (SELECT * FROM b UNION SELECT * FROM c))::double AS u
+)
+SELECT round(CASE WHEN u > 0 THEN i / u ELSE 1.0 END, 6) AS jaccard,
+       (CASE WHEN u > 0 THEN i / u ELSE 1.0 END) < 0.7 AS drift,
+       CASE WHEN (CASE WHEN u > 0 THEN i / u ELSE 1.0 END) < 0.3 THEN 'high'
+            WHEN (CASE WHEN u > 0 THEN i / u ELSE 1.0 END) < 0.5 THEN 'medium'
+            WHEN (CASE WHEN u > 0 THEN i / u ELSE 1.0 END) < 0.7 THEN 'low'
+            ELSE 'none' END AS severity
+FROM s
+"""
+
+
+def q_zscore_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from baselinr_spark.operators.drift import z_score
+
+    ev, base, cur = _event_cohorts(spark, sf_dir)
+    b = base.agg(F.avg("value").alias("base_mean"),
+                 F.stddev_samp("value").alias("base_stddev"))
+    c = cur.agg(F.avg("value").alias("cur_mean"))
+    j = b.crossJoin(c)
+    z, drift, sev = z_score(F.col("base_mean"), F.col("base_stddev"), F.col("cur_mean"))
+    out = j.select(
+        F.round("base_mean", 6).alias("base_mean"),
+        F.round("base_stddev", 6).alias("base_stddev"),
+        F.round("cur_mean", 6).alias("cur_mean"),
+        F.round(z, 6).alias("z"),
+        drift.alias("drift"),
+        sev.alias("severity"),
+    )
+    return out
+
+
+_SQL_ZSCORE = f"""
+WITH b AS (SELECT avg(value) AS bm, stddev(value) AS bs FROM events
+           WHERE ts < TIMESTAMP '{_SPLIT}'),
+c AS (SELECT avg(value) AS cm FROM events WHERE ts >= TIMESTAMP '{_SPLIT}'),
+z AS (SELECT bm, bs, cm,
+             abs(cm - bm) / (CASE WHEN abs(bs) > 0 THEN bs ELSE 1.0 END) AS zv
+      FROM b, c)
+SELECT round(bm, 6) AS base_mean, round(bs, 6) AS base_stddev,
+       round(cm, 6) AS cur_mean, round(zv, 6) AS z,
+       zv > 2.0 AS drift,
+       CASE WHEN zv > 3.0 THEN 'high' WHEN zv > 2.5 THEN 'medium'
+            WHEN zv > 2.0 THEN 'low' ELSE 'none' END AS severity
+FROM z
+"""
+
+
+def q_ks_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from baselinr_spark.operators.drift import ks_from_histograms
+
+    ev, base, cur = _event_cohorts(spark, sf_dir)
+    out = ks_from_histograms(_value_buckets(ev, base), _value_buckets(ev, cur))
+    return _r6(out, "ks_d")
+
+
+_SQL_KS = f"""
+WITH {_SQL_BUCKETS},
+j AS (
+  SELECT coalesce(b.bucket, c.bucket) AS bucket,
+         coalesce(b.cnt, 0) AS n_b, coalesce(c.cnt, 0) AS n_c
+  FROM base_b b FULL OUTER JOIN cur_b c USING (bucket)
+), e AS (
+  SELECT sum(n_b / (SELECT sum(n_b) FROM j)) OVER (ORDER BY bucket) AS F_b,
+         sum(n_c / (SELECT sum(n_c) FROM j)) OVER (ORDER BY bucket) AS F_c
+  FROM j
+)
+SELECT round(max(abs(F_b - F_c)), 6) AS ks_d,
+       max(abs(F_b - F_c)) > 0.2 AS drift,
+       CASE WHEN max(abs(F_b - F_c)) > 0.3 THEN 'high'
+            WHEN max(abs(F_b - F_c)) > 0.2 THEN 'medium'
+            ELSE 'none' END AS severity
+FROM e
+"""
+
+
+# ---------------------------------------------------------------------------
+# window / time-series over run history (SURVEY.md §2.6, §2.13, §2.14)
+# ---------------------------------------------------------------------------
+
+def _daily_counts(spark, sf_dir):
+    ev = _read(spark, sf_dir, "events")
+    return ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+_SQL_DAILY = "SELECT CAST(ts AS DATE) AS day, count(*)::bigint AS n FROM events GROUP BY 1"
+
+
+def q_daily_ma7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily_counts(spark, sf_dir)
+    w = W.orderBy("day").rowsBetween(-6, 0)
+    lagw = W.orderBy("day")
+    return daily.select(
+        F.col("day").cast("string").alias("day"), "n",
+        F.round(F.avg("n").over(w), 6).alias("ma7"),
+        F.round(
+            (F.col("n") - F.lag("n").over(lagw)) * 100.0 / F.lag("n").over(lagw), 6
+        ).alias("pct_change"),
+    )
+
+
+_SQL_DAILY_MA7 = f"""
+WITH daily AS ({_SQL_DAILY})
+SELECT day::VARCHAR AS day, n,
+       round(avg(n) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS ma7,
+       round((n - lag(n) OVER (ORDER BY day)) * 100.0 / lag(n) OVER (ORDER BY day), 6)
+         AS pct_change
+FROM daily
+"""
+
+
+def q_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from baselinr_spark.operators.anomaly import ewma_series
+
+    daily = _daily_counts(spark, sf_dir)
+    out = ewma_series(daily, ts_col="day", value_col="n", lam=0.2)
+    return out.select(F.round("ewma", 6).alias("ewma"))
+
+
+_SQL_EWMA_DAILY = f"""
+WITH daily AS ({_SQL_DAILY})
+SELECT round(list_reduce(list(n::double ORDER BY day), (a, x) -> 0.2 * x + 0.8 * a), 6)
+  AS ewma
+FROM daily
+"""
+
+
+def q_iqr_outlier_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from baselinr_spark.operators.anomaly import iqr_flags
+
+    daily = _daily_counts(spark, sf_dir)
+    out = iqr_flags(daily, value_col="n")
+    return out.select(
+        F.col("day").cast("string").alias("day"), "n",
+        F.round("lower_bound", 6).alias("lower_bound"),
+        F.round("upper_bound", 6).alias("upper_bound"),
+        "is_anomaly",
+    )
+
+
+_SQL_IQR_DAYS = f"""
+WITH daily AS ({_SQL_DAILY}),
+s AS (SELECT quantile_cont(n, 0.25)::double AS q1, quantile_cont(n, 0.75)::double AS q3,
+             count(*) AS cnt FROM daily)
+SELECT day::VARCHAR AS day, n,
+       round(q1 - 1.5 * (q3 - q1), 6) AS lower_bound,
+       round(q3 + 1.5 * (q3 - q1), 6) AS upper_bound,
+       (cnt >= 4 AND (q3 - q1) > 0 AND (n < q1 - 1.5 * (q3 - q1) OR n > q3 + 1.5 * (q3 - q1)))
+         AS is_anomaly
+FROM daily, s
+"""
+
+
+def q_rowcount_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CV of the trailing 7 daily row counts → stability max(0, 1−cv)
+    (/root/reference/baselinr/storage/writer.py:1599-1691)."""
+    daily = _daily_counts(spark, sf_dir)
+    w = W.orderBy("day").rowsBetween(-6, 0)
+    cv = F.stddev_samp("n").over(w) / F.avg("n").over(w)
+    out = daily.select(
+        F.col("day").cast("string").alias("day"), "n",
+        F.count("n").over(w).alias("n_window"),
+        F.round(cv, 6).alias("cv"),
+        F.round(F.greatest(F.lit(0.0), 1.0 - cv), 6).alias("stability"),
+    ).filter(F.col("n_window") >= 2)
+    return out
+
+
+_SQL_ROWCOUNT_STABILITY = f"""
+WITH daily AS ({_SQL_DAILY}),
+w AS (
+  SELECT day, n,
+         count(n) OVER win AS n_window,
+         stddev(n) OVER win / avg(n) OVER win AS cv
+  FROM daily
+  WINDOW win AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+)
+SELECT day::VARCHAR AS day, n, n_window, round(cv, 6) AS cv,
+       round(greatest(0.0, 1.0 - cv), 6) AS stability
+FROM w WHERE n_window >= 2
+"""
+
+
+def q_regime_shift_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from baselinr_spark.operators.anomaly import regime_shift
+
+    daily = _daily_counts(spark, sf_dir)
+    out = regime_shift(daily, ts_col="day", value_col="n", recent_window=3)
+    return out.select(
+        F.round("mean_recent", 6).alias("mean_recent"),
+        F.round("mean_base", 6).alias("mean_base"),
+        "n_recent", "n_base",
+        F.round("t_stat", 6).alias("t_stat"),
+        "is_shift",
+    )
+
+
+_SQL_REGIME_SHIFT = f"""
+WITH daily AS ({_SQL_DAILY}),
+r AS (SELECT n, row_number() OVER (ORDER BY day DESC) AS rn FROM daily),
+agg AS (
+  SELECT avg(CASE WHEN rn <= 3 THEN n END) AS mean_recent,
+         var_samp(CASE WHEN rn <= 3 THEN n END) AS var_recent,
+         sum(CASE WHEN rn <= 3 THEN 1 ELSE 0 END)::bigint AS n_recent,
+         avg(CASE WHEN rn > 3 THEN n END) AS mean_base,
+         var_samp(CASE WHEN rn > 3 THEN n END) AS var_base,
+         sum(CASE WHEN rn > 3 THEN 1 ELSE 0 END)::bigint AS n_base
+  FROM r
+)
+SELECT round(mean_recent, 6) AS mean_recent, round(mean_base, 6) AS mean_base,
+       n_recent, n_base,
+       round(abs(mean_recent - mean_base)
+             / sqrt(coalesce(var_recent, 0) / n_recent + coalesce(var_base, 0) / n_base), 6)
+         AS t_stat,
+       coalesce(abs(mean_recent - mean_base)
+                / sqrt(coalesce(var_recent, 0) / n_recent + coalesce(var_base, 0) / n_base)
+                > 1.96, false) AS is_shift
+FROM agg
+"""
+
+
+def q_learn_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from baselinr_spark.operators.learning import learn_expectations
+
+    ev = _read(spark, sf_dir, "events")
+    out = learn_expectations(ev, ts_col="ts", value_col="value",
+                             key_cols=["event_type"])
+    return out.select(
+        "event_type", "n_samples",
+        F.round("expected_mean", 6).alias("expected_mean"),
+        F.round("expected_stddev", 6).alias("expected_stddev"),
+        F.round("expected_min", 6).alias("expected_min"),
+        F.round("expected_max", 6).alias("expected_max"),
+        F.round("median", 6).alias("median"),
+        F.round("skewness", 6).alias("skewness"),
+        F.round("ewma", 6).alias("ewma"),
+        F.round("ucl", 6).alias("ucl"),
+        F.round("lcl", 6).alias("lcl"),
+        "distribution_type",
+    )
+
+
+_SQL_LEARN_EXPECTATIONS = """
+WITH s AS (
+  SELECT event_type, count(*)::bigint AS n_samples,
+         avg(value) AS mu, stddev(value) AS sd,
+         min(value)::double AS mn, max(value)::double AS mx,
+         quantile_cont(value, 0.5)::double AS med,
+         sum(value) AS s1, sum(value * value) AS s2, sum(value * value * value) AS s3,
+         list_reduce(list(value ORDER BY ts), (a, x) -> 0.2 * x + 0.8 * a) AS ewma
+  FROM events GROUP BY event_type
+), k AS (
+  SELECT *,
+         CASE WHEN n_samples > 2 AND sd > 0
+              THEN n_samples::double / ((n_samples - 1) * (n_samples - 2))
+                   * (s3 - 3 * mu * s2 + 3 * mu * mu * s1 - n_samples * mu * mu * mu)
+                   / (sd * sd * sd)
+              ELSE 0.0 END AS g1
+  FROM s
+)
+SELECT event_type, n_samples,
+       round(mu, 6) AS expected_mean, round(sd, 6) AS expected_stddev,
+       round(mn, 6) AS expected_min, round(mx, 6) AS expected_max,
+       round(med, 6) AS median, round(g1, 6) AS skewness,
+       round(ewma, 6) AS ewma,
+       round(mu + 3 * sd, 6) AS ucl, round(mu - 3 * sd, 6) AS lcl,
+       CASE WHEN abs(g1) < 0.5
+                 AND (CASE WHEN abs(mu) > 0 THEN abs(mu - med) / abs(mu) ELSE 0.0 END) < 0.2
+            THEN 'normal' ELSE 'empirical' END AS distribution_type
+FROM k WHERE n_samples >= 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# text analysis over documents (training-data ops)
+# ---------------------------------------------------------------------------
+
+def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from baselinr_spark.operators.textanalysis import doc_stats
+
+    docs = _read(spark, sf_dir, "documents")
+    out = doc_stats(docs, "doc_id", "text")
+    return _r6(out, "mean_word_length", "distinct_word_ratio", "stopword_fraction")
+
+
+_SQL_DOC_STATS = """
+WITH w AS (
+  SELECT doc_id, length(text) AS n_chars,
+         list_filter(string_split_regex(trim(text), '\\s+'), x -> length(x) > 0) AS words
+  FROM documents
+)
+SELECT doc_id,
+       len(words)::int AS n_words,
+       n_chars::int AS n_chars,
+       round(CASE WHEN len(words) > 0
+             THEN list_sum(list_transform(words, x -> length(x)))::double / len(words)
+             ELSE 0.0 END, 6) AS mean_word_length,
+       round(CASE WHEN len(words) > 0
+             THEN len(list_distinct(words))::double / len(words) ELSE 0.0 END, 6)
+         AS distinct_word_ratio,
+       round(CASE WHEN len(words) > 0
+             THEN len(list_filter(words, x -> lower(x) IN
+                  ('the','a','and','of','to','in','is','it','that','for')))::double / len(words)
+             ELSE 0.0 END, 6) AS stopword_fraction
+FROM w
+"""
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from baselinr_spark.operators.textanalysis import token_counts
+
+    docs = _read(spark, sf_dir, "documents")
+    return token_counts(docs, "doc_id", "text")
+
+
+_SQL_TOKEN_COUNTS = """
+SELECT doc_id,
+       len(list_filter(string_split_regex(trim(text), '\\s+'), x -> length(x) > 0))::int
+         AS ws_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))::int AS bpe_tokens
+FROM documents
+"""
+
+
+def q_lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from baselinr_spark.operators.textanalysis import lang_id_heuristic
+
+    docs = _read(spark, sf_dir, "documents")
+    return lang_id_heuristic(docs, "doc_id", "text")
+
+
+_SQL_LANG_ID = """
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'), x -> length(x) > 0) AS words
+  FROM documents
+), f AS (
+  SELECT doc_id,
+         CASE WHEN len(words) > 0
+              THEN len(list_filter(words, x -> lower(x) IN
+                   ('the','a','and','of','to','in','is','it','that','for')))::double / len(words)
+              ELSE 0.0 END AS sf
+  FROM w
+)
+SELECT doc_id, round(sf, 6) AS stopword_fraction,
+       CASE WHEN sf >= 0.02 THEN 'en' ELSE 'unknown' END AS lang_guess
+FROM f
+"""
+
+
+def q_quality_score_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from baselinr_spark.operators.textanalysis import quality_score
+
+    docs = _read(spark, sf_dir, "documents")
+    return quality_score(docs, "doc_id", "text")
+
+
+_SQL_QUALITY_SCORE_DOCS = """
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'), x -> length(x) > 0) AS words
+  FROM documents
+), f AS (
+  SELECT doc_id, len(words) AS n_words,
+         CASE WHEN len(words) > 0
+              THEN list_sum(list_transform(words, x -> length(x)))::double / len(words)
+              ELSE 0.0 END AS mwl,
+         CASE WHEN len(words) > 0
+              THEN len(list_distinct(words))::double / len(words) ELSE 0.0 END AS dwr,
+         CASE WHEN len(words) > 0
+              THEN len(list_filter(words, x -> lower(x) IN
+                   ('the','a','and','of','to','in','is','it','that','for')))::double / len(words)
+              ELSE 0.0 END AS sf
+  FROM w
+)
+SELECT doc_id,
+       (CASE WHEN n_words >= 20 AND n_words <= 1000 THEN 25.0 ELSE 0.0 END
+        + CASE WHEN mwl >= 3.0 AND mwl <= 10.0 THEN 25.0 ELSE 0.0 END
+        + CASE WHEN dwr >= 0.2 THEN 25.0 ELSE 0.0 END
+        + CASE WHEN sf > 0 THEN 25.0 ELSE 0.0 END) AS quality_score
+FROM f
+"""
+
+
+def q_fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from baselinr_spark.operators.textanalysis import fingerprint
+
+    docs = _read(spark, sf_dir, "documents")
+    return fingerprint(docs, "doc_id", "text")
+
+
+_SQL_FINGERPRINT = """
+SELECT doc_id,
+       list_reduce(
+         list_prepend(0::bigint,
+           list_transform(
+             list_filter(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ''),
+                         c -> length(c) > 0),
+             c -> ascii(c)::bigint)),
+         (a, c) -> (a * 31 + c) % 1000000007
+       ) AS fingerprint
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# deduplication (training-data ops)
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from baselinr_spark.operators.dedup import normalize_text
+
+    docs = _read(spark, sf_dir, "documents")
+    h = F.md5(normalize_text(F.col("text")))
+    return docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct(h).alias("n_distinct_texts"),
+        (F.count(F.lit(1)) - F.count_distinct(h)).alias("n_exact_dups"),
+    )
+
+
+_SQL_DEDUP_EXACT = """
+SELECT count(*)::bigint AS n_docs,
+       count(DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))))::bigint
+         AS n_distinct_texts,
+       (count(*) - count(DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))))::bigint
+         AS n_exact_dups
+FROM documents
+"""
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from baselinr_spark.operators.dedup import minhash_signatures
+
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    return minhash_signatures(docs, "doc_id", "text", k=8, shingle_n=1) \
+        .withColumnRenamed("id", "doc_id")
+
+
+def _sql_minhash_signatures() -> str:
+    sigs = ", ".join(
+        f"min(md5('{i}|' || shingle)) AS sig_{i}" for i in range(8)
+    )
+    return f"""
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct(
+           list_filter(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+                       x -> length(x) > 0))) AS shingle
+  FROM documents WHERE doc_id < 20
+)
+SELECT doc_id, {sigs} FROM sh GROUP BY doc_id
+"""
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from baselinr_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    out = ngram_jaccard_pairs(docs, "doc_id", "text", shingle_n=1, threshold=0.5)
+    return _r6(out, "jaccard")
+
+
+_SQL_NGRAM_JACCARD = """
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct(
+           list_filter(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+                       x -> length(x) > 0))) AS shingle
+  FROM documents
+), sizes AS (
+  SELECT doc_id, count(*)::bigint AS n_sh FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::bigint AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(n_inter::double / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE n_inter::double / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+"""
+
+
+def q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from baselinr_spark.operators.dedup import simhash
+
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return simhash(docs, "doc_id", "text").withColumnRenamed("id", "doc_id")
+
+
+_SQL_SIMHASH = """
+WITH toks AS (
+  SELECT doc_id, unnest(
+           list_filter(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+                       x -> length(x) > 0)) AS tok
+  FROM documents WHERE doc_id < 50
+), h AS (
+  SELECT doc_id, ('0x' || substring(md5(tok), 1, 15))::bigint AS hv FROM toks
+), bitsum AS (
+  SELECT doc_id, i.pos,
+         sum(((hv >> i.pos) & 1) * 2 - 1)::bigint AS s
+  FROM h, (SELECT unnest(range(0, 60)) AS pos) i
+  GROUP BY doc_id, i.pos
+)
+SELECT doc_id,
+       sum(CASE WHEN s > 0 THEN (1::bigint << pos) ELSE 0 END)::bigint AS simhash
+FROM bitsum GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# similarity search over embeddings (training-data ops)
+# ---------------------------------------------------------------------------
+
+def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from baselinr_spark.operators.similarity import brute_force_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = brute_force_topk(queries, emb, "vec_id", "embedding", k=3)
+    return _r6(out, "cosine")
+
+
+_SQL_KNN_COSINE = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         list_cosine_similarity(q.qv::double[], c.embedding::double[]) AS cos
+  FROM q, embeddings c WHERE c.vec_id != q.query_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, round(cos, 6) AS cosine, rank::int AS rank
+FROM ranked WHERE rank <= 3
+"""
+
+
+def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate ANN — no SQL oracle (bucketed recall is engine-
+    specific); the driver records a rows-only check, and
+    tests/test_similarity.py asserts recall ≥ 0.8 vs brute force."""
+    from baselinr_spark.operators.similarity import lsh_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return lsh_topk(emb, "vec_id", "embedding", k=3, dim=64)
+
+
+# ---------------------------------------------------------------------------
+# joins / classic analytics (SURVEY.md §2.5, §2.7)
+# ---------------------------------------------------------------------------
+
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _read(spark, sf_dir, "lineitem")
+    out = (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 6).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+    return out
+
+
+_SQL_TPCH_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 6) AS sum_qty,
+       round(sum(l_extendedprice), 6) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*)::bigint AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_top_customers_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast-join dims, aggregate fact, top-10 — the referential /
+    metrics⋈runs join shape (SURVEY.md §2.5) on TPC-H-ish data."""
+    li = _read(spark, sf_dir, "lineitem")
+    orders = _read(spark, sf_dir, "orders")
+    cust = _read(spark, sf_dir, "customer")
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(10)
+    )
+    return rev
+
+
+_SQL_TOP_CUSTOMERS = """
+SELECT c_custkey, c_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 10
+"""
+
+
+def q_quality_score_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted table quality score (SURVEY.md §2.4 quality aggregates)
+    composed from the profile + validation results on orders."""
+    from baselinr_spark.operators.profiling import profile
+    from baselinr_spark.operators.quality import component_scores, overall_score
+    from baselinr_spark.operators.validation import Rule, validate
+
+    orders = _read(spark, sf_dir, "orders")
+    customer = _read(spark, sf_dir, "customer")
+    metrics = profile(
+        orders,
+        columns=["o_custkey", "o_totalprice", "o_orderstatus"],
+        metrics=("null_ratio", "unique_ratio"),
+    )
+    rules = [
+        Rule("nn", "not_null", "o_custkey"),
+        Rule("rng", "range", "o_totalprice", min_value=0.0, max_value=600000.0),
+        Rule("ref", "referential", "o_custkey",
+             ref_table="customer", ref_column="c_custkey"),
+    ]
+    val = validate(orders, rules, ref_dfs={"customer": customer})
+    comp = component_scores(metrics, validation=val)
+    out = overall_score(comp)
+    return out.select(
+        F.round("completeness", 6).alias("completeness"),
+        F.round("validity", 6).alias("validity"),
+        F.round("consistency", 6).alias("consistency"),
+        F.round("freshness", 6).alias("freshness"),
+        F.round("uniqueness", 6).alias("uniqueness"),
+        F.round("accuracy", 6).alias("accuracy"),
+        F.round("overall_score", 6).alias("overall_score"),
+        "status",
+    )
+
+
+_SQL_QUALITY_SCORE_ORDERS = """
+WITH prof AS (
+  SELECT avg(nr) AS avg_null_ratio, avg(ur) AS avg_unique_ratio FROM (
+    SELECT (count(*) - count(o_custkey))::double / count(*) AS nr,
+           count(DISTINCT o_custkey)::double / count(*) AS ur FROM orders
+    UNION ALL
+    SELECT (count(*) - count(o_totalprice))::double / count(*),
+           count(DISTINCT o_totalprice)::double / count(*) FROM orders
+    UNION ALL
+    SELECT (count(*) - count(o_orderstatus))::double / count(*),
+           count(DISTINCT o_orderstatus)::double / count(*) FROM orders
+  )
+), val AS (
+  SELECT avg(CASE WHEN failed = 0 THEN 1.0 ELSE 1.0 - rate / 100.0 END) AS pass_rate
+  FROM (
+    SELECT sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS failed,
+           sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) * 100.0 / count(*) AS rate
+    FROM orders
+    UNION ALL
+    SELECT sum(CASE WHEN o_totalprice IS NOT NULL
+                    AND (o_totalprice < 0 OR o_totalprice > 600000) THEN 1 ELSE 0 END),
+           sum(CASE WHEN o_totalprice IS NOT NULL
+                    AND (o_totalprice < 0 OR o_totalprice > 600000) THEN 1 ELSE 0 END)
+             * 100.0 / count(*)
+    FROM orders
+    UNION ALL
+    SELECT sum(CASE WHEN o_custkey IS NOT NULL AND o_custkey NOT IN
+                    (SELECT c_custkey FROM customer WHERE c_custkey IS NOT NULL)
+               THEN 1 ELSE 0 END),
+           sum(CASE WHEN o_custkey IS NOT NULL AND o_custkey NOT IN
+                    (SELECT c_custkey FROM customer WHERE c_custkey IS NOT NULL)
+               THEN 1 ELSE 0 END) * 100.0 / count(*)
+    FROM orders
+  )
+), comp AS (
+  SELECT 100.0 * (1.0 - avg_null_ratio) AS completeness,
+         100.0 * pass_rate AS validity,
+         100.0 AS consistency, 100.0 AS freshness,
+         100.0 * avg_unique_ratio AS uniqueness, 100.0 AS accuracy
+  FROM prof, val
+)
+SELECT round(completeness, 6) AS completeness, round(validity, 6) AS validity,
+       round(consistency, 6) AS consistency, round(freshness, 6) AS freshness,
+       round(uniqueness, 6) AS uniqueness, round(accuracy, 6) AS accuracy,
+       round(completeness * 0.25 + validity * 0.25 + consistency * 0.20
+             + freshness * 0.15 + uniqueness * 0.10 + accuracy * 0.05, 6) AS overall_score,
+       CASE WHEN completeness * 0.25 + validity * 0.25 + consistency * 0.20
+                 + freshness * 0.15 + uniqueness * 0.10 + accuracy * 0.05 >= 80
+            THEN 'healthy'
+            WHEN completeness * 0.25 + validity * 0.25 + consistency * 0.20
+                 + freshness * 0.15 + uniqueness * 0.10 + accuracy * 0.05 >= 60
+            THEN 'warning' ELSE 'critical' END AS status
+FROM comp
+"""
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
+
+def q_keep_drop_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document keep/drop over the generic documents table: the quality-
+    filter rule engine (C4/Gopher heuristics as boolean fail-predicates,
+    SURVEY.md §2.10 recast)."""
+    from baselinr_spark.operators.textanalysis import doc_stats
+
+    docs = _read(spark, sf_dir, "documents")
+    s = doc_stats(docs, "doc_id", "text")
+    keep = (
+        (F.col("n_words") >= 20)
+        & (F.col("mean_word_length") >= 3.0)
+        & (F.col("mean_word_length") <= 10.0)
+        & (F.col("distinct_word_ratio") >= 0.2)
+        & (F.col("stopword_fraction") > 0.0)
+    )
+    return s.select(
+        "doc_id", "n_words",
+        F.round("mean_word_length", 6).alias("mean_word_length"),
+        keep.alias("keep"),
+    )
+
+
+_SQL_KEEP_DROP_DOCS = """
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'), x -> length(x) > 0) AS words
+  FROM documents
+), f AS (
+  SELECT doc_id, len(words)::int AS n_words,
+         CASE WHEN len(words) > 0
+              THEN list_sum(list_transform(words, x -> length(x)))::double / len(words)
+              ELSE 0.0 END AS mwl,
+         CASE WHEN len(words) > 0
+              THEN len(list_distinct(words))::double / len(words) ELSE 0.0 END AS dwr,
+         CASE WHEN len(words) > 0
+              THEN len(list_filter(words, x -> lower(x) IN
+                   ('the','a','and','of','to','in','is','it','that','for')))::double / len(words)
+              ELSE 0.0 END AS sf
+  FROM w
+)
+SELECT doc_id, n_words, round(mwl, 6) AS mean_word_length,
+       (n_words >= 20 AND mwl >= 3.0 AND mwl <= 10.0 AND dwr >= 0.2 AND sf > 0.0) AS keep
+FROM f
+"""
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: keep/drop quality filter over sf0.001 documents."""
+    return q_keep_drop_docs(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # profiling
+        "profile_lineitem": q_profile_lineitem,
+        "histogram_quantity": q_histogram_quantity,
+        "string_lengths_part": q_string_lengths_part,
+        # validation
+        "validation_suite": q_validation_suite,
+        "duplicate_samples": q_duplicate_samples,
+        # drift
+        "psi_value": q_psi_value,
+        "chi_square_event_type": q_chi_square_event_type,
+        "entropy_event_type": q_entropy_event_type,
+        "topk_jaccard_event_type": q_topk_jaccard_event_type,
+        "zscore_value": q_zscore_value,
+        "ks_value": q_ks_value,
+        # window / anomaly / learning
+        "daily_ma7": q_daily_ma7,
+        "ewma_daily": q_ewma_daily,
+        "iqr_outlier_days": q_iqr_outlier_days,
+        "rowcount_stability": q_rowcount_stability,
+        "regime_shift_daily": q_regime_shift_daily,
+        "learn_expectations": q_learn_expectations,
+        # quality score
+        "quality_score_orders": q_quality_score_orders,
+        # text analysis
+        "doc_stats": q_doc_stats,
+        "token_counts": q_token_counts,
+        "lang_id_heuristic": q_lang_id_heuristic,
+        "quality_score_docs": q_quality_score_docs,
+        "fingerprint_docs": q_fingerprint_docs,
+        # dedup
+        "dedup_exact_summary": q_dedup_exact_summary,
+        "minhash_signatures": q_minhash_signatures,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "simhash_docs": q_simhash_docs,
+        # similarity
+        "knn_cosine": q_knn_cosine,
+        "lsh_topk": q_lsh_topk,
+        # classic analytics
+        "tpch_q1": q_tpch_q1,
+        "top_customers_revenue": q_top_customers_revenue,
+        # flagship
+        "keep_drop_docs": q_keep_drop_docs,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "profile_lineitem": _sql_profile_lineitem(),
+        "histogram_quantity": _SQL_HISTOGRAM_QUANTITY,
+        "string_lengths_part": _sql_string_lengths_part(),
+        "validation_suite": _SQL_VALIDATION_SUITE,
+        "duplicate_samples": _SQL_DUPLICATE_SAMPLES,
+        "psi_value": _SQL_PSI_VALUE,
+        "chi_square_event_type": _SQL_CHI_SQUARE,
+        "entropy_event_type": _SQL_ENTROPY,
+        "topk_jaccard_event_type": _SQL_TOPK_JACCARD,
+        "zscore_value": _SQL_ZSCORE,
+        "ks_value": _SQL_KS,
+        "daily_ma7": _SQL_DAILY_MA7,
+        "ewma_daily": _SQL_EWMA_DAILY,
+        "iqr_outlier_days": _SQL_IQR_DAYS,
+        "rowcount_stability": _SQL_ROWCOUNT_STABILITY,
+        "regime_shift_daily": _SQL_REGIME_SHIFT,
+        "learn_expectations": _SQL_LEARN_EXPECTATIONS,
+        "quality_score_orders": _SQL_QUALITY_SCORE_ORDERS,
+        "doc_stats": _SQL_DOC_STATS,
+        "token_counts": _SQL_TOKEN_COUNTS,
+        "lang_id_heuristic": _SQL_LANG_ID,
+        "quality_score_docs": _SQL_QUALITY_SCORE_DOCS,
+        "fingerprint_docs": _SQL_FINGERPRINT,
+        "dedup_exact_summary": _SQL_DEDUP_EXACT,
+        "minhash_signatures": _sql_minhash_signatures(),
+        "ngram_jaccard_pairs": _SQL_NGRAM_JACCARD,
+        "simhash_docs": _SQL_SIMHASH,
+        "knn_cosine": _SQL_KNN_COSINE,
+        "tpch_q1": _SQL_TPCH_Q1,
+        "top_customers_revenue": _SQL_TOP_CUSTOMERS,
+        "keep_drop_docs": _SQL_KEEP_DROP_DOCS,
+        # lsh_topk intentionally omitted (approximate; rows-only check)
+    }

@@ -1,0 +1,214 @@
+"""Anomaly detection methods over metric history, as Column helpers and
+DataFrame ops.
+
+Recasts /root/reference/baselinr/anomaly/detection_methods.py (SURVEY.md
+§2.13). The reference operates on one (table, column, metric) scalar
+series at a time in driver Python; here each method is an expression over
+a history DataFrame of (series keys..., ts, value) so thousands of series
+evaluate in one pass.
+
+Percentile interpolation: the reference uses linear interpolation on the
+sorted sample (detection_methods.py:78-91) — exactly Spark's `percentile`
+(and DuckDB's quantile_cont), NOT percentile_approx.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+
+def iqr_flags(
+    history: DataFrame,
+    value_col: str = "value",
+    key_cols: list[str] | None = None,
+    threshold: float = 1.5,
+) -> DataFrame:
+    """IQR outliers (detection_methods.py:34-151): Q1/Q3 linear-interp,
+    outlier beyond Q ± threshold·IQR; needs ≥4 points and IQR>0; severity
+    by deviation/IQR > 3·t high / > 2·t medium. Flags every row of the
+    series against the series' own quartiles. Returns history columns +
+    (q1, q3, iqr, lower_bound, upper_bound, is_anomaly, severity)."""
+    key_cols = key_cols or []
+    v = F.col(value_col).cast("double")
+    stats = history.groupBy(*key_cols).agg(
+        F.expr(f"percentile({value_col}, 0.25)").alias("q1"),
+        F.expr(f"percentile({value_col}, 0.75)").alias("q3"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    j = history.join(F.broadcast(stats), key_cols) if key_cols else history.crossJoin(
+        F.broadcast(stats)
+    )
+    iqr = F.col("q3") - F.col("q1")
+    lo = F.col("q1") - threshold * iqr
+    hi = F.col("q3") + threshold * iqr
+    eligible = (F.col("__n") >= 4) & (iqr > 0)
+    out = (eligible & ((v < lo) | (v > hi)))
+    dev = F.when(v < lo, (lo - v) / iqr).when(v > hi, (v - hi) / iqr).otherwise(0.0)
+    sev = (
+        F.when(~out, "none")
+        .when(dev > 3 * threshold, "high")
+        .when(dev > 2 * threshold, "medium")
+        .otherwise("low")
+    )
+    return (
+        j.withColumn("iqr", iqr)
+        .withColumn("lower_bound", lo)
+        .withColumn("upper_bound", hi)
+        .withColumn("is_anomaly", out)
+        .withColumn("severity", sev)
+        .drop("__n")
+    )
+
+
+def mad_flags(
+    history: DataFrame,
+    value_col: str = "value",
+    key_cols: list[str] | None = None,
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Modified z-score via MAD (detection_methods.py:154-246):
+    0.6745·(x − median)/MAD, anomaly when |z| > threshold; needs ≥3
+    points and MAD>0."""
+    key_cols = key_cols or []
+    v = F.col(value_col).cast("double")
+    med = history.groupBy(*key_cols).agg(
+        F.expr(f"percentile({value_col}, 0.5)").alias("__median"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    j = history.join(F.broadcast(med), key_cols) if key_cols else history.crossJoin(
+        F.broadcast(med)
+    )
+    dev = j.withColumn("__absdev", F.abs(v - F.col("__median")))
+    mad = dev.groupBy(*key_cols).agg(F.expr("percentile(__absdev, 0.5)").alias("__mad"))
+    jj = dev.join(F.broadcast(mad), key_cols) if key_cols else dev.crossJoin(
+        F.broadcast(mad)
+    )
+    z = F.when(F.col("__mad") > 0, 0.6745 * (v - F.col("__median")) / F.col("__mad"))
+    flag = (F.col("__n") >= 3) & F.col("__mad").isNotNull() & (F.abs(z) > threshold)
+    return (
+        jj.withColumn("modified_z", z)
+        .withColumn("is_anomaly", F.coalesce(flag, F.lit(False)))
+        .drop("__absdev", "__n")
+        .withColumnRenamed("__median", "median")
+        .withColumnRenamed("__mad", "mad")
+    )
+
+
+def ewma_series(
+    history: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    key_cols: list[str] | None = None,
+    lam: float = 0.2,
+) -> DataFrame:
+    """Iterative EWMA, oldest→newest, seeded with the first value:
+    ewma = λ·x + (1−λ)·ewma (expectation_learner.py:281-300). Ordered
+    recursion expressed with the `aggregate` higher-order function over
+    the collected series — one shuffle, no Python (SURVEY.md §2.6)."""
+    key_cols = key_cols or []
+    collected = history.groupBy(*key_cols).agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col(ts_col).alias("ts"), F.col(value_col).cast("double").alias("v")))
+        ).alias("__series")
+    )
+    ew = F.aggregate(
+        F.col("__series"),
+        F.lit(None).cast("double"),
+        lambda acc, x: F.when(acc.isNull(), x["v"]).otherwise(
+            F.lit(lam) * x["v"] + F.lit(1.0 - lam) * acc
+        ),
+    )
+    return collected.withColumn("ewma", ew).drop("__series")
+
+
+def control_limit_flags(
+    current: DataFrame,
+    value_col: str,
+    mean_col: str = "expected_mean",
+    stddev_col: str = "expected_stddev",
+    sigmas: float = 3.0,
+):
+    """Shewhart breach: value outside mean ± 3σ
+    (/root/reference/baselinr/anomaly/detector.py:482-533 with limits
+    from expectation_learner.py:254-279). Column-level helper."""
+    v = F.col(value_col)
+    lo = F.col(mean_col) - sigmas * F.col(stddev_col)
+    hi = F.col(mean_col) + sigmas * F.col(stddev_col)
+    return current.withColumn("lcl", lo).withColumn("ucl", hi).withColumn(
+        "is_anomaly", (v < lo) | (v > hi)
+    )
+
+
+def regime_shift(
+    history: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    key_cols: list[str] | None = None,
+    recent_window: int = 3,
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Welch-style t-stat between the most recent `recent_window` points
+    and the rest: |μ1−μ2| / sqrt(s1²/n1 + s2²/n2) vs critical z 1.96@0.05
+    / 2.58@0.01 (detection_methods.py:485-635)."""
+    key_cols = key_cols or []
+    w = (W.partitionBy(*key_cols) if key_cols else W.partitionBy()).orderBy(
+        F.desc(ts_col)
+    )
+    ranked = history.withColumn("__rn", F.row_number().over(w)).withColumn(
+        "__recent", F.col("__rn") <= recent_window
+    )
+    agg = ranked.groupBy(*key_cols).agg(
+        F.avg(F.when(F.col("__recent"), F.col(value_col))).alias("mean_recent"),
+        F.var_samp(F.when(F.col("__recent"), F.col(value_col))).alias("var_recent"),
+        F.sum(F.col("__recent").cast("long")).alias("n_recent"),
+        F.avg(F.when(~F.col("__recent"), F.col(value_col))).alias("mean_base"),
+        F.var_samp(F.when(~F.col("__recent"), F.col(value_col))).alias("var_base"),
+        F.sum((~F.col("__recent")).cast("long")).alias("n_base"),
+    )
+    denom = F.sqrt(
+        F.coalesce(F.col("var_recent"), F.lit(0.0)) / F.col("n_recent")
+        + F.coalesce(F.col("var_base"), F.lit(0.0)) / F.col("n_base")
+    )
+    t = F.when(denom > 0, F.abs(F.col("mean_recent") - F.col("mean_base")) / denom)
+    crit = 1.96 if alpha == 0.05 else 2.58
+    return agg.withColumn("t_stat", t).withColumn(
+        "is_shift", F.coalesce(F.col("t_stat") > crit, F.lit(False))
+    )
+
+
+def seasonal_residual_flags(
+    history: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    key_cols: list[str] | None = None,
+    ma_window: int = 7,
+    sigma_mult: float = 2.0,
+) -> DataFrame:
+    """Seasonality-aware residual check (detection_methods.py:331-482):
+    trend = trailing MA(7); residual = value − trend; compare each
+    residual to the mean residual of the same day-of-week; anomaly if
+    |residual − dow_mean| > 2σ of all residuals. Needs ≥7 points."""
+    key_cols = key_cols or []
+    w = (W.partitionBy(*key_cols) if key_cols else W.partitionBy()).orderBy(ts_col) \
+        .rowsBetween(-(ma_window - 1), 0)
+    with_trend = history.withColumn("trend", F.avg(value_col).over(w)).withColumn(
+        "residual", F.col(value_col) - F.col("trend")
+    ).withColumn("dow", F.dayofweek(ts_col))
+    dow_stats = with_trend.groupBy(*key_cols, "dow").agg(
+        F.avg("residual").alias("dow_mean_residual")
+    )
+    glob = with_trend.groupBy(*key_cols).agg(
+        F.stddev_samp("residual").alias("resid_stddev"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    j = with_trend.join(F.broadcast(dow_stats), key_cols + ["dow"])
+    j = j.join(F.broadcast(glob), key_cols) if key_cols else j.crossJoin(F.broadcast(glob))
+    dev = F.abs(F.col("residual") - F.col("dow_mean_residual"))
+    return j.withColumn(
+        "is_anomaly",
+        (F.col("__n") >= 7)
+        & F.col("resid_stddev").isNotNull()
+        & (dev > sigma_mult * F.col("resid_stddev")),
+    ).drop("__n")

@@ -1,0 +1,257 @@
+"""Document deduplication — exact and near-dup, at shuffle-scale.
+
+These are the training-data-pipeline operators a 100 TB corpus needs on
+top of the reference's capabilities (which only has count-level
+uniqueness validation, /root/reference/baselinr/validation/validators/
+uniqueness_validator.py). All methods are pure DataFrame ops — hashing is
+md5/xxhash in the JVM, candidate generation is equi-join on bucket keys
+(never an O(n²) cross join), so they scale with executors and AQE handles
+banded-key skew.
+
+Determinism note: minhash uses lexicographic MIN over md5 hex strings of
+(seed || shingle) — identical in any engine with md5, which makes the
+DuckDB oracle expressible (no RNG, no JVM-specific hash).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_MINHASH_K = 8
+DEFAULT_BANDS = 4  # k=8 → 4 bands × 2 rows
+
+
+def normalize_text(col):
+    """lowercase + collapse whitespace — the canonical form for hashing."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact duplicates by md5 of normalized text: one row per duplicate
+    group with the canonical (min id) representative and group size."""
+    h = F.md5(normalize_text(F.col(text_col))).alias("text_hash")
+    return (
+        df.select(F.col(id_col).alias("id"), h)
+        .groupBy("text_hash")
+        .agg(
+            F.min("id").alias("canonical_id"),
+            F.count(F.lit(1)).alias("group_size"),
+        )
+        .filter(F.col("group_size") > 1)
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep one doc (min id) per distinct normalized text."""
+    from pyspark.sql import Window as W
+
+    h = F.md5(normalize_text(F.col(text_col)))
+    w = W.partitionBy("__h").orderBy(F.col(id_col))
+    return (
+        df.withColumn("__h", h)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__h", "__rn")
+    )
+
+
+def word_shingles(text_col, n: int = 3):
+    """Distinct word n-gram shingles as an array column (native exprs:
+    split → transform over index range → slice/join)."""
+    words = F.filter(F.split(normalize_text(text_col), " "), lambda w: F.length(w) > 0)
+    k = F.size(words) - (n - 1)
+    return F.array_distinct(
+        F.when(
+            k > 0,
+            F.transform(
+                F.sequence(F.lit(0), k - 1),
+                lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+            ),
+        ).otherwise(F.array(F.concat_ws(" ", words))),
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = DEFAULT_MINHASH_K,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, sig_0..sig_{k-1}): sig_i = min(md5(i || '|' || shingle)).
+    One explode + one groupBy; the k 'permutations' are k conditional
+    min-aggregates in the same pass, not k passes."""
+    sh = df.select(
+        F.col(id_col).alias("id"), F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle")
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"sig_{i}")
+        for i in range(k)
+    ]
+    return sh.groupBy("id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = DEFAULT_MINHASH_K,
+    bands: int = DEFAULT_BANDS,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Candidate near-dup pairs via LSH banding: band key = md5(concat of
+    the band's signature rows); docs sharing any band key become
+    candidates (equi-join on (band, key) — shuffle, not cross join);
+    estimated Jaccard = fraction of matching signature components.
+    Returns (id_a, id_b, est_jaccard) with id_a < id_b."""
+    sig = minhash_signatures(df, id_col, text_col, k, shingle_n)
+    rows_per_band = k // bands
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)],
+                    )
+                ).alias("key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select("id", *[f"sig_{i}" for i in range(k)],
+                        F.explode(band_structs).alias("bk")).select(
+        "id", *[f"sig_{i}" for i in range(k)], "bk.band", "bk.key"
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            *[
+                (F.col(f"l.sig_{i}") == F.col(f"r.sig_{i}")).cast("int").alias(f"m_{i}")
+                for i in range(k)
+            ],
+        )
+        .distinct()
+    )
+    est = sum(F.col(f"m_{i}") for i in range(k)) / float(k)
+    return (
+        cand.withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 1,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram-set Jaccard for pairs sharing ≥1 shingle: explode
+    distinct shingles, self-equi-join on shingle, count intersections,
+    |A∪B| = |A|+|B|−|A∩B|. The join key is the shingle — frequent
+    shingles are the skew risk; AQE skew-join splits them."""
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle"),
+    )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    inter = (
+        sh.alias("a")
+        .join(sh.alias("b"), (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    out = (
+        inter.join(F.broadcast(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_shingles", "n_a")), "id_a")
+        .join(F.broadcast(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_shingles", "n_b")), "id_b")
+        .withColumn("jaccard", F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 60) -> DataFrame:
+    """60-bit SimHash: token hash = first 15 hex chars of md5 (60 bits,
+    stays in signed int64); per bit position sum ±1 over tokens; sign →
+    bit. Two narrow shuffles keyed by doc id. Returns (id, simhash)."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.filter(F.split(normalize_text(F.col(text_col)), " "), lambda w: F.length(w) > 0)
+        ).alias("tok"),
+    )
+    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")
+    bitpos = toks.withColumn("__h", h).select(
+        "id",
+        F.posexplode(
+            # SQL lambda: the shift amount is the lambda variable, which the
+            # python shiftright() helper can't take — use the expr form
+            F.expr(f"transform(sequence(0, {bits - 1}), i -> (__h >> i) & 1L)")
+        ).alias("pos", "bit"),
+    )
+    acc = bitpos.groupBy("id", "pos").agg(
+        F.sum(F.col("bit") * 2 - 1).alias("s")
+    )
+    return acc.groupBy("id").agg(
+        F.sum(F.expr("CASE WHEN s > 0 THEN shiftleft(1L, pos) ELSE 0L END")).alias("simhash")
+    )
+
+
+def simhash_near_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 8,
+    bits: int = 60, chunks: int = 4,
+) -> DataFrame:
+    """Near-dup candidates by SimHash: band the fingerprint into
+    `chunks` bit-chunks; docs sharing any chunk value are candidates
+    (pigeonhole: hamming ≤ max_hamming with chunks > max_hamming/... is
+    heuristic recall, standard practice); verify with bit_count(xor)."""
+    sh = simhash(df, id_col, text_col, bits)
+    per = bits // chunks
+    chunk_arr = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("chunk"),
+                F.shiftright(F.col("simhash"), c * per).bitwiseAND(
+                    F.lit((1 << per) - 1)
+                ).alias("val"),
+            )
+            for c in range(chunks)
+        ]
+    )
+    banded = sh.select("id", "simhash", F.explode(chunk_arr).alias("ck")).select(
+        "id", "simhash", "ck.chunk", "ck.val"
+    )
+    cand = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return cand

@@ -1,0 +1,166 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force exact cosine top-k as the correctness baseline, and a
+random-hyperplane LSH-bucketed variant as the scale path (candidate
+generation via equi-join on bucket signature instead of a full cross
+join). Dot products are native `zip_with` + `aggregate` higher-order
+functions — JVM-side, no UDF.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def dot_expr(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm_expr(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine_expr(a, b):
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector. The query set
+    is broadcast (it is small by construction); the corpus streams —
+    this is the O(|Q|·|C|) baseline, correct at any corpus size as long
+    as |Q| is bounded. Returns (query_id, neighbor_id, cosine, rank)."""
+    from pyspark.sql import Window as W
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", cosine_expr(F.col("q_vec"), F.col("c_vec")))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def hyperplane_signature(vec_col, planes: np.ndarray):
+    """Bit-signature column: sign of <plane_i, v> per hyperplane, packed
+    into a long. Planes are literal arrays (deterministic seeded
+    hyperplanes baked into the plan, broadcast-free)."""
+    sig = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(float(x)) for x in p])
+        bit = (dot_expr(vec_col, plane) > 0).cast("long")
+        sig = sig + F.shiftleft(bit, i)
+    return sig
+
+
+def make_planes(dim: int, n_planes: int = 12, seed: int = 20_240_601) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def lsh_topk(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    dim: int = 64,
+    n_planes: int = 12,
+    n_bands: int = 3,
+    seed: int = 20_240_601,
+) -> DataFrame:
+    """Approximate all-pairs top-k: hyperplane signature split into
+    bands; docs sharing a band bucket are candidates (equi-join), exact
+    cosine computed only within buckets. Recall grows with bands;
+    cost stays ~linear in corpus size × bucket occupancy."""
+    from pyspark.sql import Window as W
+
+    planes = make_planes(dim, n_planes, seed)
+    per = n_planes // n_bands
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        hyperplane_signature(F.col(vec_col), planes).alias("sig"),
+    )
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("sig"), b * per)
+                .bitwiseAND(F.lit((1 << per) - 1))
+                .alias("bucket"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    banded = sig.select("id", "vec", F.explode(band_arr).alias("bk")).select(
+        "id", "vec", "bk.band", "bk.bucket"
+    )
+    cand = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") != F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("query_id"),
+            F.col("b.id").alias("neighbor_id"),
+            F.col("a.vec").alias("q_vec"),
+            F.col("b.vec").alias("c_vec"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("cosine", cosine_expr(F.col("q_vec"), F.col("c_vec")))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    **lsh_kwargs,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via the LSH candidate path."""
+    nn = lsh_topk(df, id_col, vec_col, k=50, **lsh_kwargs)
+    return (
+        nn.filter((F.col("cosine") >= threshold) & (F.col("query_id") < F.col("neighbor_id")))
+        .select(
+            F.col("query_id").alias("id_a"),
+            F.col("neighbor_id").alias("id_b"),
+            F.col("cosine"),
+        )
+    )

@@ -1,0 +1,98 @@
+"""Generic text analysis over a documents table — language-ID heuristic,
+quality scoring, token counting, fingerprinting. All native Catalyst
+expressions (no UDFs), designed so each has an exact ANSI-SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: tiny English function-word list for the heuristic language scorer
+EN_STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "it", "that", "for")
+
+FINGERPRINT_MOD = 1_000_000_007
+FINGERPRINT_BASE = 31
+
+
+def words_expr(text_col):
+    return F.filter(F.split(F.trim(text_col), r"\s+"), lambda w: F.length(w) > 0)
+
+
+def doc_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document stats: n_words, n_chars, mean_word_length,
+    distinct_word_ratio (type/token), stopword_fraction (EN list)."""
+    words = words_expr(F.col(text_col))
+    n_words = F.size(words)
+    stop_arr = F.array(*[F.lit(w) for w in EN_STOPWORDS])
+    n_stop = F.size(F.filter(words, lambda w: F.array_contains(stop_arr, F.lower(w))))
+    total_chars = F.aggregate(words, F.lit(0).cast("long"), lambda a, w: a + F.length(w))
+    return df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        F.length(F.col(text_col)).alias("n_chars"),
+        F.when(n_words > 0, total_chars / n_words).otherwise(0.0).alias("mean_word_length"),
+        F.when(n_words > 0, F.size(F.array_distinct(words)) / n_words)
+        .otherwise(0.0)
+        .alias("distinct_word_ratio"),
+        F.when(n_words > 0, n_stop / n_words).otherwise(0.0).alias("stopword_fraction"),
+    )
+
+
+def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Composite 0-100 heuristic quality score: length band (20-1000
+    words), mean word length band [3,10], lexical diversity ≥ 0.2,
+    stopword presence. 25 points each — a C4-style scorer whose
+    components mirror the keep/drop rules."""
+    s = doc_stats(df, id_col, text_col)
+    return s.select(
+        id_col,
+        (
+            F.when((F.col("n_words") >= 20) & (F.col("n_words") <= 1000), 25.0).otherwise(0.0)
+            + F.when(
+                (F.col("mean_word_length") >= 3.0) & (F.col("mean_word_length") <= 10.0), 25.0
+            ).otherwise(0.0)
+            + F.when(F.col("distinct_word_ratio") >= 0.2, 25.0).otherwise(0.0)
+            + F.when(F.col("stopword_fraction") > 0, 25.0).otherwise(0.0)
+        ).alias("quality_score"),
+    )
+
+
+def token_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Whitespace tokens + BPE-ish subword proxy: runs of letters, runs
+    of digits, or single other non-space chars (the classic pre-tokenizer
+    regex), counted via regexp_count — no UDF, no explode."""
+    ws = F.size(words_expr(F.col(text_col)))
+    bpe = F.regexp_count(F.col(text_col), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"))
+    return df.select(
+        F.col(id_col),
+        ws.alias("ws_tokens"),
+        bpe.alias("bpe_tokens"),
+    )
+
+
+def lang_id_heuristic(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Stopword-hit language heuristic: fraction of tokens in the EN
+    function-word list; ≥ 2% → 'en', else 'unknown'. (The real model
+    path is functions/langid.py; this is the no-model fallback.)"""
+    s = doc_stats(df, id_col, text_col)
+    return s.select(
+        id_col,
+        F.round(F.col("stopword_fraction"), 6).alias("stopword_fraction"),
+        F.when(F.col("stopword_fraction") >= 0.02, "en").otherwise("unknown").alias("lang_guess"),
+    )
+
+
+def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Deterministic rolling polynomial hash of the normalized text:
+    fold ascii codes with acc = (acc*31 + code) mod 1e9+7. Expressed as
+    an `aggregate` HOF over the char array — engine-portable (same
+    formula runs in DuckDB via list_reduce)."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    chars = F.split(norm, "")
+    fp = F.aggregate(
+        F.transform(F.filter(chars, lambda c: F.length(c) > 0), lambda c: F.ascii(c)),
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * FINGERPRINT_BASE + c) % FINGERPRINT_MOD,
+    )
+    return df.select(F.col(id_col), fp.alias("fingerprint"))
