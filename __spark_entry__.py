@@ -1070,6 +1070,592 @@ FROM comp
 
 
 # ---------------------------------------------------------------------------
+# anomaly methods (SURVEY.md §2.13)
+# ---------------------------------------------------------------------------
+
+def q_mad_outlier_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from baselinr_spark.operators.anomaly import mad_flags
+
+    daily = _daily_counts(spark, sf_dir)
+    out = mad_flags(daily, value_col="n")
+    return out.select(
+        F.col("day").cast("string").alias("day"), "n",
+        F.round("median", 6).alias("median"),
+        F.round("mad", 6).alias("mad"),
+        F.round("modified_z", 6).alias("modified_z"),
+        "is_anomaly",
+    )
+
+
+_SQL_MAD_DAYS = f"""
+WITH daily AS ({_SQL_DAILY}),
+m AS (SELECT quantile_cont(n, 0.5)::double AS med, count(*) AS cnt FROM daily),
+d AS (SELECT quantile_cont(abs(n - med), 0.5)::double AS mad FROM daily, m)
+SELECT day::VARCHAR AS day, n,
+       round(med, 6) AS median, round(mad, 6) AS mad,
+       round(CASE WHEN mad > 0 THEN 0.6745 * (n - med) / mad END, 6) AS modified_z,
+       coalesce(cnt >= 3 AND mad IS NOT NULL
+                AND abs(0.6745 * (n - med) / mad) > 3.0, false) AS is_anomaly
+FROM daily, m, d
+"""
+
+
+def q_control_limits_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shewhart limits learned on the base cohort, applied to current
+    daily mean `value` (detector.py:482-533)."""
+    from baselinr_spark.operators.anomaly import control_limit_flags
+
+    ev, base, cur = _event_cohorts(spark, sf_dir)
+    learned = base.agg(
+        F.avg("value").alias("expected_mean"),
+        F.stddev_samp("value").alias("expected_stddev"),
+    )
+    cur_daily = cur.groupBy(F.to_date("ts").alias("day")).agg(
+        F.avg("value").alias("day_mean")
+    )
+    j = cur_daily.crossJoin(F.broadcast(learned))
+    out = control_limit_flags(j, "day_mean")
+    return out.select(
+        F.col("day").cast("string").alias("day"),
+        F.round("day_mean", 6).alias("day_mean"),
+        F.round("lcl", 6).alias("lcl"),
+        F.round("ucl", 6).alias("ucl"),
+        "is_anomaly",
+    )
+
+
+_SQL_CONTROL_LIMITS = f"""
+WITH learned AS (
+  SELECT avg(value) AS mu, stddev(value) AS sd FROM events
+  WHERE ts < TIMESTAMP '{_SPLIT}'
+), cur AS (
+  SELECT CAST(ts AS DATE) AS day, avg(value) AS day_mean FROM events
+  WHERE ts >= TIMESTAMP '{_SPLIT}' GROUP BY 1
+)
+SELECT day::VARCHAR AS day, round(day_mean, 6) AS day_mean,
+       round(mu - 3 * sd, 6) AS lcl, round(mu + 3 * sd, 6) AS ucl,
+       (day_mean < mu - 3 * sd OR day_mean > mu + 3 * sd) AS is_anomaly
+FROM cur, learned
+"""
+
+
+# ---------------------------------------------------------------------------
+# baseline selection (SURVEY.md §2.6)
+# ---------------------------------------------------------------------------
+
+def q_moving_avg_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from baselinr_spark.operators.baseline import moving_average_baseline
+
+    daily = _daily_counts(spark, sf_dir)
+    out = moving_average_baseline(daily, ts_col="day", value_col="n", n=7)
+    return out.select(
+        F.col("day").cast("string").alias("day"), "n",
+        F.round("baseline", 6).alias("baseline"), "n_prior",
+    )
+
+
+_SQL_MOVING_AVG_BASELINE = f"""
+WITH daily AS ({_SQL_DAILY})
+SELECT day::VARCHAR AS day, n,
+       round(avg(n) OVER (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING), 6)
+         AS baseline,
+       count(n) OVER (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS n_prior
+FROM daily
+"""
+
+
+def q_stable_window_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from baselinr_spark.operators.baseline import stable_window_baseline
+
+    daily = _daily_counts(spark, sf_dir)
+    out = stable_window_baseline(daily, ts_col="day", value_col="n", window=5)
+    return out.select(
+        F.round("baseline", 6).alias("baseline"),
+        F.round("window_score", 6).alias("window_score"),
+        F.col("window_end_ts").cast("string").alias("window_end_day"),
+    )
+
+
+_SQL_STABLE_WINDOW = f"""
+WITH daily AS ({_SQL_DAILY}),
+chg AS (
+  SELECT day, n,
+         CASE WHEN lag(n) OVER (ORDER BY day) IS NOT NULL
+                   AND abs(lag(n) OVER (ORDER BY day)) > 0
+              THEN abs((n - lag(n) OVER (ORDER BY day)) * 100.0
+                       / lag(n) OVER (ORDER BY day)) END AS pct
+  FROM daily
+), win AS (
+  SELECT day, n,
+         avg(pct) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS score,
+         count(pct) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS nchg,
+         avg(n) OVER (ORDER BY day ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS wavg,
+         count(n) OVER (ORDER BY day ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS nval
+  FROM chg
+)
+SELECT round(wavg, 6) AS baseline, round(score, 6) AS window_score,
+       day::VARCHAR AS window_end_day
+FROM win WHERE nchg = 4 AND nval = 5
+ORDER BY score ASC, day ASC LIMIT 1
+"""
+
+
+def q_seasonality_check_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from baselinr_spark.operators.baseline import seasonality_check
+
+    daily = _daily_counts(spark, sf_dir)
+    out = seasonality_check(daily, ts_col="day", value_col="n")
+    return out.select(
+        F.round("variance_ratio", 6).alias("variance_ratio"), "seasonal"
+    )
+
+
+_SQL_SEASONALITY = f"""
+WITH daily AS ({_SQL_DAILY}),
+r AS (
+  SELECT dayofweek(day) + 1 AS dow,
+         n - avg(n) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+           AS resid
+  FROM daily
+), g AS (
+  SELECT dow, avg(resid) AS gmean, var_pop(resid) AS gvar FROM r GROUP BY dow
+), agg AS (
+  SELECT var_pop(gmean) AS between_v, avg(gvar) AS within_v FROM g
+)
+SELECT round(CASE WHEN within_v > 0 THEN between_v / within_v END, 6)
+         AS variance_ratio,
+       coalesce(CASE WHEN within_v > 0 THEN between_v / within_v END > 1.5, false)
+         AS seasonal
+FROM agg
+"""
+
+
+def q_auto_baseline_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from baselinr_spark.operators.baseline import auto_baseline_decision
+
+    daily = _daily_counts(spark, sf_dir)
+    out = auto_baseline_decision(daily, ts_col="day", value_col="n")
+    return out.select(
+        "n_runs", F.round("cv", 6).alias("cv"),
+        F.round("variance_ratio", 6).alias("variance_ratio"),
+        "seasonal", "decision",
+    )
+
+
+_SQL_AUTO_BASELINE = f"""
+WITH daily AS ({_SQL_DAILY}),
+stats AS (SELECT count(n) AS n_runs, stddev(n) / avg(n) AS cv FROM daily),
+r AS (
+  SELECT dayofweek(day) + 1 AS dow,
+         n - avg(n) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+           AS resid
+  FROM daily
+), g AS (
+  SELECT dow, avg(resid) AS gmean, var_pop(resid) AS gvar FROM r GROUP BY dow
+), seas AS (
+  SELECT CASE WHEN avg(gvar) > 0 THEN var_pop(gmean) / avg(gvar) END AS vr FROM g
+)
+SELECT n_runs, round(cv, 6) AS cv, round(vr, 6) AS variance_ratio,
+       coalesce(vr > 1.5, false) AS seasonal,
+       CASE WHEN n_runs < 3 THEN 'insufficient_history'
+            WHEN cv > 0.2 THEN 'moving_average'
+            WHEN coalesce(vr > 1.5, false) THEN 'prior_period'
+            ELSE 'last_run' END AS decision
+FROM stats, seas
+"""
+
+
+# ---------------------------------------------------------------------------
+# drift strategy + drift-compare join (SURVEY.md §2.5, §2.12)
+# ---------------------------------------------------------------------------
+
+_DRIFT_METRICS = ("count", "mean", "stddev", "min", "max")
+
+
+def q_drift_absolute_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drift-compare join of two cohorts' metric sets + the reference's
+    default absolute-threshold strategy."""
+    from baselinr_spark.operators.drift import absolute_threshold
+
+    ev, base, cur = _event_cohorts(spark, sf_dir)
+
+    def metric_rows(side, vcol):
+        a = side.agg(
+            F.count("value").cast("double").alias("count"),
+            F.avg("value").alias("mean"),
+            F.stddev_samp("value").alias("stddev"),
+            F.min("value").alias("min"),
+            F.max("value").alias("max"),
+        )
+        return a.select(
+            F.explode(
+                F.array(*[
+                    F.struct(F.lit(m).alias("metric_name"), F.col(m).alias(vcol))
+                    for m in _DRIFT_METRICS
+                ])
+            ).alias("kv")
+        ).select("kv.*")
+
+    j = metric_rows(base, "base_value").join(
+        metric_rows(cur, "cur_value"), "metric_name"
+    )
+    out = absolute_threshold(j)
+    return out.select(
+        "metric_name",
+        F.round("base_value", 6).alias("base_value"),
+        F.round("cur_value", 6).alias("cur_value"),
+        F.round("change_pct", 6).alias("change_pct"),
+        "drift", "severity",
+    )
+
+
+_SQL_DRIFT_ABS = f"""
+WITH b AS (
+  SELECT count(value)::double AS "count", avg(value) AS "mean",
+         stddev(value) AS "stddev", min(value)::double AS "min",
+         max(value)::double AS "max"
+  FROM events WHERE ts < TIMESTAMP '{_SPLIT}'
+), c AS (
+  SELECT count(value)::double AS "count", avg(value) AS "mean",
+         stddev(value) AS "stddev", min(value)::double AS "min",
+         max(value)::double AS "max"
+  FROM events WHERE ts >= TIMESTAMP '{_SPLIT}'
+), pairs AS (
+  SELECT m.metric_name, m.base_value, m.cur_value
+  FROM b, c, LATERAL (VALUES
+    ('count', b."count", c."count"), ('mean', b."mean", c."mean"),
+    ('stddev', b."stddev", c."stddev"), ('min', b."min", c."min"),
+    ('max', b."max", c."max")
+  ) AS m(metric_name, base_value, cur_value)
+), chg AS (
+  SELECT *, CASE WHEN abs(base_value) > 0
+                 THEN (cur_value - base_value) * 100.0 / abs(base_value)
+                 WHEN cur_value != base_value THEN 100.0 ELSE 0.0 END AS change_pct
+  FROM pairs
+)
+SELECT metric_name, round(base_value, 6) AS base_value,
+       round(cur_value, 6) AS cur_value, round(change_pct, 6) AS change_pct,
+       abs(change_pct) >= 5.0 AS drift,
+       CASE WHEN abs(change_pct) >= 30 THEN 'high'
+            WHEN abs(change_pct) >= 15 THEN 'medium'
+            WHEN abs(change_pct) >= 5 THEN 'low' ELSE 'none' END AS severity
+FROM chg
+"""
+
+
+# ---------------------------------------------------------------------------
+# schema drift (SURVEY.md §2.5) — cur = live orders schema, base = planted
+# prior snapshot with a rename + a dropped column
+# ---------------------------------------------------------------------------
+
+_BASE_SCHEMA_ROWS = [
+    ("o_orderkey", "bigint"), ("o_custkey", "bigint"),
+    ("o_orderstat", "string"),  # renamed to o_orderstatus in cur
+    ("o_totalprice", "double"), ("o_orderdate", "timestamp"),
+]
+_BASE_SCHEMA_VALUES = ", ".join(f"('{c}', '{t}')" for c, t in _BASE_SCHEMA_ROWS)
+
+
+def _schema_diff_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from baselinr_spark.operators.schema_drift import schema_diff
+
+    orders = _read(spark, sf_dir, "orders")
+    cur = spark.createDataFrame(
+        [(f.name, f.dataType.simpleString()) for f in orders.schema.fields],
+        schema="column_name string, data_type string",
+    )
+    base = spark.createDataFrame(
+        _BASE_SCHEMA_ROWS, schema="column_name string, data_type string"
+    )
+    return schema_diff(cur, base)
+
+
+def q_schema_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _schema_diff_df(spark, sf_dir)
+
+
+_SQL_SCHEMA_DIFF = f"""
+WITH cur AS (
+  SELECT column_name,
+         replace(lower(column_type), 'varchar', 'string') AS cur_type
+  FROM (DESCRIBE orders)
+), base AS (
+  SELECT v.column_name, v.base_type
+  FROM (VALUES {_BASE_SCHEMA_VALUES}) AS v(column_name, base_type)
+)
+SELECT coalesce(cur.column_name, base.column_name) AS column_name,
+       cur_type, base_type,
+       CASE WHEN base_type IS NULL THEN 'added'
+            WHEN cur_type IS NULL THEN 'removed'
+            WHEN cur_type != base_type THEN 'type_changed'
+            ELSE 'unchanged' END AS status
+FROM cur FULL OUTER JOIN base USING (column_name)
+"""
+
+
+def q_schema_rename_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from baselinr_spark.operators.schema_drift import rename_candidates
+
+    out = rename_candidates(_schema_diff_df(spark, sf_dir))
+    return _r6(out, "similarity")
+
+
+_SQL_SCHEMA_RENAMES = f"""
+WITH diff AS ({_SQL_SCHEMA_DIFF}),
+added AS (SELECT column_name AS to_col, cur_type AS to_type FROM diff
+          WHERE status = 'added'),
+removed AS (SELECT column_name AS from_col, base_type AS from_type FROM diff
+            WHERE status = 'removed')
+SELECT from_col, to_col, from_type AS data_type,
+       round(1.0 - levenshtein(from_col, to_col)::double
+             / greatest(length(from_col), length(to_col)), 6) AS similarity
+FROM removed, added
+WHERE from_type = to_type
+  AND 1.0 - levenshtein(from_col, to_col)::double
+      / greatest(length(from_col), length(to_col)) >= 0.7
+"""
+
+
+# ---------------------------------------------------------------------------
+# partition filters (SURVEY.md §2.2) — dt cohorts of events
+# ---------------------------------------------------------------------------
+
+def q_partition_latest_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`WHERE pcol = (SELECT MAX(pcol))` (query_builder.py:100-104)."""
+    ev = _read(spark, sf_dir, "events")
+    day = F.to_date("ts")
+    mx = ev.agg(F.max(day).alias("mx"))
+    out = (
+        ev.join(F.broadcast(mx), day == F.col("mx"))
+        .groupBy(day.cast("string").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("value"), 6).alias("avg_value"))
+    )
+    return out
+
+
+_SQL_PARTITION_LATEST = """
+SELECT CAST(ts AS DATE)::VARCHAR AS day, count(*)::bigint AS n,
+       round(avg(value), 6) AS avg_value
+FROM events
+WHERE CAST(ts AS DATE) = (SELECT max(CAST(ts AS DATE)) FROM events)
+GROUP BY 1
+"""
+
+
+def q_partition_recent_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`WHERE pcol IN (SELECT DISTINCT pcol ORDER BY pcol DESC LIMIT n)`
+    (query_builder.py:106-118)."""
+    ev = _read(spark, sf_dir, "events")
+    day = F.to_date("ts").alias("day")
+    recent = ev.select(day).distinct().orderBy(F.desc("day")).limit(3)
+    out = (
+        ev.join(F.broadcast(recent), F.to_date("ts") == F.col("day"))
+        .groupBy(F.col("day").cast("string").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return out
+
+
+_SQL_PARTITION_RECENT = """
+SELECT CAST(ts AS DATE)::VARCHAR AS day, count(*)::bigint AS n
+FROM events
+WHERE CAST(ts AS DATE) IN (
+  SELECT DISTINCT CAST(ts AS DATE) FROM events ORDER BY 1 DESC LIMIT 3)
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup / similarity extensions (training-data ops)
+# ---------------------------------------------------------------------------
+
+def _docs_with_planted_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ copies of docs 0-19 re-idd at +100000 — the synthetic
+    corpus has no natural exact dups, so plant some to make the dedup
+    queries non-vacuous."""
+    docs = _read(spark, sf_dir, "documents")
+    dups = docs.filter(F.col("doc_id") < 20).withColumn(
+        "doc_id", F.col("doc_id") + 100000
+    )
+    return docs.unionByName(dups)
+
+
+_SQL_DOCS_PLANTED = """
+  docs2 AS (
+    SELECT * FROM documents
+    UNION ALL
+    SELECT doc_id + 100000 AS doc_id, text, lang, source, n_chars
+    FROM documents WHERE doc_id < 20
+  )
+"""
+
+
+def q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from baselinr_spark.operators.dedup import exact_dup_groups
+
+    return exact_dup_groups(_docs_with_planted_dups(spark, sf_dir), "doc_id", "text")
+
+
+_SQL_EXACT_DUP_GROUPS = f"""
+WITH {_SQL_DOCS_PLANTED}
+SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS text_hash,
+       min(doc_id) AS canonical_id, count(*)::bigint AS group_size
+FROM docs2 GROUP BY 1 HAVING count(*) > 1
+"""
+
+
+def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash banding with max_hamming=3 and 4 chunks: the pigeonhole
+    guarantee makes the banded candidate set EXACTLY the hamming≤3 pair
+    set, so the brute-force oracle matches."""
+    from baselinr_spark.operators.dedup import simhash_near_pairs
+
+    docs = _docs_with_planted_dups(spark, sf_dir).filter(
+        (F.col("doc_id") < 50) | (F.col("doc_id") >= 100000)
+    )
+    return simhash_near_pairs(docs, "doc_id", "text", max_hamming=3)
+
+
+_SQL_SIMHASH_NEAR = f"""
+WITH {_SQL_DOCS_PLANTED},
+sh AS (
+""" + _SQL_SIMHASH.replace("FROM documents WHERE doc_id < 50",
+                           "FROM docs2 WHERE doc_id < 50 OR doc_id >= 100000") + """
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.simhash, b.simhash))::int AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine≥0.9 near-duplicate pairs over embeddings (the
+    exact baseline the LSH path approximates). The synthetic embeddings
+    are near-orthogonal, so copies of vec 0-4 are planted at +100000 to
+    make the result non-vacuous."""
+    from baselinr_spark.operators.similarity import cosine_expr
+
+    emb = _read(spark, sf_dir, "embeddings")
+    emb = emb.unionByName(
+        emb.filter(F.col("vec_id") < 5).withColumn(
+            "vec_id", F.col("vec_id") + 100000
+        )
+    )
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    out = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cosine_expr(F.col("va"), F.col("vb")))
+        .filter(F.col("cosine") >= 0.9)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    )
+    return out
+
+
+_SQL_EMBEDDING_NEAR_DUPS = """
+WITH emb2 AS (
+  SELECT * FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id, embedding, label
+  FROM embeddings WHERE vec_id < 5
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.embedding::double[], b.embedding::double[]), 6)
+         AS cosine
+FROM emb2 a JOIN emb2 b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::double[], b.embedding::double[]) >= 0.9
+"""
+
+
+# ---------------------------------------------------------------------------
+# type inference + rule fire rates
+# ---------------------------------------------------------------------------
+
+_TYPEINFER_COLS = ["o_orderkey", "o_orderstatus", "o_totalprice",
+                   "o_orderdate", "o_orderpriority"]
+
+
+def q_type_inference_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from baselinr_spark.operators.typeinfer import infer_semantic_types
+
+    orders = _read(spark, sf_dir, "orders")
+    return infer_semantic_types(orders, _TYPEINFER_COLS)
+
+
+def _sql_type_inference() -> str:
+    from baselinr_spark.operators.typeinfer import oracle_sql_for
+
+    return oracle_sql_for("orders", _TYPEINFER_COLS)
+
+
+def q_rule_fire_rates_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-rule fire rate over documents — the validator failure_rate
+    semantics (§2.10) on the C4/Gopher heuristic rules."""
+    from baselinr_spark.operators.textanalysis import doc_stats
+
+    docs = _read(spark, sf_dir, "documents")
+    s = doc_stats(docs, "doc_id", "text")
+    rules = {
+        "too_short": F.col("n_words") < 20,
+        "word_length": (F.col("mean_word_length") < 3.0)
+        | (F.col("mean_word_length") > 10.0),
+        "low_distinct": F.col("distinct_word_ratio") < 0.2,
+        "no_stopwords": F.col("stopword_fraction") <= 0.0,
+    }
+    agg = s.agg(
+        F.count(F.lit(1)).alias("total"),
+        *[F.sum(p.cast("long")).alias(n) for n, p in rules.items()],
+    )
+    return agg.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(n).alias("rule_name"),
+                    F.col(n).alias("failed_rows"),
+                    F.round(F.col(n) * 100.0 / F.col("total"), 6).alias("failure_rate"),
+                )
+                for n in rules
+            ])
+        ).alias("kv")
+    ).select("kv.*")
+
+
+_SQL_RULE_FIRE_RATES = """
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'), x -> length(x) > 0) AS words
+  FROM documents
+), f AS (
+  SELECT len(words) AS n_words,
+         CASE WHEN len(words) > 0
+              THEN list_sum(list_transform(words, x -> length(x)))::double / len(words)
+              ELSE 0.0 END AS mwl,
+         CASE WHEN len(words) > 0
+              THEN len(list_distinct(words))::double / len(words) ELSE 0.0 END AS dwr,
+         CASE WHEN len(words) > 0
+              THEN len(list_filter(words, x -> lower(x) IN
+                   ('the','a','and','of','to','in','is','it','that','for')))::double / len(words)
+              ELSE 0.0 END AS sf
+  FROM w
+), agg AS (
+  SELECT count(*) AS total,
+         sum(CASE WHEN n_words < 20 THEN 1 ELSE 0 END)::bigint AS too_short,
+         sum(CASE WHEN mwl < 3.0 OR mwl > 10.0 THEN 1 ELSE 0 END)::bigint AS word_length,
+         sum(CASE WHEN dwr < 0.2 THEN 1 ELSE 0 END)::bigint AS low_distinct,
+         sum(CASE WHEN sf <= 0.0 THEN 1 ELSE 0 END)::bigint AS no_stopwords
+  FROM f
+)
+SELECT m.rule_name, m.failed_rows,
+       round(m.failed_rows * 100.0 / agg.total, 6) AS failure_rate
+FROM agg, LATERAL (VALUES
+  ('too_short', too_short), ('word_length', word_length),
+  ('low_distinct', low_distinct), ('no_stopwords', no_stopwords)
+) AS m(rule_name, failed_rows)
+"""
+
+
+# ---------------------------------------------------------------------------
 # flagship
 # ---------------------------------------------------------------------------
 
@@ -1147,6 +1733,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rowcount_stability": q_rowcount_stability,
         "regime_shift_daily": q_regime_shift_daily,
         "learn_expectations": q_learn_expectations,
+        "mad_outlier_days": q_mad_outlier_days,
+        "control_limits_daily": q_control_limits_daily,
+        # baseline selection
+        "moving_avg_baseline": q_moving_avg_baseline,
+        "stable_window_baseline": q_stable_window_baseline,
+        "seasonality_check_daily": q_seasonality_check_daily,
+        "auto_baseline_daily": q_auto_baseline_daily,
+        # drift strategy + schema drift
+        "drift_absolute_threshold": q_drift_absolute_threshold,
+        "schema_diff_orders": q_schema_diff_orders,
+        "schema_rename_candidates": q_schema_rename_candidates,
+        # partition filters
+        "partition_latest_day": q_partition_latest_day,
+        "partition_recent_days": q_partition_recent_days,
+        # type inference + rule fire rates
+        "type_inference_orders": q_type_inference_orders,
+        "rule_fire_rates_docs": q_rule_fire_rates_docs,
         # quality score
         "quality_score_orders": q_quality_score_orders,
         # text analysis
@@ -1157,12 +1760,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_docs": q_fingerprint_docs,
         # dedup
         "dedup_exact_summary": q_dedup_exact_summary,
+        "exact_dup_groups": q_exact_dup_groups,
         "minhash_signatures": q_minhash_signatures,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "simhash_docs": q_simhash_docs,
+        "simhash_near_pairs": q_simhash_near_pairs,
         # similarity
         "knn_cosine": q_knn_cosine,
         "lsh_topk": q_lsh_topk,
+        "embedding_near_dups": q_embedding_near_dups,
         # classic analytics
         "tpch_q1": q_tpch_q1,
         "top_customers_revenue": q_top_customers_revenue,
@@ -1190,6 +1796,22 @@ def oracle_sql() -> dict[str, str]:
         "rowcount_stability": _SQL_ROWCOUNT_STABILITY,
         "regime_shift_daily": _SQL_REGIME_SHIFT,
         "learn_expectations": _SQL_LEARN_EXPECTATIONS,
+        "mad_outlier_days": _SQL_MAD_DAYS,
+        "control_limits_daily": _SQL_CONTROL_LIMITS,
+        "moving_avg_baseline": _SQL_MOVING_AVG_BASELINE,
+        "stable_window_baseline": _SQL_STABLE_WINDOW,
+        "seasonality_check_daily": _SQL_SEASONALITY,
+        "auto_baseline_daily": _SQL_AUTO_BASELINE,
+        "drift_absolute_threshold": _SQL_DRIFT_ABS,
+        "schema_diff_orders": _SQL_SCHEMA_DIFF,
+        "schema_rename_candidates": _SQL_SCHEMA_RENAMES,
+        "partition_latest_day": _SQL_PARTITION_LATEST,
+        "partition_recent_days": _SQL_PARTITION_RECENT,
+        "type_inference_orders": _sql_type_inference(),
+        "rule_fire_rates_docs": _SQL_RULE_FIRE_RATES,
+        "exact_dup_groups": _SQL_EXACT_DUP_GROUPS,
+        "simhash_near_pairs": _SQL_SIMHASH_NEAR,
+        "embedding_near_dups": _SQL_EMBEDDING_NEAR_DUPS,
         "quality_score_orders": _SQL_QUALITY_SCORE_ORDERS,
         "doc_stats": _SQL_DOC_STATS,
         "token_counts": _SQL_TOKEN_COUNTS,

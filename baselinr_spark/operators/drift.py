@@ -310,3 +310,31 @@ def ks_from_histograms(
         F.when(F.col("ks_d") > 0.3, "high").when(F.col("ks_d") > 0.2, "medium")
         .otherwise("none").alias("severity"),
     )
+
+
+def absolute_threshold(
+    joined: DataFrame,
+    base_col: str = "base_value",
+    cur_col: str = "cur_value",
+    low: float = 5.0,
+    medium: float = 15.0,
+    high: float = 30.0,
+) -> DataFrame:
+    """The reference's default drift strategy
+    (/root/reference/baselinr/drift/strategies.py:61-173):
+    change% = (cur − base) / |base| · 100; drift when |change%| ≥ low;
+    severity bands ≥30 high / ≥15 medium / ≥5 low. Input: one row per
+    (…, base_value, cur_value) metric pair — e.g. the drift-compare join
+    of two runs' metrics (SURVEY.md §2.5)."""
+    b = F.col(base_col).cast("double")
+    c = F.col(cur_col).cast("double")
+    change = F.when(F.abs(b) > 0, (c - b) * 100.0 / F.abs(b)).otherwise(
+        F.when(c != b, F.lit(100.0)).otherwise(F.lit(0.0))
+    )
+    out = joined.withColumn("change_pct", change)
+    a = F.abs(F.col("change_pct"))
+    return out.withColumn("drift", a >= low).withColumn(
+        "severity",
+        F.when(a >= high, "high").when(a >= medium, "medium")
+        .when(a >= low, "low").otherwise("none"),
+    )

@@ -25,6 +25,7 @@ from __future__ import annotations
 import datetime as dt
 import json
 import os
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -32,9 +33,7 @@ from pyspark.sql import functions as F
 
 from ..config import DEFAULT_CONFIG, RULE_NAMES, FilterConfig
 from ..functions import textfeat
-from ..functions.langid import CLASSES, make_langid_udf
-from ..functions.perplexity import make_perplexity_udf
-from ..functions.scrub import scrub_pandas_udf
+from ..functions.langid import CLASSES
 from ..operators import profiling
 from ..operators.drift import psi_pairwise_lag
 from ..sources import catalog, manifest
@@ -73,20 +72,27 @@ def transform_pages(
 
     scrub_mode: 'pandas' (byte-identical to the Python oracle — default)
     or 'native' (JVM regexp_replace chain; same output for the ASCII-safe
-    pattern bank, asserted by tests)."""
-    langid_udf = make_langid_udf(spark)
-    ppl_udf = make_perplexity_udf(spark)
+    pattern bank, asserted by tests).
+
+    All model scores (langid, perplexity) and the pandas-mode scrub run in
+    ONE fused pandas UDF (functions/scoring.py) so the text column crosses
+    the JVM↔Python boundary once instead of three times."""
+    from ..functions.scoring import make_scoring_udf
+
+    include_scrub = scrub_mode != "native"
+    scoring_udf = make_scoring_udf(spark, include_scrub=include_scrub)
 
     df = pages
     if "dt" not in df.columns:
         df = df.withColumn("dt", F.to_date("warc_ts"))
 
     df = textfeat.with_features(df)
-    df = df.withColumn("_lid", langid_udf(F.col("text"))).select(
-        "*", F.col("_lid.lang_pred").alias("lang_pred"),
-        F.col("_lid.lang_conf").alias("lang_conf"),
-    ).drop("_lid")
-    df = df.withColumn("perplexity", ppl_udf(F.col("text")))
+    score_cols = ["lang_pred", "lang_conf", "perplexity"] + (
+        ["scrubbed_text"] if include_scrub else []
+    )
+    df = df.withColumn("_score", scoring_udf(F.col("text"))).select(
+        "*", *[F.col(f"_score.{c}").alias(c) for c in score_cols]
+    ).drop("_score")
 
     rules = {**textfeat.rule_columns(cfg), **textfeat.model_rule_columns(cfg)}
     df = textfeat.with_verdict(df, rules)
@@ -95,8 +101,6 @@ def transform_pages(
         from ..functions.scrub import scrub_expr
 
         df = df.withColumn("scrubbed_text", scrub_expr(F.col("text")))
-    else:
-        df = df.withColumn("scrubbed_text", scrub_pandas_udf(F.col("text")))
 
     df = df.withColumn("run_id", F.lit(run_id)).withColumn(
         "lang", F.col("lang_pred")
@@ -257,6 +261,7 @@ def run_pipeline(
         "partitions_processed": [],
         "doc_count": 0,
         "kept_count": 0,
+        "phase_s": {},
     }
     if not todo:
         return summary
@@ -269,12 +274,29 @@ def run_pipeline(
     events_dir = os.path.join(output_root, "events")
     lineage_dir = os.path.join(output_root, "lineage")
 
+    def _tick(name, t0):
+        ph = summary["phase_s"]
+        ph[name] = round(ph.get(name, 0.0) + time.time() - t0, 2)
+        return time.time()
+
     for ci, chunk in enumerate(chunks):
+        t0 = time.time()
         pages = spark.read.parquet(input_path).filter(
             F.col("dt").cast("string").isin(chunk)
         )
+        # Salted repartition on url-hash (north rule): urls are unique, so
+        # hashing them spreads the Zipf-skewed dt/domain cohorts uniformly
+        # — keying by (dt, salt) instead was measured to leave one straggler
+        # task holding ~40% of the data (zipf day sizes × few distinct
+        # keys). 4x tasks per core keeps the straggler tail ≤ work/(4·par).
+        # Trade-off: each task writes several dt dirs; at production scale
+        # cap file count with spark.sql.files.maxRecordsPerFile, not by
+        # re-coupling the shuffle key to dt.
+        par = spark.sparkContext.defaultParallelism
+        pages = pages.repartition(4 * par, F.xxhash64("url"))
         docs = transform_pages(spark, pages, cfg, run_id, scrub_mode=scrub_mode)
         catalog.write_partitioned(docs, docs_dir, "dt")
+        t0 = _tick("transform_write", t0)
 
         # metrics from the written output (columnar projection; avoids
         # recomputing UDF scores and avoids caching the full text at scale)
@@ -287,6 +309,7 @@ def run_pipeline(
         mrows.write.mode("overwrite").partitionBy("partition_key").option(
             "partitionOverwriteMode", "dynamic"
         ).parquet(metrics_dir)
+        t0 = _tick("metrics", t0)
 
         # drift events for the processed cohorts (needs all stored metrics)
         ev = drift_events(spark, output_root, run_id).filter(
@@ -295,6 +318,7 @@ def run_pipeline(
         ev.write.mode("overwrite").partitionBy("partition_key").option(
             "partitionOverwriteMode", "dynamic"
         ).parquet(events_dir)
+        t0 = _tick("drift", t0)
 
         counts = {
             r["dt"]: (r["n"], r["k"])
@@ -326,6 +350,7 @@ def run_pipeline(
         lineage.write.mode("overwrite").partitionBy("partition_key").option(
             "partitionOverwriteMode", "dynamic"
         ).parquet(lineage_dir)
+        t0 = _tick("counts_lineage", t0)
 
         if _fail_before_commit_chunk is not None and ci == _fail_before_commit_chunk:
             raise RuntimeError(f"injected failure before manifest commit of chunk {ci}")
@@ -347,6 +372,7 @@ def run_pipeline(
                 for p in chunk
             ],
         )
+        _tick("manifest", t0)
         summary["partitions_processed"].extend(chunk)
         summary["doc_count"] += sum(v[0] for v in counts.values())
         summary["kept_count"] += sum(v[1] for v in counts.values())

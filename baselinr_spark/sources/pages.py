@@ -149,6 +149,11 @@ def write_pages_warehouse(spark, out_dir: str, n_docs: int, seed: int = 42) -> N
 
     pdf = generate_pages_pandas(n_docs, seed=seed)
     df = spark.createDataFrame(pdf, schema=PAGES_DDL)
+    # Salt the layout on url-hash so each dt partition holds several files:
+    # a single file per partition caps downstream scan parallelism at the
+    # partition count (10), starving a wide cluster. 8 buckets/dt keeps
+    # files splittable-parallel without a small-file explosion.
+    salt = F.pmod(F.xxhash64("url"), F.lit(8))
     (df.withColumn("dt", F.to_date("warc_ts"))
-       .repartition("dt")
+       .repartition(80, F.col("dt"), salt)
        .write.mode("overwrite").partitionBy("dt").parquet(out_dir))

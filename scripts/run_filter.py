@@ -27,6 +27,10 @@ def main() -> int:
     ap.add_argument("--checkpoint-every", type=int, default=None)
     ap.add_argument("--run-id", default=None)
     ap.add_argument("--scrub-mode", choices=["pandas", "native"], default="pandas")
+    ap.add_argument("--warmup", action="store_true",
+                    help="run one partition into a throwaway dir first "
+                         "(JIT + python-worker warmup; excluded from "
+                         "pipeline_wall_s)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -51,6 +55,20 @@ def main() -> int:
 
     from baselinr_spark.plans.pipeline import run_pipeline
 
+    import time
+
+    if args.warmup:
+        import shutil
+        import tempfile
+
+        wdir = tempfile.mkdtemp(prefix="warmup_")
+        try:
+            run_pipeline(spark, args.input, wdir, run_id="warmup",
+                         max_partitions=1, scrub_mode=args.scrub_mode)
+        finally:
+            shutil.rmtree(wdir, ignore_errors=True)
+
+    t0 = time.time()
     summary = run_pipeline(
         spark,
         args.input,
@@ -59,6 +77,7 @@ def main() -> int:
         checkpoint_every=args.checkpoint_every,
         scrub_mode=args.scrub_mode,
     )
+    summary["pipeline_wall_s"] = round(time.time() - t0, 3)
     print(json.dumps(summary))
     return 0
 

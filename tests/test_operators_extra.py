@@ -1,0 +1,142 @@
+"""Unit tests for baseline selection, schema drift, type inference and
+the fused scoring UDF — hand-computed expectations in the style of the
+reference's test_drift_strategies.py / test_baseline_selector.py."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+
+def _daily(spark, values, start="2025-01-01"):
+    d0 = dt.date.fromisoformat(start)
+    rows = [(d0 + dt.timedelta(days=i), float(v)) for i, v in enumerate(values)]
+    return spark.createDataFrame(rows, schema="day date, n double")
+
+
+def test_moving_average_baseline(spark):
+    from baselinr_spark.operators.baseline import moving_average_baseline
+
+    df = _daily(spark, [10, 20, 30, 40])
+    out = {r["day"].isoformat(): (r["baseline"], r["n_prior"])
+           for r in moving_average_baseline(df, "day", "n", n=7).collect()}
+    assert out["2025-01-01"] == (None, 0)
+    assert out["2025-01-02"] == (10.0, 1)
+    assert out["2025-01-04"] == (20.0, 3)  # mean(10,20,30)
+
+
+def test_stable_window_baseline(spark):
+    from baselinr_spark.operators.baseline import stable_window_baseline
+
+    # changes: flat tail 100,100,100,100,100 is the most stable window
+    df = _daily(spark, [10, 50, 5, 80, 100, 100, 100, 100, 100])
+    row = stable_window_baseline(df, "day", "n", window=5).collect()[0]
+    assert row["baseline"] == 100.0
+    assert row["window_score"] == 0.0
+    assert row["window_end_ts"].isoformat() == "2025-01-09"
+
+
+def test_auto_baseline_decision_high_cv(spark):
+    from baselinr_spark.operators.baseline import auto_baseline_decision
+
+    noisy = _daily(spark, [10, 200, 5, 300, 8, 250, 12])
+    row = auto_baseline_decision(noisy, "day", "n").collect()[0]
+    assert row["cv"] > 0.2 and row["decision"] == "moving_average"
+
+    flat = _daily(spark, [100, 101, 100, 99, 100, 101, 100])
+    row = auto_baseline_decision(flat, "day", "n").collect()[0]
+    assert row["decision"] in ("last_run", "prior_period")
+
+
+def test_schema_diff_and_renames(spark):
+    from baselinr_spark.operators.schema_drift import rename_candidates, schema_diff
+
+    cur = spark.createDataFrame(
+        [("id", "bigint"), ("user_name", "string"), ("amount", "double"),
+         ("created", "timestamp_ntz")],
+        schema="column_name string, data_type string",
+    )
+    base = spark.createDataFrame(
+        [("id", "bigint"), ("username", "varchar"), ("amount", "bigint"),
+         ("created", "timestamp")],
+        schema="column_name string, data_type string",
+    )
+    diff = schema_diff(cur, base)
+    status = {r["column_name"]: r["status"] for r in diff.collect()}
+    assert status == {"id": "unchanged", "user_name": "added",
+                      "username": "removed", "amount": "type_changed",
+                      "created": "unchanged"}  # ntz normalized
+
+    ren = rename_candidates(diff).collect()
+    assert len(ren) == 1
+    assert (ren[0]["from_col"], ren[0]["to_col"]) == ("username", "user_name")
+    assert ren[0]["similarity"] >= 0.7
+
+
+def test_infer_semantic_types(spark):
+    from baselinr_spark.operators.typeinfer import infer_semantic_types
+
+    pdf = pd.DataFrame({
+        "a_int": ["1", "42", "-7", "1000"],
+        "a_num": ["1.5", "2.25", "-0.5", "3.0"],
+        "a_date": ["2024-01-01", "2024-06-05", "2023-12-31", "2024-02-29"],
+        "a_email": ["x@y.com", "a.b@c.org", "q@r.io", "m@n.co"],
+        "a_bool": ["true", "false", "TRUE", "no"],
+        "a_str": ["hello", "2024-01-01", "x@y.com", "banana"],
+    })
+    df = spark.createDataFrame(pdf)
+    out = {r["column_name"]: r["inferred_type"]
+           for r in infer_semantic_types(df, list(pdf.columns)).collect()}
+    assert out == {"a_int": "boolean" if False else "integer",
+                   "a_num": "numeric", "a_date": "date", "a_email": "email",
+                   "a_bool": "boolean", "a_str": "string"}
+
+
+def test_fused_scoring_matches_individual_udfs(spark, pages_pdf):
+    """The fused scoring UDF (one Arrow round trip) must equal the three
+    standalone implementations row-for-row."""
+    from baselinr_spark.functions.langid import build_model, score_text
+    from baselinr_spark.functions.perplexity import build_model as ppl_model
+    from baselinr_spark.functions.perplexity import perplexity
+    from baselinr_spark.functions.scoring import make_scoring_udf
+    from baselinr_spark.functions.scrub import scrub_python
+
+    sample = pages_pdf.head(60)
+    df = spark.createDataFrame(sample[["url", "text"]])
+    udf = make_scoring_udf(spark)
+    got = (
+        df.withColumn("s", udf(F.col("text")))
+        .select("url", "s.*")
+        .toPandas()
+        .set_index("url")
+    )
+    w = build_model()
+    pm = ppl_model()
+    for _, row in sample.iterrows():
+        lang, conf = score_text(row["text"], w)
+        g = got.loc[row["url"]]
+        assert g["lang_pred"] == lang
+        assert g["lang_conf"] == pytest.approx(conf, rel=1e-12)
+        assert g["perplexity"] == pytest.approx(perplexity(row["text"], pm), rel=1e-12)
+        assert g["scrubbed_text"] == scrub_python(row["text"])
+
+
+def test_absolute_threshold_strategy(spark):
+    from baselinr_spark.operators.drift import absolute_threshold
+
+    df = spark.createDataFrame(
+        [("m1", 100.0, 104.0), ("m2", 100.0, 110.0), ("m3", 100.0, 120.0),
+         ("m4", 100.0, 135.0), ("m5", 100.0, 65.0), ("m6", 0.0, 5.0)],
+        schema="metric_name string, base_value double, cur_value double",
+    )
+    out = {r["metric_name"]: (r["change_pct"], r["drift"], r["severity"])
+           for r in absolute_threshold(df).collect()}
+    assert out["m1"] == (4.0, False, "none")
+    assert out["m2"] == (10.0, True, "low")
+    assert out["m3"] == (20.0, True, "medium")
+    assert out["m4"] == (35.0, True, "high")
+    assert out["m5"] == (-35.0, True, "high")
+    assert out["m6"] == (100.0, True, "high")  # zero-base convention
