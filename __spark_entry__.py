@@ -1569,6 +1569,31 @@ WHERE list_cosine_similarity(a.embedding::double[], b.embedding::double[]) >= 0.
 
 
 # ---------------------------------------------------------------------------
+# sampling (SURVEY.md §2.3) — deterministic hash sample
+# ---------------------------------------------------------------------------
+
+def q_hash_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from baselinr_spark.operators.profiling import hash_sample
+
+    orders = _read(spark, sf_dir, "orders")
+    s = hash_sample(orders, "o_orderkey", 0.05)
+    return s.agg(
+        F.count(F.lit(1)).alias("sample_rows"),
+        F.round(F.avg("o_totalprice"), 6).alias("avg_totalprice"),
+        F.min("o_orderkey").alias("min_key"),
+    )
+
+
+_SQL_HASH_SAMPLE = """
+SELECT count(*)::bigint AS sample_rows,
+       round(avg(o_totalprice), 6) AS avg_totalprice,
+       min(o_orderkey) AS min_key
+FROM orders
+WHERE ('0x' || substring(md5(o_orderkey::varchar), 1, 4))::int < 3276
+"""
+
+
+# ---------------------------------------------------------------------------
 # type inference + rule fire rates
 # ---------------------------------------------------------------------------
 
@@ -1744,9 +1769,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_absolute_threshold": q_drift_absolute_threshold,
         "schema_diff_orders": q_schema_diff_orders,
         "schema_rename_candidates": q_schema_rename_candidates,
-        # partition filters
+        # partition filters + sampling
         "partition_latest_day": q_partition_latest_day,
         "partition_recent_days": q_partition_recent_days,
+        "hash_sample_orders": q_hash_sample_orders,
         # type inference + rule fire rates
         "type_inference_orders": q_type_inference_orders,
         "rule_fire_rates_docs": q_rule_fire_rates_docs,
@@ -1807,6 +1833,7 @@ def oracle_sql() -> dict[str, str]:
         "schema_rename_candidates": _SQL_SCHEMA_RENAMES,
         "partition_latest_day": _SQL_PARTITION_LATEST,
         "partition_recent_days": _SQL_PARTITION_RECENT,
+        "hash_sample_orders": _SQL_HASH_SAMPLE,
         "type_inference_orders": _sql_type_inference(),
         "rule_fire_rates_docs": _SQL_RULE_FIRE_RATES,
         "exact_dup_groups": _SQL_EXACT_DUP_GROUPS,

@@ -186,3 +186,14 @@ def histogram(
         )
     )
     return out
+
+
+def hash_sample(df: DataFrame, key_col: str, fraction: float) -> DataFrame:
+    """Deterministic hash-based sample: keep rows where the first 4 hex
+    digits of md5(key) fall below fraction·2^16. Unlike `df.sample`, this
+    is reproducible across engines, runs and partitionings — the property
+    a 100 TB pipeline needs for resumable sampled scans (the reference's
+    sampling is warehouse-RNG and documented-unreliable,
+    /root/reference/baselinr/profiling/query_builder.py:171-233)."""
+    bucket = F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 4), 16, 10)
+    return df.filter(bucket.cast("int") < int(fraction * 65536))

@@ -117,11 +117,16 @@ def partition_metrics(docs: DataFrame, run_id: str) -> DataFrame:
     read-back of docs_out."""
     part = F.col("dt").cast("string")
 
+    has_text = (
+        F.col("__has_text") if "__has_text" in docs.columns
+        else F.col("scrubbed_text").isNotNull()
+    )
     scalar_exprs = [
         F.count(F.lit(1)).cast("double").alias("count"),
+        F.sum(F.col("keep").cast("long")).cast("double").alias("kept_count"),
         F.avg(F.col("keep").cast("double")).alias("keep_rate"),
-        (F.count(F.lit(1)) - F.count("scrubbed_text")).cast("double").alias("null_count"),
-        F.avg(F.col("scrubbed_text").isNull().cast("double")).alias("null_ratio"),
+        F.sum((~has_text).cast("long")).cast("double").alias("null_count"),
+        F.avg((~has_text).cast("double")).alias("null_ratio"),
         F.avg(F.col("perplexity")).alias("perplexity_mean"),
     ]
     for r in RULE_NAMES:
@@ -299,16 +304,21 @@ def run_pipeline(
         t0 = _tick("transform_write", t0)
 
         # metrics from the written output (columnar projection; avoids
-        # recomputing UDF scores and avoids caching the full text at scale)
+        # recomputing UDF scores and avoids caching the full text at scale).
+        # The metrics union scans docs 3x (scalars, histogram, PSI buckets)
+        # — cache the narrow projection once so the parquet is read once.
         docs_back = spark.read.parquet(docs_dir).filter(
             F.col("dt").cast("string").isin(chunk)
-        )
+        ).select("dt", "keep", "drop_reasons", "lang", "perplexity",
+                 F.col("scrubbed_text").isNotNull().alias("__has_text"))
+        docs_back = docs_back.persist()
         mrows = partition_metrics(docs_back, run_id).withColumn(
             "partition_key", F.col("partition")
-        )
+        ).persist()
         mrows.write.mode("overwrite").partitionBy("partition_key").option(
             "partitionOverwriteMode", "dynamic"
         ).parquet(metrics_dir)
+        docs_back.unpersist()
         t0 = _tick("metrics", t0)
 
         # drift events for the processed cohorts (needs all stored metrics)
@@ -320,15 +330,19 @@ def run_pipeline(
         ).parquet(events_dir)
         t0 = _tick("drift", t0)
 
-        counts = {
-            r["dt"]: (r["n"], r["k"])
-            for r in docs_back.groupBy(F.col("dt").cast("string").alias("dt"))
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                F.sum(F.col("keep").cast("long")).alias("k"),
-            )
-            .collect()
-        }
+        # per-partition (doc, kept) counts come straight from the cached
+        # metrics rows — no extra scan of docs
+        counts: dict[str, tuple[int, int]] = {}
+        for r in mrows.filter(
+            F.col("metric_name").isin("count", "kept_count")
+        ).collect():
+            n, k = counts.get(r["partition"], (0, 0))
+            if r["metric_name"] == "count":
+                n = int(r["metric_value"])
+            else:
+                k = int(r["metric_value"])
+            counts[r["partition"]] = (n, k)
+        mrows.unpersist()
 
         lineage = spark.createDataFrame(
             [
