@@ -1681,6 +1681,104 @@ FROM agg, LATERAL (VALUES
 
 
 # ---------------------------------------------------------------------------
+# smart selection + freshness (SURVEY.md §2.7, §2.4 quality aggregates)
+# ---------------------------------------------------------------------------
+
+def q_smart_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank event_type cohorts as pseudo-tables: query_count = events,
+    recency = days since last event vs the global max ts."""
+    from baselinr_spark.operators.smart_selection import score_tables
+
+    ev = _read(spark, sf_dir, "events")
+    gmax = ev.agg(F.max("ts").alias("gmax"))
+    meta = (
+        ev.groupBy(F.col("event_type").alias("table"))
+        .agg(F.count(F.lit(1)).alias("query_count"), F.max("ts").alias("last_ts"))
+        .crossJoin(F.broadcast(gmax))
+        .select(
+            "table", "query_count",
+            F.datediff(F.to_date("gmax"), F.to_date("last_ts"))
+            .cast("double").alias("days_since_last_query"),
+            F.datediff(F.to_date("gmax"), F.to_date("last_ts"))
+            .cast("double").alias("days_since_modified"),
+            F.col("query_count").cast("long").alias("row_count"),
+        )
+    )
+    out = score_tables(meta)
+    return out.select(
+        "table", "query_count",
+        F.round("query_frequency_score", 6).alias("query_frequency_score"),
+        F.round("query_recency_score", 6).alias("query_recency_score"),
+        F.round("write_activity_score", 6).alias("write_activity_score"),
+        F.round("table_size_score", 6).alias("table_size_score"),
+        F.round("total_score", 6).alias("total_score"),
+    )
+
+
+_SQL_SMART_SELECTION = """
+WITH meta AS (
+  SELECT event_type AS "table", count(*)::bigint AS query_count,
+         datediff('day', CAST(max(ts) AS DATE),
+                  (SELECT CAST(max(ts) AS DATE) FROM events))::double AS days_since
+  FROM events GROUP BY 1
+), s AS (
+  SELECT "table", query_count,
+    CASE WHEN query_count <= 0 THEN 0.0
+         ELSE least(100.0, log10(query_count::double) * 33.33) END AS fq,
+    100.0 * exp(-ln(2) / 7.0 * days_since) AS rec,
+    100.0 * exp(-ln(2) / 14.0 * days_since) AS wr,
+    CASE WHEN query_count < 100 THEN 20.0 WHEN query_count < 1000 THEN 40.0
+         WHEN query_count < 10000 THEN 70.0 WHEN query_count < 100000 THEN 100.0
+         WHEN query_count < 1000000 THEN 95.0 ELSE 85.0 END AS sz
+  FROM meta
+)
+SELECT "table", query_count,
+       round(fq, 6) AS query_frequency_score,
+       round(rec, 6) AS query_recency_score,
+       round(wr, 6) AS write_activity_score,
+       round(sz, 6) AS table_size_score,
+       round(fq * 0.4 + rec * 0.25 + wr * 0.2 + sz * 0.15, 6) AS total_score
+FROM s
+"""
+
+
+def q_freshness_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day freshness relative to the newest event (deterministic
+    'now' proxy), reference step + linear decay."""
+    from baselinr_spark.operators.quality import freshness_score_col
+
+    ev = _read(spark, sf_dir, "events")
+    gmax = ev.agg(F.max("ts").alias("gmax"))
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.max("ts").alias("last_ts")
+    ).crossJoin(F.broadcast(gmax))
+    hours = (F.unix_timestamp("gmax") - F.unix_timestamp("last_ts")) / 3600.0
+    return daily.select(
+        F.col("day").cast("string").alias("day"),
+        F.round(hours, 6).alias("hours_since"),
+        F.round(freshness_score_col(hours), 6).alias("freshness_score"),
+    )
+
+
+_SQL_FRESHNESS = """
+WITH g AS (SELECT max(ts) AS gmax FROM events),
+daily AS (
+  SELECT CAST(ts AS DATE) AS day, max(ts) AS last_ts FROM events GROUP BY 1
+), h AS (
+  SELECT day, date_diff('second', last_ts, gmax) / 3600.0 AS hours_since
+  FROM daily, g
+)
+SELECT day::VARCHAR AS day, round(hours_since, 6) AS hours_since,
+       round(CASE WHEN hours_since <= 24 THEN 100.0
+                  WHEN hours_since <= 48 THEN 80.0
+                  WHEN hours_since <= 168 THEN 60.0
+                  ELSE greatest(0.0, 60.0 - (hours_since - 168) * (10.0 / 24.0))
+             END, 6) AS freshness_score
+FROM h
+"""
+
+
+# ---------------------------------------------------------------------------
 # flagship
 # ---------------------------------------------------------------------------
 
@@ -1776,8 +1874,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # type inference + rule fire rates
         "type_inference_orders": q_type_inference_orders,
         "rule_fire_rates_docs": q_rule_fire_rates_docs,
-        # quality score
+        # quality score + smart selection
         "quality_score_orders": q_quality_score_orders,
+        "smart_selection": q_smart_selection,
+        "freshness_scores": q_freshness_scores,
         # text analysis
         "doc_stats": q_doc_stats,
         "token_counts": q_token_counts,
@@ -1840,6 +1940,8 @@ def oracle_sql() -> dict[str, str]:
         "simhash_near_pairs": _SQL_SIMHASH_NEAR,
         "embedding_near_dups": _SQL_EMBEDDING_NEAR_DUPS,
         "quality_score_orders": _SQL_QUALITY_SCORE_ORDERS,
+        "smart_selection": _SQL_SMART_SELECTION,
+        "freshness_scores": _SQL_FRESHNESS,
         "doc_stats": _SQL_DOC_STATS,
         "token_counts": _SQL_TOKEN_COUNTS,
         "lang_id_heuristic": _SQL_LANG_ID,

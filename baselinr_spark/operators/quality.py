@@ -110,3 +110,18 @@ def overall_score(comp: DataFrame, weights: dict[str, float] | None = None) -> D
         .when(F.col("overall_score") >= 60, "warning")
         .otherwise("critical"),
     )
+
+
+def freshness_score_col(hours_since, excellent: float = 24.0,
+                        good: float = 48.0, acceptable: float = 168.0):
+    """Freshness step + linear decay
+    (/root/reference/baselinr/quality/scorer.py:307-359): ≤24h → 100,
+    ≤48h → 80, ≤168h → 60, then −10 points/day, floored at 0."""
+    h = hours_since.cast("double")
+    return (
+        F.when(h.isNull(), 0.0)
+        .when(h <= excellent, 100.0)
+        .when(h <= good, 80.0)
+        .when(h <= acceptable, 60.0)
+        .otherwise(F.greatest(F.lit(0.0), 60.0 - (h - acceptable) * (10.0 / 24.0)))
+    )
