@@ -65,7 +65,9 @@ def build_model() -> tuple[dict[int, int], int]:
 
 def _word_logprob(counts: dict[int, int], total: int,
                   toks: list[str], i: int) -> float:
-    """Stupid-backoff log P(toks[i] | toks[i-2:i])."""
+    """Stupid-backoff log P(toks[i] | toks[i-2:i]) — reference-shaped slow
+    path, kept as the readable spec; `_score_tokens` is the hot path and
+    produces bit-identical values (asserted by tests)."""
     for order in range(min(MAX_ORDER, i + 1), 0, -1):
         ctx = tuple(toks[i - order + 1 : i + 1])
         c = counts.get(_h(ctx))
@@ -81,8 +83,52 @@ def _word_logprob(counts: dict[int, int], total: int,
     return math.log(_FLOOR_P) + (MAX_ORDER - 1) * math.log(BACKOFF)
 
 
+_LB = math.log(BACKOFF)
+_LFLOOR = math.log(_FLOOR_P) + (MAX_ORDER - 1) * _LB
+
+
+def _score_tokens(counts: dict[int, int], total: int, toks: list[str],
+                  memo: dict) -> float:
+    """Sum of per-word logprobs. Identical math to `_word_logprob` (same
+    expressions, same evaluation order) with the per-call overhead removed:
+    direct string keys instead of tuple slicing+join, precomputed log
+    constants, and a memo keyed by the exact (window, position-class) the
+    value depends on — logprob for i≥2 is a pure function of the trigram."""
+    get = counts.get
+    crc = zlib.crc32
+    log = math.log
+    lp = 0.0
+    for i, w in enumerate(toks):
+        if i >= 2:
+            key = (toks[i - 2], toks[i - 1], w)
+        elif i == 1:
+            key = (None, toks[0], w)
+        else:
+            key = (None, None, w)
+        v = memo.get(key)
+        if v is None:
+            v = _LFLOOR
+            for order in range(min(MAX_ORDER, i + 1), 0, -1):
+                s = " ".join(toks[i - order + 1 : i + 1])
+                c = get(crc(s.encode("utf-8")))
+                if c:
+                    if order == 1:
+                        p = c / total
+                    else:
+                        denom = get(crc(s.rsplit(" ", 1)[0].encode("utf-8")))
+                        if not denom:
+                            continue
+                        p = c / denom
+                    v = log(p) + (MAX_ORDER - order) * _LB
+                    break
+            memo[key] = v
+        lp += v
+    return lp
+
+
 def perplexity(text: str | None,
-               model: tuple[dict[int, int], int] | None = None) -> float:
+               model: tuple[dict[int, int], int] | None = None,
+               memo: dict | None = None) -> float:
     """Score one document (oracle path / UDF inner loop)."""
     if model is None:
         model = build_model()
@@ -92,9 +138,7 @@ def perplexity(text: str | None,
     toks = tokenize(text)
     if not toks:
         return float("inf")
-    lp = 0.0
-    for i in range(len(toks)):
-        lp += _word_logprob(counts, total, toks, i)
+    lp = _score_tokens(counts, total, toks, {} if memo is None else memo)
     return math.exp(-lp / len(toks))
 
 
@@ -104,6 +148,9 @@ def make_perplexity_udf(spark):
     @F.pandas_udf(T.DoubleType())
     def perplexity_udf(texts: pd.Series) -> pd.Series:
         model = bc.value
-        return pd.Series([perplexity(t, model) for t in texts], dtype="float64")
+        memo: dict = {}  # shared across docs in the batch — values are
+        # pure functions of the token window, so sharing changes nothing
+        return pd.Series([perplexity(t, model, memo) for t in texts],
+                         dtype="float64")
 
     return perplexity_udf

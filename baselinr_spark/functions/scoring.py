@@ -44,13 +44,14 @@ def make_scoring_udf(spark, include_scrub: bool = True):
     def scoring_udf(texts: pd.Series) -> pd.DataFrame:
         w = bc_lid.value
         ppl_model = bc_ppl.value
+        memo: dict = {}  # n-gram logprob memo shared across the batch
         langs, confs, ppls = [], [], []
         scrubbed = [] if include_scrub else None
         for t in texts:
             lang, conf = score_text(t, w)
             langs.append(lang)
             confs.append(conf)
-            ppls.append(perplexity(t, ppl_model))
+            ppls.append(perplexity(t, ppl_model, memo))
             if scrubbed is not None:
                 scrubbed.append(scrub_python(t))
         out = {"lang_pred": langs, "lang_conf": confs, "perplexity": ppls}

@@ -71,12 +71,21 @@ def main() -> int:
         timings[name] = round(time.time() - t0, 3)
 
     # flagship pipeline: synthetic pages warehouse at this SF
-    # (~200k docs/SF; sf0.1 -> 20k docs over 10 daily partitions)
-    n_docs = int(os.environ.get("BENCH_PIPELINE_DOCS", str(max(2000, int(200_000 * sf)))))
+    # (1M docs/SF; sf0.1 -> 100k docs over 10 daily partitions — large
+    # enough that steady-state throughput, not fixed cost, is measured)
+    n_docs = int(os.environ.get("BENCH_PIPELINE_DOCS", str(max(5000, int(1_000_000 * sf)))))
     pages_dir = os.path.join(tempfile.gettempdir(), f"bench_pages_{n_docs}")
     if not os.path.exists(os.path.join(pages_dir, "_SUCCESS")):
         shutil.rmtree(pages_dir, ignore_errors=True)
         write_pages_warehouse(spark, pages_dir, n_docs=n_docs, seed=42)
+    # warmup (JIT + python workers) on one partition, untimed — steady-state
+    # throughput is the regime that matters for a long-running job
+    wdir = tempfile.mkdtemp(prefix="bench_warm_")
+    try:
+        run_pipeline(spark, pages_dir, wdir, run_id="warm", max_partitions=1)
+    finally:
+        shutil.rmtree(wdir, ignore_errors=True)
+
     out_dir = tempfile.mkdtemp(prefix="bench_out_")
     try:
         t0 = time.time()

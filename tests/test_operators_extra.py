@@ -140,3 +140,24 @@ def test_absolute_threshold_strategy(spark):
     assert out["m4"] == (35.0, True, "high")
     assert out["m5"] == (-35.0, True, "high")
     assert out["m6"] == (100.0, True, "high")  # zero-base convention
+
+
+def test_perplexity_fast_path_bit_identical(pages_pdf):
+    """The memoized string-key scorer must produce bit-identical floats to
+    the reference-shaped _word_logprob path."""
+    import math
+
+    from baselinr_spark.functions import perplexity as P
+
+    model = P.build_model()
+    counts, total = model
+    memo: dict = {}
+    for text in pages_pdf["text"].head(100):
+        toks = P.tokenize(text)
+        if not toks:
+            continue
+        slow = math.exp(
+            -sum(P._word_logprob(counts, total, toks, i)
+                 for i in range(len(toks))) / len(toks)
+        )
+        assert P.perplexity(text, model, memo) == slow
