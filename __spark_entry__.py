@@ -1265,6 +1265,68 @@ FROM stats, seas
 """
 
 
+def q_prior_period_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from baselinr_spark.operators.baseline import prior_period_baseline
+
+    daily = _daily_counts(spark, sf_dir)
+    out = prior_period_baseline(daily, ts_col="day", value_col="n",
+                                period_days=7)
+    return out.select(
+        F.round("baseline", 6).alias("baseline"),
+        F.col("baseline_ts").cast("string").alias("baseline_day"),
+        "days_off",
+    )
+
+
+_SQL_PRIOR_PERIOD = f"""
+WITH daily AS ({_SQL_DAILY}),
+l AS (SELECT max(day) AS latest FROM daily),
+c AS (
+  SELECT n, day, abs(datediff('day', day, latest) - 7) AS off
+  FROM daily, l
+)
+SELECT round(n, 6) AS baseline, day::VARCHAR AS baseline_day,
+       off::int AS days_off
+FROM c WHERE off <= 3.5
+ORDER BY off ASC, day ASC LIMIT 1
+"""
+
+
+def q_learn_categorical_freqs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical frequency learning over the last 10 'runs' (= days) of
+    event_type counts (expectation_learner.py:356-425)."""
+    from baselinr_spark.operators.learning import learn_categorical_frequencies
+
+    ev = _read(spark, sf_dir, "events")
+    hist = ev.groupBy(
+        F.to_date("ts").alias("run_day"),
+        F.col("event_type").alias("category"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    out = learn_categorical_frequencies(hist, "run_day", "category", "cnt",
+                                        last_n_runs=10)
+    return out.select(
+        "category", "total_count", F.round("frequency", 6).alias("frequency")
+    )
+
+
+_SQL_LEARN_CAT_FREQS = """
+WITH hist AS (
+  SELECT CAST(ts AS DATE) AS run_day, event_type AS category,
+         count(*)::bigint AS cnt
+  FROM events GROUP BY 1, 2
+), recent AS (
+  SELECT DISTINCT run_day FROM hist ORDER BY run_day DESC LIMIT 10
+), sums AS (
+  SELECT category, sum(cnt)::bigint AS total_count
+  FROM hist JOIN recent USING (run_day) GROUP BY category
+)
+SELECT category, total_count,
+       round(total_count::double / (SELECT sum(total_count) FROM sums), 6)
+         AS frequency
+FROM sums
+"""
+
+
 # ---------------------------------------------------------------------------
 # drift strategy + drift-compare join (SURVEY.md §2.5, §2.12)
 # ---------------------------------------------------------------------------
@@ -1863,6 +1925,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stable_window_baseline": q_stable_window_baseline,
         "seasonality_check_daily": q_seasonality_check_daily,
         "auto_baseline_daily": q_auto_baseline_daily,
+        "prior_period_baseline": q_prior_period_baseline,
+        "learn_categorical_freqs": q_learn_categorical_freqs,
         # drift strategy + schema drift
         "drift_absolute_threshold": q_drift_absolute_threshold,
         "schema_diff_orders": q_schema_diff_orders,
@@ -1928,6 +1992,8 @@ def oracle_sql() -> dict[str, str]:
         "stable_window_baseline": _SQL_STABLE_WINDOW,
         "seasonality_check_daily": _SQL_SEASONALITY,
         "auto_baseline_daily": _SQL_AUTO_BASELINE,
+        "prior_period_baseline": _SQL_PRIOR_PERIOD,
+        "learn_categorical_freqs": _SQL_LEARN_CAT_FREQS,
         "drift_absolute_threshold": _SQL_DRIFT_ABS,
         "schema_diff_orders": _SQL_SCHEMA_DIFF,
         "schema_rename_candidates": _SQL_SCHEMA_RENAMES,

@@ -73,16 +73,21 @@ def build_model() -> np.ndarray:
 
 
 def score_text(text: str | None, weights: np.ndarray | None = None) -> tuple[str, float]:
-    """Score one document (oracle path / UDF inner loop)."""
+    """Score one document (oracle path / UDF inner loop).
+
+    Sparse gather instead of a dense 65536-bucket bincount + matmul: a
+    typical page has ~2k trigrams, so summing weights[:, ids] directly is
+    ~30x fewer flops and avoids a 0.5 MB allocation per document. Both the
+    oracle and the UDF call this same function, so scores stay consistent."""
     if weights is None:
         weights = build_model()
     if not text:
         return sl.UNKNOWN_LANG, 0.0
-    counts = _bucket_counts(text)
-    logits = weights @ counts
+    ids = _trigram_buckets(text)
+    logits = weights[:, ids].sum(axis=1) if ids.size else np.zeros(len(CLASSES))
     # temperature-normalized softmax: scale by trigram count so confidence
     # reflects per-trigram evidence, not document length
-    n = max(counts.sum(), 1.0)
+    n = max(float(ids.size), 1.0)
     z = logits / n
     z = z - z.max()
     p = np.exp(z)

@@ -144,3 +144,40 @@ def auto_baseline_decision(
         *key_cols, "n_runs", "cv", "variance_ratio", "seasonal",
         decision.alias("decision"),
     )
+
+
+def prior_period_baseline(
+    history: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    key_cols: list[str] | None = None,
+    period_days: int = 7,
+) -> DataFrame:
+    """Baseline = the point closest to (latest − period) within ±period/2
+    (baseline_selector.py:193-270). One row per key:
+    (…key, baseline, baseline_ts, days_off)."""
+    key_cols = key_cols or []
+    latest = history.groupBy(*key_cols).agg(F.max(ts_col).alias("__latest"))
+    j = (
+        history.join(F.broadcast(latest), key_cols)
+        if key_cols else history.crossJoin(F.broadcast(latest))
+    )
+    off = F.abs(
+        F.datediff(F.col("__latest"), F.col(ts_col)) - F.lit(period_days)
+    )
+    j = j.withColumn("__off", off).filter(
+        F.col("__off") <= period_days / 2.0
+    )
+    w = (
+        W.partitionBy(*key_cols) if key_cols else W.partitionBy()
+    ).orderBy(F.asc("__off"), F.asc(ts_col))
+    return (
+        j.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            *key_cols,
+            F.col(value_col).cast("double").alias("baseline"),
+            F.col(ts_col).alias("baseline_ts"),
+            F.col("__off").alias("days_off"),
+        )
+    )

@@ -71,3 +71,32 @@ def learn_expectations(
         )
         .filter(F.col("n_samples") >= MIN_SAMPLES)
     )
+
+
+def learn_categorical_frequencies(
+    history: DataFrame,
+    run_col: str,
+    category_col: str,
+    count_col: str,
+    last_n_runs: int = 10,
+) -> DataFrame:
+    """Sum category counts across the last N runs and normalize to
+    frequencies (/root/reference/baselinr/learning/expectation_learner.py:
+    356-425 — the reference sums top_values JSON across 10 runs). Input is
+    long-format (run, category, count); output (category, total_count,
+    frequency)."""
+    recent = (
+        history.select(run_col).distinct()
+        .orderBy(F.desc(run_col)).limit(last_n_runs)
+    )
+    h = history.join(F.broadcast(recent), run_col)
+    sums = h.groupBy(category_col).agg(F.sum(count_col).alias("total_count"))
+    grand = sums.agg(F.sum("total_count").alias("__g"))
+    return (
+        sums.crossJoin(F.broadcast(grand))
+        .select(
+            category_col,
+            F.col("total_count").cast("long").alias("total_count"),
+            (F.col("total_count") / F.col("__g")).alias("frequency"),
+        )
+    )
