@@ -742,6 +742,24 @@ FROM f
 """
 
 
+def q_vocabulary_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from baselinr_spark.operators.textanalysis import vocabulary
+
+    docs = _read(spark, sf_dir, "documents")
+    return vocabulary(docs, "text", k=20)
+
+
+_SQL_VOCABULARY = """
+SELECT word, count(*)::bigint AS n
+FROM (
+  SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                            x -> length(x) > 0)) AS word
+  FROM documents
+)
+GROUP BY word ORDER BY n DESC, word ASC LIMIT 20
+"""
+
+
 def q_fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from baselinr_spark.operators.textanalysis import fingerprint
 
@@ -1948,6 +1966,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_heuristic": q_lang_id_heuristic,
         "quality_score_docs": q_quality_score_docs,
         "fingerprint_docs": q_fingerprint_docs,
+        "vocabulary_docs": q_vocabulary_docs,
         # dedup
         "dedup_exact_summary": q_dedup_exact_summary,
         "exact_dup_groups": q_exact_dup_groups,
@@ -2013,6 +2032,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id_heuristic": _SQL_LANG_ID,
         "quality_score_docs": _SQL_QUALITY_SCORE_DOCS,
         "fingerprint_docs": _SQL_FINGERPRINT,
+        "vocabulary_docs": _SQL_VOCABULARY,
         "dedup_exact_summary": _SQL_DEDUP_EXACT,
         "minhash_signatures": _sql_minhash_signatures(),
         "ngram_jaccard_pairs": _SQL_NGRAM_JACCARD,

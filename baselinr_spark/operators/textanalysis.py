@@ -96,3 +96,17 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         lambda acc, c: (acc * FINGERPRINT_BASE + c) % FINGERPRINT_MOD,
     )
     return df.select(F.col(id_col), fp.alias("fingerprint"))
+
+
+def vocabulary(df: DataFrame, text_col: str, k: int | None = 20) -> DataFrame:
+    """Corpus vocabulary: explode lowercased whitespace tokens →
+    count per word (partial agg map-side, one shuffle) → optional top-k
+    with deterministic (count desc, word asc) ordering. The classic
+    corpus-statistics op for tokenizer/vocab construction at scale."""
+    words = F.explode(words_expr(F.lower(F.col(text_col)))).alias("word")
+    counts = df.select(words).groupBy("word").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    if k is None:
+        return counts
+    return counts.orderBy(F.desc("n"), F.asc("word")).limit(k)
