@@ -161,3 +161,17 @@ def test_perplexity_fast_path_bit_identical(pages_pdf):
                  for i in range(len(toks))) / len(toks)
         )
         assert P.perplexity(text, model, memo) == slow
+
+
+def test_freshness_score_thresholds(spark):
+    from baselinr_spark.operators.quality import freshness_score_col
+
+    df = spark.createDataFrame(
+        [(1.0,), (24.0,), (25.0,), (48.0,), (100.0,), (168.0,), (192.0,),
+         (168.0 + 144.0,), (10000.0,), (None,)],
+        schema="hours double",
+    )
+    out = [r["s"] for r in df.select(
+        freshness_score_col(F.col("hours")).alias("s")).collect()]
+    #            ≤24  =24  ≤48  =48  ≤168  =168  +1day  +6days floor  null
+    assert out == [100.0, 100.0, 80.0, 80.0, 60.0, 60.0, 50.0, 0.0, 0.0, 0.0]
