@@ -1478,6 +1478,111 @@ FROM chg
 """
 
 
+def q_drift_stddev_strategy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from baselinr_spark.operators.drift import standard_deviation_strategy
+
+    ev, base, cur = _event_cohorts(spark, sf_dir)
+
+    def metric_rows(side, vcol):
+        a = side.agg(
+            F.count("value").cast("double").alias("count"),
+            F.avg("value").alias("mean"),
+            F.stddev_samp("value").alias("stddev"),
+            F.min("value").alias("min"),
+            F.max("value").alias("max"),
+        )
+        return a.select(
+            F.explode(
+                F.array(*[
+                    F.struct(F.lit(m).alias("metric_name"), F.col(m).alias(vcol))
+                    for m in _DRIFT_METRICS
+                ])
+            ).alias("kv")
+        ).select("kv.*")
+
+    j = metric_rows(base, "base_value").join(
+        metric_rows(cur, "cur_value"), "metric_name"
+    )
+    out = standard_deviation_strategy(j)
+    return out.select(
+        "metric_name",
+        F.round("change_pct", 6).alias("change_pct"),
+        F.round("std_devs", 6).alias("std_devs"),
+        "drift", "severity",
+    )
+
+
+_SQL_DRIFT_STDDEV = f"""
+WITH b AS (
+  SELECT count(value)::double AS "count", avg(value) AS "mean",
+         stddev(value) AS "stddev", min(value)::double AS "min",
+         max(value)::double AS "max"
+  FROM events WHERE ts < TIMESTAMP '{_SPLIT}'
+), c AS (
+  SELECT count(value)::double AS "count", avg(value) AS "mean",
+         stddev(value) AS "stddev", min(value)::double AS "min",
+         max(value)::double AS "max"
+  FROM events WHERE ts >= TIMESTAMP '{_SPLIT}'
+), pairs AS (
+  SELECT m.metric_name, m.base_value, m.cur_value
+  FROM b, c, LATERAL (VALUES
+    ('count', b."count", c."count"), ('mean', b."mean", c."mean"),
+    ('stddev', b."stddev", c."stddev"), ('min', b."min", c."min"),
+    ('max', b."max", c."max")
+  ) AS m(metric_name, base_value, cur_value)
+), chg AS (
+  SELECT metric_name,
+         CASE WHEN abs(base_value) > 0
+              THEN (cur_value - base_value) * 100.0 / abs(base_value)
+              WHEN cur_value != base_value THEN 100.0 ELSE 0.0 END AS change_pct
+  FROM pairs
+)
+SELECT metric_name, round(change_pct, 6) AS change_pct,
+       round(abs(change_pct) / 10.0, 6) AS std_devs,
+       abs(change_pct) / 10.0 >= 1.0 AS drift,
+       CASE WHEN abs(change_pct) / 10.0 >= 3.0 THEN 'high'
+            WHEN abs(change_pct) / 10.0 >= 2.0 THEN 'medium'
+            WHEN abs(change_pct) / 10.0 >= 1.0 THEN 'low' ELSE 'none' END AS severity
+FROM chg
+"""
+
+
+def q_seasonal_residual_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-aware residual anomaly flags on daily counts
+    (detection_methods.py:331-482)."""
+    from baselinr_spark.operators.anomaly import seasonal_residual_flags
+
+    daily = _daily_counts(spark, sf_dir)
+    out = seasonal_residual_flags(daily, ts_col="day", value_col="n")
+    return out.select(
+        F.col("day").cast("string").alias("day"), "n",
+        F.round("trend", 6).alias("trend"),
+        F.round("residual", 6).alias("residual"),
+        F.round("dow_mean_residual", 6).alias("dow_mean_residual"),
+        "is_anomaly",
+    )
+
+
+_SQL_SEASONAL_RESIDUAL = f"""
+WITH daily AS ({_SQL_DAILY}),
+t AS (
+  SELECT day, n,
+         avg(n) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+           AS trend,
+         dayofweek(day) + 1 AS dow
+  FROM daily
+), r AS (SELECT *, n - trend AS residual FROM t),
+g AS (SELECT dow, avg(residual) AS dow_mean_residual FROM r GROUP BY dow),
+s AS (SELECT stddev(residual) AS sd, count(*) AS cnt FROM r)
+SELECT day::VARCHAR AS day, n, round(trend, 6) AS trend,
+       round(residual, 6) AS residual,
+       round(g.dow_mean_residual, 6) AS dow_mean_residual,
+       (cnt >= 7 AND sd IS NOT NULL
+        AND abs(residual - g.dow_mean_residual) > 2.0 * sd) AS is_anomaly
+FROM r JOIN g USING (dow), s
+"""
+
+
 # ---------------------------------------------------------------------------
 # schema drift (SURVEY.md §2.5) — cur = live orders schema, base = planted
 # prior snapshot with a rename + a dropped column
@@ -2002,6 +2107,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "learn_categorical_freqs": q_learn_categorical_freqs,
         # drift strategy + schema drift
         "drift_absolute_threshold": q_drift_absolute_threshold,
+        "drift_stddev_strategy": q_drift_stddev_strategy,
+        "seasonal_residual_days": q_seasonal_residual_days,
         "schema_diff_orders": q_schema_diff_orders,
         "schema_rename_candidates": q_schema_rename_candidates,
         # partition filters + sampling
@@ -2070,6 +2177,8 @@ def oracle_sql() -> dict[str, str]:
         "prior_period_baseline": _SQL_PRIOR_PERIOD,
         "learn_categorical_freqs": _SQL_LEARN_CAT_FREQS,
         "drift_absolute_threshold": _SQL_DRIFT_ABS,
+        "drift_stddev_strategy": _SQL_DRIFT_STDDEV,
+        "seasonal_residual_days": _SQL_SEASONAL_RESIDUAL,
         "schema_diff_orders": _SQL_SCHEMA_DIFF,
         "schema_rename_candidates": _SQL_SCHEMA_RENAMES,
         "partition_latest_day": _SQL_PARTITION_LATEST,

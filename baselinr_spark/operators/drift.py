@@ -338,3 +338,27 @@ def absolute_threshold(
         F.when(a >= high, "high").when(a >= medium, "medium")
         .when(a >= low, "low").otherwise("none"),
     )
+
+
+def standard_deviation_strategy(
+    joined: DataFrame,
+    base_col: str = "base_value",
+    cur_col: str = "cur_value",
+) -> DataFrame:
+    """The reference's standard_deviation strategy
+    (/root/reference/baselinr/drift/strategies.py:176-299): proxy
+    std-devs = |change%| / 10; drift at ≥1σ, severity bands 1/2/3σ."""
+    b = F.col(base_col).cast("double")
+    c = F.col(cur_col).cast("double")
+    change = F.when(F.abs(b) > 0, (c - b) * 100.0 / F.abs(b)).otherwise(
+        F.when(c != b, F.lit(100.0)).otherwise(F.lit(0.0))
+    )
+    out = joined.withColumn("change_pct", change).withColumn(
+        "std_devs", F.abs(F.col("change_pct")) / 10.0
+    )
+    s = F.col("std_devs")
+    return out.withColumn("drift", s >= 1.0).withColumn(
+        "severity",
+        F.when(s >= 3.0, "high").when(s >= 2.0, "medium")
+        .when(s >= 1.0, "low").otherwise("none"),
+    )
