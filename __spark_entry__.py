@@ -54,7 +54,8 @@ def _sql_profile_lineitem() -> str:
     parts = []
     for c in _PROFILE_COLS:
         parts.append(f"""
-        SELECT '{c}' AS column_name, m.metric_name, round(m.metric_value, 6) AS metric_value
+        SELECT '{c}' AS column_name, m.metric_name, round(m.metric_value, 6) AS metric_value,
+               NULL::VARCHAR AS metric_str
         FROM (
           SELECT count(*)::double AS total,
                  (count(*) - count({c}))::double AS nulls,
@@ -110,7 +111,8 @@ def _sql_string_lengths_part() -> str:
     parts = []
     for c in ("p_name", "p_brand", "p_type"):
         parts.append(f"""
-        SELECT '{c}' AS column_name, m.metric_name, round(m.metric_value, 6) AS metric_value
+        SELECT '{c}' AS column_name, m.metric_name, round(m.metric_value, 6) AS metric_value,
+               NULL::VARCHAR AS metric_str
         FROM (
           SELECT min(length({c}))::double AS mnl, max(length({c}))::double AS mxl,
                  avg(length({c}))::double AS avl
@@ -124,6 +126,35 @@ def _sql_string_lengths_part() -> str:
 # ---------------------------------------------------------------------------
 # validation (SURVEY.md §2.10)
 # ---------------------------------------------------------------------------
+
+def q_profile_orders_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic (non-numeric) min/max: stringified into metric_str per
+    reference metrics.py:632-694; numeric columns stay in metric_value."""
+    from baselinr_spark.operators.profiling import profile
+
+    df = _read(spark, sf_dir, "orders")
+    out = profile(df, columns=["o_orderdate", "o_orderstatus", "o_totalprice"],
+                  metrics=("min", "max"))
+    return _r6(out, "metric_value")
+
+
+_SQL_PROFILE_ORDERS_MINMAX = """
+SELECT 'o_orderdate' AS column_name, m.metric_name,
+       NULL::DOUBLE AS metric_value, m.metric_str
+FROM (SELECT min(o_orderdate)::VARCHAR AS mn, max(o_orderdate)::VARCHAR AS mx
+      FROM orders) s,
+     LATERAL (VALUES ('min', s.mn), ('max', s.mx)) AS m(metric_name, metric_str)
+UNION ALL
+SELECT 'o_orderstatus', m.metric_name, NULL::DOUBLE, m.metric_str
+FROM (SELECT min(o_orderstatus) AS mn, max(o_orderstatus) AS mx FROM orders) s,
+     LATERAL (VALUES ('min', s.mn), ('max', s.mx)) AS m(metric_name, metric_str)
+UNION ALL
+SELECT 'o_totalprice', m.metric_name, round(m.metric_value, 6), NULL::VARCHAR
+FROM (SELECT min(o_totalprice)::DOUBLE AS mn, max(o_totalprice)::DOUBLE AS mx
+      FROM orders) s,
+     LATERAL (VALUES ('min', s.mn), ('max', s.mx)) AS m(metric_name, metric_value)
+"""
+
 
 def q_validation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     from baselinr_spark.operators.validation import Rule, validate
@@ -278,9 +309,11 @@ def q_chi_square_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev, base, cur = _event_cohorts(spark, sf_dir)
     out = chi_square(_type_counts(base), _type_counts(cur))
-    return _r6(out, "chi2")
+    return _r6(out, "chi2", "p_value")
 
 
+# Wilson–Hilferty chi² survival + A&S erf — same formula the Spark
+# operator evaluates (baselinr_spark/operators/drift.py chi2_sf_expr)
 _SQL_CHI_SQUARE = f"""
 WITH b AS (SELECT event_type AS cat, count(*)::double AS n_b FROM events
            WHERE ts < TIMESTAMP '{_SPLIT}' GROUP BY 1),
@@ -297,14 +330,27 @@ terms AS (
               THEN pow(n_c - (n_b + n_c) * Nc / (Nb + Nc), 2) / ((n_b + n_c) * Nc / (Nb + Nc))
               ELSE 0 END AS term, t.k
   FROM j, t
-)
-SELECT round(sum(term), 6) AS chi2, (any_value(k) - 1)::bigint AS dof,
-       sum(term) > 2 * (any_value(k) - 1) AS drift,
-       CASE WHEN sum(term) > 5 * (any_value(k) - 1) THEN 'high'
-            WHEN sum(term) > 3 * (any_value(k) - 1) THEN 'medium'
-            WHEN sum(term) > 2 * (any_value(k) - 1) THEN 'low'
-            ELSE 'none' END AS severity
-FROM terms
+),
+stat AS (SELECT sum(term) AS chi2, (any_value(k) - 1)::bigint AS dof FROM terms),
+zz AS (SELECT chi2, dof,
+       (pow(chi2 / dof, 1.0 / 3.0) - (1.0 - 2.0 / (9.0 * dof)))
+         / sqrt(2.0 / (9.0 * dof)) / sqrt(2.0) AS x
+       FROM stat),
+tt AS (SELECT chi2, dof, x, 1.0 / (1.0 + 0.3275911 * abs(x)) AS t FROM zz),
+ef AS (SELECT chi2, dof, x,
+       1.0 - (((((1.061405429 * t - 1.453152027) * t + 1.421413741) * t
+                - 0.284496736) * t + 0.254829592) * t) * exp(-x * x) AS e
+       FROM tt),
+pv AS (SELECT chi2, dof,
+       least(greatest(0.5 * (1.0 - (CASE WHEN x >= 0 THEN e ELSE -e END)), 0.0), 1.0) AS p_value
+       FROM ef)
+SELECT round(chi2, 6) AS chi2, dof, round(p_value, 6) AS p_value,
+       (p_value < 0.05 OR chi2 > 2 * dof) AS drift,
+       CASE WHEN NOT (p_value < 0.05 OR chi2 > 2 * dof) THEN 'none'
+            WHEN chi2 > 5 * dof OR p_value < 0.001 THEN 'high'
+            WHEN chi2 > 3 * dof OR p_value < 0.01 THEN 'medium'
+            ELSE 'low' END AS severity
+FROM pv
 """
 
 
@@ -409,9 +455,11 @@ def q_ks_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev, base, cur = _event_cohorts(spark, sf_dir)
     out = ks_from_histograms(_value_buckets(ev, base), _value_buckets(ev, cur))
-    return _r6(out, "ks_d")
+    return _r6(out, "ks_d", "p_value")
 
 
+# asymptotic Kolmogorov survival over effective n — same series as the
+# Spark operator (baselinr_spark/operators/drift.py kolmogorov_sf_expr)
 _SQL_KS = f"""
 WITH {_SQL_BUCKETS},
 j AS (
@@ -422,13 +470,30 @@ j AS (
   SELECT sum(n_b / (SELECT sum(n_b) FROM j)) OVER (ORDER BY bucket) AS F_b,
          sum(n_c / (SELECT sum(n_c) FROM j)) OVER (ORDER BY bucket) AS F_c
   FROM j
+), d AS (
+  SELECT max(abs(F_b - F_c)) AS ks_d FROM e
+), nn AS (
+  SELECT (SELECT sum(n_b) FROM j) * (SELECT sum(n_c) FROM j)
+         / ((SELECT sum(n_b) FROM j) + (SELECT sum(n_c) FROM j)) AS n_eff
+), lamt AS (
+  SELECT ks_d, (sqrt(n_eff) + 0.12 + 0.11 / sqrt(n_eff)) * ks_d AS lam FROM d, nn
+), pp AS (
+  SELECT ks_d,
+         CASE WHEN lam < 0.02 THEN 1.0
+              ELSE least(greatest(2.0 * list_sum(list_transform(
+                     generate_series(1, 100),
+                     k -> (CASE WHEN k % 2 = 1 THEN 1.0 ELSE -1.0 END)
+                          * exp(-2.0 * k * k * lam * lam))), 0.0), 1.0)
+         END AS p_value
+  FROM lamt
 )
-SELECT round(max(abs(F_b - F_c)), 6) AS ks_d,
-       max(abs(F_b - F_c)) > 0.2 AS drift,
-       CASE WHEN max(abs(F_b - F_c)) > 0.3 THEN 'high'
-            WHEN max(abs(F_b - F_c)) > 0.2 THEN 'medium'
-            ELSE 'none' END AS severity
-FROM e
+SELECT round(ks_d, 6) AS ks_d, round(p_value, 6) AS p_value,
+       p_value < 0.05 AS drift,
+       CASE WHEN NOT (p_value < 0.05) THEN 'none'
+            WHEN ks_d > 0.3 OR p_value < 0.001 THEN 'high'
+            WHEN ks_d > 0.2 OR p_value < 0.01 THEN 'medium'
+            ELSE 'low' END AS severity
+FROM pp
 """
 
 
@@ -1259,16 +1324,18 @@ chg AS (
                        / lag(n) OVER (ORDER BY day)) END AS pct
   FROM daily
 ), win AS (
+  -- reference baseline_selector.py:303-316: window of 5 drift scores,
+  -- averaged over the 6 (= window+1) runs spanning them
   SELECT day, n,
-         avg(pct) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS score,
-         count(pct) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS nchg,
-         avg(n) OVER (ORDER BY day ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS wavg,
-         count(n) OVER (ORDER BY day ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS nval
+         avg(pct) OVER (ORDER BY day ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS score,
+         count(pct) OVER (ORDER BY day ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS nchg,
+         avg(n) OVER (ORDER BY day ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) AS wavg,
+         count(n) OVER (ORDER BY day ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) AS nval
   FROM chg
 )
 SELECT round(wavg, 6) AS baseline, round(score, 6) AS window_score,
        day::VARCHAR AS window_end_day
-FROM win WHERE nchg = 4 AND nval = 5
+FROM win WHERE nchg = 5 AND nval = 6
 ORDER BY score ASC, day ASC LIMIT 1
 """
 
@@ -1463,14 +1530,16 @@ WITH b AS (
     ('max', b."max", c."max")
   ) AS m(metric_name, base_value, cur_value)
 ), chg AS (
-  SELECT *, CASE WHEN abs(base_value) > 0
+  -- reference strategies.py:131-137: baseline == 0 -> change_percent NULL,
+  -- drift_detected false
+  SELECT *, CASE WHEN base_value != 0
                  THEN (cur_value - base_value) * 100.0 / abs(base_value)
-                 WHEN cur_value != base_value THEN 100.0 ELSE 0.0 END AS change_pct
+                 END AS change_pct
   FROM pairs
 )
 SELECT metric_name, round(base_value, 6) AS base_value,
        round(cur_value, 6) AS cur_value, round(change_pct, 6) AS change_pct,
-       abs(change_pct) >= 5.0 AS drift,
+       coalesce(abs(change_pct) >= 5.0, false) AS drift,
        CASE WHEN abs(change_pct) >= 30 THEN 'high'
             WHEN abs(change_pct) >= 15 THEN 'medium'
             WHEN abs(change_pct) >= 5 THEN 'low' ELSE 'none' END AS severity
@@ -1531,11 +1600,10 @@ WITH b AS (
     ('max', b."max", c."max")
   ) AS m(metric_name, base_value, cur_value)
 ), chg AS (
+  -- reference strategies.py:259-263: baseline == 0 -> no result row
   SELECT metric_name,
-         CASE WHEN abs(base_value) > 0
-              THEN (cur_value - base_value) * 100.0 / abs(base_value)
-              WHEN cur_value != base_value THEN 100.0 ELSE 0.0 END AS change_pct
-  FROM pairs
+         (cur_value - base_value) * 100.0 / abs(base_value) AS change_pct
+  FROM pairs WHERE base_value != 0
 )
 SELECT metric_name, round(change_pct, 6) AS change_pct,
        round(abs(change_pct) / 10.0, 6) AS std_devs,
@@ -1543,6 +1611,101 @@ SELECT metric_name, round(change_pct, 6) AS change_pct,
        CASE WHEN abs(change_pct) / 10.0 >= 3.0 THEN 'high'
             WHEN abs(change_pct) / 10.0 >= 2.0 THEN 'medium'
             WHEN abs(change_pct) / 10.0 >= 1.0 THEN 'low' ELSE 'none' END AS severity
+FROM chg
+"""
+
+
+def q_drift_typed_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type threshold table + metric-ignore matrix
+    (reference type_thresholds.py:26-47,152-186): numeric mean 10/25/50,
+    numeric stddev 3/8/15, categorical distinct_count 2/5/10, categorical
+    unique_ratio 0.02/0.05/0.10; mean-of-categorical is dropped by the
+    ignore matrix (the Spark side emits it; the operator must drop it)."""
+    from baselinr_spark.operators.drift import absolute_threshold
+
+    orders = _read(spark, sf_dir, "orders")
+    split = "1999-01-01"
+    base = orders.filter(F.col("o_orderdate") < split)
+    cur = orders.filter(F.col("o_orderdate") >= split)
+
+    def metric_rows(side, vcol):
+        a = side.agg(
+            F.avg("o_totalprice").alias("tp_mean"),
+            F.stddev_samp("o_totalprice").alias("tp_stddev"),
+            F.count_distinct("o_totalprice").cast("double").alias("tp_distinct"),
+            F.count_distinct("o_orderstatus").cast("double").alias("os_distinct"),
+            (F.count_distinct("o_orderstatus") / F.count(F.lit(1))).alias("os_uratio"),
+            F.avg(F.length("o_orderstatus")).alias("os_mean"),
+        )
+        rows = [
+            ("o_totalprice", "DOUBLE", "mean", "tp_mean"),
+            ("o_totalprice", "DOUBLE", "stddev", "tp_stddev"),
+            ("o_totalprice", "DOUBLE", "distinct_count", "tp_distinct"),
+            ("o_orderstatus", "VARCHAR(1)", "distinct_count", "os_distinct"),
+            ("o_orderstatus", "VARCHAR(1)", "unique_ratio", "os_uratio"),
+            # meaningless for a categorical column — the ignore matrix
+            # must drop this row before comparison
+            ("o_orderstatus", "VARCHAR(1)", "mean", "os_mean"),
+        ]
+        return a.select(
+            F.explode(F.array(*[
+                F.struct(
+                    F.lit(cn).alias("column_name"),
+                    F.lit(ct).alias("column_type"),
+                    F.lit(m).alias("metric_name"),
+                    F.col(al).cast("double").alias(vcol),
+                )
+                for cn, ct, m, al in rows
+            ])).alias("kv")
+        ).select("kv.*")
+
+    j = metric_rows(base, "base_value").join(
+        metric_rows(cur, "cur_value"),
+        ["column_name", "column_type", "metric_name"],
+    )
+    out = absolute_threshold(j, type_col="column_type")
+    return out.select(
+        "column_name", "metric_name",
+        F.round("base_value", 6).alias("base_value"),
+        F.round("cur_value", 6).alias("cur_value"),
+        F.round("change_pct", 6).alias("change_pct"),
+        "drift", "severity",
+    )
+
+
+_SQL_DRIFT_TYPED = """
+WITH b AS (
+  SELECT avg(o_totalprice) AS tp_mean, stddev(o_totalprice) AS tp_stddev,
+         count(DISTINCT o_totalprice)::double AS tp_distinct,
+         count(DISTINCT o_orderstatus)::double AS os_distinct,
+         count(DISTINCT o_orderstatus)::double / count(*) AS os_uratio
+  FROM orders WHERE o_orderdate < TIMESTAMP '1999-01-01'
+), c AS (
+  SELECT avg(o_totalprice) AS tp_mean, stddev(o_totalprice) AS tp_stddev,
+         count(DISTINCT o_totalprice)::double AS tp_distinct,
+         count(DISTINCT o_orderstatus)::double AS os_distinct,
+         count(DISTINCT o_orderstatus)::double / count(*) AS os_uratio
+  FROM orders WHERE o_orderdate >= TIMESTAMP '1999-01-01'
+), pairs AS (
+  SELECT m.* FROM b, c, LATERAL (VALUES
+    ('o_totalprice', 'mean', b.tp_mean, c.tp_mean, 10.0, 25.0, 50.0),
+    ('o_totalprice', 'stddev', b.tp_stddev, c.tp_stddev, 3.0, 8.0, 15.0),
+    ('o_totalprice', 'distinct_count', b.tp_distinct, c.tp_distinct, 5.0, 15.0, 30.0),
+    ('o_orderstatus', 'distinct_count', b.os_distinct, c.os_distinct, 2.0, 5.0, 10.0),
+    ('o_orderstatus', 'unique_ratio', b.os_uratio, c.os_uratio, 0.02, 0.05, 0.10)
+  ) AS m(column_name, metric_name, base_value, cur_value, lo, md, hi)
+), chg AS (
+  SELECT *, CASE WHEN base_value != 0
+                 THEN (cur_value - base_value) * 100.0 / abs(base_value)
+                 END AS change_pct
+  FROM pairs
+)
+SELECT column_name, metric_name, round(base_value, 6) AS base_value,
+       round(cur_value, 6) AS cur_value, round(change_pct, 6) AS change_pct,
+       coalesce(abs(change_pct) >= lo, false) AS drift,
+       CASE WHEN abs(change_pct) >= hi THEN 'high'
+            WHEN abs(change_pct) >= md THEN 'medium'
+            WHEN abs(change_pct) >= lo THEN 'low' ELSE 'none' END AS severity
 FROM chg
 """
 
@@ -2079,6 +2242,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_lineitem": q_profile_lineitem,
         "histogram_quantity": q_histogram_quantity,
         "string_lengths_part": q_string_lengths_part,
+        "profile_orders_minmax": q_profile_orders_minmax,
         # validation
         "validation_suite": q_validation_suite,
         "duplicate_samples": q_duplicate_samples,
@@ -2108,6 +2272,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # drift strategy + schema drift
         "drift_absolute_threshold": q_drift_absolute_threshold,
         "drift_stddev_strategy": q_drift_stddev_strategy,
+        "drift_typed_thresholds": q_drift_typed_thresholds,
         "seasonal_residual_days": q_seasonal_residual_days,
         "schema_diff_orders": q_schema_diff_orders,
         "schema_rename_candidates": q_schema_rename_candidates,
@@ -2154,6 +2319,7 @@ def oracle_sql() -> dict[str, str]:
         "profile_lineitem": _sql_profile_lineitem(),
         "histogram_quantity": _SQL_HISTOGRAM_QUANTITY,
         "string_lengths_part": _sql_string_lengths_part(),
+        "profile_orders_minmax": _SQL_PROFILE_ORDERS_MINMAX,
         "validation_suite": _SQL_VALIDATION_SUITE,
         "duplicate_samples": _SQL_DUPLICATE_SAMPLES,
         "psi_value": _SQL_PSI_VALUE,
@@ -2178,6 +2344,7 @@ def oracle_sql() -> dict[str, str]:
         "learn_categorical_freqs": _SQL_LEARN_CAT_FREQS,
         "drift_absolute_threshold": _SQL_DRIFT_ABS,
         "drift_stddev_strategy": _SQL_DRIFT_STDDEV,
+        "drift_typed_thresholds": _SQL_DRIFT_TYPED,
         "seasonal_residual_days": _SQL_SEASONAL_RESIDUAL,
         "schema_diff_orders": _SQL_SCHEMA_DIFF,
         "schema_rename_candidates": _SQL_SCHEMA_RENAMES,

@@ -44,27 +44,40 @@ def stable_window_baseline(
     key_cols: list[str] | None = None,
     window: int = 5,
 ) -> DataFrame:
-    """Find the most stable sliding window of `window` consecutive points
-    (min mean |percent change|) and average its values
-    (baseline_selector.py:272-340). Returns one row per key:
+    """Find the most stable sliding window of `window` consecutive drift
+    scores (min mean |percent change|) and average the `window`+1 run
+    values that span those changes — the reference averages
+    window_size + 1 runs over window_size drift scores
+    (baseline_selector.py:303-316: ``stable_runs = runs[start : start +
+    window_size + 1]``), with window_size = min(window, n_runs − 1) and a
+    ≥3-runs floor (:287-290). Returns one row per key:
     (…key, baseline, window_score, window_end_ts)."""
     key_cols = key_cols or []
     ow = _win(key_cols, ts_col)
+    kw = W.partitionBy(*key_cols) if key_cols else W.partitionBy()
     v = F.col(value_col).cast("double")
     prev = F.lag(v).over(ow)
     pct = F.when(
         prev.isNotNull() & (F.abs(prev) > 0), F.abs((v - prev) * 100.0 / prev)
     )
-    h = history.withColumn("__pct", pct)
-    # window of `window` points = window-1 consecutive changes ending here
-    fw = _win(key_cols, ts_col).rowsBetween(-(window - 1) + 1, 0)
-    vw = _win(key_cols, ts_col).rowsBetween(-(window - 1), 0)
+    h = history.withColumn("__pct", pct).withColumn(
+        "__nruns", F.count(value_col).over(kw)
+    )
+    # effective window shrinks on short histories: min(window, n_runs − 1)
+    eff = F.least(F.lit(window), F.col("__nruns") - 1)
+    # `eff` consecutive changes ending here span eff+1 run values
+    fw = _win(key_cols, ts_col).rowsBetween(-(window - 1), 0)
+    vw = _win(key_cols, ts_col).rowsBetween(-window, 0)
     h = (
         h.withColumn("__score", F.avg("__pct").over(fw))
         .withColumn("__nchg", F.count("__pct").over(fw))
         .withColumn("__wavg", F.avg(v).over(vw))
         .withColumn("__nval", F.count(value_col).over(vw))
-        .filter((F.col("__nchg") == window - 1) & (F.col("__nval") == window))
+        .filter(
+            (F.col("__nruns") >= 3)
+            & (F.col("__nchg") == eff)
+            & (F.col("__nval") == eff + 1)
+        )
     )
     rank_w = (
         W.partitionBy(*key_cols) if key_cols else W.partitionBy()

@@ -16,10 +16,68 @@ path statistical_tests.py:344-381).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 PSI_FLOOR = 0.0001
+
+
+# ---------------------------------------------------------------------------
+# scipy-free p-value approximations (oracle-expressible: pure arithmetic +
+# exp/pow, so the identical formula runs in DuckDB SQL and hash-matches)
+# ---------------------------------------------------------------------------
+
+def erf_expr(x):
+    """erf via Abramowitz & Stegun 7.1.26 (|err| <= 1.5e-7)."""
+    ax = F.abs(x)
+    t = F.lit(1.0) / (1.0 + 0.3275911 * ax)
+    poly = (
+        ((((1.061405429 * t - 1.453152027) * t) + 1.421413741) * t
+         - 0.284496736) * t + 0.254829592
+    ) * t
+    e = 1.0 - poly * F.exp(-ax * ax)
+    return F.when(x >= 0, e).otherwise(-e)
+
+
+def chi2_sf_expr(chi2, dof):
+    """P(X > chi2), X ~ chi-square(dof), via the Wilson-Hilferty cube-root
+    normal approximation + A&S erf. The reference computes this with
+    scipy when available (statistical_tests.py:858-869); scipy is not in
+    this environment, and the approximation holds to ~1e-3 absolute —
+    ample for the 0.05 / 0.01 / 0.001 gates."""
+    d = dof.cast("double")
+    z = (F.pow(chi2 / d, 1.0 / 3.0) - (1.0 - 2.0 / (9.0 * d))) / F.sqrt(
+        2.0 / (9.0 * d)
+    )
+    p = 0.5 * (1.0 - erf_expr(z / math.sqrt(2.0)))
+    return F.when(
+        (dof > 0) & chi2.isNotNull(),
+        F.least(F.greatest(p, F.lit(0.0)), F.lit(1.0)),
+    )
+
+
+def kolmogorov_sf_expr(d_stat, n_eff, terms: int = 100):
+    """Two-sample KS asymptotic p-value: Q_KS(lambda) with
+    lambda = (sqrt(n_e) + 0.12 + 0.11/sqrt(n_e)) * D (Numerical Recipes
+    14.3.3), n_e = Nb*Nc/(Nb+Nc), Q_KS(l) = 2 * sum_k (-1)^(k-1) e^(-2k^2l^2).
+    Mirrors the reference's scipy ks_2samp p-value branch
+    (statistical_tests.py:222-260) without scipy."""
+    sn = F.sqrt(n_eff.cast("double"))
+    lam = (sn + 0.12 + 0.11 / sn) * d_stat
+    series = F.aggregate(
+        F.sequence(F.lit(1), F.lit(terms)),
+        F.lit(0.0),
+        lambda acc, k: acc
+        + F.when(k % 2 == 1, F.lit(1.0)).otherwise(F.lit(-1.0))
+        * F.exp(-2.0 * (k * k).cast("double") * lam * lam),
+    )
+    # below lam≈0.02 the alternating series needs >100 terms; Q_KS there is
+    # 1 to within 1e-15, so short-circuit
+    return F.when(lam < 0.02, F.lit(1.0)).otherwise(
+        F.least(F.greatest(2.0 * series, F.lit(0.0)), F.lit(1.0))
+    )
 
 
 def psi(
@@ -161,11 +219,14 @@ def chi_square(
     key_cols: list[str] | None = None,
 ) -> DataFrame:
     """2×k contingency chi² with expected counts from pooled margins
-    (statistical_tests.py:761-950). Drift if χ² > 2·df (the p-value gate
-    needs scipy's CDF; we implement the χ²>2·df branch which the
-    reference also applies); severity χ² > 5·df high, > 3·df medium.
+    (statistical_tests.py:761-950). Drift if p < 0.05 OR χ² > 2·df
+    (statistical_tests.py:864-866); severity high when χ² > 5·df or
+    p < 0.001, medium when χ² > 3·df or p < 0.01, else low. p-value via
+    the Wilson–Hilferty approximation (`chi2_sf_expr`) — the reference
+    uses scipy when installed, which it is not here.
 
-    Returns (key_cols..., chi2:double, dof:long, drift, severity)."""
+    Returns (key_cols..., chi2:double, dof:long, p_value, drift,
+    severity)."""
     key_cols = key_cols or []
     b = base.select(*key_cols, F.col(category_col).alias("cat"),
                     F.col(count_col).cast("double").alias("n_b"))
@@ -191,13 +252,20 @@ def chi_square(
     agg = jj.groupBy(*key_cols).agg(
         F.sum(term).alias("chi2"), (F.first("k") - 1).cast("long").alias("dof")
     )
+    p = chi2_sf_expr(F.col("chi2"), F.col("dof"))
+    agg = agg.withColumn("p_value", p)
+    drift = F.coalesce(F.col("p_value") < 0.05, F.lit(False)) | (
+        F.col("chi2") > 2 * F.col("dof")
+    )
     return agg.select(
-        *key_cols, "chi2", "dof",
-        (F.col("chi2") > 2 * F.col("dof")).alias("drift"),
-        F.when(F.col("chi2") > 5 * F.col("dof"), "high")
-        .when(F.col("chi2") > 3 * F.col("dof"), "medium")
-        .when(F.col("chi2") > 2 * F.col("dof"), "low")
-        .otherwise("none")
+        *key_cols, "chi2", "dof", "p_value",
+        drift.alias("drift"),
+        F.when(~drift, "none")
+        .when((F.col("chi2") > 5 * F.col("dof"))
+              | F.coalesce(F.col("p_value") < 0.001, F.lit(False)), "high")
+        .when((F.col("chi2") > 3 * F.col("dof"))
+              | F.coalesce(F.col("p_value") < 0.01, F.lit(False)), "medium")
+        .otherwise("low")
         .alias("severity"),
     )
 
@@ -284,8 +352,12 @@ def ks_from_histograms(
     key_cols: list[str] | None = None,
 ) -> DataFrame:
     """Two-sample KS statistic from aligned histogram buckets: max |ΔECDF|
-    (the reference's manual fallback, statistical_tests.py:344-381).
-    Drift if D > 0.2; severity D > 0.3 high / > 0.2 medium."""
+    (the reference's manual fallback, statistical_tests.py:344-381), plus
+    the asymptotic p-value over effective n = Nb·Nc/(Nb+Nc)
+    (`kolmogorov_sf_expr`). Drift gate mirrors the reference's scipy
+    branch (statistical_tests.py:222-260): drift if p < 0.05; severity
+    high when D > 0.3 or p < 0.001, medium when D > 0.2 or p < 0.01,
+    else low."""
     key_cols = key_cols or []
     b = base.select(*key_cols, F.col(bucket_col).alias("bucket"),
                     F.col(count_col).cast("double").alias("n_b"))
@@ -299,17 +371,105 @@ def ks_from_histograms(
     w = (W.partitionBy(*key_cols) if key_cols else W.partitionBy()).orderBy("bucket") \
         .rowsBetween(W.unboundedPreceding, 0)
     ecdf = jj.select(
-        *key_cols,
+        *key_cols, "Nb", "Nc",
         (F.sum(F.col("n_b") / F.col("Nb")).over(w)).alias("F_b"),
         (F.sum(F.col("n_c") / F.col("Nc")).over(w)).alias("F_c"),
     )
-    agg = ecdf.groupBy(*key_cols).agg(F.max(F.abs(F.col("F_b") - F.col("F_c"))).alias("ks_d"))
-    return agg.select(
-        *key_cols, "ks_d",
-        (F.col("ks_d") > 0.2).alias("drift"),
-        F.when(F.col("ks_d") > 0.3, "high").when(F.col("ks_d") > 0.2, "medium")
-        .otherwise("none").alias("severity"),
+    agg = ecdf.groupBy(*key_cols).agg(
+        F.max(F.abs(F.col("F_b") - F.col("F_c"))).alias("ks_d"),
+        F.first("Nb").alias("Nb"), F.first("Nc").alias("Nc"),
     )
+    n_eff = F.col("Nb") * F.col("Nc") / (F.col("Nb") + F.col("Nc"))
+    agg = agg.withColumn("p_value", kolmogorov_sf_expr(F.col("ks_d"), n_eff))
+    drift = F.coalesce(F.col("p_value") < 0.05, F.lit(False))
+    return agg.select(
+        *key_cols, "ks_d", "p_value",
+        drift.alias("drift"),
+        F.when(~drift, "none")
+        .when((F.col("ks_d") > 0.3) | (F.col("p_value") < 0.001), "high")
+        .when((F.col("ks_d") > 0.2) | (F.col("p_value") < 0.01), "medium")
+        .otherwise("low")
+        .alias("severity"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# drift strategies (per-type thresholds + metric-ignore matrix per
+# /root/reference/baselinr/drift/type_thresholds.py:26-47,152-186)
+# ---------------------------------------------------------------------------
+
+# (normalized_type, metric) -> (low, medium, high); "default" per type
+TYPE_THRESHOLDS: dict[tuple[str, str], tuple[float, float, float]] = {
+    ("numeric", "mean"): (10.0, 25.0, 50.0),
+    ("numeric", "stddev"): (3.0, 8.0, 15.0),
+    ("numeric", "default"): (5.0, 15.0, 30.0),
+    ("categorical", "distinct_count"): (2.0, 5.0, 10.0),
+    ("categorical", "unique_ratio"): (0.02, 0.05, 0.10),
+    ("categorical", "default"): (5.0, 15.0, 30.0),
+    ("timestamp", "default"): (5.0, 15.0, 30.0),
+    ("boolean", "default"): (2.0, 5.0, 10.0),
+}
+
+# metrics that are meaningless for a type — dropped before comparison
+# (type_thresholds.py IGNORED_METRICS)
+IGNORED_METRICS: dict[str, set[str]] = {
+    "categorical": {"mean", "stddev", "min", "max"},
+    "boolean": {"mean", "stddev", "min", "max", "histogram"},
+}
+
+_NUMERIC_NAMES = (
+    "integer", "int", "bigint", "smallint", "tinyint", "numeric", "decimal",
+    "float", "double", "real", "number", "money", "smallmoney",
+    "double precision",
+)
+_CATEGORICAL_NAMES = (
+    "varchar", "char", "text", "string", "nvarchar", "nchar", "ntext",
+    "enum", "character", "character varying",
+)
+_TIMESTAMP_NAMES = (
+    "timestamp", "datetime", "date", "time", "datetime2", "smalldatetime",
+    "datetimeoffset", "timestamp_ntz", "timestamp_ltz", "timestamp_tz",
+)
+_BOOLEAN_NAMES = ("boolean", "bool", "bit")
+
+
+def normalize_type_expr(type_col):
+    """DB type string → category, mirroring the reference's
+    normalize_column_type (/root/reference/baselinr/drift/
+    type_normalizer.py:24-110): strip the '(…)' size suffix, lowercase,
+    map through the four name sets, else 'unknown'. Already-normalized
+    names pass through."""
+    base = F.regexp_extract(F.lower(F.trim(type_col)), r"^([a-z_ 0-9]+?)\s*(?:\(|$)", 1)
+    return (
+        F.when(base.isin(*_NUMERIC_NAMES), "numeric")
+        .when(base.isin(*_CATEGORICAL_NAMES), "categorical")
+        .when(base.isin(*_TIMESTAMP_NAMES), "timestamp")
+        .when(base.isin(*_BOOLEAN_NAMES), "boolean")
+        .when(base == "categorical", "categorical")  # already-normalized pass-through
+        .otherwise("unknown")
+    )
+
+
+def _typed_threshold(norm, metric, which: int, fallback: float):
+    """Per-row threshold column: metric-specific beats type default beats
+    the strategy's base threshold (type_thresholds.py:49-113)."""
+    metric_spec = None
+    type_def = None
+    for (t, m), vals in TYPE_THRESHOLDS.items():
+        lit = F.lit(vals[which])
+        if m == "default":
+            type_def = F.when(norm == t, lit) if type_def is None else type_def.when(norm == t, lit)
+        else:
+            c = (norm == t) & (metric == m)
+            metric_spec = F.when(c, lit) if metric_spec is None else metric_spec.when(c, lit)
+    return F.coalesce(metric_spec, type_def, F.lit(fallback))
+
+
+def _drop_ignored(joined: DataFrame, norm, metric_col: str) -> DataFrame:
+    ignored = F.lit(False)
+    for t, ms in IGNORED_METRICS.items():
+        ignored = ignored | ((norm == t) & F.col(metric_col).isin(*sorted(ms)))
+    return joined.filter(~ignored)
 
 
 def absolute_threshold(
@@ -319,24 +479,39 @@ def absolute_threshold(
     low: float = 5.0,
     medium: float = 15.0,
     high: float = 30.0,
+    type_col: str | None = None,
+    metric_col: str = "metric_name",
 ) -> DataFrame:
     """The reference's default drift strategy
     (/root/reference/baselinr/drift/strategies.py:61-173):
-    change% = (cur − base) / |base| · 100; drift when |change%| ≥ low;
-    severity bands ≥30 high / ≥15 medium / ≥5 low. Input: one row per
+    change% = (cur − base) / |base| · 100; baseline == 0 → change_pct
+    NULL, no drift (strategies.py:131-137); drift when |change%| ≥ low;
+    severity bands ≥high/≥medium/≥low. Input: one row per
     (…, base_value, cur_value) metric pair — e.g. the drift-compare join
-    of two runs' metrics (SURVEY.md §2.5)."""
+    of two runs' metrics (SURVEY.md §2.5).
+
+    When `type_col` is given, applies the per-type threshold table and
+    drops type-ignored metrics (type_thresholds.py:26-47,152-186)."""
     b = F.col(base_col).cast("double")
     c = F.col(cur_col).cast("double")
-    change = F.when(F.abs(b) > 0, (c - b) * 100.0 / F.abs(b)).otherwise(
-        F.when(c != b, F.lit(100.0)).otherwise(F.lit(0.0))
-    )
+    if type_col is not None:
+        norm = normalize_type_expr(F.col(type_col))
+        joined = _drop_ignored(joined, norm, metric_col)
+        m = F.col(metric_col)
+        lo = _typed_threshold(norm, m, 0, low)
+        md = _typed_threshold(norm, m, 1, medium)
+        hi = _typed_threshold(norm, m, 2, high)
+    else:
+        lo, md, hi = F.lit(low), F.lit(medium), F.lit(high)
+    change = F.when(b != 0, (c - b) * 100.0 / F.abs(b))  # else NULL
     out = joined.withColumn("change_pct", change)
     a = F.abs(F.col("change_pct"))
-    return out.withColumn("drift", a >= low).withColumn(
+    return out.withColumn(
+        "drift", F.coalesce(a >= lo, F.lit(False))
+    ).withColumn(
         "severity",
-        F.when(a >= high, "high").when(a >= medium, "medium")
-        .when(a >= low, "low").otherwise("none"),
+        F.when(a >= hi, "high").when(a >= md, "medium")
+        .when(a >= lo, "low").otherwise("none"),
     )
 
 
@@ -344,21 +519,37 @@ def standard_deviation_strategy(
     joined: DataFrame,
     base_col: str = "base_value",
     cur_col: str = "cur_value",
+    type_col: str | None = None,
+    metric_col: str = "metric_name",
 ) -> DataFrame:
     """The reference's standard_deviation strategy
     (/root/reference/baselinr/drift/strategies.py:176-299): proxy
-    std-devs = |change%| / 10; drift at ≥1σ, severity bands 1/2/3σ."""
+    std-devs = |change%| / 10; drift at ≥1σ, severity bands 1/2/3σ.
+    Baseline == 0 → no result (strategies.py:259-263 returns None), so
+    those rows are filtered out. With `type_col`, percentage thresholds
+    from the type table are converted to σ via /10
+    (strategies.py:235-252) and ignored metrics dropped."""
     b = F.col(base_col).cast("double")
     c = F.col(cur_col).cast("double")
-    change = F.when(F.abs(b) > 0, (c - b) * 100.0 / F.abs(b)).otherwise(
-        F.when(c != b, F.lit(100.0)).otherwise(F.lit(0.0))
-    )
-    out = joined.withColumn("change_pct", change).withColumn(
-        "std_devs", F.abs(F.col("change_pct")) / 10.0
+    if type_col is not None:
+        norm = normalize_type_expr(F.col(type_col))
+        joined = _drop_ignored(joined, norm, metric_col)
+        m = F.col(metric_col)
+        lo = _typed_threshold(norm, m, 0, 10.0) / 10.0
+        md = _typed_threshold(norm, m, 1, 20.0) / 10.0
+        hi = _typed_threshold(norm, m, 2, 30.0) / 10.0
+    else:
+        lo, md, hi = F.lit(1.0), F.lit(2.0), F.lit(3.0)
+    out = (
+        joined.filter(b != 0)
+        .withColumn("change_pct", (c - b) * 100.0 / F.abs(b))
+        .withColumn("std_devs", F.abs(F.col("change_pct")) / 10.0)
     )
     s = F.col("std_devs")
-    return out.withColumn("drift", s >= 1.0).withColumn(
+    return out.withColumn(
+        "drift", F.coalesce(s >= lo, F.lit(False))
+    ).withColumn(
         "severity",
-        F.when(s >= 3.0, "high").when(s >= 2.0, "medium")
-        .when(s >= 1.0, "low").otherwise("none"),
+        F.when(s >= hi, "high").when(s >= md, "medium")
+        .when(s >= lo, "low").otherwise("none"),
     )

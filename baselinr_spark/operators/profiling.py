@@ -54,10 +54,11 @@ def profile(
 ) -> DataFrame:
     """Long-format profile: (group_cols..., column_name, metric_name,
     metric_value:double, metric_str:string). Numeric metrics populate
-    metric_value; min/max of non-numeric columns are stringified into
-    metric_str (the reference stringifies everything,
-    /root/reference/baselinr/storage/writer.py:227-232 — we keep values
-    typed per SURVEY.md §1.1)."""
+    metric_value; min/max of non-numeric comparable columns (strings,
+    dates, timestamps — booleans skipped, which have no meaningful
+    min/max) are stringified into metric_str, matching the reference's
+    generic min/max (/root/reference/baselinr/profiling/metrics.py:632-694,
+    boolean skip :640-645; stringification :683-687)."""
     group_cols = group_cols or []
     dtypes = dict(zip(df.schema.names, [f.dataType for f in df.schema.fields]))
     if columns is None:
@@ -66,10 +67,13 @@ def profile(
     total = F.count(F.lit(1))
     exprs: list = [total.alias("__total")]
     per_col: dict[str, dict[str, str]] = {}
+    str_metrics: dict[str, set[str]] = {}
 
     for c in columns:
         numeric = _is_numeric(dtypes[c])
+        boolean = isinstance(dtypes[c], T.BooleanType)
         aliases: dict[str, str] = {}
+        str_metrics[c] = set()
 
         def add(metric: str, expr) -> None:
             a = f"{c}__{metric}"
@@ -93,6 +97,14 @@ def profile(
                 add("mean", F.avg(F.col(c).cast("double")))
             if "stddev" in metrics:
                 add("stddev", F.stddev_samp(F.col(c).cast("double")))
+        elif not boolean:
+            # generic min/max for any comparable type, stringified
+            if "min" in metrics:
+                add("min", F.min(c).cast("string"))
+                str_metrics[c].add("min")
+            if "max" in metrics:
+                add("max", F.max(c).cast("string"))
+                str_metrics[c].add("max")
         if isinstance(dtypes[c], T.StringType):
             if "min_length" in metrics:
                 add("min_length", F.min(F.length(c)).cast("double"))
@@ -104,26 +116,29 @@ def profile(
 
     agg = df.groupBy(*group_cols).agg(*exprs) if group_cols else df.agg(*exprs)
 
-    # unpivot: build stack() over (column_name, metric_name, value) triples,
-    # deriving the ratio metrics from the counted ones
-    triples: list = []
+    # unpivot: build stack() over (column_name, metric_name, value, str)
+    # 4-tuples, deriving the ratio metrics from the counted ones
+    quads: list = []
     for c, aliases in per_col.items():
         for m, a in aliases.items():
             if m in metrics:  # aliases may exist only to derive ratios
-                triples.append((c, m, F.col(a)))
+                if m in str_metrics[c]:
+                    quads.append((c, m, F.lit(None), F.col(a)))
+                else:
+                    quads.append((c, m, F.col(a), F.lit(None)))
         if "null_ratio" in metrics and "null_count" in aliases:
-            triples.append(
+            quads.append(
                 (c, "null_ratio",
                  F.when(F.col("__total") > 0,
                         F.col(aliases["null_count"]) / F.col("__total"))
-                 .otherwise(F.lit(0.0)))
+                 .otherwise(F.lit(0.0)), F.lit(None))
             )
         if "unique_ratio" in metrics and "distinct_count" in aliases:
-            triples.append(
+            quads.append(
                 (c, "unique_ratio",
                  F.when(F.col("__total") > 0,
                         F.col(aliases["distinct_count"]) / F.col("__total"))
-                 .otherwise(F.lit(0.0)))
+                 .otherwise(F.lit(0.0)), F.lit(None))
             )
 
     structs = F.array(
@@ -132,12 +147,14 @@ def profile(
                 F.lit(c).alias("column_name"),
                 F.lit(m).alias("metric_name"),
                 v.cast("double").alias("metric_value"),
+                s.cast("string").alias("metric_str"),
             )
-            for c, m, v in triples
+            for c, m, v, s in quads
         ]
     )
     out = agg.select(*group_cols, F.explode(structs).alias("kv")).select(
-        *group_cols, "kv.column_name", "kv.metric_name", "kv.metric_value"
+        *group_cols, "kv.column_name", "kv.metric_name", "kv.metric_value",
+        "kv.metric_str",
     )
     return out
 

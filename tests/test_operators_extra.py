@@ -31,12 +31,33 @@ def test_moving_average_baseline(spark):
 def test_stable_window_baseline(spark):
     from baselinr_spark.operators.baseline import stable_window_baseline
 
-    # changes: flat tail 100,100,100,100,100 is the most stable window
+    # reference semantics (baseline_selector.py:303-316): window of 5
+    # drift scores, baseline = mean of the 6 runs spanning them.
+    # series 10,50,5,80,100,100,100,100,100 → |pct| changes
+    # 400,90,1500,25,0,0,0,0; best 5-change window = (25,0,0,0,0)/5 = 5.0
+    # ending day 9, spanning runs 80,100,100,100,100,100 → 580/6
     df = _daily(spark, [10, 50, 5, 80, 100, 100, 100, 100, 100])
     row = stable_window_baseline(df, "day", "n", window=5).collect()[0]
-    assert row["baseline"] == 100.0
-    assert row["window_score"] == 0.0
+    assert abs(row["baseline"] - 580.0 / 6.0) < 1e-9
+    assert row["window_score"] == 5.0
     assert row["window_end_ts"].isoformat() == "2025-01-09"
+
+
+def test_stable_window_baseline_short_history(spark):
+    from baselinr_spark.operators.baseline import stable_window_baseline
+
+    # 4 runs → effective window = min(5, n−1) = 3 changes over all 4 runs
+    # (reference: window_size = min(5, len(runs) − 1)); baseline = mean of
+    # 10,12,11,13 = 11.5, score = (20 + 8.333333… + 18.181818…)/3
+    df = _daily(spark, [10, 12, 11, 13])
+    row = stable_window_baseline(df, "day", "n", window=5).collect()[0]
+    assert abs(row["baseline"] - 11.5) < 1e-9
+    expected = (20.0 + 100.0 / 12.0 + 200.0 / 11.0) / 3.0
+    assert abs(row["window_score"] - expected) < 1e-9
+
+    # < 3 runs → no stable window (reference falls back to last run)
+    tiny = _daily(spark, [10, 12])
+    assert stable_window_baseline(tiny, "day", "n", window=5).count() == 0
 
 
 def test_auto_baseline_decision_high_cv(spark):
@@ -139,7 +160,35 @@ def test_absolute_threshold_strategy(spark):
     assert out["m3"] == (20.0, True, "medium")
     assert out["m4"] == (35.0, True, "high")
     assert out["m5"] == (-35.0, True, "high")
-    assert out["m6"] == (100.0, True, "high")  # zero-base convention
+    # reference strategies.py:131-137: baseline == 0 → change_percent
+    # None, drift_detected False
+    assert out["m6"] == (None, False, "none")
+
+
+def test_typed_thresholds_and_ignore_matrix(spark):
+    from baselinr_spark.operators.drift import absolute_threshold
+
+    df = spark.createDataFrame(
+        [
+            # numeric mean: 10/25/50 bands — 20% change is 'low' (generic
+            # 5/15/30 would say 'medium')
+            ("c1", "DOUBLE", "mean", 100.0, 120.0),
+            # categorical distinct_count: 2/5/10 — 6% change is 'medium'
+            ("c2", "VARCHAR(10)", "distinct_count", 100.0, 106.0),
+            # categorical mean is in the ignore matrix → row dropped
+            ("c2", "VARCHAR(10)", "mean", 1.0, 2.0),
+            # numeric stddev: 3/8/15 — 4% is 'low'
+            ("c1", "DOUBLE", "stddev", 100.0, 104.0),
+        ],
+        schema="column_name string, column_type string, metric_name string,"
+               " base_value double, cur_value double",
+    )
+    out = {(r["column_name"], r["metric_name"]): (r["drift"], r["severity"])
+           for r in absolute_threshold(df, type_col="column_type").collect()}
+    assert out[("c1", "mean")] == (True, "low")
+    assert out[("c2", "distinct_count")] == (True, "medium")
+    assert out[("c1", "stddev")] == (True, "low")
+    assert ("c2", "mean") not in out and len(out) == 3
 
 
 def test_perplexity_fast_path_bit_identical(pages_pdf):
