@@ -208,6 +208,66 @@ FROM agg, LATERAL (VALUES
 """
 
 
+def q_validation_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sample_failures: up to 10 failing values per rule
+    (ValidationResult contract, reference base.py:53-61). Rules are
+    deliberately strict so the fixture produces failures; the not_null
+    rule passes and must contribute zero rows."""
+    from baselinr_spark.operators.validation import Rule, sample_failures
+
+    orders = _read(spark, sf_dir, "orders")
+    customer = _read(spark, sf_dir, "customer")
+    rules = [
+        Rule("status_fo_only", "enum", "o_orderstatus", values=("F", "O")),
+        Rule("priority_1to3", "format", "o_orderpriority",
+             pattern="^[1-3]-[A-Z ]+$"),
+        Rule("orderkey_low", "range", "o_orderkey", max_value=1000.0),
+        Rule("custkey_in_late_customers", "referential", "o_custkey",
+             ref_table="customer", ref_column="c_custkey"),
+        Rule("custkey_not_null", "not_null", "o_custkey"),
+        Rule("status_unique", "unique", "o_orderstatus"),
+    ]
+    late = customer.filter(F.col("c_custkey") > 100)
+    return sample_failures(orders, rules, ref_dfs={"customer": late}, limit=10)
+
+
+_SQL_VALIDATION_SAMPLES = """
+SELECT 'status_fo_only' AS rule_name, 'o_orderstatus' AS column_name,
+       'enum' AS rule_type, sample_value
+FROM (SELECT o_orderstatus::VARCHAR AS sample_value FROM orders
+      WHERE o_orderstatus IS NOT NULL AND o_orderstatus NOT IN ('F', 'O')
+      ORDER BY sample_value ASC LIMIT 10)
+UNION ALL
+SELECT 'priority_1to3', 'o_orderpriority', 'format', sample_value
+FROM (SELECT o_orderpriority::VARCHAR AS sample_value FROM orders
+      WHERE o_orderpriority IS NOT NULL
+        AND NOT regexp_matches(o_orderpriority, '^[1-3]-[A-Z ]+$')
+      ORDER BY sample_value ASC LIMIT 10)
+UNION ALL
+SELECT 'orderkey_low', 'o_orderkey', 'range', sample_value
+FROM (SELECT o_orderkey::VARCHAR AS sample_value FROM orders
+      WHERE o_orderkey IS NOT NULL AND o_orderkey > 1000.0
+      ORDER BY sample_value ASC LIMIT 10)
+UNION ALL
+SELECT 'custkey_in_late_customers', 'o_custkey', 'referential', sample_value
+FROM (SELECT o_custkey::VARCHAR AS sample_value FROM orders
+      WHERE o_custkey IS NOT NULL AND o_custkey NOT IN
+            (SELECT c_custkey FROM customer
+             WHERE c_custkey IS NOT NULL AND c_custkey > 100)
+      ORDER BY sample_value ASC LIMIT 10)
+UNION ALL
+SELECT 'custkey_not_null', 'o_custkey', 'not_null', sample_value
+FROM (SELECT o_custkey::VARCHAR AS sample_value FROM orders
+      WHERE o_custkey IS NULL ORDER BY sample_value ASC LIMIT 10)
+UNION ALL
+SELECT 'status_unique', 'o_orderstatus', 'unique', sample_value
+FROM (SELECT o_orderstatus::VARCHAR AS sample_value FROM orders
+      WHERE o_orderstatus IS NOT NULL
+      GROUP BY o_orderstatus HAVING count(*) > 1
+      ORDER BY sample_value ASC LIMIT 10)
+"""
+
+
 def q_duplicate_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     from baselinr_spark.operators.validation import duplicate_samples
 
@@ -964,11 +1024,17 @@ WITH sh AS (
            list_filter(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
                        x -> length(x) > 0))) AS shingle
   FROM documents
+), nd AS (SELECT count(*)::bigint AS n FROM documents),
+dfreq AS (
+  SELECT shingle FROM sh, nd GROUP BY shingle, n
+  HAVING count(*) <= greatest(1, floor(0.5 * any_value(n)))
+), kept AS (
+  SELECT sh.doc_id, sh.shingle FROM sh JOIN dfreq USING (shingle)
 ), sizes AS (
-  SELECT doc_id, count(*)::bigint AS n_sh FROM sh GROUP BY doc_id
+  SELECT doc_id, count(*)::bigint AS n_sh FROM kept GROUP BY doc_id
 ), inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::bigint AS n_inter
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 SELECT id_a, id_b,
@@ -1195,6 +1261,180 @@ WITH prof AS (
 SELECT round(completeness, 6) AS completeness, round(validity, 6) AS validity,
        round(consistency, 6) AS consistency, round(freshness, 6) AS freshness,
        round(uniqueness, 6) AS uniqueness, round(accuracy, 6) AS accuracy,
+       round(completeness * 0.25 + validity * 0.25 + consistency * 0.20
+             + freshness * 0.15 + uniqueness * 0.10 + accuracy * 0.05, 6) AS overall_score,
+       CASE WHEN completeness * 0.25 + validity * 0.25 + consistency * 0.20
+                 + freshness * 0.15 + uniqueness * 0.10 + accuracy * 0.05 >= 80
+            THEN 'healthy'
+            WHEN completeness * 0.25 + validity * 0.25 + consistency * 0.20
+                 + freshness * 0.15 + uniqueness * 0.10 + accuracy * 0.05 >= 60
+            THEN 'warning' ELSE 'critical' END AS status
+FROM comp
+"""
+
+
+def _stability_history(spark, sf_dir):
+    """Synthesized profiling-run history from events: run = day,
+    'column' = event_type, 'type' flips with the sign of the day's mean
+    value (exercises type_consistency without needing a real run store)."""
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.to_date("ts").alias("run_id"),
+            F.col("event_type").alias("column_name"),
+        )
+        .agg(
+            F.when(F.avg("value") >= 0, F.lit("double"))
+            .otherwise(F.lit("float")).alias("column_type")
+        )
+        .withColumn("profiled_at", F.col("run_id"))
+    )
+
+
+_SQL_STABILITY_HISTORY = """
+  SELECT CAST(ts AS DATE) AS run_id, event_type AS column_name,
+         CASE WHEN avg(value) >= 0 THEN 'double' ELSE 'float' END AS column_type
+  FROM events GROUP BY 1, 2
+"""
+
+
+def q_column_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column stability metrics (reference storage/writer.py:1796-1876):
+    appearance_count/total_runs, type-consistency flag, age in days."""
+    from baselinr_spark.operators.profiling import column_stability
+
+    hist = _stability_history(spark, sf_dir)
+    out = column_stability(hist)
+    return out.select(
+        "column_name", "appearance_count", "total_runs",
+        F.round("column_stability_score", 6).alias("column_stability_score"),
+        "type_consistency_score", "column_age_days",
+    )
+
+
+_SQL_COLUMN_STABILITY = f"""
+WITH hist AS ({_SQL_STABILITY_HISTORY}),
+tot AS (SELECT count(DISTINCT run_id) AS total_runs, max(run_id) AS latest FROM hist),
+per AS (
+  SELECT column_name, count(DISTINCT run_id) AS appearance_count,
+         min(run_id) AS first_seen, count(DISTINCT column_type) AS type_count
+  FROM hist GROUP BY 1
+)
+SELECT column_name, appearance_count, total_runs,
+       round(CASE WHEN total_runs > 0
+                  THEN appearance_count::double / total_runs ELSE 1.0 END, 6)
+         AS column_stability_score,
+       CASE WHEN type_count = 1 THEN 1.0 ELSE 0.0 END AS type_consistency_score,
+       date_diff('day', first_seen, latest) AS column_age_days
+FROM per, tot
+"""
+
+
+def q_quality_score_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full consistency formula: max(0, min(100, (100 − drift penalty) ·
+    schema_stability)) per reference scorer.py:294-305, with drift events
+    from the absolute-threshold strategy over event cohorts and
+    schema_stability from the column-stability operator."""
+    from baselinr_spark.operators.drift import absolute_threshold
+    from baselinr_spark.operators.profiling import column_stability, profile
+    from baselinr_spark.operators.quality import component_scores, overall_score
+
+    orders = _read(spark, sf_dir, "orders")
+    metrics = profile(
+        orders,
+        columns=["o_custkey", "o_totalprice", "o_orderstatus"],
+        metrics=("null_ratio", "unique_ratio"),
+    )
+
+    ev, base, cur = _event_cohorts(spark, sf_dir)
+
+    def metric_rows(side, vcol):
+        a = side.agg(
+            F.count("value").cast("double").alias("count"),
+            F.avg("value").alias("mean"),
+            F.stddev_samp("value").alias("stddev"),
+            F.min("value").alias("min"),
+            F.max("value").alias("max"),
+        )
+        return a.select(
+            F.explode(
+                F.array(*[
+                    F.struct(F.lit(m).alias("metric_name"), F.col(m).alias(vcol))
+                    for m in _DRIFT_METRICS
+                ])
+            ).alias("kv")
+        ).select("kv.*")
+
+    j = metric_rows(base, "base_value").join(
+        metric_rows(cur, "cur_value"), "metric_name"
+    )
+    drift_events = absolute_threshold(j).select("severity")
+    stab = column_stability(_stability_history(spark, sf_dir))
+    comp = component_scores(metrics, events=drift_events, stability=stab)
+    out = overall_score(comp)
+    return out.select(
+        F.round("completeness", 6).alias("completeness"),
+        F.round("consistency", 6).alias("consistency"),
+        F.round("uniqueness", 6).alias("uniqueness"),
+        F.round("overall_score", 6).alias("overall_score"),
+        "status",
+    )
+
+
+_SQL_QUALITY_SCORE_FULL = f"""
+WITH prof AS (
+  SELECT avg(nr) AS avg_null_ratio, avg(ur) AS avg_unique_ratio FROM (
+    SELECT (count(*) - count(o_custkey))::double / count(*) AS nr,
+           count(DISTINCT o_custkey)::double / count(*) AS ur FROM orders
+    UNION ALL
+    SELECT (count(*) - count(o_totalprice))::double / count(*),
+           count(DISTINCT o_totalprice)::double / count(*) FROM orders
+    UNION ALL
+    SELECT (count(*) - count(o_orderstatus))::double / count(*),
+           count(DISTINCT o_orderstatus)::double / count(*) FROM orders
+  )
+), b AS (
+  SELECT count(value)::double AS "count", avg(value) AS "mean",
+         stddev(value) AS "stddev", min(value)::double AS "min",
+         max(value)::double AS "max"
+  FROM events WHERE ts < TIMESTAMP '{_SPLIT}'
+), c AS (
+  SELECT count(value)::double AS "count", avg(value) AS "mean",
+         stddev(value) AS "stddev", min(value)::double AS "min",
+         max(value)::double AS "max"
+  FROM events WHERE ts >= TIMESTAMP '{_SPLIT}'
+), chg AS (
+  SELECT CASE WHEN m.base_value != 0
+              THEN (m.cur_value - m.base_value) * 100.0 / abs(m.base_value)
+              END AS change_pct
+  FROM b, c, LATERAL (VALUES
+    ('count', b."count", c."count"), ('mean', b."mean", c."mean"),
+    ('stddev', b."stddev", c."stddev"), ('min', b."min", c."min"),
+    ('max', b."max", c."max")
+  ) AS m(metric_name, base_value, cur_value)
+), pen AS (
+  SELECT sum(CASE WHEN abs(change_pct) >= 30 THEN 10.0
+                  WHEN abs(change_pct) >= 15 THEN 5.0
+                  WHEN abs(change_pct) >= 5 THEN 2.0 ELSE 0.0 END) AS penalty
+  FROM chg
+), hist AS ({_SQL_STABILITY_HISTORY}),
+tot AS (SELECT count(DISTINCT run_id) AS total_runs FROM hist),
+stab AS (
+  SELECT avg(CASE WHEN total_runs > 0
+                  THEN appearance_count::double / total_runs ELSE 1.0 END) AS s
+  FROM (SELECT column_name, count(DISTINCT run_id) AS appearance_count
+        FROM hist GROUP BY 1), tot
+), comp AS (
+  SELECT 100.0 * (1.0 - avg_null_ratio) AS completeness,
+         100.0 AS validity,
+         greatest(0.0, least(100.0, (100.0 - penalty) * s)) AS consistency,
+         100.0 AS freshness,
+         100.0 * avg_unique_ratio AS uniqueness, 100.0 AS accuracy
+  FROM prof, pen, stab
+)
+SELECT round(completeness, 6) AS completeness,
+       round(consistency, 6) AS consistency,
+       round(uniqueness, 6) AS uniqueness,
        round(completeness * 0.25 + validity * 0.25 + consistency * 0.20
              + freshness * 0.15 + uniqueness * 0.10 + accuracy * 0.05, 6) AS overall_score,
        CASE WHEN completeness * 0.25 + validity * 0.25 + consistency * 0.20
@@ -2132,7 +2372,8 @@ WITH meta AS (
     100.0 * exp(-ln(2) / 14.0 * days_since) AS wr,
     CASE WHEN query_count < 100 THEN 20.0 WHEN query_count < 1000 THEN 40.0
          WHEN query_count < 10000 THEN 70.0 WHEN query_count < 100000 THEN 100.0
-         WHEN query_count < 1000000 THEN 95.0 ELSE 85.0 END AS sz
+         WHEN query_count < 1000000 THEN 95.0 WHEN query_count < 10000000 THEN 85.0
+         WHEN query_count < 100000000 THEN 70.0 ELSE 50.0 END AS sz
   FROM meta
 )
 SELECT "table", query_count,
@@ -2245,6 +2486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_orders_minmax": q_profile_orders_minmax,
         # validation
         "validation_suite": q_validation_suite,
+        "validation_samples": q_validation_samples,
         "duplicate_samples": q_duplicate_samples,
         # drift
         "psi_value": q_psi_value,
@@ -2285,6 +2527,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rule_fire_rates_docs": q_rule_fire_rates_docs,
         # quality score + smart selection
         "quality_score_orders": q_quality_score_orders,
+        "column_stability": q_column_stability,
+        "quality_score_full": q_quality_score_full,
         "smart_selection": q_smart_selection,
         "freshness_scores": q_freshness_scores,
         # text analysis
@@ -2321,6 +2565,7 @@ def oracle_sql() -> dict[str, str]:
         "string_lengths_part": _sql_string_lengths_part(),
         "profile_orders_minmax": _SQL_PROFILE_ORDERS_MINMAX,
         "validation_suite": _SQL_VALIDATION_SUITE,
+        "validation_samples": _SQL_VALIDATION_SAMPLES,
         "duplicate_samples": _SQL_DUPLICATE_SAMPLES,
         "psi_value": _SQL_PSI_VALUE,
         "chi_square_event_type": _SQL_CHI_SQUARE,
@@ -2357,6 +2602,8 @@ def oracle_sql() -> dict[str, str]:
         "simhash_near_pairs": _SQL_SIMHASH_NEAR,
         "embedding_near_dups": _SQL_EMBEDDING_NEAR_DUPS,
         "quality_score_orders": _SQL_QUALITY_SCORE_ORDERS,
+        "column_stability": _SQL_COLUMN_STABILITY,
+        "quality_score_full": _SQL_QUALITY_SCORE_FULL,
         "smart_selection": _SQL_SMART_SELECTION,
         "freshness_scores": _SQL_FRESHNESS,
         "doc_stats": _SQL_DOC_STATS,

@@ -93,7 +93,7 @@ def _require_decoder(decoder: Decoder | None) -> Decoder:
 
 
 def extract_media_metadata(
-    df: DataFrame, id_col: str, blob_col: str, decoder: Decoder | None = fake_media_decoder
+    df: DataFrame, id_col: str, blob_col: str, decoder: Decoder | None = None
 ) -> DataFrame:
     """(id, blob) → typed metadata row per media item. One pass, Arrow
     batches; sha1 gives an exact-dedup key for binary payloads."""
@@ -124,7 +124,7 @@ def extract_media_metadata(
 
 def frame_sample_plan(
     df: DataFrame, id_col: str, blob_col: str, every_n: int = 30,
-    decoder: Decoder | None = fake_media_decoder,
+    decoder: Decoder | None = None,
 ) -> DataFrame:
     """Video → one row per sampled frame index (frame extraction itself is
     the decoder's job; this materializes the (id, frame_idx) work list the

@@ -100,12 +100,19 @@ def minhash_lsh_pairs(
     bands: int = DEFAULT_BANDS,
     shingle_n: int = 3,
     threshold: float = 0.5,
+    max_bucket: int = 10_000,
 ) -> DataFrame:
     """Candidate near-dup pairs via LSH banding: band key = md5(concat of
     the band's signature rows); docs sharing any band key become
     candidates (equi-join on (band, key) — shuffle, not cross join);
     estimated Jaccard = fraction of matching signature components.
-    Returns (id_a, id_b, est_jaccard) with id_a < id_b."""
+    Returns (id_a, id_b, est_jaccard) with id_a < id_b.
+
+    Buckets larger than `max_bucket` are dropped before the self-join —
+    a degenerate band key (empty docs, boilerplate) would otherwise go
+    quadratic inside its bucket. A 10k bucket is already 5·10⁷ candidate
+    pairs; anything that common is boilerplate, caught far cheaper by
+    exact dedup on the full text hash."""
     sig = minhash_signatures(df, id_col, text_col, k, shingle_n)
     rows_per_band = k // bands
     band_structs = F.array(
@@ -126,6 +133,13 @@ def minhash_lsh_pairs(
                         F.explode(band_structs).alias("bk")).select(
         "id", *[f"sig_{i}" for i in range(k)], "bk.band", "bk.key"
     )
+    bucket_ok = (
+        banded.groupBy("band", "key")
+        .agg(F.count(F.lit(1)).alias("__bn"))
+        .filter(F.col("__bn") <= max_bucket)
+        .select("band", "key")
+    )
+    banded = banded.join(bucket_ok, ["band", "key"])
     left = banded.alias("l")
     right = banded.alias("r")
     cand = (
@@ -159,25 +173,47 @@ def ngram_jaccard_pairs(
     text_col: str,
     shingle_n: int = 1,
     threshold: float = 0.5,
+    max_df_frac: float = 0.5,
+    max_df: int | None = None,
 ) -> DataFrame:
-    """Exact n-gram-set Jaccard for pairs sharing ≥1 shingle: explode
-    distinct shingles, self-equi-join on shingle, count intersections,
-    |A∪B| = |A|+|B|−|A∩B|. The join key is the shingle — frequent
-    shingles are the skew risk; AQE skew-join splits them."""
+    """Exact n-gram-set Jaccard for pairs sharing ≥1 retained shingle:
+    explode distinct shingles, document-frequency cut, self-equi-join on
+    shingle, count intersections, |A∪B| = |A|+|B|−|A∩B|.
+
+    The DF cut is what keeps this linear at corpus scale: a shingle
+    present in d documents contributes O(d²) candidate pairs, so one
+    corpus-frequent token ("the") makes the join quadratic in a way AQE
+    can only redistribute, not shrink. Shingles with document frequency
+    > max_df (absolute) or > max_df_frac·n_docs are dropped from both
+    the join AND the per-doc set sizes, i.e. Jaccard is computed
+    consistently over the pruned (non-stop-shingle) vocabulary — the
+    standard trick in n-gram dedup pipelines. Pass max_df_frac=1.0 and
+    max_df=None for exact full-vocabulary semantics."""
     sh = df.select(
         F.col(id_col).alias("id"),
         F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle"),
     )
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+    if max_df is not None:
+        cap = F.lit(int(max_df))
+    else:
+        n_docs = df.agg(F.count(F.lit(1)).alias("__n"))
+        dfreq = dfreq.crossJoin(F.broadcast(n_docs))
+        cap = F.greatest(F.lit(1), F.floor(F.lit(float(max_df_frac)) * F.col("__n")))
+    # shuffle join keyed on shingle — the same key the self-join uses, so
+    # the partitioning is reused; dfreq is vocabulary-sized, never broadcast
+    kept = sh.join(dfreq.filter(F.col("__df") <= cap).select("shingle"), "shingle")
+    sizes = kept.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
     inter = (
-        sh.alias("a")
-        .join(sh.alias("b"), (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        kept.alias("a")
+        .join(kept.alias("b"), (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
+    # sizes is one row per doc — shuffle joins (never broadcast at scale)
     out = (
-        inter.join(F.broadcast(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_shingles", "n_a")), "id_a")
-        .join(F.broadcast(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_shingles", "n_b")), "id_b")
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_shingles", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_shingles", "n_b"), "id_b")
         .withColumn("jaccard", F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
@@ -214,12 +250,14 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 60) -> DataFr
 
 def simhash_near_pairs(
     df: DataFrame, id_col: str, text_col: str, max_hamming: int = 8,
-    bits: int = 60, chunks: int = 4,
+    bits: int = 60, chunks: int = 4, max_bucket: int = 10_000,
 ) -> DataFrame:
     """Near-dup candidates by SimHash: band the fingerprint into
     `chunks` bit-chunks; docs sharing any chunk value are candidates
     (pigeonhole: hamming ≤ max_hamming with chunks > max_hamming/... is
-    heuristic recall, standard practice); verify with bit_count(xor)."""
+    heuristic recall, standard practice); verify with bit_count(xor).
+    Chunk buckets larger than `max_bucket` are dropped before the
+    self-join (degenerate-bucket guard, see minhash_lsh_pairs)."""
     sh = simhash(df, id_col, text_col, bits)
     per = bits // chunks
     chunk_arr = F.array(
@@ -236,6 +274,13 @@ def simhash_near_pairs(
     banded = sh.select("id", "simhash", F.explode(chunk_arr).alias("ck")).select(
         "id", "simhash", "ck.chunk", "ck.val"
     )
+    bucket_ok = (
+        banded.groupBy("chunk", "val")
+        .agg(F.count(F.lit(1)).alias("__bn"))
+        .filter(F.col("__bn") <= max_bucket)
+        .select("chunk", "val")
+    )
+    banded = banded.join(bucket_ok, ["chunk", "val"])
     cand = (
         banded.alias("a")
         .join(

@@ -205,6 +205,55 @@ def histogram(
     return out
 
 
+def column_stability(
+    history: DataFrame,
+    run_col: str = "run_id",
+    column_col: str = "column_name",
+    type_col: str = "column_type",
+    ts_col: str = "profiled_at",
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Column-level stability metrics over a profiling-run history,
+    per reference /root/reference/baselinr/storage/writer.py:1796-1876:
+    - appearance_count / total_runs → column_stability_score
+    - type_consistency_score: 1.0 when one distinct column_type else 0.0
+    - column_age_days: days from first_seen to the latest profile
+
+    The reference issues 3 SQL round-trips *per column*; here it is one
+    groupBy over the history plus a broadcast of the per-dataset totals —
+    a single shuffle keyed by column, any number of columns/datasets.
+
+    Returns (group_cols..., column_name, appearance_count, total_runs,
+    column_stability_score, type_consistency_score, column_age_days)."""
+    group_cols = group_cols or []
+    totals = history.groupBy(*group_cols).agg(
+        F.count_distinct(run_col).alias("total_runs"),
+        F.max(ts_col).alias("__latest"),
+    )
+    per_col = history.groupBy(*group_cols, column_col).agg(
+        F.count_distinct(run_col).alias("appearance_count"),
+        F.min(ts_col).alias("__first_seen"),
+        F.count_distinct(type_col).alias("__type_count"),
+    )
+    j = (
+        per_col.join(F.broadcast(totals), group_cols)
+        if group_cols else per_col.crossJoin(F.broadcast(totals))
+    )
+    return j.select(
+        *group_cols,
+        F.col(column_col).alias("column_name"),
+        "appearance_count",
+        "total_runs",
+        F.when(F.col("total_runs") > 0,
+               F.col("appearance_count") / F.col("total_runs"))
+        .otherwise(F.lit(1.0)).alias("column_stability_score"),
+        F.when(F.col("__type_count") == 1, 1.0).otherwise(0.0)
+        .alias("type_consistency_score"),
+        F.datediff(F.col("__latest"), F.col("__first_seen"))
+        .alias("column_age_days"),
+    )
+
+
 def hash_sample(df: DataFrame, key_col: str, fraction: float) -> DataFrame:
     """Deterministic hash-based sample: keep rows where the first 4 hex
     digits of md5(key) fall below fraction·2^16. Unlike `df.sample`, this

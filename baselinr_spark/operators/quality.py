@@ -3,8 +3,10 @@
 Recasts /root/reference/baselinr/quality/scorer.py:52-537:
 - completeness = 100·(1 − avg(null_ratio))               (:137-183)
 - validity     = validation pass rate ·100               (:185-231)
-- consistency  = 100 − severity-weighted drift penalty (high=10, med=5,
-                 low=2 per event)                        (:233-305)
+- consistency  = max(0, min(100, (100 − severity-weighted drift penalty)
+                 · schema_stability)); penalty high=10, med=5, low=2 per
+                 event, schema_stability = avg column_stability_score
+                 (:233-305, the ×stability factor at :294-305)
 - freshness    = step+linear decay on hours since profile (:307-359)
 - uniqueness   = 100·avg(unique_ratio)                   (:361-406)
 - accuracy     = 100 − 5·anomaly_count                   (:408-448)
@@ -45,11 +47,16 @@ def component_scores(
     events: DataFrame | None = None,
     anomaly_count_col: str | None = None,
     group_cols: list[str] | None = None,
+    stability: DataFrame | None = None,
 ) -> DataFrame:
     """Compute the six component scores per group from long-format
     metrics (column_name, metric_name, metric_value), a validation
-    result table, and an events table. Freshness defaults to 100 (batch
-    context; the hours-decay applies when profiled_at history exists)."""
+    result table, an events table, and (optionally) a column-stability
+    table carrying `column_stability_score` (see
+    profiling.column_stability) whose per-group average multiplies the
+    consistency score per reference scorer.py:294-305. Freshness
+    defaults to 100 (batch context; the hours-decay applies when
+    profiled_at history exists)."""
     group_cols = group_cols or []
 
     comp = metrics.groupBy(*group_cols).agg(
@@ -77,16 +84,34 @@ def component_scores(
 
     if events is not None:
         ev = events.groupBy(*group_cols).agg(
-            F.greatest(
-                F.lit(0.0),
-                100.0 - F.sum(severity_penalty_col(F.col("severity"))),
-            ).alias("consistency")
+            (100.0 - F.sum(severity_penalty_col(F.col("severity"))))
+            .alias("__raw_consistency")
         )
         comp = (
             comp.join(ev, group_cols, "left") if group_cols else comp.crossJoin(ev)
-        ).fillna({"consistency": 100.0})
+        ).fillna({"__raw_consistency": 100.0})
     else:
-        comp = comp.withColumn("consistency", F.lit(100.0))
+        comp = comp.withColumn("__raw_consistency", F.lit(100.0))
+
+    if stability is not None:
+        st = stability.groupBy(*group_cols).agg(
+            F.avg("column_stability_score").alias("__schema_stab")
+        )
+        comp = (
+            comp.join(st, group_cols, "left") if group_cols else comp.crossJoin(st)
+        ).fillna({"__schema_stab": 1.0})
+    else:
+        comp = comp.withColumn("__schema_stab", F.lit(1.0))
+
+    # reference scorer.py:304: max(0, min(100, (100 − penalty) · stability))
+    comp = comp.withColumn(
+        "consistency",
+        F.greatest(
+            F.lit(0.0),
+            F.least(F.lit(100.0),
+                    F.col("__raw_consistency") * F.col("__schema_stab")),
+        ),
+    ).drop("__raw_consistency", "__schema_stab")
 
     comp = comp.withColumn("freshness", F.lit(100.0))
     if anomaly_count_col:

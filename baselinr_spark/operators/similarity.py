@@ -94,11 +94,15 @@ def lsh_topk(
     n_planes: int = 12,
     n_bands: int = 3,
     seed: int = 20_240_601,
+    max_bucket: int = 10_000,
 ) -> DataFrame:
     """Approximate all-pairs top-k: hyperplane signature split into
     bands; docs sharing a band bucket are candidates (equi-join), exact
     cosine computed only within buckets. Recall grows with bands;
-    cost stays ~linear in corpus size × bucket occupancy."""
+    cost stays ~linear in corpus size × bucket occupancy. Buckets
+    larger than `max_bucket` are dropped before the self-join — a
+    degenerate bucket (zero vectors, near-identical embeddings) would
+    otherwise cost O(bucket²) dot products."""
     from pyspark.sql import Window as W
 
     planes = make_planes(dim, n_planes, seed)
@@ -122,6 +126,13 @@ def lsh_topk(
     banded = sig.select("id", "vec", F.explode(band_arr).alias("bk")).select(
         "id", "vec", "bk.band", "bk.bucket"
     )
+    bucket_ok = (
+        banded.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("__bn"))
+        .filter(F.col("__bn") <= max_bucket)
+        .select("band", "bucket")
+    )
+    banded = banded.join(bucket_ok, ["band", "bucket"])
     cand = (
         banded.alias("a")
         .join(

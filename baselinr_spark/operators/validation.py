@@ -127,6 +127,68 @@ def validate(
     return agg.select(F.explode(structs).alias("kv")).select("kv.*")
 
 
+def sample_failures(
+    df: DataFrame,
+    rules: list[Rule],
+    ref_dfs: dict[str, DataFrame] | None = None,
+    limit: int = 10,
+) -> DataFrame:
+    """Up to `limit` failing sample values per rule — the
+    ValidationResult.sample_failures contract
+    (/root/reference/baselinr/integrations/validation/base.py:53-61;
+    each validator caps at max_sample_failures=10, e.g.
+    format_validator.py:126-150). The reference takes an arbitrary
+    LIMIT; here samples are the *smallest* failing values (string
+    order) so results are deterministic across engines and reruns.
+
+    Each rule is one filter + TakeOrderedAndProject pass — partial
+    top-k per partition, no full sort, no collect; rules with zero
+    failures contribute zero rows. For `unique`, samples are the
+    duplicated values; for `referential`, the unmatched keys
+    (broadcast anti-join).
+
+    Returns (rule_name, column_name, rule_type, sample_value:string)."""
+    from functools import reduce
+
+    ref_dfs = ref_dfs or {}
+    outs = []
+    for rule in rules:
+        c = F.col(rule.column)
+        if rule.rule_type == "unique":
+            failing = (
+                df.filter(c.isNotNull())
+                .groupBy(rule.column)
+                .agg(F.count(F.lit(1)).alias("__n"))
+                .filter(F.col("__n") > 1)
+                .select(c.cast("string").alias("sample_value"))
+            )
+        elif rule.rule_type == "referential":
+            ref = ref_dfs[rule.ref_table]
+            ref_keys = ref.select(
+                F.col(rule.ref_column).alias("__refkey")
+            ).where(F.col(rule.ref_column).isNotNull()).distinct()
+            failing = (
+                df.filter(c.isNotNull())
+                .join(F.broadcast(ref_keys), c == F.col("__refkey"), "left_anti")
+                .select(c.cast("string").alias("sample_value"))
+            )
+        else:
+            failing = df.filter(_fail_predicate(rule)).select(
+                c.cast("string").alias("sample_value")
+            )
+        outs.append(
+            failing.orderBy(F.asc_nulls_first("sample_value"))
+            .limit(limit)
+            .select(
+                F.lit(rule.name).alias("rule_name"),
+                F.lit(rule.column).alias("column_name"),
+                F.lit(rule.rule_type).alias("rule_type"),
+                "sample_value",
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), outs)
+
+
 def duplicate_samples(df: DataFrame, column: str, limit: int = 10) -> DataFrame:
     """Top duplicate values: GROUP BY col HAVING count>1 LIMIT k
     (uniqueness_validator.py:211-222)."""

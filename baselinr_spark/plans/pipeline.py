@@ -235,6 +235,7 @@ def drift_events(spark: SparkSession, output_root: str, run_id: str) -> DataFram
         F.col("psi").alias("score"),
         F.col("severity"),
         F.current_timestamp().alias("ts"),
+        F.lit(None).cast("string").alias("metadata_json"),
     )
 
 
@@ -278,6 +279,7 @@ def run_pipeline(
     metrics_dir = os.path.join(output_root, "metrics")
     events_dir = os.path.join(output_root, "events")
     lineage_dir = os.path.join(output_root, "lineage")
+    schema_dir = os.path.join(output_root, "schema")
 
     def _tick(name, t0):
         ph = summary["phase_s"]
@@ -321,10 +323,30 @@ def run_pipeline(
         docs_back.unpersist()
         t0 = _tick("metrics", t0)
 
-        # drift events for the processed cohorts (needs all stored metrics)
+        # event taxonomy (reference events/events.py:31-349): drift events
+        # for the processed cohorts need all stored metrics; validation +
+        # anomaly events come straight from the cached metric rows; schema
+        # events diff this run's snapshot vs the previous run's.
+        from . import events as ev_mod
+
+        chunk_strs = [str(p) for p in chunk]
         ev = drift_events(spark, output_root, run_id).filter(
-            F.col("partition").isin([str(p) for p in chunk])
-        ).withColumn("partition_key", F.col("partition"))
+            F.col("partition").isin(chunk_strs)
+        )
+        ev = ev.unionByName(
+            ev_mod.validation_events(mrows, run_id)
+        )
+        ev = ev.unionByName(
+            ev_mod.anomaly_events(spark, metrics_dir, run_id).filter(
+                F.col("partition").isin(chunk_strs)
+            )
+        )
+        if ci == 0:
+            ev_mod.write_schema_snapshot(spark, docs, schema_dir, run_id)
+            ev = ev.unionByName(
+                ev_mod.schema_change_events(spark, schema_dir, run_id)
+            )
+        ev = ev.withColumn("partition_key", F.col("partition"))
         ev.write.mode("overwrite").partitionBy("partition_key").option(
             "partitionOverwriteMode", "dynamic"
         ).parquet(events_dir)

@@ -140,6 +140,11 @@ def generate_pages_pandas(n_docs: int, seed: int = 42,
 
 PAGES_DDL = "url string, warc_ts timestamp, html binary, text string, lang string"
 
+# bump whenever write_pages_warehouse changes the on-disk layout (file
+# counts, repartitioning, schema) — bench caches key on it so a stale
+# warehouse from older generator code is never silently reused
+PAGES_LAYOUT_VERSION = 2
+
 
 def write_pages_warehouse(spark, out_dir: str, n_docs: int, seed: int = 42) -> None:
     """Materialize the pages table as a dt-partitioned parquet warehouse

@@ -56,7 +56,7 @@ def main() -> int:
 
     import __spark_entry__ as entrymod
     from baselinr_spark.session import build_session
-    from baselinr_spark.sources.pages import write_pages_warehouse
+    from baselinr_spark.sources.pages import PAGES_LAYOUT_VERSION, write_pages_warehouse
     from baselinr_spark.plans.pipeline import run_pipeline
 
     spark = build_session(app_name="bench", master=f"local[{cpus}]")
@@ -74,7 +74,8 @@ def main() -> int:
     # (1M docs/SF; sf0.1 -> 100k docs over 10 daily partitions — large
     # enough that steady-state throughput, not fixed cost, is measured)
     n_docs = int(os.environ.get("BENCH_PIPELINE_DOCS", str(max(5000, int(1_000_000 * sf)))))
-    pages_dir = os.path.join(tempfile.gettempdir(), f"bench_pages_{n_docs}")
+    pages_dir = os.path.join(tempfile.gettempdir(),
+                         f"bench_pages_v{PAGES_LAYOUT_VERSION}_{n_docs}")
     if not os.path.exists(os.path.join(pages_dir, "_SUCCESS")):
         shutil.rmtree(pages_dir, ignore_errors=True)
         write_pages_warehouse(spark, pages_dir, n_docs=n_docs, seed=42)

@@ -30,7 +30,7 @@ def media_df(spark):
 
 def test_extract_media_metadata(media_df):
     out = {r["media_id"]: r.asDict()
-           for r in extract_media_metadata(media_df, "media_id", "blob").collect()}
+           for r in extract_media_metadata(media_df, "media_id", "blob", decoder=fake_media_decoder).collect()}
     assert out[1]["media_kind"] == "image" and (out[1]["width"], out[1]["height"]) == (640, 480)
     assert out[3]["media_kind"] == "audio" and out[3]["sample_rate"] == 16000
     assert out[4]["frames"] == 90
@@ -41,7 +41,7 @@ def test_extract_media_metadata(media_df):
 
 
 def test_frame_sample_plan(media_df):
-    rows = frame_sample_plan(media_df, "media_id", "blob", every_n=30).collect()
+    rows = frame_sample_plan(media_df, "media_id", "blob", every_n=30, decoder=fake_media_decoder).collect()
     got = sorted((r["media_id"], r["frame_idx"]) for r in rows)
     assert got == [(4, 0), (4, 30), (4, 60)]  # only the video, frames 0..89
 
@@ -68,7 +68,7 @@ def test_media_dedup_by_sha1(spark):
         [(1, blob), (2, blob), (3, make_fake_media("image", 64, 64, seed=10))],
         schema="media_id int, blob binary",
     )
-    meta = extract_media_metadata(df, "media_id", "blob")
+    meta = extract_media_metadata(df, "media_id", "blob", decoder=fake_media_decoder)
     groups = (
         meta.groupBy("content_sha1").agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") > 1).collect()

@@ -224,3 +224,44 @@ def test_freshness_score_thresholds(spark):
         freshness_score_col(F.col("hours")).alias("s")).collect()]
     #            ≤24  =24  ≤48  =48  ≤168  =168  +1day  +6days floor  null
     assert out == [100.0, 100.0, 80.0, 80.0, 60.0, 60.0, 50.0, 0.0, 0.0, 0.0]
+
+
+def test_adversarial_skew_bounded(spark):
+    """1k byte-identical boilerplate docs must NOT go quadratic: the
+    LSH bucket caps drop the degenerate bucket, and the n-gram DF cut
+    removes the corpus-frequent shingle before the self-join."""
+    from baselinr_spark.operators.dedup import (
+        minhash_lsh_pairs, ngram_jaccard_pairs, simhash_near_pairs,
+    )
+
+    rows = [(i, "the the the the the the the the") for i in range(1000)]
+    rows += [(10_000 + i, f"unique document number {i} alpha beta gamma delta")
+             for i in range(20)]
+    df = spark.createDataFrame(rows, schema="doc_id long, text string")
+
+    # all 1000 boilerplate docs share every band key → bucket size 1000
+    # > cap → dropped; remaining pairs come only from the 20 unique docs
+    mh = minhash_lsh_pairs(df, "doc_id", "text", max_bucket=100)
+    assert mh.filter(F.col("id_b") < 10_000).count() == 0
+
+    sp = simhash_near_pairs(df, "doc_id", "text", max_bucket=100)
+    assert sp.filter(F.col("id_b") < 10_000).count() == 0
+
+    # 'the' appears in 1000/1020 docs > 50% → cut; the boilerplate docs
+    # then have no shingles at all, so zero pairs among them
+    ng = ngram_jaccard_pairs(df, "doc_id", "text", shingle_n=1)
+    assert ng.filter(F.col("id_b") < 10_000).count() == 0
+
+
+def test_lsh_bucket_cap_preserves_small_buckets(spark):
+    """With no degenerate bucket, the cap is a no-op: near-identical doc
+    pairs still surface."""
+    from baselinr_spark.operators.dedup import minhash_lsh_pairs
+
+    rows = [(i, f"totally distinct text number {i} {'x' * (i % 7)} "
+                f"suffix {i * 17}") for i in range(30)]
+    rows.append((999, rows[0][1]))  # exact copy of doc 0
+    df = spark.createDataFrame(rows, schema="doc_id long, text string")
+    got = minhash_lsh_pairs(df, "doc_id", "text", max_bucket=10_000)
+    pairs = {(r["id_a"], r["id_b"]) for r in got.collect()}
+    assert (0, 999) in pairs

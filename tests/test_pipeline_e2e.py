@@ -86,7 +86,11 @@ def test_events_and_lineage(pipeline_result, spark):
     ev = spark.read.parquet(os.path.join(out_root, "events")).toPandas()
     parts = sorted(docs["dt"].astype(str).unique())
     # PSI exists for every cohort with a predecessor
-    assert sorted(ev["partition"].unique()) == parts[1:]
+    drift = ev[ev["event_type"] == "distribution_drift"]
+    assert sorted(drift["partition"].unique()) == parts[1:]
+    # every partition where a rule fired has a ValidationFailed analogue
+    val = ev[ev["event_type"] == "validation_failed"]
+    assert len(val) > 0 and val["metric_name"].str.startswith("rule_fire_rate:").all()
     assert set(ev["severity"]).issubset({"none", "low", "medium", "high"})
     lin = spark.read.parquet(os.path.join(out_root, "lineage")).toPandas()
     assert sorted(lin["partition"]) == parts
@@ -99,3 +103,63 @@ def test_summary(pipeline_result):
     assert summary["doc_count"] == len(labels)
     assert summary["kept_count"] == int(docs["keep"].sum())
     assert summary["partitions_skipped"] == 0
+
+
+def test_event_taxonomy_bad_partition(spark, tmp_path_factory):
+    """A crafted bad partition (10x row count, all-empty texts) plus a
+    second run with an extra input column must surface all three
+    non-drift event types: validation_failed, anomaly_detected,
+    schema_change (reference events/events.py:31-349)."""
+    from baselinr_spark.sources.pages import generate_pages_pandas
+
+    root = tmp_path_factory.mktemp("evtwh")
+    wh = os.path.join(str(root), "pages")
+    out_root = os.path.join(str(root), "out")
+
+    pdf = generate_pages_pandas(200, seed=7)
+    bad_day = "2025-06-03"
+    pdf["dt"] = pdf["warc_ts"].dt.date.astype(str)
+    # the bad partition: 10x the docs, every text empty (fires the
+    # word-count rule on 100% of rows and is a rowcount outlier)
+    bad = pdf[pdf["dt"] == bad_day]
+    import pandas as pd
+
+    blow = pd.concat([bad] * 10, ignore_index=True)
+    blow["url"] = [f"https://bad.example/{i}" for i in range(len(blow))]
+    blow["text"] = ""
+    pdf2 = pd.concat([pdf[pdf["dt"] != bad_day], blow], ignore_index=True)
+    sdf = spark.createDataFrame(pdf2.drop(columns=["dt"]))
+    sdf.withColumn("dt", F.to_date("warc_ts")).write.partitionBy("dt").parquet(wh)
+
+    run_pipeline(spark, wh, out_root, run_id="evt-run-1")
+    ev = spark.read.parquet(os.path.join(out_root, "events")).toPandas()
+    types = set(ev["event_type"])
+    assert "validation_failed" in types and "anomaly_detected" in types
+
+    anom = ev[ev["event_type"] == "anomaly_detected"]
+    assert list(anom["partition"].unique()) == [bad_day]
+    assert (anom["severity"] == "high").all()
+
+    val_bad = ev[(ev["event_type"] == "validation_failed")
+                 & (ev["partition"] == bad_day)]
+    assert (val_bad["current_value"] == 1.0).any()  # 100% fire rate
+    assert (val_bad["severity"] == "high").any()
+
+    # schema change: append a later run's snapshot with an added column
+    # and two removed ones, then diff against run 1's snapshot
+    from baselinr_spark.plans.events import schema_change_events
+
+    schema_dir = os.path.join(out_root, "schema")
+    cur = spark.createDataFrame(
+        [("url", "string"), ("keep", "boolean"), ("quality", "double")],
+        schema="column_name string, data_type string",
+    )
+    rows = [("evt-run-2", r["column_name"], r["data_type"]) for r in cur.collect()]
+    snap = spark.createDataFrame(
+        rows, schema="run_id string, column_name string, data_type string"
+    ).withColumn("ts", F.current_timestamp())
+    snap.write.mode("append").parquet(schema_dir)
+    sch = schema_change_events(spark, schema_dir, "evt-run-2").toPandas()
+    assert len(sch) > 0 and (sch["event_type"] == "schema_change").all()
+    changed = {json.loads(m)["change_type"] for m in sch["metadata_json"]}
+    assert "column_added" in changed and "column_removed" in changed

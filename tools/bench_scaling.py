@@ -28,6 +28,9 @@ import sys
 import tempfile
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from baselinr_spark.sources.pages import PAGES_LAYOUT_VERSION  # noqa: E402
 
 
 def run_once(cores: int, pages_dir: str, zip_path: str) -> dict:
@@ -65,7 +68,8 @@ def main() -> int:
         check=True, cwd=REPO,
     )
 
-    pages_dir = os.path.join(tempfile.gettempdir(), f"bench_pages_{n_docs}")
+    pages_dir = os.path.join(tempfile.gettempdir(),
+                         f"bench_pages_v{PAGES_LAYOUT_VERSION}_{n_docs}")
     if not os.path.exists(os.path.join(pages_dir, "_SUCCESS")):
         shutil.rmtree(pages_dir, ignore_errors=True)
         subprocess.run(
