@@ -1105,11 +1105,57 @@ FROM ranked WHERE rank <= 3
 def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate ANN — no SQL oracle (bucketed recall is engine-
     specific); the driver records a rows-only check, and
-    tests/test_similarity.py asserts recall ≥ 0.8 vs brute force."""
+    tests/test_similarity.py asserts ≥0.8 recall of planted near-dup
+    pairs (the retrieval LSH actually guarantees) vs brute force."""
     from baselinr_spark.operators.similarity import lsh_topk
 
     emb = _read(spark, sf_dir, "embeddings")
     return lsh_topk(emb, "vec_id", "embedding", k=3, dim=64)
+
+
+def q_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantizer build: every vector assigned to its nearest
+    of 16 deterministic sampled centroids (argmax cosine, tie → lowest
+    centroid id). Fully oracle-checkable because the centroid pick is
+    md5-ordered, not RNG."""
+    from baselinr_spark.operators.similarity import ivf_assign, ivf_centroids
+
+    emb = _read(spark, sf_dir, "embeddings")
+    cents = ivf_centroids(emb, "vec_id", "embedding", n_centroids=16)
+    out = ivf_assign(emb, cents, "vec_id", "embedding")
+    return _r6(out, "cosine")
+
+
+_SQL_IVF_ASSIGN = """
+WITH ranked AS (
+  SELECT vec_id, embedding,
+         row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) AS rn
+  FROM embeddings
+), cents AS (
+  SELECT rn - 1 AS centroid_id, embedding AS cvec FROM ranked WHERE rn <= 16
+), scored AS (
+  SELECT e.vec_id, c.centroid_id,
+         list_cosine_similarity(e.embedding::double[], c.cvec::double[]) AS cos
+  FROM embeddings e, cents c
+), best AS (
+  SELECT vec_id, centroid_id, cos,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cos DESC, centroid_id ASC) AS rn
+  FROM scored
+)
+SELECT vec_id, centroid_id::int AS centroid_id, round(cos, 6) AS cosine
+FROM best WHERE rn = 1
+"""
+
+
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN top-k — rows-only check (probe recall is structure-
+    specific); tests/test_similarity.py asserts planted near-dup recall
+    ≥ 0.8 and that the build partitions the corpus."""
+    from baselinr_spark.operators.similarity import ivf_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, "vec_id", "embedding", k=3, n_centroids=16, n_probe=4)
 
 
 # ---------------------------------------------------------------------------
@@ -2549,6 +2595,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity
         "knn_cosine": q_knn_cosine,
         "lsh_topk": q_lsh_topk,
+        "ivf_assign": q_ivf_assign,
+        "ivf_topk": q_ivf_topk,
         "embedding_near_dups": q_embedding_near_dups,
         # classic analytics
         "tpch_q1": q_tpch_q1,
@@ -2618,6 +2666,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_pairs": _SQL_NGRAM_JACCARD,
         "simhash_docs": _SQL_SIMHASH,
         "knn_cosine": _SQL_KNN_COSINE,
+        "ivf_assign": _SQL_IVF_ASSIGN,
         "tpch_q1": _SQL_TPCH_Q1,
         "top_customers_revenue": _SQL_TOP_CUSTOMERS,
         "keep_drop_docs": _SQL_KEEP_DROP_DOCS,

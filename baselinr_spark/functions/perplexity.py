@@ -22,6 +22,7 @@ import re
 import zlib
 from functools import lru_cache
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -33,14 +34,27 @@ MAX_ORDER = 3
 _FLOOR_P = 1e-7
 _EDGE = re.compile(r"^[^a-z0-9]+|[^a-z0-9]+$")
 
+#: one-pass equivalent of split()+edge-strip: a match starts at the first
+#: [a-z0-9] of a whitespace-delimited word and (greedy \S* backtracking to
+#: an alnum) ends at its last [a-z0-9] — interior punctuation kept, edges
+#: stripped, all-junk words dropped. Equivalence asserted in tests.
+_TOKEN = re.compile(r"[a-z0-9](?:\S*[a-z0-9])?")
+
 
 def tokenize(text: str) -> list[str]:
+    """Reference-shaped tokenizer: lowercase, whitespace split, strip
+    non-alphanumeric edges (slow spec path; `tokenize_fast` is the
+    equivalent single-regex hot path)."""
     out = []
     for w in text.lower().split():
         w = _EDGE.sub("", w)
         if w:
             out.append(w)
     return out
+
+
+def tokenize_fast(text: str) -> list[str]:
+    return _TOKEN.findall(text.lower())
 
 
 def _h(ngram: tuple[str, ...]) -> int:
@@ -142,15 +156,154 @@ def perplexity(text: str | None,
     return math.exp(-lp / len(toks))
 
 
+# ---------------------------------------------------------------------------
+# vectorized batch path — bit-identical to the scalar spec (asserted by
+# tests): same tokens, same crc32 keys, same float ops in the same order
+# (math.log applied per UNIQUE probability value — np.log's SIMD path
+# differs from libm in the last ulp, so it is deliberately NOT used)
+# ---------------------------------------------------------------------------
+
+_SENT = "\x00"  # impossible token (tokens are [a-z0-9]-edged)
+
+
+_ARR_CACHE: dict[int, tuple[np.ndarray, np.ndarray, int]] = {}
+
+
+def _model_arrays(model) -> tuple[np.ndarray, np.ndarray, int]:
+    """Sorted (keys, values) arrays over the count table for vectorized
+    searchsorted lookups; built once per (process, model object)."""
+    key = id(model)
+    hit = _ARR_CACHE.get(key)
+    if hit is None:
+        counts, total = model
+        ks = np.fromiter(counts.keys(), dtype=np.int64, count=len(counts))
+        vs = np.fromiter(counts.values(), dtype=np.int64, count=len(counts))
+        o = np.argsort(ks)
+        _ARR_CACHE.clear()
+        hit = _ARR_CACHE[key] = (ks[o], vs[o], total)
+    return hit
+
+
+def _lookup(ks: np.ndarray, vs: np.ndarray, q: np.ndarray) -> np.ndarray:
+    idx = np.searchsorted(ks, q)
+    idx_c = np.minimum(idx, len(ks) - 1)
+    return np.where(ks[idx_c] == q, vs[idx_c], 0)
+
+
+def _crc_arr(strings) -> np.ndarray:
+    return np.fromiter(
+        map(zlib.crc32, map(str.encode, strings)),
+        dtype=np.int64, count=len(strings),
+    )
+
+
+def _log_exact(x: np.ndarray) -> np.ndarray:
+    """Elementwise natural log, computed with math.log over the unique
+    values only — bit-identical to the scalar path at array speed (the
+    unique probability count is tiny vs the token count)."""
+    u, inv = np.unique(x, return_inverse=True)
+    lu = np.array([math.log(t) for t in u], dtype=np.float64)
+    return lu[inv]
+
+
+def perplexity_batch(texts, model=None) -> list[float]:
+    """Score a batch of documents, bit-identical to `perplexity` per doc.
+
+    Shape: tokenize each doc (single-regex pass), flatten to one token
+    stream with lagged context columns, factorize each n-gram family to
+    its unique strings, crc32+searchsorted lookups on the uniques only,
+    then resolve the stupid-backoff cascade with numpy masks. The only
+    remaining per-token Python is the order-preserving logprob sum (the
+    scalar path sums sequentially; numpy's pairwise sum would drift in
+    the last ulp)."""
+    ks, vs, total = _model_arrays(model if model is not None else build_model())
+
+    tok_lists = [tokenize_fast(t) if t else [] for t in texts]
+
+    words: list[str] = []
+    p1: list[str] = []
+    p2: list[str] = []
+    lens = []
+    for toks in tok_lists:
+        n = len(toks)
+        lens.append(n)
+        if n == 0:
+            continue
+        words.extend(toks)
+        p1.append(_SENT)
+        p1.extend(toks[:-1])
+        p2.append(_SENT)
+        if n > 1:
+            p2.append(_SENT)
+            p2.extend(toks[:-2])
+    N = len(words)
+    if N == 0:
+        return [float("inf")] * len(texts)
+
+    # position classes from doc offsets (no per-token python). Marking
+    # start+1 False is harmless for a length-1 doc: that position is the
+    # next doc's start, which cls_ge1 already clears.
+    starts = np.cumsum([0] + [n for n in lens if n][:-1])
+    cls_ge1 = np.ones(N, dtype=bool)
+    cls_ge1[starts] = False
+    cls2 = cls_ge1.copy()
+    second = starts + 1
+    cls2[second[second < N]] = False
+
+    w_arr = np.array(words, dtype=object)
+    # unigrams of w (c1) and of p1 (order-2 denominator) share one vocab
+    uni_codes, uni_uniq = pd.factorize(
+        np.concatenate([w_arr, np.array(p1, dtype=object)])
+    )
+    c_uni = _lookup(ks, vs, _crc_arr(uni_uniq))
+    c1 = c_uni[uni_codes[:N]]
+    d2 = c_uni[uni_codes[N:]]
+
+    big_strs = [f"{a} {b}" for a, b in zip(p1, words)]
+    big_codes, big_uniq = pd.factorize(np.array(big_strs, dtype=object))
+    c2 = _lookup(ks, vs, _crc_arr(big_uniq))[big_codes]
+
+    tri_strs = [f"{a} {b}" for a, b in zip(p2, big_strs)]
+    ctx_strs = [f"{a} {b}" for a, b in zip(p2, p1)]
+    tri_codes, tri_uniq = pd.factorize(np.array(tri_strs, dtype=object))
+    ctx_codes, ctx_uniq = pd.factorize(np.array(ctx_strs, dtype=object))
+    c3 = _lookup(ks, vs, _crc_arr(tri_uniq))[tri_codes]
+    d3 = _lookup(ks, vs, _crc_arr(ctx_uniq))[ctx_codes]
+
+    # stupid-backoff cascade (same branch conditions as _word_logprob)
+    use3 = cls2 & (c3 > 0) & (d3 > 0)
+    use2 = ~use3 & cls_ge1 & (c2 > 0) & (d2 > 0)
+    use1 = ~use3 & ~use2 & (c1 > 0)
+
+    v = np.full(N, _LFLOOR, dtype=np.float64)
+    if use3.any():
+        v[use3] = _log_exact(c3[use3] / d3[use3])
+    if use2.any():
+        v[use2] = _log_exact(c2[use2] / d2[use2]) + _LB
+    if use1.any():
+        v[use1] = _log_exact(c1[use1] / total) + 2 * _LB
+
+    vl = v.tolist()
+    out = []
+    pos = 0
+    for t, n in zip(texts, lens):
+        if not t or n == 0:
+            out.append(float("inf"))
+            continue
+        lp = 0.0
+        for j in range(pos, pos + n):
+            lp += vl[j]
+        pos += n
+        out.append(math.exp(-lp / n))
+    return out
+
+
 def make_perplexity_udf(spark):
     bc = spark.sparkContext.broadcast(build_model())
 
     @F.pandas_udf(T.DoubleType())
     def perplexity_udf(texts: pd.Series) -> pd.Series:
-        model = bc.value
-        memo: dict = {}  # shared across docs in the batch — values are
-        # pure functions of the token window, so sharing changes nothing
-        return pd.Series([perplexity(t, model, memo) for t in texts],
+        return pd.Series(perplexity_batch(list(texts), bc.value),
                          dtype="float64")
 
     return perplexity_udf

@@ -22,7 +22,7 @@ from pyspark.sql import types as T
 from .langid import build_model as build_langid_model
 from .langid import score_text
 from .perplexity import build_model as build_ppl_model
-from .perplexity import perplexity
+from .perplexity import perplexity_batch
 from .scrub import scrub_python
 
 SCORING_SCHEMA = T.StructType([
@@ -43,15 +43,16 @@ def make_scoring_udf(spark, include_scrub: bool = True):
     @F.pandas_udf(schema)
     def scoring_udf(texts: pd.Series) -> pd.DataFrame:
         w = bc_lid.value
-        ppl_model = bc_ppl.value
-        memo: dict = {}  # n-gram logprob memo shared across the batch
-        langs, confs, ppls = [], [], []
+        tl = list(texts)
+        # perplexity is vectorized over the whole Arrow batch
+        # (bit-identical to the scalar spec — see perplexity_batch)
+        ppls = perplexity_batch(tl, bc_ppl.value)
+        langs, confs = [], []
         scrubbed = [] if include_scrub else None
-        for t in texts:
+        for t in tl:
             lang, conf = score_text(t, w)
             langs.append(lang)
             confs.append(conf)
-            ppls.append(perplexity(t, ppl_model, memo))
             if scrubbed is not None:
                 scrubbed.append(scrub_python(t))
         out = {"lang_pred": langs, "lang_conf": confs, "perplexity": ppls}

@@ -158,6 +158,112 @@ def lsh_topk(
     )
 
 
+def ivf_centroids(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+) -> DataFrame:
+    """IVF coarse quantizer, sampled-centroid flavor: the centroids are
+    the `n_centroids` corpus vectors with the smallest md5(id) — a
+    deterministic, engine-reproducible stand-in for k-means seeding
+    (k-means++ iterations refine recall but the inverted-file structure
+    and query path are identical; the hash pick is also how you seed
+    k-means at 100 TB without a full pass). Returns
+    (centroid_id, centroid_vec)."""
+    from pyspark.sql import Window as W
+
+    w = W.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+    return (
+        df.select(id_col, vec_col)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n_centroids)
+        .select(
+            (F.col("__rn") - 1).alias("centroid_id"),
+            F.col(vec_col).alias("centroid_vec"),
+            F.col(id_col).alias("centroid_src_id"),
+        )
+    )
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every vector to its nearest centroid by cosine (ties →
+    lowest centroid_id). Centroids are broadcast (there are dozens-to-
+    thousands of them, never corpus-scale), so assignment is a map-side
+    pass over the corpus — the IVF build step. Returns
+    (vec_id, centroid_id, cosine)."""
+    from pyspark.sql import Window as W
+
+    scored = df.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")
+    ).crossJoin(F.broadcast(centroids.select("centroid_id", "centroid_vec")))
+    scored = scored.withColumn(
+        "cosine", cosine_expr(F.col("vec"), F.col("centroid_vec"))
+    )
+    w = W.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("centroid_id"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("vec_id", "centroid_id", "cosine")
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF-flat approximate all-pairs top-k: corpus vectors live in their
+    nearest-centroid cell; each query probes its `n_probe` closest cells
+    and scores exact cosine only against those cells' members. Cost is
+    corpus_size × (n_probe / n_centroids) dot products instead of
+    corpus², and the cell join is an equi-join on centroid_id — the same
+    shuffle-not-crossjoin shape as lsh_topk, but with data-adaptive
+    cells. Returns (query_id, neighbor_id, cosine, rank)."""
+    from pyspark.sql import Window as W
+
+    cents = ivf_centroids(df, id_col, vec_col, n_centroids)
+    # corpus side: every vector in its single nearest cell
+    corpus = ivf_assign(df, cents, id_col, vec_col).join(
+        df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("c_vec")),
+        "vec_id",
+    ).select(F.col("vec_id").alias("neighbor_id"), "centroid_id", "c_vec")
+
+    # query side: n_probe nearest cells per query
+    q_scored = df.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    ).crossJoin(F.broadcast(cents.select("centroid_id", "centroid_vec")))
+    qw = W.partitionBy("query_id").orderBy(
+        F.desc(cosine_expr(F.col("q_vec"), F.col("centroid_vec"))),
+        F.asc("centroid_id"),
+    )
+    probes = (
+        q_scored.withColumn("__rn", F.row_number().over(qw))
+        .filter(F.col("__rn") <= n_probe)
+        .select("query_id", "q_vec", "centroid_id")
+    )
+
+    cand = (
+        probes.join(corpus, "centroid_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", cosine_expr(F.col("q_vec"), F.col("c_vec")))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

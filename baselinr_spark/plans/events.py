@@ -102,7 +102,12 @@ def write_schema_snapshot(
 ) -> None:
     """Record the docs schema for this run (append; latest run wins on
     read). The snapshot is a handful of rows per run."""
-    rows = [(run_id, f.name, f.dataType.simpleString()) for f in df.schema.fields]
+    import pandas as pd
+
+    rows = pd.DataFrame(
+        [(run_id, f.name, f.dataType.simpleString()) for f in df.schema.fields],
+        columns=["run_id", "column_name", "data_type"],
+    )
     snap = spark.createDataFrame(
         rows, schema="run_id string, column_name string, data_type string"
     ).withColumn("ts", F.current_timestamp())

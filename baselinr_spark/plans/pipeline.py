@@ -291,6 +291,11 @@ def run_pipeline(
         pages = spark.read.parquet(input_path).filter(
             F.col("dt").cast("string").isin(chunk)
         )
+        # prune to the columns the filter actually consumes BEFORE the
+        # repartition — the raw `html` blob is as large as `text` and is
+        # never read downstream, so carrying it through the shuffle would
+        # double the shuffle volume
+        pages = pages.select("url", "warc_ts", "text", "dt")
         # Salted repartition on url-hash (north rule): urls are unique, so
         # hashing them spreads the Zipf-skewed dt/domain cohorts uniformly
         # — keying by (dt, salt) instead was measured to leave one straggler
@@ -366,7 +371,9 @@ def run_pipeline(
             counts[r["partition"]] = (n, k)
         mrows.unpersist()
 
-        lineage = spark.createDataFrame(
+        import pandas as pd
+
+        lineage_pdf = pd.DataFrame(
             [
                 (
                     run_id,
@@ -378,6 +385,11 @@ def run_pipeline(
                 )
                 for p in chunk
             ],
+            columns=["run_id", "partition", "input_path", "output_path",
+                     "doc_count", "kept_count"],
+        )
+        lineage = spark.createDataFrame(
+            lineage_pdf,
             schema="run_id string, partition string, input_path string, "
             "output_path string, doc_count long, kept_count long",
         ).withColumn("ts", F.current_timestamp()).withColumn(

@@ -212,6 +212,36 @@ def test_perplexity_fast_path_bit_identical(pages_pdf):
         assert P.perplexity(text, model, memo) == slow
 
 
+def test_perplexity_batch_bit_identical(pages_pdf):
+    """The vectorized batch scorer must equal the scalar path float-for-
+    float (same tokens, same crc keys, same log/sum order)."""
+    import math
+
+    from baselinr_spark.functions import perplexity as P
+
+    model = P.build_model()
+    texts = list(pages_pdf["text"].head(300)) + ["", None, "!!! ???", "a"]
+    got = P.perplexity_batch(texts, model)
+    memo: dict = {}
+    for t, g in zip(texts, got):
+        e = P.perplexity(t, model, memo)
+        assert g == e or (math.isinf(g) and math.isinf(e)), repr(t)[:60]
+
+
+def test_tokenize_fast_equivalence(pages_pdf):
+    """tokenize_fast (single findall) must produce exactly the tokens of
+    the split+edge-strip spec, including punctuation-heavy edge cases."""
+    from baselinr_spark.functions.perplexity import tokenize, tokenize_fast
+
+    cases = [
+        "", " ", "!!!", "--ab--cd--", "a", "a!b!", "Hello, WORLD!",
+        "x\ty\nz", "..7..", "a--b c--d", " weird spaces ",
+        "ümlaut café 1-2-3", "trailing. (parens) [brackets]",
+    ] + list(pages_pdf["text"].head(200))
+    for t in cases:
+        assert tokenize(t) == tokenize_fast(t), repr(t)[:60]
+
+
 def test_freshness_score_thresholds(spark):
     from baselinr_spark.operators.quality import freshness_score_col
 

@@ -1,0 +1,86 @@
+"""ANN quality gates.
+
+What each structure actually promises (and what we test):
+- Hyperplane LSH and IVF prune the candidate space, so they can only
+  guarantee recall for queries whose neighbors are genuinely close —
+  near-duplicates. Generic top-k over random near-orthogonal vectors has
+  no sublinear solution (the true "neighbors" are barely closer than
+  everything else), so the tests measure recall@k of PLANTED near-dup
+  pairs (cosine ≈ 0.99), which is the training-data-dedup use case.
+- The IVF build must be a true partition of the corpus.
+"""
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+N_PLANT = 50
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    if not os.path.exists(os.path.join(SF_DIR, "embeddings.parquet")):
+        pytest.skip("driver testdata not present")
+    return spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+
+
+@pytest.fixture(scope="module")
+def planted(spark, emb):
+    """Corpus + near-dup copies of the first N_PLANT vectors: copy of
+    vec i gets id i+100000 and vector 0.99·v_i + 0.01·v_{i+1}
+    (deterministic, cosine ≈ 0.99)."""
+    rows = emb.orderBy("vec_id").limit(N_PLANT + 1).collect()
+    base = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in rows}
+    plant = []
+    for i in range(N_PLANT):
+        v = 0.99 * base[i] + 0.01 * base[i + 1]
+        plant.append((i + 100000, [float(x) for x in v]))
+    pdf = spark.createDataFrame(plant, schema="vec_id long, embedding array<double>")
+    return emb.select("vec_id", F.col("embedding").cast("array<double>")).unionByName(pdf)
+
+
+def _plant_recall(approx_rows):
+    """Fraction of planted ids whose top-k contains their source."""
+    got = {}
+    for r in approx_rows:
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = sum(1 for i in range(N_PLANT) if i in got.get(i + 100000, set()))
+    return hits / N_PLANT
+
+
+def test_lsh_topk_near_dup_recall(spark, planted):
+    from baselinr_spark.operators.similarity import lsh_topk
+
+    approx = lsh_topk(planted, "vec_id", "embedding", k=5, dim=64).collect()
+    assert _plant_recall(approx) >= 0.8
+
+
+def test_ivf_topk_near_dup_recall(spark, planted):
+    from baselinr_spark.operators.similarity import ivf_topk
+
+    approx = ivf_topk(planted, "vec_id", "embedding", k=5,
+                      n_centroids=16, n_probe=4).collect()
+    assert _plant_recall(approx) >= 0.8
+
+
+def test_ivf_assign_partitions_corpus(spark, emb):
+    from baselinr_spark.operators.similarity import ivf_assign, ivf_centroids
+
+    n = emb.count()
+    cents = ivf_centroids(emb, "vec_id", "embedding", n_centroids=16)
+    assert cents.count() == 16
+    assigned = ivf_assign(emb, cents, "vec_id", "embedding")
+    # exactly one cell per vector, all cells from the quantizer
+    assert assigned.count() == n
+    assert assigned.select("vec_id").distinct().count() == n
+    cids = {r["centroid_id"] for r in assigned.select("centroid_id").distinct().collect()}
+    assert cids.issubset(set(range(16)))
+    # a centroid's own source vector scores cosine 1 with its cell
+    src = {r["centroid_src_id"]: r["centroid_id"] for r in cents.collect()}
+    own = {r["vec_id"]: (r["centroid_id"], r["cosine"])
+           for r in assigned.filter(F.col("vec_id").isin(list(src))).collect()}
+    for vid, cid in src.items():
+        assert own[vid][0] == cid and own[vid][1] == pytest.approx(1.0)
