@@ -156,6 +156,45 @@ FROM (SELECT min(o_totalprice)::DOUBLE AS mn, max(o_totalprice)::DOUBLE AS mx
 """
 
 
+def q_profile_wildcard_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wildcard ColumnMatcher column selection (reference
+    column_matcher.py:18-170): '*price' and 'l_disc*' patterns pick the
+    profiled columns; the catch-all disabled pattern suppresses the
+    rest (first match wins)."""
+    from baselinr_spark.operators.column_matcher import ColumnPattern, select_columns
+    from baselinr_spark.operators.profiling import profile
+
+    df = _read(spark, sf_dir, "lineitem")
+    cols = select_columns(
+        df.columns,
+        [
+            ColumnPattern("*price"),
+            ColumnPattern("l_disc*"),
+            ColumnPattern("*", enabled=False),
+        ],
+    )
+    out = profile(df, columns=cols, metrics=("min", "max", "mean"))
+    return _r6(out, "metric_value")
+
+
+_SQL_PROFILE_WILDCARD = """
+SELECT m.column_name, m.metric_name, round(m.metric_value, 6) AS metric_value,
+       NULL::VARCHAR AS metric_str
+FROM (
+  SELECT min(l_extendedprice)::double AS ep_mn, max(l_extendedprice)::double AS ep_mx,
+         avg(l_extendedprice::double) AS ep_mean,
+         min(l_discount)::double AS d_mn, max(l_discount)::double AS d_mx,
+         avg(l_discount::double) AS d_mean
+  FROM lineitem
+) s, LATERAL (VALUES
+  ('l_extendedprice', 'min', s.ep_mn), ('l_extendedprice', 'max', s.ep_mx),
+  ('l_extendedprice', 'mean', s.ep_mean),
+  ('l_discount', 'min', s.d_mn), ('l_discount', 'max', s.d_mx),
+  ('l_discount', 'mean', s.d_mean)
+) AS m(column_name, metric_name, metric_value)
+"""
+
+
 def q_validation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     from baselinr_spark.operators.validation import Rule, validate
 
@@ -2530,6 +2569,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram_quantity": q_histogram_quantity,
         "string_lengths_part": q_string_lengths_part,
         "profile_orders_minmax": q_profile_orders_minmax,
+        "profile_wildcard_columns": q_profile_wildcard_columns,
         # validation
         "validation_suite": q_validation_suite,
         "validation_samples": q_validation_samples,
@@ -2612,6 +2652,7 @@ def oracle_sql() -> dict[str, str]:
         "histogram_quantity": _SQL_HISTOGRAM_QUANTITY,
         "string_lengths_part": _sql_string_lengths_part(),
         "profile_orders_minmax": _SQL_PROFILE_ORDERS_MINMAX,
+        "profile_wildcard_columns": _SQL_PROFILE_WILDCARD,
         "validation_suite": _SQL_VALIDATION_SUITE,
         "validation_samples": _SQL_VALIDATION_SAMPLES,
         "duplicate_samples": _SQL_DUPLICATE_SAMPLES,

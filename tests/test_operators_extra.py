@@ -295,3 +295,29 @@ def test_lsh_bucket_cap_preserves_small_buckets(spark):
     got = minhash_lsh_pairs(df, "doc_id", "text", max_bucket=10_000)
     pairs = {(r["id_a"], r["id_b"]) for r in got.collect()}
     assert (0, 999) in pairs
+
+
+def test_column_matcher_semantics():
+    from baselinr_spark.operators.column_matcher import (
+        ColumnPattern, find_matching_pattern, select_columns,
+    )
+
+    cols = ["id", "user_name", "user_email", "amount", "created_at"]
+    # no patterns → everything (reference column_matcher.py:125)
+    assert select_columns(cols) == cols
+    assert select_columns(cols, include_defaults=False) == []
+    # wildcard + disabled catch-all: first match wins
+    pats = [ColumnPattern("user_*"), ColumnPattern("*", enabled=False)]
+    assert select_columns(cols, pats) == ["user_name", "user_email"]
+    # regex patterns use re.match
+    pats = [ColumnPattern(r".*_(name|at)$", pattern_type="regex"),
+            ColumnPattern("*", enabled=False)]
+    assert select_columns(cols, pats) == ["user_name", "created_at"]
+    # invalid regex falls back to literal (column_matcher.py:66-72)
+    bad = ColumnPattern("amount(", pattern_type="regex")
+    assert find_matching_pattern("amount(", [bad]) is bad
+    assert find_matching_pattern("amount", [bad]) is None
+    # unmatched columns follow include_defaults
+    pats = [ColumnPattern("id", pattern_type="literal", enabled=False)]
+    assert select_columns(cols, pats) == cols[1:]
+    assert select_columns(cols, pats, include_defaults=False) == []
