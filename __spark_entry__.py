@@ -2508,6 +2508,534 @@ FROM h
 
 
 # ---------------------------------------------------------------------------
+# metadata query client (reference query/client.py recast on DataFrames)
+# ---------------------------------------------------------------------------
+
+def _meta_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic run-history table: one profiling 'run' per orders
+    month, with status/environment derived from the data."""
+    orders = _read(spark, sf_dir, "orders")
+    runs = orders.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("run_id")
+    ).agg(
+        F.max("o_orderdate").alias("profiled_at"),
+        F.count("*").alias("row_count"),
+    )
+    mon = F.substring("run_id", 6, 2).cast("int")
+    return runs.select(
+        "run_id",
+        F.lit("orders").alias("dataset_name"),
+        F.lit("main").alias("schema_name"),
+        "profiled_at",
+        F.when(mon % 2 == 0, F.lit("prod")).otherwise(F.lit("dev")).alias(
+            "environment"
+        ),
+        F.when(F.col("row_count") % 3 == 0, F.lit("failed"))
+        .otherwise(F.lit("success"))
+        .alias("status"),
+        "row_count",
+        F.lit(9).alias("column_count"),
+    )
+
+
+def q_query_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-history listing with filters + deterministic pagination
+    (reference query/client.py:103-191): status/environment filters,
+    profiled_at-DESC ordering, limit 10 offset 2."""
+    from baselinr_spark.query.client import query_runs
+
+    return query_runs(
+        _meta_runs(spark, sf_dir),
+        status="success",
+        environment="prod",
+        limit=10,
+        offset=2,
+    )
+
+
+_SQL_QUERY_RUNS = """
+WITH runs AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS run_id,
+         max(o_orderdate) AS profiled_at, count(*) AS row_count
+  FROM orders GROUP BY 1
+), meta AS (
+  SELECT run_id, 'orders' AS dataset_name, 'main' AS schema_name,
+         profiled_at,
+         CASE WHEN substr(run_id, 6, 2)::int % 2 = 0
+              THEN 'prod' ELSE 'dev' END AS environment,
+         CASE WHEN row_count % 3 = 0 THEN 'failed' ELSE 'success' END AS status,
+         row_count, 9 AS column_count
+  FROM runs
+), paged AS (
+  SELECT *, row_number() OVER (ORDER BY profiled_at DESC, run_id) AS rn
+  FROM meta WHERE status = 'success' AND environment = 'prod'
+)
+SELECT run_id, dataset_name, schema_name, profiled_at, environment,
+       status, row_count, column_count
+FROM paged WHERE rn > 2 AND rn <= 12
+"""
+
+
+def q_active_drift_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-table active-drift rollup (reference query/client.py:487-585):
+    max severity, dominant inferred drift type, earliest event, count —
+    over a 7-day window anchored at 2024-02-01."""
+    import datetime as _dt
+
+    from baselinr_spark.query.client import query_active_drift_summary
+
+    ev = _read(spark, sf_dir, "events")
+    metric = (
+        F.when(F.col("user_id") % 5 == 0, F.lit("row_count"))
+        .when(F.col("user_id") % 5 == 1, F.lit("mean"))
+        .when(F.col("user_id") % 5 == 2, F.lit("schema_columns"))
+        .when(F.col("user_id") % 5 == 3, F.lit("freshness_hours"))
+        .otherwise(F.lit("other_metric"))
+    )
+    sev = (
+        F.when(F.col("value") < 1, F.lit("none"))
+        .when(F.col("value") < 5, F.lit("low"))
+        .when(F.col("value") < 50, F.lit("medium"))
+        .otherwise(F.lit("high"))
+    )
+    drift = ev.select(
+        F.col("event_id"),
+        F.col("event_type").alias("table_name"),
+        metric.alias("metric_name"),
+        sev.alias("drift_severity"),
+        F.col("ts").alias("timestamp"),
+    )
+    return query_active_drift_summary(
+        drift, days=7, now=_dt.datetime(2024, 2, 1)
+    )
+
+
+_SQL_ACTIVE_DRIFT_SUMMARY = """
+WITH drift AS (
+  SELECT event_type AS table_name,
+         CASE WHEN user_id % 5 = 0 THEN 'row_count'
+              WHEN user_id % 5 = 1 THEN 'mean'
+              WHEN user_id % 5 = 2 THEN 'schema_columns'
+              WHEN user_id % 5 = 3 THEN 'freshness_hours'
+              ELSE 'other_metric' END AS metric_name,
+         CASE WHEN value < 1 THEN 'none' WHEN value < 5 THEN 'low'
+              WHEN value < 50 THEN 'medium' ELSE 'high' END AS sev,
+         ts
+  FROM events
+  WHERE ts > TIMESTAMP '2024-01-25 00:00:00'
+), scored AS (
+  SELECT table_name,
+         CASE sev WHEN 'high' THEN 3 WHEN 'medium' THEN 2
+                  WHEN 'low' THEN 1 ELSE 0 END AS sev_rank,
+         CASE WHEN metric_name IN ('schema_columns') THEN 4
+              WHEN metric_name IN ('row_count') THEN 3
+              WHEN metric_name IN ('mean') THEN 2
+              WHEN metric_name IN ('freshness_hours') THEN 1
+              ELSE 0 END AS trank,
+         ts
+  FROM drift
+)
+SELECT table_name,
+       CASE max(sev_rank) WHEN 3 THEN 'high' WHEN 2 THEN 'medium'
+            ELSE 'low' END AS severity,
+       CASE max(trank) WHEN 4 THEN 'schema' WHEN 3 THEN 'volume'
+            WHEN 2 THEN 'distribution' WHEN 1 THEN 'freshness'
+            ELSE 'unknown' END AS drift_type,
+       min(ts) AS started_at,
+       count(*) AS event_count,
+       max(sev_rank) AS severity_rank
+FROM scored GROUP BY table_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# lineage graph queries (reference query/lineage_client.py recast as BFS)
+# ---------------------------------------------------------------------------
+
+def _lineage_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic lineage-edge table from the TPC-H hierarchy:
+    supplier feeds its nation, nation feeds its region."""
+    nation = _read(spark, sf_dir, "nation")
+    region = _read(spark, sf_dir, "region")
+    supplier = _read(spark, sf_dir, "supplier")
+    n2r = nation.join(
+        F.broadcast(region),
+        nation["n_regionkey"] == region["r_regionkey"],
+    ).select(
+        F.col("n_name").alias("upstream_table"),
+        F.col("r_name").alias("downstream_table"),
+        F.lit("aggregation").alias("lineage_type"),
+        F.lit(1.0).alias("confidence_score"),
+    )
+    s2n = supplier.join(
+        F.broadcast(nation),
+        supplier["s_nationkey"] == nation["n_nationkey"],
+    ).select(
+        F.col("s_name").alias("upstream_table"),
+        F.col("n_name").alias("downstream_table"),
+        F.lit("fk").alias("lineage_type"),
+        F.lit(0.9).alias("confidence_score"),
+    )
+    return n2r.unionByName(s2n)
+
+
+def q_lineage_upstream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive upstream closure via level-synchronous BFS (reference
+    lineage_client.py:84-176): direct parents of ASIA at depth 0
+    (nations), their parents at depth 1 (suppliers)."""
+    from baselinr_spark.query.lineage import get_upstream_tables
+
+    out = get_upstream_tables(_lineage_edges(spark, sf_dir), "ASIA",
+                              max_depth=1)
+    return _r6(out, "confidence_score")
+
+
+_SQL_LINEAGE_UPSTREAM = """
+WITH edges AS (
+  SELECT n_name AS up, r_name AS down, 'aggregation' AS lineage_type,
+         1.0 AS confidence_score
+  FROM nation JOIN region ON n_regionkey = r_regionkey
+  UNION ALL
+  SELECT s_name, n_name, 'fk', 0.9
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+), d0 AS (
+  SELECT up, lineage_type, confidence_score FROM edges WHERE down = 'ASIA'
+), d1 AS (
+  SELECT e.up, e.lineage_type, e.confidence_score
+  FROM edges e JOIN d0 ON e.down = d0.up
+)
+SELECT up AS "table", 0 AS depth, lineage_type,
+       round(confidence_score, 6) AS confidence_score FROM d0
+UNION ALL
+SELECT up, 1, lineage_type, round(confidence_score, 6) FROM d1
+"""
+
+
+def q_lineage_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shortest downstream path supplier → nation → region (reference
+    lineage_client.py:270-351 BFS), from the lexically-first supplier
+    whose region is ASIA."""
+    from baselinr_spark.query.lineage import get_lineage_path
+
+    edges = _lineage_edges(spark, sf_dir)
+    asia_nations = edges.where(
+        F.col("downstream_table") == "ASIA"
+    ).select(F.col("upstream_table").alias("n"))
+    start = (
+        edges.join(
+            F.broadcast(asia_nations),
+            edges["downstream_table"] == F.col("n"),
+        )
+        .agg(F.min("upstream_table"))
+        .collect()[0][0]
+    )
+    return get_lineage_path(edges, start, "ASIA")
+
+
+_SQL_LINEAGE_PATH = """
+WITH sup AS (
+  SELECT min(s_name) AS s_name
+  FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA'
+), hop AS (
+  SELECT s.s_name, n.n_name
+  FROM sup s
+  JOIN supplier sp ON sp.s_name = s.s_name
+  JOIN nation n ON sp.s_nationkey = n.n_nationkey
+)
+SELECT 0 AS step, s_name AS "table" FROM hop
+UNION ALL
+SELECT 1, n_name FROM hop
+UNION ALL
+SELECT 2, 'ASIA' FROM hop
+"""
+
+
+# ---------------------------------------------------------------------------
+# root-cause analysis (reference rca/analysis/* recast as range joins)
+# ---------------------------------------------------------------------------
+
+def _rca_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic anomaly set: sampled error events, with the
+    anomalous table derived from user_id."""
+    ev = _read(spark, sf_dir, "events")
+    return ev.where(
+        (F.col("event_type") == "error") & (F.col("event_id") % 101 == 0)
+    ).select(
+        F.col("event_id").alias("anomaly_id"),
+        F.col("ts").alias("anomaly_ts"),
+        F.concat(F.lit("tbl_"), (F.col("user_id") % 3).cast("string")).alias(
+            "table_name"
+        ),
+    )
+
+
+def _rca_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic pipeline-run set derived from click/view events,
+    exercising every table-relevance band (exact / partial / unrelated /
+    unknown) and the failed-run confidence boost."""
+    ev = _read(spark, sf_dir, "events")
+    res = (F.col("user_id") % 3).cast("string")
+    mode = F.col("user_id") % 4
+    affected = (
+        F.when(mode == 0, F.array(F.concat(F.lit("tbl_"), res)))
+        .when(mode == 1, F.array(F.concat(F.lit("xtbl_"), res, F.lit("y"))))
+        .when(mode == 2, F.array(F.lit("other")))
+        .otherwise(F.array().cast("array<string>"))
+    )
+    return ev.where(F.col("event_type").isin("click", "view")).select(
+        F.col("event_id").alias("run_id"),
+        F.concat(F.lit("pl_"), (F.col("user_id") % 5).cast("string")).alias(
+            "pipeline_name"
+        ),
+        F.col("event_type").alias("pipeline_type"),
+        F.col("ts").alias("started_at"),
+        F.when(F.col("value") < 2, F.lit("failed"))
+        .otherwise(F.lit("success"))
+        .alias("status"),
+        F.when(F.col("user_id") % 7 == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("value") * 10)
+        .alias("duration_seconds"),
+        affected.alias("affected_tables"),
+    )
+
+
+def q_rca_pipeline_causes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal correlation of anomalies with pipeline runs (reference
+    temporal_correlator.py:45-194) as a bucketed time-range join: 2h
+    lookback, exp-decay proximity (half-life 4h), table-relevance bands,
+    failed-run boost, top-5 causes per anomaly."""
+    from baselinr_spark.operators.rca import correlate_pipeline_runs
+
+    out = correlate_pipeline_runs(
+        _rca_anomalies(spark, sf_dir),
+        _rca_runs(spark, sf_dir),
+        lookback_hours=2.0,
+        max_causes=5,
+    )
+    return _r6(out, "temporal_proximity", "table_relevance",
+               "time_before_anomaly_minutes", "confidence_score")
+
+
+_SQL_RCA_PIPELINE_CAUSES = """
+WITH anoms AS (
+  SELECT event_id AS anomaly_id, ts AS anomaly_ts,
+         'tbl_' || (user_id % 3) AS table_name, user_id % 3 AS a_res
+  FROM events WHERE event_type = 'error' AND event_id % 101 = 0
+), runs AS (
+  SELECT event_id AS cause_id, 'pl_' || (user_id % 5) AS pipeline_name,
+         ts AS started_at,
+         CASE WHEN value < 2 THEN 'failed' ELSE 'success' END AS status,
+         CASE WHEN user_id % 7 = 0 THEN NULL ELSE value * 10 END AS dur,
+         user_id % 4 AS tmode, user_id % 3 AS tres
+  FROM events WHERE event_type IN ('click', 'view')
+), pairs AS (
+  SELECT a.anomaly_id, a.table_name, r.cause_id, r.pipeline_name, r.status,
+         CASE WHEN r.status = 'failed' THEN 'pipeline_failure'
+              WHEN r.status = 'success' AND r.dur IS NOT NULL
+                THEN 'pipeline_degradation'
+              ELSE 'data_quality' END AS cause_type,
+         exp(-(ln(2) / 4.0) *
+             ((epoch_us(a.anomaly_ts) - epoch_us(r.started_at)) / 3600000000.0)
+         ) AS prox,
+         CASE WHEN r.tmode = 3 THEN 0.3
+              WHEN r.tmode = 0 AND r.tres = a.a_res THEN 1.0
+              WHEN r.tmode = 1 AND r.tres = a.a_res THEN 0.7
+              ELSE 0.4 END AS rel,
+         (epoch_us(a.anomaly_ts) - epoch_us(r.started_at)) / 60000000.0 AS mins
+  FROM anoms a JOIN runs r
+    ON r.started_at <= a.anomaly_ts
+   AND epoch_us(a.anomaly_ts) - epoch_us(r.started_at) <= 7200000000
+), scored AS (
+  SELECT *,
+         CASE WHEN status = 'failed'
+              THEN least(1.0, (prox * 0.6 + rel * 0.4) * 1.5)
+              ELSE prox * 0.6 + rel * 0.4 END AS confidence
+  FROM pairs
+), ranked AS (
+  SELECT *, row_number() OVER (
+           PARTITION BY anomaly_id ORDER BY confidence DESC, cause_id) AS rank
+  FROM scored
+)
+SELECT anomaly_id, table_name, cause_id, pipeline_name, status, cause_type,
+       round(prox, 6) AS temporal_proximity,
+       round(rel, 6) AS table_relevance,
+       round(mins, 6) AS time_before_anomaly_minutes,
+       round(confidence, 6) AS confidence_score, rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+def q_rca_ranked_causes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union of pipeline-run and code-deployment causes per anomaly,
+    deduped and ranked (reference temporal_correlator.py:196-331 +
+    root_cause_analyzer.py:271-300): confidence >= 0.3 floor, top-5."""
+    from baselinr_spark.operators.rca import (
+        correlate_deployments,
+        correlate_pipeline_runs,
+        rank_causes,
+    )
+
+    anoms = _rca_anomalies(spark, sf_dir)
+    ev = _read(spark, sf_dir, "events")
+    deps = ev.where(F.col("event_type").isin("signup", "purchase")).select(
+        (F.col("event_id") + 1_000_000).alias("deployment_id"),
+        F.col("ts").alias("deployed_at"),
+        F.lit("main").alias("git_branch"),
+        F.when(F.col("user_id") % 5 == 0, F.lit("schema"))
+        .otherwise(F.lit("code"))
+        .alias("deployment_type"),
+        F.when(F.col("user_id") % 2 == 0, F.array(F.lit("pl_x")))
+        .otherwise(F.array().cast("array<string>"))
+        .alias("affected_pipelines"),
+    )
+    common = ["anomaly_id", "cause_id", "cause_type", "confidence_score"]
+    pipe = correlate_pipeline_runs(anoms, _rca_runs(spark, sf_dir),
+                                   lookback_hours=2.0).select(*common, "rank")
+    dep = correlate_deployments(anoms, deps,
+                                lookback_hours=2.0).select(*common, "rank")
+    out = rank_causes(pipe.unionByName(dep), min_confidence=0.3, max_causes=5)
+    return _r6(out, "confidence_score")
+
+
+_SQL_RCA_RANKED_CAUSES = """
+WITH anoms AS (
+  SELECT event_id AS anomaly_id, ts AS anomaly_ts,
+         user_id % 3 AS a_res
+  FROM events WHERE event_type = 'error' AND event_id % 101 = 0
+), runs AS (
+  SELECT event_id AS cause_id, ts AS started_at,
+         CASE WHEN value < 2 THEN 'failed' ELSE 'success' END AS status,
+         CASE WHEN user_id % 7 = 0 THEN NULL ELSE value * 10 END AS dur,
+         user_id % 4 AS tmode, user_id % 3 AS tres
+  FROM events WHERE event_type IN ('click', 'view')
+), deps AS (
+  SELECT event_id + 1000000 AS cause_id, ts AS deployed_at,
+         CASE WHEN user_id % 5 = 0 THEN 'schema' ELSE 'code' END AS dtype,
+         user_id % 2 = 0 AS has_pl
+  FROM events WHERE event_type IN ('signup', 'purchase')
+), pipe AS (
+  SELECT a.anomaly_id, r.cause_id,
+         CASE WHEN r.status = 'failed' THEN 'pipeline_failure'
+              WHEN r.status = 'success' AND r.dur IS NOT NULL
+                THEN 'pipeline_degradation'
+              ELSE 'data_quality' END AS cause_type,
+         CASE WHEN r.status = 'failed' THEN least(1.0,
+                (exp(-(ln(2) / 4.0) * ((epoch_us(a.anomaly_ts) -
+                      epoch_us(r.started_at)) / 3600000000.0)) * 0.6 +
+                 CASE WHEN r.tmode = 3 THEN 0.3
+                      WHEN r.tmode = 0 AND r.tres = a.a_res THEN 1.0
+                      WHEN r.tmode = 1 AND r.tres = a.a_res THEN 0.7
+                      ELSE 0.4 END * 0.4) * 1.5)
+              ELSE exp(-(ln(2) / 4.0) * ((epoch_us(a.anomaly_ts) -
+                      epoch_us(r.started_at)) / 3600000000.0)) * 0.6 +
+                 CASE WHEN r.tmode = 3 THEN 0.3
+                      WHEN r.tmode = 0 AND r.tres = a.a_res THEN 1.0
+                      WHEN r.tmode = 1 AND r.tres = a.a_res THEN 0.7
+                      ELSE 0.4 END * 0.4 END AS confidence
+  FROM anoms a JOIN runs r
+    ON r.started_at <= a.anomaly_ts
+   AND epoch_us(a.anomaly_ts) - epoch_us(r.started_at) <= 7200000000
+), pipe_ranked AS (
+  SELECT *, row_number() OVER (
+           PARTITION BY anomaly_id ORDER BY confidence DESC, cause_id) AS rnk
+  FROM pipe
+), dep AS (
+  SELECT a.anomaly_id, d.cause_id, 'code_change' AS cause_type,
+         exp(-(ln(2) / 4.0) * ((epoch_us(a.anomaly_ts) -
+              epoch_us(d.deployed_at)) / 3600000000.0)) * 0.7 +
+         CASE WHEN d.dtype = 'schema'
+              THEN least(1.0, CASE WHEN d.has_pl THEN 0.5 ELSE 0.3 END * 1.5)
+              ELSE CASE WHEN d.has_pl THEN 0.5 ELSE 0.3 END
+         END * 0.3 AS confidence
+  FROM anoms a JOIN deps d
+    ON d.deployed_at <= a.anomaly_ts
+   AND epoch_us(a.anomaly_ts) - epoch_us(d.deployed_at) <= 7200000000
+), dep_ranked AS (
+  SELECT *, row_number() OVER (
+           PARTITION BY anomaly_id ORDER BY confidence DESC, cause_id) AS rnk
+  FROM dep
+), unioned AS (
+  SELECT anomaly_id, cause_id, cause_type, confidence
+  FROM pipe_ranked WHERE rnk <= 10
+  UNION ALL
+  SELECT anomaly_id, cause_id, cause_type, confidence
+  FROM dep_ranked WHERE rnk <= 10
+), ranked AS (
+  SELECT *, row_number() OVER (
+           PARTITION BY anomaly_id ORDER BY confidence DESC, cause_id) AS rank
+  FROM unioned WHERE confidence >= 0.3
+)
+SELECT anomaly_id, cause_id, cause_type,
+       round(confidence, 6) AS confidence_score, rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+def q_rca_recurring_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recurring top-cause patterns across historical incidents
+    (reference pattern_matcher.py:122-200): each error event is an
+    incident with two candidate causes; group the per-incident top cause
+    by type, keep types with >= 3 occurrences."""
+    from baselinr_spark.operators.rca import recurring_patterns
+
+    ev = _read(spark, sf_dir, "events").where(F.col("event_type") == "error")
+    base = ev.select(
+        F.col("event_id").alias("incident_id"),
+        F.col("ts").alias("analyzed_at"),
+        "user_id",
+        "value",
+    )
+    c1 = base.select(
+        "incident_id", "analyzed_at",
+        F.when(F.col("user_id") % 2 == 0, F.lit("pipeline_failure"))
+        .otherwise(F.lit("code_change"))
+        .alias("cause_type"),
+        (F.col("value") / 500.0).alias("confidence_score"),
+    )
+    c2 = base.select(
+        "incident_id", "analyzed_at",
+        F.lit("data_quality").alias("cause_type"),
+        ((500.0 - F.col("value")) / 1000.0).alias("confidence_score"),
+    )
+    out = recurring_patterns(c1.unionByName(c2), min_pattern_occurrences=3)
+    return _r6(out, "avg_confidence")
+
+
+_SQL_RCA_RECURRING_PATTERNS = """
+WITH inc AS (
+  SELECT event_id AS incident_id, ts AS analyzed_at, user_id, value
+  FROM events WHERE event_type = 'error'
+), causes AS (
+  SELECT incident_id, analyzed_at,
+         CASE WHEN user_id % 2 = 0 THEN 'pipeline_failure'
+              ELSE 'code_change' END AS cause_type,
+         value / 500.0 AS confidence_score
+  FROM inc
+  UNION ALL
+  SELECT incident_id, analyzed_at, 'data_quality' AS cause_type,
+         (500.0 - value) / 1000.0 AS confidence_score
+  FROM inc
+), top AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+             PARTITION BY incident_id
+             ORDER BY confidence_score DESC, cause_type) AS r
+    FROM causes
+  ) WHERE r = 1
+)
+SELECT cause_type, count(*) AS occurrence_count,
+       round(avg(confidence_score), 6) AS avg_confidence,
+       min(analyzed_at) AS first_seen, max(analyzed_at) AS last_seen
+FROM top
+GROUP BY cause_type
+HAVING count(*) >= 3
+"""
+
+
+# ---------------------------------------------------------------------------
 # flagship
 # ---------------------------------------------------------------------------
 
@@ -2617,6 +3145,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score_full": q_quality_score_full,
         "smart_selection": q_smart_selection,
         "freshness_scores": q_freshness_scores,
+        # metadata query client + lineage
+        "query_runs_paginated": q_query_runs,
+        "active_drift_summary": q_active_drift_summary,
+        "lineage_upstream": q_lineage_upstream,
+        "lineage_path": q_lineage_path,
+        # root-cause analysis
+        "rca_pipeline_causes": q_rca_pipeline_causes,
+        "rca_ranked_causes": q_rca_ranked_causes,
+        "rca_recurring_patterns": q_rca_recurring_patterns,
         # text analysis
         "doc_stats": q_doc_stats,
         "token_counts": q_token_counts,
@@ -2695,6 +3232,13 @@ def oracle_sql() -> dict[str, str]:
         "quality_score_full": _SQL_QUALITY_SCORE_FULL,
         "smart_selection": _SQL_SMART_SELECTION,
         "freshness_scores": _SQL_FRESHNESS,
+        "query_runs_paginated": _SQL_QUERY_RUNS,
+        "active_drift_summary": _SQL_ACTIVE_DRIFT_SUMMARY,
+        "lineage_upstream": _SQL_LINEAGE_UPSTREAM,
+        "lineage_path": _SQL_LINEAGE_PATH,
+        "rca_pipeline_causes": _SQL_RCA_PIPELINE_CAUSES,
+        "rca_ranked_causes": _SQL_RCA_RANKED_CAUSES,
+        "rca_recurring_patterns": _SQL_RCA_RECURRING_PATTERNS,
         "doc_stats": _SQL_DOC_STATS,
         "token_counts": _SQL_TOKEN_COUNTS,
         "lang_id_heuristic": _SQL_LANG_ID,
