@@ -2507,6 +2507,38 @@ FROM h
 """
 
 
+def q_table_matcher_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-scope selection via wildcard include/exclude patterns
+    (reference table_matcher.py:128-268): '*e*' include, ['r*', 'events']
+    exclude — only the matched tables get a (row-count) profiling scan
+    planned at all."""
+    from functools import reduce
+
+    from baselinr_spark.operators.table_matcher import filter_tables
+
+    tables = ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]
+    matched = filter_tables(tables, pattern="*e*",
+                            exclude_patterns=["r*", "events"])
+    parts = [
+        _read(spark, sf_dir, t)
+        .agg(F.count(F.lit(1)).alias("row_count"))
+        .select(F.lit(t).alias("table_name"), "row_count")
+        for t in matched
+    ]
+    return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+_SQL_TABLE_MATCHER_COUNTS = """
+SELECT 'customer' AS table_name, count(*) AS row_count FROM customer
+UNION ALL SELECT 'supplier', count(*) FROM supplier
+UNION ALL SELECT 'orders', count(*) FROM orders
+UNION ALL SELECT 'lineitem', count(*) FROM lineitem
+UNION ALL SELECT 'documents', count(*) FROM documents
+UNION ALL SELECT 'embeddings', count(*) FROM embeddings
+"""
+
+
 # ---------------------------------------------------------------------------
 # metadata query client (reference query/client.py recast on DataFrames)
 # ---------------------------------------------------------------------------
@@ -3145,7 +3177,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score_full": q_quality_score_full,
         "smart_selection": q_smart_selection,
         "freshness_scores": q_freshness_scores,
-        # metadata query client + lineage
+        # table scoping + metadata query client + lineage
+        "table_matcher_counts": q_table_matcher_counts,
         "query_runs_paginated": q_query_runs,
         "active_drift_summary": q_active_drift_summary,
         "lineage_upstream": q_lineage_upstream,
@@ -3232,6 +3265,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_score_full": _SQL_QUALITY_SCORE_FULL,
         "smart_selection": _SQL_SMART_SELECTION,
         "freshness_scores": _SQL_FRESHNESS,
+        "table_matcher_counts": _SQL_TABLE_MATCHER_COUNTS,
         "query_runs_paginated": _SQL_QUERY_RUNS,
         "active_drift_summary": _SQL_ACTIVE_DRIFT_SUMMARY,
         "lineage_upstream": _SQL_LINEAGE_UPSTREAM,

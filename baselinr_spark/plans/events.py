@@ -168,7 +168,11 @@ def schema_change_events(
 
 
 def anomaly_events(
-    spark: SparkSession, metrics_dir: str, run_id: str, sigma: float = 3.0
+    spark: SparkSession,
+    metrics_dir: str,
+    run_id: str,
+    sigma: float = 3.0,
+    metrics: DataFrame | None = None,
 ) -> DataFrame:
     """AnomalyDetected analogue (reference events.py:252-283) via
     control limits (detection_methods control_limits): a partition whose
@@ -178,8 +182,9 @@ def anomaly_events(
     tested point in the stats caps the max possible z at (k−1)/√k, so a
     single extreme partition among ten could never reach 3σ. Computed
     from sum/sum-of-squares in one aggregate over the tiny metrics
-    table."""
-    m = spark.read.parquet(metrics_dir)
+    table. Pass ``metrics`` to reuse an already-loaded (cached) metrics
+    DataFrame instead of re-scanning ``metrics_dir``."""
+    m = metrics if metrics is not None else spark.read.parquet(metrics_dir)
     counts = (
         m.filter(F.col("metric_name") == "count")
         .groupBy("partition")

@@ -206,13 +206,21 @@ def partition_metrics(docs: DataFrame, run_id: str) -> DataFrame:
     )
 
 
-def drift_events(spark: SparkSession, output_root: str, run_id: str) -> DataFrame:
+def drift_events(
+    spark: SparkSession,
+    output_root: str,
+    run_id: str,
+    metrics: DataFrame | None = None,
+) -> DataFrame:
     """PSI between each partition cohort and its predecessor, computed
     from the stored ppl_bucket:* metric rows. Emits the FIXTURES.md §2
     `events` shape; analogue of DataDriftDetected events
-    (/root/reference/baselinr/events/events.py)."""
-    metrics_dir = os.path.join(output_root, "metrics")
-    m = spark.read.parquet(metrics_dir)
+    (/root/reference/baselinr/events/events.py). Pass ``metrics`` (the
+    stored metrics table, possibly cached) to share one scan with the
+    other event builders."""
+    if metrics is None:
+        metrics = spark.read.parquet(os.path.join(output_root, "metrics"))
+    m = metrics
     buckets = (
         m.filter(F.col("metric_name").startswith("ppl_bucket:"))
         .select(
@@ -265,16 +273,26 @@ def run_pipeline(
     max_partitions: int = MAX_PARTITIONS_PER_RUN,
     checkpoint_every: int | None = None,
     scrub_mode: str = "pandas",
+    reprocess_changed: bool = False,
     _fail_before_commit_chunk: int | None = None,
 ) -> dict:
     """Run the filter over all not-yet-processed partitions. Returns a
     summary dict. `checkpoint_every` chunks the todo list so the manifest
     commits every N partitions (partition-granular resume);
+    `reprocess_changed` additionally re-runs done partitions whose input
+    fingerprint changed since their manifest commit (upstream backfill —
+    reference incremental/change_detection.py semantics);
     `_fail_before_commit_chunk` is a test hook that simulates a crash
     after data writes but before the manifest commit of chunk i."""
+    from ..sources import change_detection
+
     run_id = run_id or f"run-{uuid.uuid4().hex[:12]}"
     all_parts = catalog.list_partitions(input_path)
     done = set(manifest.done_partitions(spark, output_root))
+    if reprocess_changed and done:
+        done -= set(change_detection.changed_partitions(
+            spark, input_path, output_root, sorted(done)
+        ))
     todo = [p for p in all_parts if p not in done][:max_partitions]
 
     summary = {
@@ -362,14 +380,21 @@ def run_pipeline(
         from . import events as ev_mod
 
         chunk_strs = [str(p) for p in chunk]
-        ev = drift_events(spark, output_root, run_id).filter(
+        # ONE scan of the stored metrics feeds both drift (PSI buckets)
+        # and anomaly (rowcount control limits) builders — they need the
+        # full cross-run history, which the in-memory mrows (this chunk
+        # only) cannot provide
+        stored_metrics = spark.read.parquet(metrics_dir).persist()
+        ev = drift_events(spark, output_root, run_id,
+                          metrics=stored_metrics).filter(
             F.col("partition").isin(chunk_strs)
         )
         ev = ev.unionByName(
             ev_mod.validation_events(mrows, run_id)
         )
         ev = ev.unionByName(
-            ev_mod.anomaly_events(spark, metrics_dir, run_id).filter(
+            ev_mod.anomaly_events(spark, metrics_dir, run_id,
+                                  metrics=stored_metrics).filter(
                 F.col("partition").isin(chunk_strs)
             )
         )
@@ -382,6 +407,7 @@ def run_pipeline(
         ev.coalesce(1).write.mode("overwrite").partitionBy("partition_key").option(
             "partitionOverwriteMode", "dynamic"
         ).parquet(events_dir)
+        stored_metrics.unpersist()
         t0 = _tick("drift", t0)
 
         # per-partition (doc, kept) counts come straight from the cached
@@ -443,6 +469,9 @@ def run_pipeline(
                     "kept_count": counts.get(p, (0, 0))[1],
                     "completed_at": now,
                     "snapshot_id": f"{run_id}:{ci}",
+                    "fingerprint": change_detection.partition_fingerprint(
+                        input_path, p
+                    ),
                 }
                 for p in chunk
             ],

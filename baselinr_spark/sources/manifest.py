@@ -23,7 +23,8 @@ from pyspark.sql import Window as W
 
 MANIFEST_DDL = (
     "run_id string, partition string, status string, doc_count long, "
-    "kept_count long, completed_at timestamp, snapshot_id string"
+    "kept_count long, completed_at timestamp, snapshot_id string, "
+    "fingerprint string"
 )
 
 
@@ -35,7 +36,10 @@ def read_manifest(spark: SparkSession, output_root: str) -> DataFrame:
     path = manifest_path(output_root)
     if not os.path.isdir(path):
         return spark.createDataFrame([], schema=MANIFEST_DDL)
-    return spark.read.parquet(path)
+    m = spark.read.parquet(path)
+    if "fingerprint" not in m.columns:  # pre-fingerprint manifests
+        m = m.withColumn("fingerprint", F.lit(None).cast("string"))
+    return m
 
 
 def latest_state(manifest: DataFrame) -> DataFrame:
@@ -86,11 +90,12 @@ def commit_partitions(
                 r.get("kept_count"),
                 r["completed_at"],
                 r.get("snapshot_id"),
+                r.get("fingerprint"),
             )
             for r in rows
         ],
         columns=["run_id", "partition", "status", "doc_count",
-                 "kept_count", "completed_at", "snapshot_id"],
+                 "kept_count", "completed_at", "snapshot_id", "fingerprint"],
     )
     df = spark.createDataFrame(pdf, schema=MANIFEST_DDL)
     df.coalesce(1).write.mode("append").parquet(manifest_path(output_root))
