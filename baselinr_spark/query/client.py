@@ -27,10 +27,15 @@ from pyspark.sql import Window as W
 
 
 def _paginate(df: DataFrame, order: list, limit: int, offset: int) -> DataFrame:
+    # orderBy().limit() compiles to TakeOrderedAndProject — per-partition
+    # top-(offset+limit) then a driver-side merge, never a global sort
+    # shuffle. Only the tiny surviving page goes through the numbering
+    # window, so the single-partition window is O(offset+limit), not O(n).
+    top = df.orderBy(*order).limit(offset + limit)
     w = W.orderBy(*order)
     return (
-        df.withColumn("_rn", F.row_number().over(w))
-        .where((F.col("_rn") > offset) & (F.col("_rn") <= offset + limit))
+        top.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") > offset)
         .drop("_rn")
     )
 

@@ -154,3 +154,26 @@ def get_lineage_path(
         hops += 1
     edges.unpersist()
     return spark.createDataFrame([], "step int, table string")
+
+
+def with_staleness(
+    edges: DataFrame,
+    now: "datetime.datetime",
+    warn_stale_days: int = 30,
+) -> DataFrame:
+    """Stamp an ``is_stale`` flag on lineage edges (reference
+    lineage_client.py:37-83): an edge whose ``last_seen_at`` is older
+    than ``now − warn_stale_days`` is stale; edges without a
+    ``last_seen_at`` (config-declared rather than query-history-derived)
+    are never stale. ``now`` is an explicit anchor so plans stay
+    deterministic."""
+    import datetime
+
+    cutoff = now - datetime.timedelta(days=warn_stale_days)
+    return edges.withColumn(
+        "is_stale",
+        F.when(
+            F.col("last_seen_at").isNotNull(),
+            F.col("last_seen_at") < F.lit(cutoff),
+        ).otherwise(F.lit(False)),
+    )

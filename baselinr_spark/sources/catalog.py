@@ -60,3 +60,28 @@ def write_partitioned(df: DataFrame, path: str, partition_col: str = "dt") -> No
         df.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     )
     df.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+
+
+#: common partition-column name patterns, in reference order
+#: (/root/reference/baselinr/profiling/query_builder.py:252-262)
+PARTITION_NAME_PATTERNS = (
+    "date", "event_date", "partition_date", "created_at", "updated_at",
+    "timestamp", "dt", "ds",
+)
+
+
+def infer_partition_key(df: DataFrame) -> str | None:
+    """Infer the partition column from the schema (reference
+    query_builder.py:237-280): a column whose lower-cased name is one of
+    the common patterns wins; otherwise a DATE/TIMESTAMP-typed column
+    whose name contains 'date'. Returns None when nothing matches —
+    driver-side schema metadata only, no scan."""
+    for field in df.schema.fields:
+        if field.name.lower() in PARTITION_NAME_PATTERNS:
+            return field.name
+    for field in df.schema.fields:
+        type_str = field.dataType.simpleString().lower()
+        if any(t in type_str for t in ("date", "timestamp")):
+            if "date" in field.name.lower():
+                return field.name
+    return None

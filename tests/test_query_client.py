@@ -181,3 +181,37 @@ def test_lineage_path(spark):
     # no path / depth-capped
     assert get_lineage_path(edges, "world", "s").count() == 0
     assert get_lineage_path(edges, "s", "world", max_depth=2).count() == 0
+
+
+def test_with_staleness(spark):
+    from baselinr_spark.query.lineage import with_staleness
+
+    edges = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "upstream_table": ["a", "b", "c"],
+                "downstream_table": ["x", "x", "x"],
+                "last_seen_at": [T0 - dt.timedelta(days=40),
+                                 T0 - dt.timedelta(days=5), pd.NaT],
+            }
+        )
+    )
+    got = {r["upstream_table"]: r["is_stale"]
+           for r in with_staleness(edges, now=T0).collect()}
+    assert got == {"a": True, "b": False, "c": False}
+
+
+def test_infer_partition_key(spark):
+    from baselinr_spark.sources.catalog import infer_partition_key
+
+    df = spark.createDataFrame([], "url string, dt date, x long")
+    assert infer_partition_key(df) == "dt"
+    # name pattern beats type fallback
+    df = spark.createDataFrame([], "event_date timestamp, ds string")
+    assert infer_partition_key(df) == "event_date"
+    # DATE/TIMESTAMP column with 'date' in the name as fallback
+    df = spark.createDataFrame([], "url string, load_date timestamp")
+    assert infer_partition_key(df) == "load_date"
+    # timestamp without 'date' in the name does NOT match (reference :274-278)
+    df = spark.createDataFrame([], "url string, warc_ts timestamp")
+    assert infer_partition_key(df) is None
