@@ -1,0 +1,163 @@
+#!/usr/bin/env python
+"""Read-side metadata CLI over a pipeline output root.
+
+Maps the reference CLI's query surface
+(/root/reference/baselinr/cli.py:3908-4046 `query runs|drift|run|table`,
+:3992-4046 `lineage upstream|downstream|path`) onto the tables the
+pipeline writes under --output (docs/metrics/events/lineage/
+processed_partitions). Prints one JSON line per result row.
+
+Usage:
+  spark-submit scripts/query_meta.py --output /path/out runs [--status done]
+  ... query drift   [--partition P] [--severity high] [--limit N]
+  ... query run     --run-id R
+  ... query table   --partition P
+  ... lineage upstream|downstream --table T [--max-depth D]
+  ... lineage path --from-table A --to-table B
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, SparkSession  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def _emit(df: DataFrame) -> list[dict]:
+    rows = [
+        {k: (v.isoformat() if hasattr(v, "isoformat") else v)
+         for k, v in r.asDict().items()}
+        for r in df.collect()
+    ]
+    for r in rows:
+        print(json.dumps(r, default=str))
+    return rows
+
+
+def _lineage_edges(spark: SparkSession, output_root: str) -> DataFrame:
+    """Pipeline lineage rows as a generic edge table: input partition
+    path feeds output partition path."""
+    lin = spark.read.parquet(os.path.join(output_root, "lineage"))
+    return lin.select(
+        F.col("input_path").alias("upstream_table"),
+        F.col("output_path").alias("downstream_table"),
+        F.lit("pipeline").alias("lineage_type"),
+        F.lit(1.0).alias("confidence_score"),
+    )
+
+
+def cmd_runs(spark, out_root, args) -> list[dict]:
+    from baselinr_spark.sources import manifest
+
+    m = manifest.latest_state(manifest.read_manifest(spark, out_root))
+    if args.status:
+        m = m.filter(F.col("status") == args.status)
+    return _emit(
+        m.orderBy(F.desc("completed_at"), "partition").limit(args.limit)
+    )
+
+
+def cmd_drift(spark, out_root, args) -> list[dict]:
+    ev = spark.read.parquet(os.path.join(out_root, "events"))
+    if args.partition:
+        ev = ev.filter(F.col("partition") == args.partition)
+    if args.severity:
+        ev = ev.filter(F.col("severity") == args.severity)
+    if args.event_type:
+        ev = ev.filter(F.col("event_type") == args.event_type)
+    ev = ev.drop("partition_key")
+    return _emit(ev.orderBy(F.desc("ts"), "event_id").limit(args.limit))
+
+
+def cmd_run(spark, out_root, args) -> list[dict]:
+    met = spark.read.parquet(os.path.join(out_root, "metrics"))
+    met = met.filter(F.col("run_id") == args.run_id).drop("partition_key")
+    return _emit(met.orderBy("partition", "column_name", "metric_name"))
+
+
+def cmd_table(spark, out_root, args) -> list[dict]:
+    met = spark.read.parquet(os.path.join(out_root, "metrics"))
+    met = met.filter(
+        (F.col("partition") == args.partition)
+        & F.col("metric_name").isin("count", "kept_count", "keep_rate")
+    ).drop("partition_key")
+    return _emit(met.orderBy(F.desc("profiled_at"), "metric_name"))
+
+
+def cmd_lineage(spark, out_root, args) -> list[dict]:
+    from baselinr_spark.query.lineage import (
+        get_downstream_tables,
+        get_lineage_path,
+        get_upstream_tables,
+    )
+
+    edges = _lineage_edges(spark, out_root)
+    if args.lineage_command == "upstream":
+        return _emit(get_upstream_tables(edges, args.table, args.max_depth))
+    if args.lineage_command == "downstream":
+        return _emit(get_downstream_tables(edges, args.table, args.max_depth))
+    return _emit(get_lineage_path(edges, args.from_table, args.to_table))
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="query_meta")
+    p.add_argument("--output", required=True, help="pipeline output root")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    runs = sub.add_parser("runs")
+    runs.add_argument("--status")
+    runs.add_argument("--limit", type=int, default=100)
+
+    drift = sub.add_parser("drift")
+    drift.add_argument("--partition")
+    drift.add_argument("--severity")
+    drift.add_argument("--event-type")
+    drift.add_argument("--limit", type=int, default=100)
+
+    run = sub.add_parser("run")
+    run.add_argument("--run-id", required=True)
+
+    table = sub.add_parser("table")
+    table.add_argument("--partition", required=True)
+
+    lin = sub.add_parser("lineage")
+    lsub = lin.add_subparsers(dest="lineage_command", required=True)
+    for name in ("upstream", "downstream"):
+        lp = lsub.add_parser(name)
+        lp.add_argument("--table", required=True)
+        lp.add_argument("--max-depth", type=int, default=None)
+    path = lsub.add_parser("path")
+    path.add_argument("--from-table", required=True)
+    path.add_argument("--to-table", required=True)
+    return p
+
+
+def main(argv: list[str] | None = None, spark: SparkSession | None = None):
+    args = build_parser().parse_args(argv)
+    own_session = spark is None
+    if own_session:
+        from baselinr_spark.session import build_session
+
+        spark = build_session(app_name="query_meta")
+    try:
+        fn = {
+            "runs": cmd_runs,
+            "drift": cmd_drift,
+            "run": cmd_run,
+            "table": cmd_table,
+            "lineage": cmd_lineage,
+        }[args.command]
+        return fn(spark, args.output, args)
+    finally:
+        if own_session:
+            spark.stop()
+
+
+if __name__ == "__main__":
+    main()
