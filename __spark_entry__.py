@@ -1049,6 +1049,77 @@ FROM cand WHERE est_jaccard >= 0.5
 """
 
 
+def q_lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production near-dup shape: MinHash-LSH candidates (recall knob
+    est_jaccard >= 0.25) verified with EXACT shingle-set Jaccard
+    (precision floor 0.5) — `dedup.py:lsh_verified_pairs`."""
+    from baselinr_spark.operators.dedup import lsh_verified_pairs
+
+    docs = _docs_with_planted_dups(spark, sf_dir).filter(
+        (F.col("doc_id") < 100) | (F.col("doc_id") >= 100000)
+    )
+    out = lsh_verified_pairs(docs, "doc_id", "text",
+                             candidate_threshold=0.25, threshold=0.5)
+    return _r6(out, "est_jaccard", "jaccard")
+
+
+def _sql_lsh_verified_pairs() -> str:
+    sigs = ", ".join(f"min(md5('{i}|' || shingle)) AS sig_{i}" for i in range(8))
+    bands = ", ".join(
+        f"md5(concat_ws('|', sig_{2*b}, sig_{2*b+1})) AS key_{b}" for b in range(4)
+    )
+    band_union = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, key_{b} AS key, "
+        + ", ".join(f"sig_{i}" for i in range(8))
+        + " FROM sigb" for b in range(4)
+    )
+    matches = " + ".join(
+        f"(CASE WHEN a.sig_{i} = b.sig_{i} THEN 1 ELSE 0 END)" for i in range(8)
+    )
+    return f"""
+WITH {_SQL_DOCS_PLANTED},
+w AS (
+  SELECT doc_id,
+         list_filter(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+                     x -> length(x) > 0) AS words
+  FROM docs2 WHERE doc_id < 100 OR doc_id >= 100000
+), sh AS (
+  SELECT doc_id, unnest(list_distinct(
+           CASE WHEN len(words) - 2 > 0
+                THEN list_transform(range(0, len(words) - 2),
+                                    i -> array_to_string(words[i+1:i+3], ' '))
+                ELSE [array_to_string(words, ' ')] END)) AS shingle
+  FROM w
+), sig AS (
+  SELECT doc_id, {sigs} FROM sh GROUP BY doc_id
+), sigb AS (SELECT *, {bands} FROM sig),
+banded AS ({band_union}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         ({matches})::double / 8.0 AS est_jaccard
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+), candf AS (
+  SELECT * FROM cand WHERE est_jaccard >= 0.25
+), inter AS (
+  SELECT c.id_a, c.id_b, c.est_jaccard, count(*) AS n_inter
+  FROM candf c
+  JOIN sh sa ON sa.doc_id = c.id_a
+  JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+  GROUP BY 1, 2, 3
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
+)
+SELECT i.id_a, i.id_b, round(i.est_jaccard, 6) AS est_jaccard,
+       round(i.n_inter::double /
+             greatest(na.n + nb.n - i.n_inter, 1), 6) AS jaccard
+FROM inter i
+JOIN sizes na ON na.doc_id = i.id_a
+JOIN sizes nb ON nb.doc_id = i.id_b
+WHERE i.n_inter::double / greatest(na.n + nb.n - i.n_inter, 1) >= 0.5
+"""
+
+
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from baselinr_spark.operators.dedup import ngram_jaccard_pairs
 
@@ -3199,6 +3270,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dup_groups": q_exact_dup_groups,
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "lsh_verified_pairs": q_lsh_verified_pairs,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "simhash_docs": q_simhash_docs,
         "simhash_near_pairs": q_simhash_near_pairs,
@@ -3282,6 +3354,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact_summary": _SQL_DEDUP_EXACT,
         "minhash_signatures": _sql_minhash_signatures(),
         "minhash_lsh_pairs": _sql_minhash_lsh_pairs(),
+        "lsh_verified_pairs": _sql_lsh_verified_pairs(),
         "ngram_jaccard_pairs": _SQL_NGRAM_JACCARD,
         "simhash_docs": _SQL_SIMHASH,
         "knn_cosine": _SQL_KNN_COSINE,

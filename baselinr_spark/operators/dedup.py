@@ -300,3 +300,52 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
     )
     return cand
+
+
+def lsh_verified_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = DEFAULT_MINHASH_K,
+    bands: int = DEFAULT_BANDS,
+    shingle_n: int = 3,
+    candidate_threshold: float = 0.25,
+    threshold: float = 0.5,
+    max_bucket: int = 10_000,
+) -> DataFrame:
+    """The production near-dup shape: MinHash-LSH candidate generation
+    followed by EXACT Jaccard verification on just the candidate pairs
+    (id_a, id_b, est_jaccard, jaccard).
+
+    This composes the two primitives into the plan you actually run at
+    100 TB: `ngram_jaccard_pairs` alone is quadratic in shingle document
+    frequency, `minhash_lsh_pairs` alone returns estimates with banding
+    false positives — LSH bounds the candidate count to near-linear,
+    then the exact set intersection runs only on those pairs. The
+    verification joins each candidate to the two docs' (distinct)
+    shingle arrays and intersects JVM-side (`array_intersect`) — fine
+    because candidates are bounded; for very long documents swap the
+    array join for the exploded-shingle groupBy shape of
+    `ngram_jaccard_pairs` restricted to candidate ids.
+
+    `candidate_threshold` filters on the signature estimate (recall
+    knob); `threshold` is the exact-Jaccard floor (precision knob).
+    """
+    cand = minhash_lsh_pairs(
+        df, id_col, text_col, k=k, bands=bands, shingle_n=shingle_n,
+        threshold=candidate_threshold, max_bucket=max_bucket,
+    )
+    sets_df = df.select(
+        F.col(id_col).alias("id"),
+        word_shingles(F.col(text_col), shingle_n).alias("sh"),
+    )
+    a = sets_df.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sets_df.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        cand.join(a, "id_a").join(b, "id_b")
+        .withColumn("jaccard", inter / F.greatest(union, F.lit(1)))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard", "jaccard")
+    )

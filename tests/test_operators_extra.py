@@ -321,3 +321,39 @@ def test_column_matcher_semantics():
     pats = [ColumnPattern("id", pattern_type="literal", enabled=False)]
     assert select_columns(cols, pats) == cols[1:]
     assert select_columns(cols, pats, include_defaults=False) == []
+
+
+def test_lsh_verified_pairs_subset_of_exact(spark):
+    """LSH+verify returns a subset of the exact all-pairs Jaccard result,
+    with identical jaccard values, and finds the near-identical pair."""
+    import pandas as pd
+
+    from baselinr_spark.operators.dedup import (
+        lsh_verified_pairs, ngram_jaccard_pairs,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep dark woods tonight")
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": [
+            base,
+            base + " again",                      # near-dup of 0
+            "completely different words here about spark and parquet",
+            "another unrelated document regarding streaming state",
+        ],
+    }))
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, "doc_id", "text", shingle_n=3,
+                                     threshold=0.5, max_df_frac=1.0).collect()
+    }
+    ver = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in lsh_verified_pairs(docs, "doc_id", "text",
+                                    threshold=0.5).collect()
+    }
+    assert (0, 1) in ver                      # planted near-dup found
+    assert set(ver) <= set(exact)             # no false positives survive
+    for pair, j in ver.items():
+        assert abs(j - exact[pair]) < 1e-12   # verification is exact
