@@ -2392,6 +2392,35 @@ WHERE ('0x' || substring(md5(o_orderkey::varchar), 1, 4))::int < 3276
 """
 
 
+def q_stratified_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling (the reference's declared-but-
+    unimplemented `stratified` mode, query_builder.py:229-233): 10% of
+    status-F orders, 2% of status-O, 0 otherwise, via the reproducible
+    md5 bucket — then per-stratum sampled counts."""
+    from baselinr_spark.operators.profiling import stratified_hash_sample
+
+    orders = _read(spark, sf_dir, "orders")
+    s = stratified_hash_sample(
+        orders, "o_orderstatus", "o_orderkey", {"F": 0.10, "O": 0.02}
+    )
+    return s.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("sample_rows"),
+        F.round(F.avg("o_totalprice"), 6).alias("avg_totalprice"),
+    )
+
+
+_SQL_STRATIFIED_SAMPLE = """
+SELECT o_orderstatus, count(*)::bigint AS sample_rows,
+       round(avg(o_totalprice), 6) AS avg_totalprice
+FROM orders
+WHERE ('0x' || substring(md5(o_orderkey::varchar), 1, 4))::int <
+      CASE WHEN o_orderstatus = 'F' THEN 6553
+           WHEN o_orderstatus = 'O' THEN 1310
+           ELSE 0 END
+GROUP BY o_orderstatus
+"""
+
+
 # ---------------------------------------------------------------------------
 # type inference + rule fire rates
 # ---------------------------------------------------------------------------
@@ -3239,6 +3268,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "partition_latest_day": q_partition_latest_day,
         "partition_recent_days": q_partition_recent_days,
         "hash_sample_orders": q_hash_sample_orders,
+        "stratified_sample_orders": q_stratified_sample_orders,
         # type inference + rule fire rates
         "type_inference_orders": q_type_inference_orders,
         "rule_fire_rates_docs": q_rule_fire_rates_docs,
@@ -3327,6 +3357,7 @@ def oracle_sql() -> dict[str, str]:
         "partition_latest_day": _SQL_PARTITION_LATEST,
         "partition_recent_days": _SQL_PARTITION_RECENT,
         "hash_sample_orders": _SQL_HASH_SAMPLE,
+        "stratified_sample_orders": _SQL_STRATIFIED_SAMPLE,
         "type_inference_orders": _sql_type_inference(),
         "rule_fire_rates_docs": _SQL_RULE_FIRE_RATES,
         "exact_dup_groups": _SQL_EXACT_DUP_GROUPS,

@@ -263,3 +263,28 @@ def hash_sample(df: DataFrame, key_col: str, fraction: float) -> DataFrame:
     /root/reference/baselinr/profiling/query_builder.py:171-233)."""
     bucket = F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 4), 16, 10)
     return df.filter(bucket.cast("int") < int(fraction * 65536))
+
+
+def stratified_hash_sample(
+    df: DataFrame, strata_col: str, key_col: str, fractions: dict[str, float],
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Deterministic stratified sample: per-stratum fraction applied via
+    the same md5 bucket as `hash_sample`, so it is reproducible across
+    engines/runs/partitionings. The reference declares `stratified` in
+    its sampling config enum but never implements it (warning at
+    /root/reference/baselinr/profiling/query_builder.py:229-233;
+    config/schema.py:98) — this is the Spark-native completion, the
+    moral equivalent of `df.sampleBy` minus the RNG. Strata not listed
+    in `fractions` get `default_fraction`. A plain filter — no shuffle,
+    pushes below any downstream agg."""
+    bucket = F.conv(
+        F.substring(F.md5(F.col(key_col).cast("string")), 1, 4), 16, 10
+    ).cast("int")
+    thresh = F.lit(int(default_fraction * 65536))
+    for value, frac in sorted(fractions.items()):
+        thresh = F.when(
+            F.col(strata_col).cast("string") == str(value),
+            F.lit(int(frac * 65536)),
+        ).otherwise(thresh)
+    return df.filter(bucket < thresh)

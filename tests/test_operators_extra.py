@@ -357,3 +357,20 @@ def test_lsh_verified_pairs_subset_of_exact(spark):
     assert set(ver) <= set(exact)             # no false positives survive
     for pair, j in ver.items():
         assert abs(j - exact[pair]) < 1e-12   # verification is exact
+
+
+def test_stratified_hash_sample_deterministic(spark):
+    import pandas as pd
+
+    from baselinr_spark.operators.profiling import stratified_hash_sample
+
+    df = spark.createDataFrame(pd.DataFrame({
+        "k": range(2000),
+        "stratum": ["a" if i % 2 == 0 else "b" for i in range(2000)],
+    }))
+    s1 = stratified_hash_sample(df, "stratum", "k", {"a": 0.5})
+    s2 = stratified_hash_sample(df, "stratum", "k", {"a": 0.5})
+    r1 = {r["k"] for r in s1.collect()}
+    assert r1 == {r["k"] for r in s2.collect()}          # reproducible
+    assert all(k % 2 == 0 for k in r1)                   # default 0 drops b
+    assert 0.35 < len(r1) / 1000 < 0.65                  # ~fraction of a
