@@ -274,6 +274,8 @@ def run_pipeline(
     checkpoint_every: int | None = None,
     scrub_mode: str = "pandas",
     reprocess_changed: bool = False,
+    hooks: list | None = None,
+    hook_min_severity: str = "medium",
     _fail_before_commit_chunk: int | None = None,
 ) -> dict:
     """Run the filter over all not-yet-processed partitions. Returns a
@@ -408,6 +410,15 @@ def run_pipeline(
             "partitionOverwriteMode", "dynamic"
         ).parquet(events_dir)
         stored_metrics.unpersist()
+        if hooks:
+            # alert on what was just written (re-read is metadata-cheap
+            # and guarantees hooks see exactly the persisted rows)
+            from .hooks import dispatch_events
+
+            written = spark.read.parquet(events_dir).filter(
+                F.col("partition").isin(chunk_strs + ["__schema__"])
+            )
+            dispatch_events(written, hooks, min_severity=hook_min_severity)
         t0 = _tick("drift", t0)
 
         # per-partition (doc, kept) counts come straight from the cached

@@ -163,3 +163,36 @@ def test_event_taxonomy_bad_partition(spark, tmp_path_factory):
     assert len(sch) > 0 and (sch["event_type"] == "schema_change").all()
     changed = {json.loads(m)["change_type"] for m in sch["metadata_json"]}
     assert "column_added" in changed and "column_removed" in changed
+
+
+def test_alert_hooks_dispatch(spark, warehouse, out_root):
+    from baselinr_spark.plans.hooks import (
+        LoggingAlertHook, WebhookAlertHook, dispatch_events,
+    )
+    from baselinr_spark.plans.pipeline import run_pipeline
+
+    log_hook = LoggingAlertHook()
+    sent = []
+    web_hook = WebhookAlertHook(
+        "https://example.invalid/hook",
+        sender=lambda url, body: sent.append((url, body)),
+    )
+    run_pipeline(spark, warehouse, out_root, run_id="hook-run",
+                 hooks=[log_hook, web_hook], hook_min_severity="medium")
+
+    assert log_hook.seen, "expected at least one medium+ event"
+    assert all(e["severity"] in ("medium", "high") for e in log_hook.seen)
+    assert len(sent) == len(log_hook.seen)
+    assert all("example.invalid" in url for url, _ in sent)
+
+    # min_severity filter: 'low' dispatches a superset
+    import os
+    ev = spark.read.parquet(os.path.join(out_root, "events"))
+    low_hook = LoggingAlertHook()
+    n_low = dispatch_events(ev, [low_hook], min_severity="low")
+    assert n_low >= len(log_hook.seen)
+
+    # unconfigured webhook fails loudly
+    import pytest
+    with pytest.raises(NotImplementedError):
+        dispatch_events(ev, [WebhookAlertHook("u")], min_severity="low")
