@@ -3106,6 +3106,148 @@ FROM ranked WHERE rank <= 5
 """
 
 
+_REGIONS = ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]
+
+
+def q_rca_upstream_causes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lineage-based RCA (reference lineage_analyzer.py:46-159): find
+    events on UPSTREAM tables (nations feeding each region) within a 6h
+    window before each anomaly, scored by lineage distance (1/(1+0.5d)),
+    temporal decay (peak <=2h), and column/metric match bonuses."""
+    from baselinr_spark.operators.rca import (
+        lineage_closure, upstream_anomaly_causes,
+    )
+
+    closure = lineage_closure(_lineage_edges(spark, sf_dir), max_depth=2)
+    ev = _read(spark, sf_dir, "events")
+    region = F.element_at(
+        F.array(*[F.lit(r) for r in _REGIONS]),
+        (F.col("user_id") % 5 + 1).cast("int"),
+    )
+    anoms = ev.where(
+        (F.col("event_type") == "error") & (F.col("event_id") % 101 == 0)
+    ).select(
+        F.col("event_id").alias("anomaly_id"),
+        F.col("ts").alias("anomaly_ts"),
+        region.alias("table_name"),
+        F.concat(F.lit("c"), (F.col("user_id") % 3).cast("string")).alias(
+            "column_name"),
+        F.concat(F.lit("m"), (F.col("user_id") % 2).cast("string")).alias(
+            "metric_name"),
+    )
+    sev = (
+        F.when(F.col("value") < 1, F.lit("none"))
+        .when(F.col("value") < 5, F.lit("low"))
+        .when(F.col("value") < 50, F.lit("medium"))
+        .otherwise(F.lit("high"))
+    )
+    upstream_events = ev.where(F.col("event_type").isin("click", "view")).select(
+        "event_id",
+        F.concat(F.lit("NATION_"), (F.col("user_id") % 25).cast("string")
+                 ).alias("table_name"),
+        F.concat(F.lit("c"), (F.col("user_id") % 3).cast("string")).alias(
+            "column_name"),
+        F.concat(F.lit("m"), (F.col("user_id") % 2).cast("string")).alias(
+            "metric_name"),
+        sev.alias("severity"),
+        F.col("ts").alias("timestamp"),
+    )
+    out = upstream_anomaly_causes(closure, anoms, upstream_events,
+                                  lookback_hours=6.0, max_causes=5)
+    return _r6(out, "distance_score", "temporal_score",
+               "time_before_anomaly_minutes", "confidence_score")
+
+
+_SQL_RCA_UPSTREAM_CAUSES = """
+WITH anoms AS (
+  SELECT event_id AS anomaly_id, ts AS anomaly_ts,
+         (['AFRICA', 'AMERICA', 'ASIA', 'EUROPE', 'MIDDLE EAST'])
+           [(user_id % 5 + 1)::int] AS table_name,
+         'c' || (user_id % 3) AS a_col, 'm' || (user_id % 2) AS a_met
+  FROM events WHERE event_type = 'error' AND event_id % 101 = 0
+), ups AS (
+  SELECT r_name AS table_name, n_name AS upstream_table, 1 AS distance
+  FROM nation JOIN region ON n_regionkey = r_regionkey
+), evs AS (
+  SELECT event_id, 'NATION_' || (user_id % 25) AS upstream_table,
+         'c' || (user_id % 3) AS e_col, 'm' || (user_id % 2) AS e_met,
+         CASE WHEN value < 1 THEN 'none' WHEN value < 5 THEN 'low'
+              WHEN value < 50 THEN 'medium' ELSE 'high' END AS sev,
+         ts
+  FROM events WHERE event_type IN ('click', 'view')
+), pairs AS (
+  SELECT a.anomaly_id, a.table_name, e.event_id AS cause_id,
+         u.upstream_table, u.distance, e.sev,
+         (epoch_us(a.anomaly_ts) - epoch_us(e.ts)) / 3600000000.0 AS dh,
+         CASE WHEN a.a_col = e.e_col THEN 0.2 ELSE 0.0 END AS cb,
+         CASE WHEN a.a_met = e.e_met THEN 0.2 ELSE 0.0 END AS mb
+  FROM anoms a
+  JOIN ups u ON u.table_name = a.table_name
+  JOIN evs e ON e.upstream_table = u.upstream_table
+   AND e.ts <= a.anomaly_ts
+   AND epoch_us(a.anomaly_ts) - epoch_us(e.ts) <= 21600000000
+), scored AS (
+  SELECT *,
+         CASE WHEN distance <= 0 THEN 1.0
+              ELSE 1.0 / (1.0 + distance * 0.5) END AS dscore,
+         CASE WHEN dh <= 2.0 THEN 1.0
+              ELSE greatest(0.0, 1.0 - (dh - 2.0) / 6.0) END AS tscore
+  FROM pairs
+), conf AS (
+  SELECT *, least(1.0, dscore * 0.4 + tscore * 0.4 + cb + mb) AS confidence
+  FROM scored
+), ranked AS (
+  SELECT *, row_number() OVER (
+           PARTITION BY anomaly_id ORDER BY confidence DESC, cause_id) AS rank
+  FROM conf
+)
+SELECT anomaly_id, table_name, cause_id,
+       'upstream_anomaly' AS cause_type, upstream_table,
+       distance AS lineage_distance, sev AS upstream_severity,
+       round(dscore, 6) AS distance_score, round(tscore, 6) AS temporal_score,
+       round(dh * 60.0, 6) AS time_before_anomaly_minutes,
+       round(confidence, 6) AS confidence_score, rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+def q_rca_impact_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blast radius per table over the supplier→nation→region lineage
+    (reference lineage_analyzer.py:160-198): transitive upstream /
+    downstream counts and min(1, 0.1·n_downstream + 0.1·max_depth)."""
+    from baselinr_spark.operators.rca import impact_analysis
+
+    out = impact_analysis(_lineage_edges(spark, sf_dir), max_depth=2)
+    return _r6(out, "blast_radius_score")
+
+
+_SQL_RCA_IMPACT = """
+WITH sup AS (
+  SELECT s_name, n_name, r_name
+  FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+), per_nation AS (
+  SELECT n_name, count(*) AS n_sup FROM sup GROUP BY 1
+), per_region AS (
+  SELECT r_name, count(*) AS n_sup FROM sup GROUP BY 1
+), nat_per_region AS (
+  SELECT r_name, count(*) AS n_nat
+  FROM nation JOIN region ON n_regionkey = r_regionkey GROUP BY 1
+)
+SELECT npr.r_name AS "table",
+       (npr.n_nat + coalesce(pr.n_sup, 0))::bigint AS n_upstream,
+       0::bigint AS n_downstream, 0 AS max_downstream_depth,
+       0.0 AS blast_radius_score
+FROM nat_per_region npr LEFT JOIN per_region pr ON npr.r_name = pr.r_name
+UNION ALL
+SELECT n.n_name, coalesce(pn.n_sup, 0)::bigint, 1::bigint, 1, 0.2
+FROM nation n LEFT JOIN per_nation pn ON n.n_name = pn.n_name
+UNION ALL
+SELECT s_name, 0::bigint, 2::bigint, 2, 0.4 FROM supplier
+"""
+
+
 def q_rca_recurring_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recurring top-cause patterns across historical incidents
     (reference pattern_matcher.py:122-200): each error event is an
@@ -3288,6 +3430,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rca_pipeline_causes": q_rca_pipeline_causes,
         "rca_ranked_causes": q_rca_ranked_causes,
         "rca_recurring_patterns": q_rca_recurring_patterns,
+        "rca_upstream_causes": q_rca_upstream_causes,
+        "rca_impact_analysis": q_rca_impact_analysis,
         # text analysis
         "doc_stats": q_doc_stats,
         "token_counts": q_token_counts,
@@ -3376,6 +3520,8 @@ def oracle_sql() -> dict[str, str]:
         "rca_pipeline_causes": _SQL_RCA_PIPELINE_CAUSES,
         "rca_ranked_causes": _SQL_RCA_RANKED_CAUSES,
         "rca_recurring_patterns": _SQL_RCA_RECURRING_PATTERNS,
+        "rca_upstream_causes": _SQL_RCA_UPSTREAM_CAUSES,
+        "rca_impact_analysis": _SQL_RCA_IMPACT,
         "doc_stats": _SQL_DOC_STATS,
         "token_counts": _SQL_TOKEN_COUNTS,
         "lang_id_heuristic": _SQL_LANG_ID,

@@ -281,3 +281,206 @@ def recurring_patterns(
         .where(F.col("occurrence_count") >= min_pattern_occurrences)
         .orderBy(F.col("occurrence_count").desc(), F.col("cause_type"))
     )
+
+
+# ---------------------------------------------------------------------------
+# lineage-based RCA (reference rca/analysis/lineage_analyzer.py:20-501)
+# ---------------------------------------------------------------------------
+
+def lineage_closure(edges: DataFrame, max_depth: int = 5) -> DataFrame:
+    """Bounded-depth transitive closure of the lineage graph:
+    (table, upstream_table, distance) with distance 1 = direct parent,
+    minimal distance kept for multiply-reachable ancestors.
+
+    The reference re-traverses the graph per anomaly
+    (lineage_analyzer.py:250-314, one SQL round-trip per node). Spark-
+    first shape: compute the closure ONCE with ``max_depth`` self-joins
+    — lineage is metadata-sized (tables, not rows), so the closure is
+    small and amortizes over every anomaly in the batch.
+    """
+    hop = edges.select(
+        F.col("downstream_table").alias("table"),
+        F.col("upstream_table").alias("upstream_table"),
+        F.lit(1).alias("distance"),
+    ).distinct()
+    closure = hop
+    frontier = hop
+    for d in range(2, max_depth + 1):
+        frontier = (
+            frontier.alias("f")
+            .join(hop.alias("h"),
+                  F.col("f.upstream_table") == F.col("h.table"))
+            .select(
+                F.col("f.table").alias("table"),
+                F.col("h.upstream_table").alias("upstream_table"),
+                F.lit(d).alias("distance"),
+            )
+            .distinct()
+        )
+        if frontier.isEmpty():
+            break
+        closure = closure.unionByName(frontier)
+    return closure.groupBy("table", "upstream_table").agg(
+        F.min("distance").alias("distance")
+    )
+
+
+def distance_score(distance: Column) -> Column:
+    """1/(1 + 0.5·hops) (lineage_analyzer.py:449-467); ≤0 hops → 1.0."""
+    return F.when(distance <= 0, F.lit(1.0)).otherwise(
+        1.0 / (1.0 + distance.cast("double") * 0.5)
+    )
+
+
+def upstream_temporal_score(diff_hours: Column, lookback_hours: float) -> Column:
+    """Peak 1.0 within 2h, then linear decay over the lookback window
+    (lineage_analyzer.py:469-501); out-of-window handled by the join
+    range filter."""
+    return F.when(diff_hours <= 2.0, F.lit(1.0)).otherwise(
+        F.greatest(F.lit(0.0), 1.0 - (diff_hours - 2.0) / lookback_hours)
+    )
+
+
+def upstream_anomaly_causes(
+    closure: DataFrame,
+    anomalies: DataFrame,
+    events: DataFrame,
+    lookback_hours: float = 24.0,
+    max_causes: int = 10,
+) -> DataFrame:
+    """Anomalies in upstream tables that may have propagated downstream
+    (lineage_analyzer.py:46-159).
+
+    closure: output of `lineage_closure`.
+    anomalies: (anomaly_id, table_name, anomaly_ts[, column_name,
+                metric_name]).
+    events: (event_id, table_name, column_name, metric_name, severity,
+             timestamp) — prior detected anomalies/events.
+
+    confidence = min(1, 0.4·distance_score + 0.4·temporal_score
+                     + 0.2·column_match + 0.2·metric_match); top
+    ``max_causes`` per anomaly. The event join is keyed on
+    (upstream_table, time bucket) — an equi-join, never a cross join.
+    """
+    window_us = int(lookback_hours * _US_PER_HOUR)
+    a = anomalies
+    if "column_name" not in a.columns:
+        a = a.withColumn("column_name", F.lit(None).cast("string"))
+    if "metric_name" not in a.columns:
+        a = a.withColumn("metric_name", F.lit(None).cast("string"))
+    a = (
+        a.select(
+            "anomaly_id", "table_name", "anomaly_ts",
+            F.col("column_name").alias("a_column"),
+            F.col("metric_name").alias("a_metric"),
+        )
+        .join(closure.withColumnRenamed("table", "table_name"),
+              "table_name")
+        .withColumn(
+            "_bkt",
+            F.explode(F.array(
+                (F.unix_micros(F.col("anomaly_ts").cast("timestamp"))
+                 / window_us).cast("long") - 1,
+                (F.unix_micros(F.col("anomaly_ts").cast("timestamp"))
+                 / window_us).cast("long"),
+            )),
+        )
+    )
+    ev = events.select(
+        "event_id",
+        F.col("table_name").alias("upstream_table"),
+        F.col("column_name").alias("e_column"),
+        F.col("metric_name").alias("e_metric"),
+        F.col("severity").alias("upstream_severity"),
+        F.col("timestamp").alias("event_ts"),
+        (F.unix_micros(F.col("timestamp").cast("timestamp"))
+         / window_us).cast("long").alias("_bkt"),
+    )
+    j = a.join(ev, ["upstream_table", "_bkt"]).where(
+        (F.col("event_ts") <= F.col("anomaly_ts"))
+        & (
+            F.unix_micros(F.col("anomaly_ts").cast("timestamp"))
+            - F.unix_micros(F.col("event_ts").cast("timestamp"))
+            <= window_us
+        )
+    )
+    diff_h = (
+        F.unix_micros(F.col("anomaly_ts").cast("timestamp"))
+        - F.unix_micros(F.col("event_ts").cast("timestamp"))
+    ).cast("double") / F.lit(_US_PER_HOUR)
+    dscore = distance_score(F.col("distance"))
+    tscore = upstream_temporal_score(diff_h, lookback_hours)
+    cmatch = F.when(
+        F.col("a_column").isNotNull() & (F.col("a_column") == F.col("e_column")),
+        F.lit(0.2),
+    ).otherwise(F.lit(0.0))
+    mmatch = F.when(
+        F.col("a_metric").isNotNull() & (F.col("a_metric") == F.col("e_metric")),
+        F.lit(0.2),
+    ).otherwise(F.lit(0.0))
+    conf = F.least(F.lit(1.0), dscore * 0.4 + tscore * 0.4 + cmatch + mmatch)
+    scored = j.select(
+        "anomaly_id",
+        "table_name",
+        F.col("event_id").alias("cause_id"),
+        F.lit("upstream_anomaly").alias("cause_type"),
+        "upstream_table",
+        F.col("distance").alias("lineage_distance"),
+        "upstream_severity",
+        dscore.alias("distance_score"),
+        tscore.alias("temporal_score"),
+        (diff_h * 60.0).alias("time_before_anomaly_minutes"),
+        conf.alias("confidence_score"),
+    )
+    return _topk_per_anomaly(
+        scored, [F.col("confidence_score").desc(), F.col("cause_id")], max_causes
+    )
+
+
+def impact_analysis(edges: DataFrame, max_depth: int = 5) -> DataFrame:
+    """Blast radius per table (lineage_analyzer.py:160-198): counts of
+    transitive upstream/downstream tables and
+    ``blast_radius = min(1, 0.1·n_downstream + 0.1·max_downstream_depth)``
+    — computed for EVERY table in one pass over the two closures."""
+    up = lineage_closure(edges, max_depth)
+    down = up.select(
+        F.col("upstream_table").alias("table"),
+        F.col("table").alias("downstream_table"),
+        "distance",
+    )
+    up_agg = up.groupBy("table").agg(F.count("*").alias("n_upstream"))
+    down_agg = down.groupBy("table").agg(
+        F.count("*").alias("n_downstream"),
+        F.max("distance").alias("max_downstream_depth"),
+    )
+    all_tables = up_agg.join(down_agg, "table", "full_outer").fillna(
+        0, subset=["n_upstream", "n_downstream", "max_downstream_depth"]
+    )
+    blast = F.least(
+        F.lit(1.0),
+        F.col("n_downstream") * 0.1 + F.col("max_downstream_depth") * 0.1,
+    )
+    return all_tables.select(
+        "table", "n_upstream", "n_downstream", "max_downstream_depth",
+        blast.alias("blast_radius_score"),
+    )
+
+
+def common_ancestors(
+    closure: DataFrame, table_names: list[str]
+) -> DataFrame:
+    """Common upstream ancestors of several anomalous tables — the
+    shared root-cause candidates (lineage_analyzer.py:200-249): an
+    ancestor reachable from ALL of them, with its minimal distance,
+    closest first."""
+    hit = closure.filter(F.col("table").isin(table_names))
+    return (
+        hit.groupBy("upstream_table")
+        .agg(
+            F.count_distinct("table").alias("_n"),
+            F.min("distance").alias("distance"),
+        )
+        .filter(F.col("_n") >= len(set(table_names)))
+        .select("upstream_table", "distance")
+        .orderBy("distance", "upstream_table")
+    )

@@ -159,3 +159,79 @@ def test_multi_signal_score_and_patterns(spark):
     assert p["occurrence_count"] == 3
     assert p["avg_confidence"] == pytest.approx((0.9 + 0.8 + 0.7) / 3)
     assert p["first_seen"] == _ts(5) and p["last_seen"] == _ts(3)
+
+
+def _edges(spark, rows):
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["upstream_table", "downstream_table"])
+    )
+
+
+def test_lineage_closure_and_common_ancestors(spark):
+    from baselinr_spark.operators.rca import common_ancestors, lineage_closure
+
+    # diamond with a deep tail: root -> (x, y) -> leaf; root -> z
+    edges = _edges(spark, [
+        ("root", "x"), ("root", "y"), ("x", "leaf"), ("y", "leaf"),
+        ("root", "z"),
+    ])
+    cl = {(r["table"], r["upstream_table"]): r["distance"]
+          for r in lineage_closure(edges, max_depth=5).collect()}
+    assert cl[("leaf", "x")] == 1 and cl[("leaf", "y")] == 1
+    assert cl[("leaf", "root")] == 2  # min distance through either branch
+    assert cl[("z", "root")] == 1
+
+    anc = common_ancestors(lineage_closure(edges), ["leaf", "z"]).collect()
+    assert [(r["upstream_table"], r["distance"]) for r in anc] == [("root", 1)]
+
+
+def test_upstream_anomaly_causes_hand_computed(spark):
+    from baselinr_spark.operators.rca import (
+        lineage_closure, upstream_anomaly_causes,
+    )
+
+    closure = lineage_closure(_edges(spark, [("p", "t"), ("gp", "p")]))
+    anomalies = spark.createDataFrame(pd.DataFrame({
+        "anomaly_id": [1], "table_name": ["t"], "anomaly_ts": [T0],
+        "column_name": ["c1"], "metric_name": ["m1"],
+    }))
+    events = spark.createDataFrame(pd.DataFrame({
+        "event_id": [10, 11, 12],
+        "table_name": ["p", "gp", "p"],
+        "column_name": ["c1", "cX", "c1"],
+        "metric_name": ["mX", "m1", "m1"],
+        "severity": ["high", "low", "low"],
+        # 1h before (peak temporal), 5h before, and AFTER (excluded)
+        "timestamp": [_ts(1), _ts(5), _ts(-1)],
+    }))
+    got = {r["cause_id"]: r for r in upstream_anomaly_causes(
+        closure, anomalies, events, lookback_hours=24.0).collect()}
+    assert set(got) == {10, 11}
+
+    r10 = got[10]  # distance 1 (p), 1h -> temporal 1.0, column match only
+    assert r10["distance_score"] == pytest.approx(1 / 1.5)
+    assert r10["temporal_score"] == 1.0
+    assert r10["confidence_score"] == pytest.approx(
+        min(1.0, (1 / 1.5) * 0.4 + 1.0 * 0.4 + 0.2))
+
+    r11 = got[11]  # distance 2 (gp), 5h -> 1-(3/24), metric match only
+    assert r11["distance_score"] == pytest.approx(1 / 2.0)
+    assert r11["temporal_score"] == pytest.approx(1 - 3 / 24)
+    assert r11["confidence_score"] == pytest.approx(
+        0.5 * 0.4 + (1 - 3 / 24) * 0.4 + 0.2)
+    assert r11["lineage_distance"] == 2
+    assert got[10]["rank"] == 1 and got[11]["rank"] == 2
+
+
+def test_impact_analysis_chain(spark):
+    from baselinr_spark.operators.rca import impact_analysis
+
+    # a -> b -> c (a feeds b feeds c)
+    edges = _edges(spark, [("a", "b"), ("b", "c")])
+    got = {r["table"]: r for r in impact_analysis(edges).collect()}
+    assert got["a"]["n_downstream"] == 2
+    assert got["a"]["max_downstream_depth"] == 2
+    assert got["a"]["blast_radius_score"] == pytest.approx(0.4)
+    assert got["a"]["n_upstream"] == 0
+    assert got["c"]["n_upstream"] == 2 and got["c"]["n_downstream"] == 0
+    assert got["c"]["blast_radius_score"] == 0.0
