@@ -1120,6 +1120,36 @@ WHERE i.n_inter::double / greatest(na.n + nb.n - i.n_inter, 1) >= 0.5
 """
 
 
+def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over a deterministic multi-hop pair graph
+    (edges event_id → 2·event_id for small ids — doubling chains whose
+    components only resolve transitively): HashMin label propagation in
+    `dedup.py:connected_components`."""
+    from baselinr_spark.operators.dedup import connected_components
+
+    ev = _read(spark, sf_dir, "events")
+    pairs = ev.where(F.col("event_id") < 400).select(
+        F.col("event_id").alias("id_a"),
+        (F.col("event_id") * 2).alias("id_b"),
+    )
+    return connected_components(pairs, max_iter=12)
+
+
+_SQL_CONNECTED_COMPONENTS = """
+WITH RECURSIVE e AS (
+  SELECT event_id AS src, event_id * 2 AS dst FROM events WHERE event_id < 400
+), eu AS (
+  SELECT src, dst FROM e UNION SELECT dst, src FROM e
+), reach AS (
+  SELECT src AS node, dst AS r FROM eu
+  UNION
+  SELECT reach.node, eu.dst FROM reach JOIN eu ON eu.src = reach.r
+)
+SELECT node AS id, least(node, min(r)) AS component
+FROM reach GROUP BY node
+"""
+
+
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from baselinr_spark.operators.dedup import ngram_jaccard_pairs
 
@@ -3445,6 +3475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "lsh_verified_pairs": q_lsh_verified_pairs,
+        "connected_components": q_connected_components,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "simhash_docs": q_simhash_docs,
         "simhash_near_pairs": q_simhash_near_pairs,
@@ -3532,6 +3563,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_signatures": _sql_minhash_signatures(),
         "minhash_lsh_pairs": _sql_minhash_lsh_pairs(),
         "lsh_verified_pairs": _sql_lsh_verified_pairs(),
+        "connected_components": _SQL_CONNECTED_COMPONENTS,
         "ngram_jaccard_pairs": _SQL_NGRAM_JACCARD,
         "simhash_docs": _SQL_SIMHASH,
         "knn_cosine": _SQL_KNN_COSINE,

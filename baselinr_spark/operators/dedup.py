@@ -349,3 +349,84 @@ def lsh_verified_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "est_jaccard", "jaccard")
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over near-dup pairs → (id, component), with
+    component = min id reachable in the undirected pair graph.
+
+    Pair emitters (`minhash_lsh_pairs`, `simhash_near_pairs`,
+    `lsh_verified_pairs`, …) find EDGES; actual deduplication needs the
+    CLUSTERS those edges form — A~B and B~C must collapse to one keeper
+    even though (A, C) was never emitted. This is HashMin label
+    propagation: every vertex repeatedly adopts the minimum label in its
+    neighborhood; converges in O(graph diameter) rounds, and near-dup
+    clusters have tiny diameters. Each round is one shuffle-join +
+    aggregate (AQE handles skewed hub vertices); convergence is checked
+    with a count of changed labels. No GraphFrames dependency.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    # localCheckpoint (not persist) after every round: an iterative
+    # DataFrame algorithm otherwise DOUBLES its logical plan per round
+    # (labels feeds both the join and the messages), and by ~10 rounds
+    # plan compilation alone OOMs the driver. Checkpointing truncates
+    # the lineage so each round plans against a materialized table — on
+    # a real cluster use spark.sparkContext.setCheckpointDir + a
+    # reliable .checkpoint() for executor-loss tolerance.
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        msgs = (
+            edges.join(labels, edges["src"] == labels["id"])
+            .groupBy("dst")
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(msgs, labels["id"] == msgs["dst"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("nbr_min"), F.col("component")),
+                ).alias("component"),
+                (F.col("nbr_min") < F.col("component")).alias("_changed"),
+            )
+            .localCheckpoint()
+        )
+        converged = new_labels.where(F.col("_changed")).isEmpty()
+        labels = new_labels.drop("_changed")
+        if converged:
+            break
+    edges.unpersist()
+    return labels
+
+
+def dedup_by_components(
+    df: DataFrame,
+    components: DataFrame,
+    id_col: str,
+) -> DataFrame:
+    """Drop every clustered doc except its component's canonical
+    (min-id) representative; docs in no cluster pass through."""
+    losers = components.where(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    # anti-join, not broadcast: the loser set scales with dup density and
+    # AQE will still pick a broadcast when it happens to be small
+    return df.join(losers, id_col, "left_anti")

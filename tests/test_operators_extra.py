@@ -374,3 +374,34 @@ def test_stratified_hash_sample_deterministic(spark):
     assert r1 == {r["k"] for r in s2.collect()}          # reproducible
     assert all(k % 2 == 0 for k in r1)                   # default 0 drops b
     assert 0.35 < len(r1) / 1000 < 0.65                  # ~fraction of a
+
+
+def test_connected_components_and_dedup(spark):
+    import pandas as pd
+
+    from baselinr_spark.operators.dedup import (
+        connected_components, dedup_by_components,
+    )
+
+    # chain 1-2-3-4, triangle 10-11-12 (+ redundant edge), isolated pair
+    pairs = spark.createDataFrame(pd.DataFrame({
+        "id_a": [1, 2, 3, 10, 11, 10, 20],
+        "id_b": [2, 3, 4, 11, 12, 12, 21],
+    }))
+    comp = {r["id"]: r["component"]
+            for r in connected_components(pairs).collect()}
+    assert {comp[i] for i in (1, 2, 3, 4)} == {1}
+    assert {comp[i] for i in (10, 11, 12)} == {10}
+    assert comp[20] == 20 and comp[21] == 20
+
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 10, 11, 12, 20, 21, 99],
+        "text": ["t"] * 10,
+    }))
+    kept = sorted(
+        r["doc_id"]
+        for r in dedup_by_components(
+            docs, connected_components(pairs), "doc_id").collect()
+    )
+    # one canonical per component + the unclustered doc 99
+    assert kept == [1, 10, 20, 99]
