@@ -90,6 +90,40 @@ def cmd_table(spark, out_root, args) -> list[dict]:
     return _emit(met.orderBy(F.desc("profiled_at"), "metric_name"))
 
 
+def cmd_status(spark, out_root, args) -> list[dict]:
+    """Health rollup per partition (reference cli.py:3967-3991 `status`):
+    worst severity, event count per type, latest event time."""
+    ev = spark.read.parquet(os.path.join(out_root, "events"))
+    sev_rank = (
+        F.when(F.lower(F.col("severity")) == "high", 3)
+        .when(F.lower(F.col("severity")) == "medium", 2)
+        .when(F.lower(F.col("severity")) == "low", 1)
+        .otherwise(0)
+    )
+    agg = ev.groupBy("partition").agg(
+        F.max(sev_rank).alias("_sev"),
+        F.count("*").alias("event_count"),
+        F.sum((F.col("event_type") == "validation_failed").cast("int")
+              ).alias("validation_failed"),
+        F.sum((F.col("event_type") == "distribution_drift").cast("int")
+              ).alias("distribution_drift"),
+        F.sum((F.col("event_type") == "anomaly_detected").cast("int")
+              ).alias("anomaly_detected"),
+        F.max("ts").alias("latest_event"),
+    )
+    status = (
+        F.when(F.col("_sev") >= 3, "critical")
+        .when(F.col("_sev") == 2, "warning")
+        .otherwise("healthy")
+    )
+    return _emit(
+        agg.select("partition", status.alias("status"), "event_count",
+                   "validation_failed", "distribution_drift",
+                   "anomaly_detected", "latest_event")
+        .orderBy(F.desc("status"), "partition")
+    )
+
+
 def cmd_lineage(spark, out_root, args) -> list[dict]:
     from baselinr_spark.query.lineage import (
         get_downstream_tables,
@@ -126,6 +160,8 @@ def build_parser() -> argparse.ArgumentParser:
     table = sub.add_parser("table")
     table.add_argument("--partition", required=True)
 
+    sub.add_parser("status")
+
     lin = sub.add_parser("lineage")
     lsub = lin.add_subparsers(dest="lineage_command", required=True)
     for name in ("upstream", "downstream"):
@@ -151,6 +187,7 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None):
             "drift": cmd_drift,
             "run": cmd_run,
             "table": cmd_table,
+            "status": cmd_status,
             "lineage": cmd_lineage,
         }[args.command]
         return fn(spark, args.output, args)

@@ -50,3 +50,18 @@ def test_query_meta_cli(spark, warehouse, out_root):
         "--to-table", os.path.join(out_root, "docs", f"dt={parts[0]}"),
     ])
     assert [p["step"] for p in path] == [0, 1]
+
+
+def test_query_meta_status(spark, warehouse, out_root):
+    run_pipeline(spark, warehouse, out_root, run_id="status-run")
+    rows = _run(spark, out_root, ["status"])
+    assert rows
+    assert {r["status"] for r in rows} <= {"healthy", "warning", "critical"}
+    by_part = {r["partition"]: r for r in rows}
+    # validation_failed events exist on data partitions
+    assert any(r["validation_failed"] > 0 for r in rows)
+    assert all(
+        r["event_count"] >= r["validation_failed"] + r["distribution_drift"]
+        + r["anomaly_detected"] for r in rows
+    )
+    assert all(r["latest_event"] is not None for r in by_part.values())
