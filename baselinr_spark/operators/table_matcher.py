@@ -117,3 +117,29 @@ def resolve_priority(
             pri[name] = max(pri[name], p) if keep_highest else min(pri[name], p)
     ordered = sorted(pri.items(), key=lambda kv: kv[1], reverse=keep_highest)
     return [name for name, _ in ordered]
+
+
+def filter_tables_by_tags(
+    tables: list[str],
+    table_tags: dict[str, list[str]],
+    required_tags: list[str] | None = None,
+    any_tags: list[str] | None = None,
+) -> list[str]:
+    """Tag-based table scoping (reference
+    profiling/tag_metadata.py:43-84): keep tables carrying ALL
+    ``required_tags`` (AND) and at least one of ``any_tags`` (OR); with
+    neither, everything passes. ``table_tags`` maps table → tags — in
+    production populated from Iceberg/catalog table properties (the
+    parquet-warehouse analog of Snowflake object tags / BigQuery
+    labels); here a plain dict keeps it engine-agnostic."""
+    if not required_tags and not any_tags:
+        return list(tables)
+    out = []
+    for t in tables:
+        tags = table_tags.get(t, [])
+        if required_tags and not all(tag in tags for tag in required_tags):
+            continue
+        if any_tags and not any(tag in tags for tag in any_tags):
+            continue
+        out.append(t)
+    return out

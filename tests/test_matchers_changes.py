@@ -110,3 +110,21 @@ def test_reprocess_changed_partition(spark, warehouse, out_root):
     s6 = run_pipeline(spark, warehouse, out_root, run_id="run-6",
                       reprocess_changed=True)
     assert s6["partitions_processed"] == []
+
+
+def test_filter_tables_by_tags():
+    from baselinr_spark.operators.table_matcher import filter_tables_by_tags
+
+    tags = {"orders": ["pii", "gold"], "events": ["gold"], "tmp": []}
+    tables = ["orders", "events", "tmp", "untagged"]
+    # no criteria -> everything
+    assert filter_tables_by_tags(tables, tags) == tables
+    # AND semantics
+    assert filter_tables_by_tags(tables, tags,
+                                 required_tags=["pii", "gold"]) == ["orders"]
+    # OR semantics
+    assert filter_tables_by_tags(tables, tags,
+                                 any_tags=["gold"]) == ["orders", "events"]
+    # combined: AND then OR
+    assert filter_tables_by_tags(tables, tags, required_tags=["gold"],
+                                 any_tags=["pii"]) == ["orders"]
