@@ -27,6 +27,12 @@ def main() -> int:
     ap.add_argument("--checkpoint-every", type=int, default=None)
     ap.add_argument("--run-id", default=None)
     ap.add_argument("--scrub-mode", choices=["pandas", "native"], default="pandas")
+    ap.add_argument("--reprocess-changed", action="store_true",
+                    help="also re-run done partitions whose input "
+                         "fingerprint changed (upstream backfill)")
+    ap.add_argument("--alert-min-severity", default=None,
+                    help="enable logging alert hooks at this minimum "
+                         "severity (low/medium/high)")
     ap.add_argument("--warmup", action="store_true",
                     help="run one partition into a throwaway dir first "
                          "(JIT + python-worker warmup; excluded from "
@@ -68,6 +74,12 @@ def main() -> int:
         finally:
             shutil.rmtree(wdir, ignore_errors=True)
 
+    hooks = None
+    if args.alert_min_severity:
+        from baselinr_spark.plans.hooks import LoggingAlertHook
+
+        hooks = [LoggingAlertHook()]
+
     t0 = time.time()
     summary = run_pipeline(
         spark,
@@ -76,6 +88,9 @@ def main() -> int:
         run_id=args.run_id,
         checkpoint_every=args.checkpoint_every,
         scrub_mode=args.scrub_mode,
+        reprocess_changed=args.reprocess_changed,
+        hooks=hooks,
+        hook_min_severity=args.alert_min_severity or "medium",
     )
     summary["pipeline_wall_s"] = round(time.time() - t0, 3)
     print(json.dumps(summary))
