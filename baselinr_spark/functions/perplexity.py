@@ -171,17 +171,23 @@ _ARR_CACHE: dict[int, tuple[np.ndarray, np.ndarray, int]] = {}
 
 def _model_arrays(model) -> tuple[np.ndarray, np.ndarray, int]:
     """Sorted (keys, values) arrays over the count table for vectorized
-    searchsorted lookups; built once per (process, model object)."""
+    searchsorted lookups; built once per (process, model object). The
+    cache entry pins the model object itself and is validated with an
+    identity check — ``id()`` alone is unsafe, because a freed model's
+    address can be reused by a new object and would silently serve the
+    OLD model's arrays."""
     key = id(model)
     hit = _ARR_CACHE.get(key)
-    if hit is None:
-        counts, total = model
-        ks = np.fromiter(counts.keys(), dtype=np.int64, count=len(counts))
-        vs = np.fromiter(counts.values(), dtype=np.int64, count=len(counts))
-        o = np.argsort(ks)
-        _ARR_CACHE.clear()
-        hit = _ARR_CACHE[key] = (ks[o], vs[o], total)
-    return hit
+    if hit is not None and hit[0] is model:
+        return hit[1]
+    counts, total = model
+    ks = np.fromiter(counts.keys(), dtype=np.int64, count=len(counts))
+    vs = np.fromiter(counts.values(), dtype=np.int64, count=len(counts))
+    o = np.argsort(ks)
+    _ARR_CACHE.clear()
+    arrays = (ks[o], vs[o], total)
+    _ARR_CACHE[key] = (model, arrays)
+    return arrays
 
 
 def _lookup(ks: np.ndarray, vs: np.ndarray, q: np.ndarray) -> np.ndarray:

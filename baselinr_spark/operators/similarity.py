@@ -170,14 +170,20 @@ def ivf_centroids(
     (k-means++ iterations refine recall but the inverted-file structure
     and query path are identical; the hash pick is also how you seed
     k-means at 100 TB without a full pass). Returns
-    (centroid_id, centroid_vec)."""
+    (centroid_id, centroid_vec).
+
+    Plan shape: orderBy().limit() compiles to TakeOrderedAndProject —
+    each partition keeps its local top-`n_centroids` and the driver
+    merges those few rows. (A global row_number window here would
+    shuffle the ENTIRE corpus of vectors into one task.) The numbering
+    window then runs over just the selected handful."""
     from pyspark.sql import Window as W
 
-    w = W.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+    order = [F.md5(F.col(id_col).cast("string")), F.col(id_col)]
+    top = df.select(id_col, vec_col).orderBy(*order).limit(n_centroids)
+    w = W.orderBy(*order)
     return (
-        df.select(id_col, vec_col)
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= n_centroids)
+        top.withColumn("__rn", F.row_number().over(w))
         .select(
             (F.col("__rn") - 1).alias("centroid_id"),
             F.col(vec_col).alias("centroid_vec"),

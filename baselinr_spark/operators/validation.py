@@ -186,6 +186,11 @@ def sample_failures(
                 "sample_value",
             )
         )
+    if not outs:  # no rules -> empty result with the contract schema
+        return df.sparkSession.createDataFrame(
+            [], "rule_name string, column_name string, rule_type string, "
+            "sample_value string",
+        )
     return reduce(lambda a, b: a.unionByName(b), outs)
 
 

@@ -23,9 +23,9 @@ from typing import Callable, Protocol
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-logger = logging.getLogger(__name__)
+from ..severity import SEVERITY_RANK, severity_rank
 
-_SEVERITY_RANK = {"none": 0, "low": 1, "medium": 2, "high": 3}
+logger = logging.getLogger(__name__)
 
 
 class AlertHook(Protocol):
@@ -91,8 +91,8 @@ def dispatch_events(
     the truncation is logged rather than silent."""
     if not hooks:
         return 0
-    ranks = [s for s, r in _SEVERITY_RANK.items()
-             if r >= _SEVERITY_RANK.get(min_severity, 2)]
+    floor = severity_rank(min_severity)  # raises on typos — fail loudly
+    ranks = [s for s, r in SEVERITY_RANK.items() if r >= floor]
     ev = events.filter(F.lower(F.col("severity")).isin(ranks))
     if event_types:
         ev = ev.filter(F.col("event_type").isin(event_types))

@@ -344,15 +344,27 @@ def run_pipeline(
         # 2-4 (last-wave tail idles cores); the 128 MB cap keeps real-scale
         # file sizes sane where waves are plentiful anyway.
         par = spark.sparkContext.defaultParallelism
+        # fingerprint the inputs BEFORE reading them: a backfill landing
+        # while the chunk is processing must be detected by the NEXT
+        # reprocess_changed run, so the manifest must record what was
+        # actually read, not whatever is on disk at commit time
+        chunk_fps = {
+            p: change_detection.partition_fingerprint(input_path, p)
+            for p in chunk
+        }
         adv = max(1 << 20, min(128 << 20,
                                _chunk_bytes(input_path, chunk) // (12 * par)))
+        prior_adv = spark.conf.get(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes", str(64 << 20)
+        )
         spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", str(adv))
         pages = pages.hint("rebalance", "dt")
         docs = transform_pages(spark, pages, cfg, run_id, scrub_mode=scrub_mode)
         catalog.write_partitioned(docs, docs_dir, "dt")
-        # restore the default so downstream tiny-aggregate stages coalesce
+        # restore the caller's advisory size so downstream stages (and any
+        # other queries on this shared session) keep their configuration
         spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes",
-                       str(64 << 20))
+                       prior_adv)
         t0 = _tick("transform_write", t0)
 
         # metrics from the written output (columnar projection; avoids
@@ -409,16 +421,16 @@ def run_pipeline(
         ev.coalesce(1).write.mode("overwrite").partitionBy("partition_key").option(
             "partitionOverwriteMode", "dynamic"
         ).parquet(events_dir)
-        stored_metrics.unpersist()
         if hooks:
-            # alert on what was just written (re-read is metadata-cheap
-            # and guarantees hooks see exactly the persisted rows)
+            # alert on THIS run's event plan, not a read-back of the
+            # events dir: the '__schema__' partition is only overwritten
+            # when a run produces schema events, so a disk read would
+            # re-alert a previous run's (or previous chunk's) stale
+            # schema changes as if they just happened
             from .hooks import dispatch_events
 
-            written = spark.read.parquet(events_dir).filter(
-                F.col("partition").isin(chunk_strs + ["__schema__"])
-            )
-            dispatch_events(written, hooks, min_severity=hook_min_severity)
+            dispatch_events(ev, hooks, min_severity=hook_min_severity)
+        stored_metrics.unpersist()
         t0 = _tick("drift", t0)
 
         # per-partition (doc, kept) counts come straight from the cached
@@ -480,9 +492,7 @@ def run_pipeline(
                     "kept_count": counts.get(p, (0, 0))[1],
                     "completed_at": now,
                     "snapshot_id": f"{run_id}:{ci}",
-                    "fingerprint": change_detection.partition_fingerprint(
-                        input_path, p
-                    ),
+                    "fingerprint": chunk_fps[p],
                 }
                 for p in chunk
             ],

@@ -167,15 +167,12 @@ def query_run_events(
     return out.orderBy(F.col("timestamp").desc(), F.col("event_id"))
 
 
-_SEVERITY_PRIORITY = {"high": 3, "medium": 2, "low": 1, "none": 0}
-
-
 def severity_priority(col: Column) -> Column:
-    """high > medium > low > none (client.py:516)."""
-    expr = F.lit(0)
-    for name, pri in _SEVERITY_PRIORITY.items():
-        expr = F.when(F.lower(col) == name, F.lit(pri)).otherwise(expr)
-    return expr
+    """high > medium > low > none (client.py:516) — the shared
+    ordering from ``baselinr_spark.severity``."""
+    from ..severity import severity_rank_expr
+
+    return severity_rank_expr(col)
 
 
 def drift_type_of_metric(metric: Column) -> Column:

@@ -48,7 +48,11 @@ def _traverse(
     depth = 0
     while max_depth is None or depth <= max_depth:
         found = edges.join(F.broadcast(frontier), from_col, "inner")
-        level = found.withColumn("depth", F.lit(depth)).persist()
+        # localCheckpoint, not persist: it both truncates the per-level
+        # lineage (plans otherwise grow with depth) and ties the cached
+        # blocks to the DataFrame's lifetime — a persist() here would
+        # leak session-lifetime storage on every call
+        level = found.withColumn("depth", F.lit(depth)).localCheckpoint()
         if level.isEmpty():
             break
         levels.append(level)
@@ -56,7 +60,7 @@ def _traverse(
             level.select(F.col(to_col).alias(from_col))
             .distinct()
             .join(visited, from_col, "left_anti")
-            .persist()
+            .localCheckpoint()
         )
         visited = visited.unionByName(frontier)
         depth += 1
@@ -145,7 +149,9 @@ def get_lineage_path(
             # one shortest-lex path per node is enough for path finding
             .groupBy("node")
             .agg(F.min("path").alias("path"))
-            .persist()
+            # localCheckpoint: truncates the growing BFS lineage and is
+            # released with the DataFrame (persist would leak per call)
+            .localCheckpoint()
         )
         if nxt.isEmpty():
             break

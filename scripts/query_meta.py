@@ -93,13 +93,10 @@ def cmd_table(spark, out_root, args) -> list[dict]:
 def cmd_status(spark, out_root, args) -> list[dict]:
     """Health rollup per partition (reference cli.py:3967-3991 `status`):
     worst severity, event count per type, latest event time."""
+    from baselinr_spark.severity import severity_rank_expr
+
     ev = spark.read.parquet(os.path.join(out_root, "events"))
-    sev_rank = (
-        F.when(F.lower(F.col("severity")) == "high", 3)
-        .when(F.lower(F.col("severity")) == "medium", 2)
-        .when(F.lower(F.col("severity")) == "low", 1)
-        .otherwise(0)
-    )
+    sev_rank = severity_rank_expr(F.col("severity"))
     agg = ev.groupBy("partition").agg(
         F.max(sev_rank).alias("_sev"),
         F.count("*").alias("event_count"),
@@ -119,8 +116,10 @@ def cmd_status(spark, out_root, args) -> list[dict]:
     return _emit(
         agg.select("partition", status.alias("status"), "event_count",
                    "validation_failed", "distribution_drift",
-                   "anomaly_detected", "latest_event")
-        .orderBy(F.desc("status"), "partition")
+                   "anomaly_detected", "latest_event", "_sev")
+        # worst first: order by the numeric rank, not the label string
+        .orderBy(F.desc("_sev"), "partition")
+        .drop("_sev")
     )
 
 
