@@ -1298,6 +1298,64 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, "vec_id", "embedding", k=3, n_centroids=16, n_probe=4)
 
 
+def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encode (the memory-bound ANN scale path):
+    4 subspaces × 16 sampled codewords; code[m] = argmin-L2 codeword of
+    subvector m. Deterministic codebooks (md5-ordered sample) make the
+    DuckDB oracle exact; distances fold left-to-right in both engines
+    so the argmin doubles are bit-identical."""
+    from baselinr_spark.operators.similarity import pq_codebooks, pq_encode
+
+    emb = _read(spark, sf_dir, "embeddings")
+    cbs = pq_codebooks(emb, "vec_id", "embedding",
+                       n_subspaces=4, n_codewords=16)
+    out = pq_encode(emb, cbs, "vec_id", "embedding")
+    return out.select(
+        F.col("id").alias("vec_id"),
+        F.posexplode("code").alias("m", "code"),
+    )
+
+
+_SQL_PQ_ENCODE = """
+WITH seeds AS (
+  SELECT embedding,
+         row_number() OVER (ORDER BY md5(vec_id::varchar), vec_id) - 1 AS k
+  FROM embeddings
+  QUALIFY row_number() OVER (ORDER BY md5(vec_id::varchar), vec_id) <= 16
+), cw AS (
+  SELECT s.k, m.m, list_slice(s.embedding, m.m * 16 + 1, m.m * 16 + 16) AS cvec
+  FROM seeds s, (SELECT unnest(range(4)) AS m) m
+), dist AS (
+  SELECT e.vec_id, c.m, c.k,
+         list_sum(list_transform(range(16), j ->
+           (e.embedding[c.m * 16 + j + 1]::double - c.cvec[j + 1]::double) *
+           (e.embedding[c.m * 16 + j + 1]::double - c.cvec[j + 1]::double)
+         )) AS d
+  FROM embeddings e CROSS JOIN cw c
+), ranked AS (
+  SELECT vec_id, m, k,
+         row_number() OVER (PARTITION BY vec_id, m ORDER BY d, k) AS rn
+  FROM dist
+)
+SELECT vec_id, m::int AS m, k::int AS code FROM ranked WHERE rn = 1
+"""
+
+
+def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance top-k — rows-only check (ADC distances are
+    quantized approximations); tests/test_similarity.py asserts planted
+    near-dup recall."""
+    from baselinr_spark.operators.similarity import (
+        pq_adc_topk, pq_codebooks, pq_encode,
+    )
+
+    emb = _read(spark, sf_dir, "embeddings")
+    cbs = pq_codebooks(emb, "vec_id", "embedding")
+    enc = pq_encode(emb, cbs, "vec_id", "embedding")
+    queries = emb.where(F.col("vec_id") % 53 == 0)
+    return pq_adc_topk(queries, enc, cbs, "vec_id", "embedding", k=3)
+
+
 # ---------------------------------------------------------------------------
 # joins / classic analytics (SURVEY.md §2.5, §2.7)
 # ---------------------------------------------------------------------------
@@ -3485,6 +3543,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_topk": q_lsh_topk,
         "ivf_assign": q_ivf_assign,
         "ivf_topk": q_ivf_topk,
+        "pq_encode": q_pq_encode,
+        "pq_adc_topk": q_pq_adc_topk,
         "embedding_near_dups": q_embedding_near_dups,
         # classic analytics
         "tpch_q1": q_tpch_q1,
@@ -3569,6 +3629,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_docs": _SQL_SIMHASH,
         "knn_cosine": _SQL_KNN_COSINE,
         "ivf_assign": _SQL_IVF_ASSIGN,
+        "pq_encode": _SQL_PQ_ENCODE,
         "tpch_q1": _SQL_TPCH_Q1,
         "top_customers_revenue": _SQL_TOP_CUSTOMERS,
         "keep_drop_docs": _SQL_KEEP_DROP_DOCS,

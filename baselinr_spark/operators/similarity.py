@@ -287,3 +287,140 @@ def embedding_near_dup_pairs(
             F.col("cosine"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the memory-bound ANN scale path
+# ---------------------------------------------------------------------------
+
+def pq_codebooks(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_subspaces: int = 4,
+    n_codewords: int = 16,
+) -> list[list[list[float]]]:
+    """Sampled PQ codebooks: ``codebooks[m][k]`` is the m-th subvector of
+    the k-th hash-min sample vector (same deterministic seeding trick as
+    `ivf_centroids`, so the DuckDB oracle can reproduce it; Lloyd
+    iterations would refine distortion but the encode/ADC machinery is
+    identical). Collected to the driver — K·D floats, kilobytes — for
+    broadcast into literal expressions."""
+    rows = (
+        df.select(id_col, vec_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(n_codewords)
+        .collect()
+    )
+    dim = len(rows[0][vec_col])
+    sub = dim // n_subspaces
+    return [
+        [[float(r[vec_col][m * sub + j]) for j in range(sub)] for r in rows]
+        for m in range(n_subspaces)
+    ]
+
+
+def _sq_l2(sub_vec, codeword_arr):
+    """Σ (x_j − c_j)² via zip_with + aggregate — a LEFT-TO-RIGHT fold in
+    index order, same as the DuckDB oracle's list_sum, so the doubles
+    are bit-identical across engines (summation order matters). HOFs
+    keep the expression tree small: unrolling M·K·sub literal terms was
+    measured to blow past the codegen method-size limit and fall back
+    to interpreted evaluation (~50× slower)."""
+    return F.aggregate(
+        F.zip_with(
+            sub_vec, codeword_arr,
+            lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
+        ),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+
+
+def _codebook_lit(cws: list[list[float]]):
+    """K×sub literal array of one subspace's codewords."""
+    return F.array(*[
+        F.array(*[F.lit(float(c)) for c in cw]) for cw in cws
+    ])
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every vector as M small codes: ``code[m] = argmin_k
+    L2²(subvec_m, codebook[m][k])`` (ties → lowest k). 64 bits per
+    vector at M=4/K=16 versus 64 floats — the 32× compression that lets
+    a 100 TB corpus' index live in executor memory. All-expression
+    (WholeStageCodegen): M·K literal distance terms per row, no UDF.
+    Returns (id, code: array<int>)."""
+    sub = len(codebooks[0][0])
+    code_cols = []
+    for m, cws in enumerate(codebooks):
+        sub_vec = F.slice(F.col(vec_col), m * sub + 1, sub)
+        dists = F.transform(
+            _codebook_lit(cws), lambda cw: _sq_l2(sub_vec, cw)
+        )
+        code_cols.append(
+            (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+        )
+    return df.select(
+        F.col(id_col).alias("id"), F.array(*code_cols).alias("code")
+    )
+
+
+def pq_adc_topk(
+    queries: DataFrame,
+    encoded: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Asymmetric-distance top-k: each query precomputes an M×K lookup
+    table of exact subspace distances to every codeword, and a corpus
+    vector's approximate distance is ``Σ_m table[m][code[m]]`` — M array
+    lookups per (query, vector) instead of D multiplies, over the 32×
+    smaller encoded corpus. Queries broadcast; per-query top-k via
+    window. Returns (query_id, neighbor_id, adc_dist, rank)."""
+    from pyspark.sql import Window as W
+
+    n_subspaces = len(codebooks)
+    sub = len(codebooks[0][0])
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    # per-query distance tables, computed once per query row. NOTE: the
+    # lambda must take exactly ONE parameter — F.transform passes the
+    # element INDEX to a second parameter, so the common `lambda cw,
+    # m=m:` default-binding idiom silently rebinds m to 0..K-1
+    def _table(m: int, cws) -> "F.Column":
+        sv = F.slice(F.col("q_vec"), m * sub + 1, sub)
+        return F.transform(_codebook_lit(cws), lambda cw: _sq_l2(sv, cw))
+
+    tables = F.array(*[_table(m, cws) for m, cws in enumerate(codebooks)])
+    q = q.select("query_id", tables.alias("dtab"))
+    adc = F.lit(0.0)
+    for m in range(n_subspaces):
+        adc = adc + F.element_at(
+            F.element_at("dtab", m + 1),
+            F.element_at(F.col("code"), m + 1) + 1,
+        )
+    scored = (
+        encoded.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("id"))
+        .select(
+            "query_id",
+            F.col("id").alias("neighbor_id"),
+            adc.alias("adc_dist"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("adc_dist"), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

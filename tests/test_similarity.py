@@ -84,3 +84,67 @@ def test_ivf_assign_partitions_corpus(spark, emb):
            for r in assigned.filter(F.col("vec_id").isin(list(src))).collect()}
     for vid, cid in src.items():
         assert own[vid][0] == cid and own[vid][1] == pytest.approx(1.0)
+
+
+def test_pq_encode_properties(spark, emb):
+    from baselinr_spark.operators.similarity import pq_codebooks, pq_encode
+
+    cbs = pq_codebooks(emb, "vec_id", "embedding",
+                       n_subspaces=4, n_codewords=16)
+    assert len(cbs) == 4 and len(cbs[0]) == 16 and len(cbs[0][0]) == 16
+    enc = pq_encode(emb, cbs, "vec_id", "embedding")
+    rows = enc.collect()
+    assert len(rows) == emb.count()
+    assert all(len(r["code"]) == 4 for r in rows)
+    assert all(0 <= c <= 15 for r in rows for c in r["code"])
+    # a codebook seed vector encodes to its own codeword index in
+    # every subspace (its subvector distance to itself is 0)
+    seeds = (
+        emb.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(16).collect()
+    )
+    by_id = {r["id"]: r["code"] for r in rows}
+    for k, s in enumerate(seeds):
+        assert list(by_id[s["vec_id"]]) == [k] * 4
+
+
+def test_pq_code_agreement_and_adc_signal(spark, planted):
+    """What sampled-codebook PQ honestly promises on random vectors:
+    near-identical vectors quantize to (almost) the same codes — the
+    property PQ-based dedup blocking relies on. ADC *ranking* quality
+    depends on codebook training; with a sampled codebook the
+    quantization error dominates generic top-k on near-orthogonal
+    data (same reality as generic LSH recall), so we assert the
+    blocking invariant plus that ADC still carries signal: the true
+    source scores below the corpus median for most queries."""
+    import statistics
+
+    from baselinr_spark.operators.similarity import (
+        pq_adc_topk, pq_codebooks, pq_encode,
+    )
+
+    cbs = pq_codebooks(planted, "vec_id", "embedding")
+    enc = {r["id"]: list(r["code"])
+           for r in pq_encode(planted, cbs, "vec_id", "embedding").collect()}
+    agree = [
+        sum(a == b for a, b in zip(enc[i], enc[i + 100000]))
+        for i in range(N_PLANT)
+    ]
+    # >= 3 of 4 subspace codes agree for >= 80% of planted pairs
+    assert sum(1 for a in agree if a >= 3) / N_PLANT >= 0.8
+
+    queries = planted.where(F.col("vec_id") >= 100000).limit(10)
+    enc_df = pq_encode(planted, cbs, "vec_id", "embedding")
+    rows = pq_adc_topk(queries, enc_df, cbs, "vec_id", "embedding",
+                       k=10**9).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(
+            (r["neighbor_id"], r["adc_dist"]))
+    better = 0
+    for q, pairs in by_q.items():
+        dists = dict(pairs)
+        med = statistics.median(d for _, d in pairs)
+        if dists.get(q - 100000, float("inf")) < med:
+            better += 1
+    assert better >= 8  # ADC signal: source below median for >=8/10
