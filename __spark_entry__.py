@@ -3454,7 +3454,51 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Dict ORDER is deliberate: the driver's correctness gate samples the
+    # first 50 entries, so queries with no prior driver CORRECTNESS record
+    # come first (flagship, RCA, similarity/ANN, dedup-pairs), then queries
+    # last driver-checked in round 1, then the round-2-checked block.
     return {
+        # --- never driver-checked before round 3 ---
+        # flagship
+        "keep_drop_docs": q_keep_drop_docs,
+        # root-cause analysis
+        "rca_pipeline_causes": q_rca_pipeline_causes,
+        "rca_ranked_causes": q_rca_ranked_causes,
+        "rca_recurring_patterns": q_rca_recurring_patterns,
+        "rca_upstream_causes": q_rca_upstream_causes,
+        "rca_impact_analysis": q_rca_impact_analysis,
+        # dedup (pair/graph stages)
+        "lsh_verified_pairs": q_lsh_verified_pairs,
+        "connected_components": q_connected_components,
+        "simhash_near_pairs": q_simhash_near_pairs,
+        # similarity
+        "knn_cosine": q_knn_cosine,
+        "lsh_topk": q_lsh_topk,
+        "ivf_assign": q_ivf_assign,
+        "ivf_topk": q_ivf_topk,
+        "pq_encode": q_pq_encode,
+        "pq_adc_topk": q_pq_adc_topk,
+        "embedding_near_dups": q_embedding_near_dups,
+        # classic analytics
+        "tpch_q1": q_tpch_q1,
+        "top_customers_revenue": q_top_customers_revenue,
+        # --- last driver-checked in round 1 ---
+        # text analysis
+        "doc_stats": q_doc_stats,
+        "token_counts": q_token_counts,
+        "lang_id_heuristic": q_lang_id_heuristic,
+        "quality_score_docs": q_quality_score_docs,
+        "fingerprint_docs": q_fingerprint_docs,
+        "vocabulary_docs": q_vocabulary_docs,
+        # dedup (per-doc stages)
+        "dedup_exact_summary": q_dedup_exact_summary,
+        "exact_dup_groups": q_exact_dup_groups,
+        "minhash_signatures": q_minhash_signatures,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "simhash_docs": q_simhash_docs,
+        # --- driver-checked green in round 2 ---
         # profiling
         "profile_lineitem": q_profile_lineitem,
         "histogram_quantity": q_histogram_quantity,
@@ -3515,42 +3559,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "active_drift_summary": q_active_drift_summary,
         "lineage_upstream": q_lineage_upstream,
         "lineage_path": q_lineage_path,
-        # root-cause analysis
-        "rca_pipeline_causes": q_rca_pipeline_causes,
-        "rca_ranked_causes": q_rca_ranked_causes,
-        "rca_recurring_patterns": q_rca_recurring_patterns,
-        "rca_upstream_causes": q_rca_upstream_causes,
-        "rca_impact_analysis": q_rca_impact_analysis,
-        # text analysis
-        "doc_stats": q_doc_stats,
-        "token_counts": q_token_counts,
-        "lang_id_heuristic": q_lang_id_heuristic,
-        "quality_score_docs": q_quality_score_docs,
-        "fingerprint_docs": q_fingerprint_docs,
-        "vocabulary_docs": q_vocabulary_docs,
-        # dedup
-        "dedup_exact_summary": q_dedup_exact_summary,
-        "exact_dup_groups": q_exact_dup_groups,
-        "minhash_signatures": q_minhash_signatures,
-        "minhash_lsh_pairs": q_minhash_lsh_pairs,
-        "lsh_verified_pairs": q_lsh_verified_pairs,
-        "connected_components": q_connected_components,
-        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
-        "simhash_docs": q_simhash_docs,
-        "simhash_near_pairs": q_simhash_near_pairs,
-        # similarity
-        "knn_cosine": q_knn_cosine,
-        "lsh_topk": q_lsh_topk,
-        "ivf_assign": q_ivf_assign,
-        "ivf_topk": q_ivf_topk,
-        "pq_encode": q_pq_encode,
-        "pq_adc_topk": q_pq_adc_topk,
-        "embedding_near_dups": q_embedding_near_dups,
-        # classic analytics
-        "tpch_q1": q_tpch_q1,
-        "top_customers_revenue": q_top_customers_revenue,
-        # flagship
-        "keep_drop_docs": q_keep_drop_docs,
     }
 
 

@@ -166,7 +166,7 @@ def perplexity(text: str | None,
 _SENT = "\x00"  # impossible token (tokens are [a-z0-9]-edged)
 
 
-_ARR_CACHE: dict[int, tuple[np.ndarray, np.ndarray, int]] = {}
+_ARR_CACHE: dict[int, tuple[object, tuple[np.ndarray, np.ndarray, int]]] = {}
 
 
 def _model_arrays(model) -> tuple[np.ndarray, np.ndarray, int]:
@@ -191,6 +191,10 @@ def _model_arrays(model) -> tuple[np.ndarray, np.ndarray, int]:
 
 
 def _lookup(ks: np.ndarray, vs: np.ndarray, q: np.ndarray) -> np.ndarray:
+    if len(ks) == 0:
+        # empty count table: every lookup misses, so callers fall through
+        # to their floor/backoff probabilities instead of ks[-1] blowing up
+        return np.zeros(len(q), dtype=np.int64)
     idx = np.searchsorted(ks, q)
     idx_c = np.minimum(idx, len(ks) - 1)
     return np.where(ks[idx_c] == q, vs[idx_c], 0)

@@ -15,8 +15,12 @@ DuckDB oracle expressible (no RNG, no JVM-specific hash).
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+logger = logging.getLogger(__name__)
 
 DEFAULT_MINHASH_K = 8
 DEFAULT_BANDS = 4  # k=8 → 4 bands × 2 rows
@@ -391,6 +395,7 @@ def connected_components(
         .withColumn("component", F.col("id"))
         .localCheckpoint()
     )
+    converged = False
     for _ in range(max_iter):
         msgs = (
             edges.join(labels, edges["src"] == labels["id"])
@@ -414,6 +419,14 @@ def connected_components(
         if converged:
             break
     edges.unpersist()
+    if not converged:
+        # A truncated propagation silently leaves >1 "canonical" doc per
+        # true component; make that observable to callers.
+        logger.warning(
+            "connected_components stopped at max_iter=%d without "
+            "converging; labels may split true components (graph "
+            "diameter exceeds max_iter)", max_iter,
+        )
     return labels
 
 

@@ -75,18 +75,24 @@ def _bucketed_window_join(
     """Equi-join on time bucket + exact range filter: every (anomaly,
     cause) pair with cause_ts in [anomaly_ts − lookback, anomaly_ts]."""
     window_us = int(lookback_hours * _US_PER_HOUR)
+
+    def bkt(ts_col: str):
+        # True floor division on the long microsecond value. A double
+        # division + long cast would truncate toward zero, so pre-1970
+        # timestamps (negative micros) would land one bucket high and the
+        # cause bucket could miss both probed anomaly buckets. pmod is
+        # always non-negative, so (a − pmod(a, d)) is the exact largest
+        # multiple of d ≤ a, and the final division is exact in doubles
+        # (both operands and the integral quotient are < 2^53).
+        us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+        d = F.lit(window_us)
+        return ((us - F.pmod(us, d)) / d).cast("long")
+
     a = anomalies.withColumn(
         "_abkt",
-        F.explode(
-            F.array(
-                (F.unix_micros(F.col(anomaly_ts).cast("timestamp")) / window_us).cast("long") - 1,
-                (F.unix_micros(F.col(anomaly_ts).cast("timestamp")) / window_us).cast("long"),
-            )
-        ),
+        F.explode(F.array(bkt(anomaly_ts) - 1, bkt(anomaly_ts))),
     )
-    c = causes.withColumn(
-        "_cbkt", (F.unix_micros(F.col(cause_ts).cast("timestamp")) / window_us).cast("long")
-    )
+    c = causes.withColumn("_cbkt", bkt(cause_ts))
     joined = a.join(c, a["_abkt"] == c["_cbkt"], "inner").where(
         (F.col(cause_ts) <= F.col(anomaly_ts))
         & (

@@ -358,13 +358,17 @@ def run_pipeline(
             "spark.sql.adaptive.advisoryPartitionSizeInBytes", str(64 << 20)
         )
         spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", str(adv))
-        pages = pages.hint("rebalance", "dt")
-        docs = transform_pages(spark, pages, cfg, run_id, scrub_mode=scrub_mode)
-        catalog.write_partitioned(docs, docs_dir, "dt")
-        # restore the caller's advisory size so downstream stages (and any
-        # other queries on this shared session) keep their configuration
-        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes",
-                       prior_adv)
+        try:
+            pages = pages.hint("rebalance", "dt")
+            docs = transform_pages(spark, pages, cfg, run_id,
+                                   scrub_mode=scrub_mode)
+            catalog.write_partitioned(docs, docs_dir, "dt")
+        finally:
+            # restore the caller's advisory size even when the transform or
+            # write raises, so other queries on this shared session keep
+            # their configuration
+            spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+                           prior_adv)
         t0 = _tick("transform_write", t0)
 
         # metrics from the written output (columnar projection; avoids
