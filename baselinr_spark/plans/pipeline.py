@@ -276,6 +276,8 @@ def run_pipeline(
     reprocess_changed: bool = False,
     hooks: list | None = None,
     hook_min_severity: str = "medium",
+    scheduling=None,
+    cost=None,
     _fail_before_commit_chunk: int | None = None,
 ) -> dict:
     """Run the filter over all not-yet-processed partitions. Returns a
@@ -290,12 +292,32 @@ def run_pipeline(
 
     run_id = run_id or f"run-{uuid.uuid4().hex[:12]}"
     all_parts = catalog.list_partitions(input_path)
-    done = set(manifest.done_partitions(spark, output_root))
-    if reprocess_changed and done:
-        done -= set(change_detection.changed_partitions(
-            spark, input_path, output_root, sorted(done)
-        ))
-    todo = [p for p in all_parts if p not in done][:max_partitions]
+    fractions: dict[str, float] = {}
+    deferred: list[str] = []
+    if scheduling is not None or cost is not None:
+        # full decision cascade (freshness interval → snapshot match →
+        # cost caps → sample/defer/full fallback); one row per partition
+        from . import planner as planner_mod
+
+        plan_rows = planner_mod.plan_partitions(
+            spark, input_path, output_root, partitions=all_parts,
+            scheduling=scheduling, cost=cost,
+            reprocess_changed=reprocess_changed,
+        ).collect()
+        todo = [r["partition"] for r in plan_rows
+                if r["action"] in ("run", "sample")][:max_partitions]
+        fractions = {r["partition"]: r["sample_fraction"] for r in plan_rows
+                     if r["action"] == "sample" and r["partition"] in todo}
+        deferred = [r["partition"] for r in plan_rows
+                    if r["action"] == "defer"]
+    else:
+        # fast path: manifest-only resume (± fingerprint change detection)
+        done = set(manifest.done_partitions(spark, output_root))
+        if reprocess_changed and done:
+            done -= set(change_detection.changed_partitions(
+                spark, input_path, output_root, sorted(done)
+            ))
+        todo = [p for p in all_parts if p not in done][:max_partitions]
 
     summary = {
         "run_id": run_id,
@@ -306,11 +328,23 @@ def run_pipeline(
         "kept_count": 0,
         "phase_s": {},
     }
+    if deferred:
+        summary["partitions_deferred"] = deferred
+    if fractions:
+        summary["partitions_sampled"] = sorted(fractions)
     if not todo:
         return summary
 
     step = checkpoint_every or len(todo)
-    chunks = [todo[i : i + step] for i in range(0, len(todo), step)]
+    # sampled partitions get their own chunks: a chunk applies ONE
+    # sample fraction to its whole read, so mixing full and sampled
+    # partitions in a chunk would sample the full ones too
+    full_todo = [p for p in todo if p not in fractions]
+    chunks = [full_todo[i : i + step] for i in range(0, len(full_todo), step)]
+    samp_todo = [p for p in todo if p in fractions]
+    for frac in sorted({fractions[p] for p in samp_todo}):
+        grp = [p for p in samp_todo if fractions[p] == frac]
+        chunks += [grp[i : i + step] for i in range(0, len(grp), step)]
 
     docs_dir = os.path.join(output_root, "docs")
     metrics_dir = os.path.join(output_root, "metrics")
@@ -332,6 +366,15 @@ def run_pipeline(
         # shuffle — the raw `html` blob is as large as `text` and is never
         # read downstream, so carrying it through would double shuffle bytes
         pages = pages.select("url", "warc_ts", "text", "dt")
+        chunk_frac = fractions.get(chunk[0])
+        if chunk_frac is not None:
+            # cost-cap downgrade: deterministic hash sample (reference
+            # fallback_strategy='sample', incremental/planner.py:287-289)
+            # — a plain filter below the shuffle, reproducible across
+            # runs so resume/backfill see the same sampled cohort
+            from ..operators.profiling import hash_sample
+
+            pages = hash_sample(pages, "url", chunk_frac)
         # ONE size-aware shuffle: AQE REBALANCE by dt. The zipf-skewed days
         # are split into ~advisory-sized tasks (skew-split) and small days
         # coalesced, so the expensive UDF stage is byte-balanced — the

@@ -33,6 +33,20 @@ def main() -> int:
     ap.add_argument("--alert-min-severity", default=None,
                     help="enable logging alert hooks at this minimum "
                          "severity (low/medium/high)")
+    ap.add_argument("--freshness-interval-minutes", type=int, default=None,
+                    help="adaptive scheduling: skip partitions "
+                         "re-profiled within this many minutes")
+    ap.add_argument("--max-bytes-scanned", type=int, default=None,
+                    help="cost cap: partitions estimated above this get "
+                         "the fallback strategy")
+    ap.add_argument("--max-rows-scanned", type=int, default=None,
+                    help="cost cap on estimated row count")
+    ap.add_argument("--fallback-strategy", default="sample",
+                    choices=["sample", "defer", "full"],
+                    help="what to do with a cost-capped partition")
+    ap.add_argument("--sample-fraction", type=float, default=0.1,
+                    help="hash-sample fraction for fallback-strategy="
+                         "sample")
     ap.add_argument("--warmup", action="store_true",
                     help="run one partition into a throwaway dir first "
                          "(JIT + python-worker warmup; excluded from "
@@ -80,6 +94,26 @@ def main() -> int:
 
         hooks = [LoggingAlertHook()]
 
+    scheduling = cost = None
+    if args.freshness_interval_minutes is not None:
+        from baselinr_spark.plans.planner import AdaptiveScheduling
+
+        scheduling = AdaptiveScheduling(
+            enabled=True,
+            default_interval_minutes=args.freshness_interval_minutes,
+            min_interval_minutes=0,
+        )
+    if args.max_bytes_scanned is not None or args.max_rows_scanned is not None:
+        from baselinr_spark.plans.planner import CostControls
+
+        cost = CostControls(
+            enabled=True,
+            max_bytes_scanned=args.max_bytes_scanned,
+            max_rows_scanned=args.max_rows_scanned,
+            fallback_strategy=args.fallback_strategy,
+            sample_fraction=args.sample_fraction,
+        )
+
     t0 = time.time()
     summary = run_pipeline(
         spark,
@@ -91,6 +125,8 @@ def main() -> int:
         reprocess_changed=args.reprocess_changed,
         hooks=hooks,
         hook_min_severity=args.alert_min_severity or "medium",
+        scheduling=scheduling,
+        cost=cost,
     )
     summary["pipeline_wall_s"] = round(time.time() - t0, 3)
     print(json.dumps(summary))
