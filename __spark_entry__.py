@@ -3448,6 +3448,159 @@ FROM f
 """
 
 
+def q_gopher_repetition_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition features (Rae et al. 2021 table A1): fraction of
+    n-gram characters in the most common word n-gram (n=2,4) and in all
+    duplicated word n-grams (n=5,10). Computed shuffle-free per row with
+    one sorted `F.aggregate` fold per n (functions/textfeat.py); the
+    DuckDB twin uses the explode → group-by formulation, so a match also
+    validates the fold against an independent shape. Raw doubles (exact
+    integer/integer IEEE divisions) — no rounding needed."""
+    from baselinr_spark.functions.textfeat import with_repetition_features
+
+    docs = _read(spark, sf_dir, "documents")
+    out = with_repetition_features(docs, top_ns=(2, 4), dup_ns=(5, 10))
+    return out.select(
+        "doc_id",
+        "top_2gram_char_fraction",
+        "top_4gram_char_fraction",
+        "dup_5gram_char_fraction",
+        "dup_10gram_char_fraction",
+    )
+
+
+def _sql_gopher_repetition() -> str:
+    def fam(n: int) -> str:
+        return f"""
+g{n} AS (
+  SELECT doc_id, CASE WHEN len(words) >= {n}
+         THEN list_transform(range(1, len(words) - {n} + 2),
+                             i -> array_to_string(list_slice(words, i, i + {n} - 1), ' '))
+         ELSE [] END AS grams
+  FROM d
+),
+c{n} AS (
+  SELECT doc_id, gram, count(*) AS cnt, length(gram) AS L
+  FROM (SELECT doc_id, unnest(grams) AS gram FROM g{n})
+  GROUP BY doc_id, gram
+),
+a{n} AS (
+  SELECT doc_id, sum(cnt * L) AS tot,
+         sum(CASE WHEN cnt >= 2 THEN cnt * L ELSE 0 END) AS dupc
+  FROM c{n} GROUP BY doc_id
+),
+t{n} AS (
+  SELECT doc_id, cnt * L AS topc
+  FROM (SELECT c{n}.*, row_number() OVER (
+          PARTITION BY doc_id ORDER BY cnt DESC, gram ASC) AS rn FROM c{n})
+  WHERE rn = 1
+)"""
+
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(coalesce(text, '')), '\\s+'),
+                     x -> length(x) > 0) AS words
+  FROM documents
+),{fam(2)},{fam(4)},{fam(5)},{fam(10)}
+SELECT d.doc_id,
+       CASE WHEN coalesce(a2.tot, 0) > 0
+            THEN coalesce(t2.topc, 0)::double / a2.tot ELSE 0.0 END
+         AS top_2gram_char_fraction,
+       CASE WHEN coalesce(a4.tot, 0) > 0
+            THEN coalesce(t4.topc, 0)::double / a4.tot ELSE 0.0 END
+         AS top_4gram_char_fraction,
+       CASE WHEN coalesce(a5.tot, 0) > 0
+            THEN coalesce(a5.dupc, 0)::double / a5.tot ELSE 0.0 END
+         AS dup_5gram_char_fraction,
+       CASE WHEN coalesce(a10.tot, 0) > 0
+            THEN coalesce(a10.dupc, 0)::double / a10.tot ELSE 0.0 END
+         AS dup_10gram_char_fraction
+FROM d
+LEFT JOIN a2 USING (doc_id) LEFT JOIN t2 USING (doc_id)
+LEFT JOIN a4 USING (doc_id) LEFT JOIN t4 USING (doc_id)
+LEFT JOIN a5 USING (doc_id)
+LEFT JOIN a10 USING (doc_id)
+"""
+
+
+def q_c4_line_rules_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line-level rules (Raffel et al. 2020 §2.2) + Gopher
+    bullet/ellipsis line fractions + alphabetic-word fraction. The
+    documents corpus is single-line word soup, so the query first
+    synthesizes deterministic line structure IN-QUERY (newline after
+    every 'value', then a length-mod-4 decoration: bullet prefix /
+    terminal '.' / '...'), identically in Spark and the DuckDB twin;
+    `with_line_features` (functions/textfeat.py) then computes the real
+    operator's fractions on that multi-line column."""
+    from baselinr_spark.functions.textfeat import with_line_features
+
+    docs = _read(spark, sf_dir, "documents")
+    lined = F.replace(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.lit("value "), F.lit("value\n"),
+    )
+    dec = F.transform(
+        F.split(lined, "\n"),
+        lambda ln: F.when(F.pmod(F.length(ln), 4) == 0, F.concat(F.lit("- "), ln))
+        .when(F.pmod(F.length(ln), 4) == 1, F.concat(ln, F.lit(".")))
+        .when(F.pmod(F.length(ln), 4) == 2, F.concat(ln, F.lit("...")))
+        .otherwise(ln),
+    )
+    staged = docs.withColumn("_lined_text", F.array_join(dec, "\n"))
+    out = with_line_features(staged, text_col="_lined_text")
+    return out.select(
+        "doc_id",
+        "bullet_line_fraction",
+        "ellipsis_line_fraction",
+        "terminal_punct_line_fraction",
+        "alpha_word_fraction",
+    )
+
+
+_SQL_C4_LINE_RULES = """
+WITH s AS (
+  SELECT doc_id,
+         array_to_string(
+           list_transform(
+             string_split(replace(coalesce(text, ''), 'value ', 'value' || chr(10)), chr(10)),
+             ln -> CASE length(ln) % 4
+                   WHEN 0 THEN '- ' || ln
+                   WHEN 1 THEN ln || '.'
+                   WHEN 2 THEN ln || '...'
+                   ELSE ln END),
+           chr(10)) AS t
+  FROM documents
+),
+f AS (
+  SELECT doc_id,
+         list_filter(list_transform(string_split(t, chr(10)), x -> trim(x)),
+                     x -> length(x) > 0) AS lines,
+         list_filter(string_split_regex(trim(t), '\\s+'),
+                     x -> length(x) > 0) AS words
+  FROM s
+)
+SELECT doc_id,
+       CASE WHEN len(lines) > 0
+            THEN len(list_filter(lines, ln -> starts_with(ln, '-')
+                     OR starts_with(ln, '*') OR starts_with(ln, '•')))::double
+                 / len(lines) ELSE 0.0 END AS bullet_line_fraction,
+       CASE WHEN len(lines) > 0
+            THEN len(list_filter(lines, ln -> ends_with(ln, '...')
+                     OR ends_with(ln, '…')))::double
+                 / len(lines) ELSE 0.0 END AS ellipsis_line_fraction,
+       CASE WHEN len(lines) > 0
+            THEN len(list_filter(lines, ln -> ends_with(ln, '.')
+                     OR ends_with(ln, '!') OR ends_with(ln, '?')
+                     OR ends_with(ln, '"')))::double
+                 / len(lines) ELSE 0.0 END AS terminal_punct_line_fraction,
+       CASE WHEN len(words) > 0
+            THEN len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]')))::double
+                 / len(words) ELSE 0.0 END AS alpha_word_fraction
+FROM f
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: keep/drop quality filter over sf0.001 documents."""
     return q_keep_drop_docs(spark, "/root/testdata/sf0.001")
@@ -3462,6 +3615,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- never driver-checked before round 3 ---
         # flagship
         "keep_drop_docs": q_keep_drop_docs,
+        # new this round
+        "gopher_repetition_docs": q_gopher_repetition_docs,
+        "c4_line_rules_docs": q_c4_line_rules_docs,
         # root-cause analysis
         "rca_pipeline_causes": q_rca_pipeline_causes,
         "rca_ranked_causes": q_rca_ranked_causes,
@@ -3564,6 +3720,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "gopher_repetition_docs": _sql_gopher_repetition(),
+        "c4_line_rules_docs": _SQL_C4_LINE_RULES,
         "profile_lineitem": _sql_profile_lineitem(),
         "histogram_quantity": _SQL_HISTOGRAM_QUANTITY,
         "string_lengths_part": _sql_string_lengths_part(),

@@ -24,6 +24,21 @@ class FilterConfig:
     max_symbol_ratio: float = 0.10        # non-alnum-non-space chars / chars
     min_stopword_fraction: float = 0.06   # stopword hits / words
     max_dup_line_fraction: float = 0.30   # 1 - distinct_lines/lines
+    # Gopher repetition rules (Rae et al. 2021 table A1) — opt-in so the
+    # default keep/drop contract (reference-label F1) is unchanged
+    repetition_rules: bool = False
+    max_top_ngram_char_fraction: dict = field(
+        default_factory=lambda: {2: 0.20, 3: 0.18, 4: 0.16}
+    )
+    max_dup_ngram_char_fraction: dict = field(
+        default_factory=lambda: {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12,
+                                 9: 0.11, 10: 0.10}
+    )
+    # C4/Gopher line-shape rules — opt-in, same reason
+    line_rules: bool = False
+    max_bullet_line_fraction: float = 0.90
+    max_ellipsis_line_fraction: float = 0.30
+    min_alpha_word_fraction: float = 0.80
     # model-based rules
     min_lang_confidence: float = 0.65
     allowed_langs: tuple[str, ...] = ("aa", "bb", "cc")
@@ -46,6 +61,22 @@ RULE_NAMES: tuple[str, ...] = (
     "symbol_ratio",
     "stopword_fraction",
     "dup_lines",
+    # Gopher repetition family (active only when repetition_rules=True)
+    "top_2gram",
+    "top_3gram",
+    "top_4gram",
+    "dup_5gram",
+    "dup_6gram",
+    "dup_7gram",
+    "dup_8gram",
+    "dup_9gram",
+    "dup_10gram",
+    # C4/Gopher line-shape family (active only when line_rules=True)
+    "bullet_lines",
+    "ellipsis_lines",
+    "alpha_words",
+    "lorem_ipsum",
+    "curly_brace",
     "langid",
     "perplexity",
 )

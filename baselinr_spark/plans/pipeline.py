@@ -87,6 +87,14 @@ def transform_pages(
         df = df.withColumn("dt", F.to_date("warc_ts"))
 
     df = textfeat.with_features(df)
+    if cfg.repetition_rules:
+        df = textfeat.with_repetition_features(
+            df,
+            top_ns=tuple(cfg.max_top_ngram_char_fraction),
+            dup_ns=tuple(cfg.max_dup_ngram_char_fraction),
+        )
+    if cfg.line_rules:
+        df = textfeat.with_line_features(df)
     score_cols = ["lang_pred", "lang_conf", "perplexity"] + (
         ["scrubbed_text"] if include_scrub else []
     )
@@ -95,6 +103,10 @@ def transform_pages(
     ).drop("_score")
 
     rules = {**textfeat.rule_columns(cfg), **textfeat.model_rule_columns(cfg)}
+    if cfg.repetition_rules:
+        rules.update(textfeat.repetition_rule_columns(cfg))
+    if cfg.line_rules:
+        rules.update(textfeat.line_rule_columns(cfg))
     df = textfeat.with_verdict(df, rules)
 
     if scrub_mode == "native":

@@ -41,3 +41,64 @@ def test_features_edge_cases(spark):
         exp = doc_features(t)
         for k in FEATURE_COLS:
             assert math.isclose(float(got[u][k]), float(exp[k]), abs_tol=1e-12)
+
+
+def test_repetition_features_hand_computed(spark):
+    from baselinr_spark.functions.textfeat import with_repetition_features
+
+    df = spark.createDataFrame(
+        [(1, "a b a b a b c d"), (2, "x y z w"), (3, "")],
+        "doc_id int, text string",
+    )
+    rows = {r["doc_id"]: r for r in with_repetition_features(
+        df, top_ns=(2,), dup_ns=(2,)).collect()}
+    # doc1 2-grams: [a b, b a, a b, b a, a b, b c, c d] — "a b"×3, "b a"×2
+    # tot chars = 7·3 = 21; top = 3·3 = 9; dup = (3+2)·3 = 15
+    assert abs(rows[1]["top_2gram_char_fraction"] - 9 / 21) < 1e-12
+    assert abs(rows[1]["dup_2gram_char_fraction"] - 15 / 21) < 1e-12
+    # no repeats: top counts the (singleton) most common gram, dup is 0
+    assert abs(rows[2]["top_2gram_char_fraction"] - 3 / 9) < 1e-12
+    assert rows[2]["dup_2gram_char_fraction"] == 0.0
+    assert rows[3]["top_2gram_char_fraction"] == 0.0
+
+
+def test_line_features_hand_computed(spark):
+    from baselinr_spark.functions.textfeat import with_line_features
+
+    df = spark.createDataFrame(
+        [(4, "- one\n- two\n* three\nfour...\nend."),
+         (5, "lorem IPSUM {code} 1 2 3 abc")],
+        "doc_id int, text string",
+    )
+    rows = {r["doc_id"]: r for r in with_line_features(df).collect()}
+    assert abs(rows[4]["bullet_line_fraction"] - 3 / 5) < 1e-12
+    assert abs(rows[4]["ellipsis_line_fraction"] - 1 / 5) < 1e-12
+    # '...' also ends with '.' — counted in both fractions by design
+    assert abs(rows[4]["terminal_punct_line_fraction"] - 2 / 5) < 1e-12
+    assert rows[5]["has_lorem_ipsum"] and rows[5]["has_curly_brace"]
+    assert abs(rows[5]["alpha_word_fraction"] - 4 / 7) < 1e-12
+
+
+def test_repetition_and_line_rules_fire(spark):
+    from baselinr_spark.config import FilterConfig
+    from baselinr_spark.functions.textfeat import (
+        line_rule_columns,
+        repetition_rule_columns,
+        with_line_features,
+        with_repetition_features,
+        with_verdict,
+    )
+
+    cfg = FilterConfig(repetition_rules=True, line_rules=True)
+    df = spark.createDataFrame(
+        [(1, " ".join(["spam spam"] * 30)),      # top-2gram ≫ 0.20
+         (2, "lorem ipsum " + " ".join(f"w{i}" for i in range(60)))],
+        "doc_id int, text string",
+    )
+    feats = with_line_features(with_repetition_features(
+        df, top_ns=tuple(cfg.max_top_ngram_char_fraction),
+        dup_ns=tuple(cfg.max_dup_ngram_char_fraction)))
+    rules = {**repetition_rule_columns(cfg), **line_rule_columns(cfg)}
+    rows = {r["doc_id"]: r for r in with_verdict(feats, rules).collect()}
+    assert "top_2gram" in rows[1]["drop_reasons"] and not rows[1]["keep"]
+    assert rows[2]["drop_reasons"] == ["lorem_ipsum"]
