@@ -76,8 +76,8 @@ def partition_stats(input_path: str, partitions: list[str]) -> list[tuple]:
         import pyarrow.parquet as pq
     except ImportError:  # pragma: no cover - pyarrow is baked in
         pq = None
-    out = []
-    for p in partitions:
+
+    def one(p: str) -> tuple:
         d = os.path.join(input_path, f"dt={p}")
         nbytes = 0
         nrows = 0
@@ -100,8 +100,15 @@ def partition_stats(input_path: str, partitions: list[str]) -> list[tuple]:
                             pass
         if not rows_known:
             nrows = nbytes // 1024  # reference heuristic: ~1KB/row
-        out.append((p, nbytes, nrows))
-    return out
+        return (p, nbytes, nrows)
+
+    # footer/stat reads are I/O-bound; a thread pool keeps planning at
+    # ~constant wall time into the thousands-of-partitions regime (on an
+    # object store each stat is a round-trip, so this matters more there)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=16) as ex:
+        return list(ex.map(one, partitions))
 
 
 PLAN_DDL = (

@@ -138,6 +138,36 @@ def cmd_lineage(spark, out_root, args) -> list[dict]:
     return _emit(get_lineage_path(edges, args.from_table, args.to_table))
 
 
+def cmd_plan(spark, out_root, args) -> list[dict]:
+    """Dry-run the incremental planner over an input warehouse: one
+    decision row per partition (reference cli.py plan surface /
+    incremental/planner.py:95-138 IncrementalPlan)."""
+    from baselinr_spark.plans.planner import (
+        AdaptiveScheduling, CostControls, plan_partitions,
+    )
+
+    scheduling = cost = None
+    if args.freshness_interval_minutes is not None:
+        scheduling = AdaptiveScheduling(
+            enabled=True,
+            default_interval_minutes=args.freshness_interval_minutes,
+            min_interval_minutes=0,
+        )
+    if args.max_bytes_scanned is not None or args.max_rows_scanned is not None:
+        cost = CostControls(
+            enabled=True,
+            max_bytes_scanned=args.max_bytes_scanned,
+            max_rows_scanned=args.max_rows_scanned,
+            fallback_strategy=args.fallback_strategy,
+            sample_fraction=args.sample_fraction,
+        )
+    return _emit(plan_partitions(
+        spark, args.input, out_root,
+        scheduling=scheduling, cost=cost,
+        reprocess_changed=args.reprocess_changed,
+    ))
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="query_meta")
     p.add_argument("--output", required=True, help="pipeline output root")
@@ -160,6 +190,16 @@ def build_parser() -> argparse.ArgumentParser:
     table.add_argument("--partition", required=True)
 
     sub.add_parser("status")
+
+    plan = sub.add_parser("plan")
+    plan.add_argument("--input", required=True, help="pages warehouse path")
+    plan.add_argument("--freshness-interval-minutes", type=int, default=None)
+    plan.add_argument("--max-bytes-scanned", type=int, default=None)
+    plan.add_argument("--max-rows-scanned", type=int, default=None)
+    plan.add_argument("--fallback-strategy", default="sample",
+                      choices=["sample", "defer", "full"])
+    plan.add_argument("--sample-fraction", type=float, default=0.1)
+    plan.add_argument("--reprocess-changed", action="store_true")
 
     lin = sub.add_parser("lineage")
     lsub = lin.add_subparsers(dest="lineage_command", required=True)
@@ -187,6 +227,7 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None):
             "run": cmd_run,
             "table": cmd_table,
             "status": cmd_status,
+            "plan": cmd_plan,
             "lineage": cmd_lineage,
         }[args.command]
         return fn(spark, args.output, args)

@@ -125,14 +125,22 @@ def main() -> int:
             "|---|---|---|\n"
             f"| local[{n_lo}] (N) | {results[n_lo]['wall_s']} | {results[n_lo]['docs_per_sec']} |\n"
             f"| local[{n_hi}] (4N) | {results[n_hi]['wall_s']} | {results[n_hi]['docs_per_sec']} |\n\n"
-            "Why N=2: this sandbox's single JVM tops out at ~2.3x going 8->32\n"
-            "threads on ANY workload (pure-JVM sha2 codegen included), while raw\n"
-            "multiprocess Python scales at 0.86 efficiency to all 32 vCPUs -- the\n"
-            "ceiling is the virtualized in-JVM thread scaling, not this pipeline.\n"
-            "A real cluster runs one JVM per executor (the process model), so\n"
-            "2->8 in one JVM is the faithful analogue of N->4N executors.\n\n"
+            f"Why small N ({n_lo}->{n_hi}) instead of 8->32: this sandbox's\n"
+            "single shared JVM tops out at ~2.3x going 8->32 threads on ANY\n"
+            "workload (pure-JVM sha2 codegen included), while raw multiprocess\n"
+            "Python scales at 0.86 efficiency to all 32 vCPUs -- the ceiling is\n"
+            "the virtualized in-JVM thread scaling, not this pipeline. A real\n"
+            "cluster runs one JVM per executor (a process model), so a\n"
+            "low-thread-count JVM is the faithful analogue of one executor.\n\n"
+            "Protocol history (not apples-to-apples -- the pipeline also\n"
+            "changed between rounds): round 1 measured local[2]->local[8] at\n"
+            "0.86; round 2 measured local[1]->local[4] at 0.985 (a local[1]\n"
+            "baseline pays the same fixed driver/AQE/python-worker costs but\n"
+            "is still the most favorable denominator, which is why the\n"
+            "current default is back to N=2, the stricter baseline).\n\n"
             f"**Scaling efficiency** = (docs/sec@4N / docs/sec@N) / 4 = "
-            f"**{eff:.3f}** (target >= 0.8: {'PASS' if eff >= 0.8 else 'FAIL'})\n\n"
+            f"**{eff:.3f}** at local[{n_lo}]->local[{n_hi}] "
+            f"(target >= 0.8: {'PASS' if eff >= 0.8 else 'FAIL'})\n\n"
             "Best of 2 runs per level (noisy shared host).\n\n"
             "Reproduce: `python tools/bench_scaling.py " + str(n_docs) + "`\n"
         )
