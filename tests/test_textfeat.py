@@ -102,3 +102,45 @@ def test_repetition_and_line_rules_fire(spark):
     rows = {r["doc_id"]: r for r in with_verdict(feats, rules).collect()}
     assert "top_2gram" in rows[1]["drop_reasons"] and not rows[1]["keep"]
     assert rows[2]["drop_reasons"] == ["lorem_ipsum"]
+
+
+def test_repetition_fold_matches_counter_reference(spark):
+    """Property test: the sorted-run F.aggregate fold equals an
+    independent collections.Counter implementation on random word
+    soups (one Spark round-trip for all cases)."""
+    import random
+    from collections import Counter
+
+    from baselinr_spark.functions.textfeat import with_repetition_features
+
+    rng = random.Random(7)
+    vocab = ["a", "bb", "ccc", "dd", "e"]
+    cases = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 40)))
+        for _ in range(60)
+    ] + ["", "solo", "x " * 30]
+
+    def ref(text, n):
+        words = [w for w in text.split() if w]
+        grams = [" ".join(words[i:i + n]) for i in range(len(words) - n + 1)]
+        if not grams:
+            return 0.0, 0.0
+        c = Counter(grams)
+        tot = sum(cnt * len(g) for g, cnt in c.items())
+        # ties: lexicographically smallest gram among max counts
+        top_g = min(g for g, cnt in c.items() if cnt == max(c.values()))
+        top = c[top_g] * len(top_g)
+        dup = sum(cnt * len(g) for g, cnt in c.items() if cnt >= 2)
+        return top / tot, dup / tot
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(cases)], "doc_id int, text string")
+    out = {r["doc_id"]: r for r in with_repetition_features(
+        df, top_ns=(2, 3), dup_ns=(2, 5)).collect()}
+    for i, t in enumerate(cases):
+        for n in (2, 3):
+            top, _ = ref(t, n)
+            assert abs(out[i][f"top_{n}gram_char_fraction"] - top) < 1e-12, (i, n, t)
+        for n in (2, 5):
+            _, dup = ref(t, n)
+            assert abs(out[i][f"dup_{n}gram_char_fraction"] - dup) < 1e-12, (i, n, t)

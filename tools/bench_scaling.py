@@ -34,11 +34,20 @@ from baselinr_spark.sources.pages import PAGES_LAYOUT_VERSION  # noqa: E402
 
 
 def run_once(cores: int, pages_dir: str, zip_path: str) -> dict:
+    # local-cluster[c,1,m] spawns c SEPARATE single-core executor JVMs
+    # (real executor registration, inter-process shuffle, one python
+    # worker pool per executor) — the process-model analogue of c
+    # executors on a real cluster, unlike local[c]'s c threads in one
+    # JVM. SCALE_MODE=local overrides back to in-JVM threads.
+    if os.environ.get("SCALE_MODE", "local-cluster") == "local-cluster":
+        master = f"local-cluster[{cores},1,3072]"
+    else:
+        master = f"local[{cores}]"
     out_dir = tempfile.mkdtemp(prefix=f"scale_out_{cores}_")
     try:
         proc = subprocess.run(
             [
-                "spark-submit", "--master", f"local[{cores}]",
+                "spark-submit", "--master", master,
                 "--conf", "spark.ui.enabled=false",
                 "--conf", "spark.driver.memory=8g",
                 "--py-files", zip_path,
@@ -134,11 +143,18 @@ def main() -> int:
     host_effs.append(host_mp_efficiency(n_lo, n_hi))
     host_eff = sorted(host_effs)[len(host_effs) // 2]
 
+    mode = os.environ.get("SCALE_MODE", "local-cluster")
+    if mode == "local-cluster":
+        lo_name = f"local-cluster[{n_lo},1,3072]"
+        hi_name = f"local-cluster[{n_hi},1,3072]"
+    else:
+        lo_name = f"local[{n_lo}]"
+        hi_name = f"local[{n_hi}]"
     eff = (results[n_hi]["docs_per_sec"] / results[n_lo]["docs_per_sec"]) / 4.0
     norm = eff / host_eff if host_eff > 0 else eff
     out = {
         "n_docs": n_docs,
-        "n": n_lo, "4n": n_hi,
+        "n": n_lo, "4n": n_hi, "mode": mode,
         "localN": results[n_lo],
         "local4N": results[n_hi],
         "scaling_efficiency_n_to_4n": round(eff, 3),
@@ -156,16 +172,21 @@ def main() -> int:
             "North rule requires docs/sec scaling efficiency >= 0.8 from N to 4N\n"
             "executors. No real cluster exists in this sandbox, so the evidence is\n"
             "the same `spark-submit --py-files` job (scripts/run_filter.py) run at\n"
-            f"`local[{n_lo}]` (N) and `local[{n_hi}]` (4N) on the same synthetic pages input\n"
+            f"`{lo_name}` (N) and `{hi_name}` (4N) on the same synthetic pages input\n"
             f"({n_docs} docs, 10 daily partitions, seed=42). Each run warms JIT +\n"
             "python workers on one partition first (--warmup, untimed) so the\n"
             "comparison is steady-state throughput, the regime that matters for\n"
             "a long-running 100 TB job.\n\n"
             "| cluster size | wall s (pipeline only) | docs/sec |\n"
             "|---|---|---|\n"
-            f"| local[{n_lo}] (N) | {results[n_lo]['wall_s']} | {results[n_lo]['docs_per_sec']} |\n"
-            f"| local[{n_hi}] (4N) | {results[n_hi]['wall_s']} | {results[n_hi]['docs_per_sec']} |\n\n"
-            f"Why small N ({n_lo}->{n_hi}) instead of 8->32: this sandbox's\n"
+            f"| {lo_name} (N) | {results[n_lo]['wall_s']} | {results[n_lo]['docs_per_sec']} |\n"
+            f"| {hi_name} (4N) | {results[n_hi]['wall_s']} | {results[n_hi]['docs_per_sec']} |\n\n"
+            + ("local-cluster[c,1,m] runs c SEPARATE single-core executor JVMs\n"
+               "(real executor registration, inter-process shuffle, a python\n"
+               "worker pool per executor) -- N vs 4N actual executor processes,\n"
+               "the same process model as a real cluster, not N threads inside\n"
+               "one JVM.\n\n" if mode == "local-cluster" else "")
+            + f"Why small N ({n_lo}->{n_hi}) instead of 8->32: this sandbox's\n"
             "single shared JVM tops out at ~2.3x going 8->32 threads on ANY\n"
             "workload (pure-JVM sha2 codegen included), while raw multiprocess\n"
             "Python scales at 0.86 efficiency to all 32 vCPUs -- the ceiling is\n"
