@@ -290,6 +290,7 @@ def run_pipeline(
     hook_min_severity: str = "medium",
     scheduling=None,
     cost=None,
+    skew_mode: str = "rebalance",
     _fail_before_commit_chunk: int | None = None,
 ) -> dict:
     """Run the filter over all not-yet-processed partitions. Returns a
@@ -371,6 +372,26 @@ def run_pipeline(
 
     for ci, chunk in enumerate(chunks):
         t0 = time.time()
+        prior_split = spark.conf.get(
+            "spark.sql.files.maxPartitionBytes", str(128 << 20)
+        )
+        if skew_mode == "split":
+            # scan-split balancing: with a well-laid-out warehouse
+            # (bounded file sizes, splittable row groups — what Iceberg's
+            # target-file-size maintenance guarantees at scale) sizing the
+            # INPUT splits to ~12 waves/core yields the same byte-balanced
+            # UDF stage as the rebalance shuffle with ZERO shuffle — at
+            # 100 TB that shuffle is ~2x the input in disk+network, the
+            # single largest avoidable cost in the job. Each split belongs
+            # to exactly one dt (input is dt-partitioned), so the dynamic
+            # partition overwrite still writes one file per task into one
+            # dt dir. Use rebalance mode for pathological layouts (many
+            # tiny unsplittable skewed files).
+            par0 = spark.sparkContext.defaultParallelism
+            split = max(4 << 20, min(128 << 20,
+                                     _chunk_bytes(input_path, chunk)
+                                     // (12 * par0)))
+            spark.conf.set("spark.sql.files.maxPartitionBytes", str(split))
         pages = spark.read.parquet(input_path).filter(
             F.col("dt").cast("string").isin(chunk)
         )
@@ -414,16 +435,18 @@ def run_pipeline(
         )
         spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", str(adv))
         try:
-            pages = pages.hint("rebalance", "dt")
+            if skew_mode != "split":
+                pages = pages.hint("rebalance", "dt")
             docs = transform_pages(spark, pages, cfg, run_id,
                                    scrub_mode=scrub_mode)
             catalog.write_partitioned(docs, docs_dir, "dt")
         finally:
-            # restore the caller's advisory size even when the transform or
-            # write raises, so other queries on this shared session keep
-            # their configuration
+            # restore the caller's sizes even when the transform or write
+            # raises, so other queries on this shared session keep their
+            # configuration
             spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes",
                            prior_adv)
+            spark.conf.set("spark.sql.files.maxPartitionBytes", prior_split)
         t0 = _tick("transform_write", t0)
 
         # metrics from the written output (columnar projection; avoids

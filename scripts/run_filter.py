@@ -47,6 +47,11 @@ def main() -> int:
     ap.add_argument("--sample-fraction", type=float, default=0.1,
                     help="hash-sample fraction for fallback-strategy="
                          "sample")
+    ap.add_argument("--skew-mode", default="rebalance",
+                    choices=["rebalance", "split"],
+                    help="UDF-stage balancing: AQE REBALANCE shuffle, or "
+                         "shuffle-free scan-split sizing (for warehouses "
+                         "with bounded/splittable files)")
     ap.add_argument("--warmup", action="store_true",
                     help="run one partition into a throwaway dir first "
                          "(JIT + python-worker warmup; excluded from "
@@ -84,7 +89,8 @@ def main() -> int:
         wdir = tempfile.mkdtemp(prefix="warmup_")
         try:
             run_pipeline(spark, args.input, wdir, run_id="warmup",
-                         max_partitions=1, scrub_mode=args.scrub_mode)
+                         max_partitions=1, scrub_mode=args.scrub_mode,
+                         skew_mode=args.skew_mode)
         finally:
             shutil.rmtree(wdir, ignore_errors=True)
 
@@ -127,6 +133,7 @@ def main() -> int:
         hook_min_severity=args.alert_min_severity or "medium",
         scheduling=scheduling,
         cost=cost,
+        skew_mode=args.skew_mode,
     )
     summary["pipeline_wall_s"] = round(time.time() - t0, 3)
     print(json.dumps(summary))

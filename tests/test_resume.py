@@ -52,3 +52,16 @@ def test_max_partitions_cap(spark, warehouse, out_root):
     assert len(s1["partitions_processed"]) == 2
     s2 = run_pipeline(spark, warehouse, out_root, run_id="run-cap2")
     assert len(s2["partitions_processed"]) == s2["partitions_total"] - 2
+
+
+def test_skew_mode_split_parity(spark, warehouse, out_root, tmp_path_factory):
+    """skew_mode='split' (shuffle-free scan-split balancing) must produce
+    the identical docs table as the default rebalance-shuffle mode."""
+    run_pipeline(spark, warehouse, out_root, run_id="r-reb")
+    split_root = str(tmp_path_factory.mktemp("split"))
+    run_pipeline(spark, warehouse, split_root, run_id="r-split",
+                 skew_mode="split")
+    assert _docs_state(spark, out_root) == _docs_state(spark, split_root)
+    # restored session conf
+    assert spark.conf.get("spark.sql.files.maxPartitionBytes") in (
+        str(128 << 20), "134217728", "128MB")

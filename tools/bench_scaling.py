@@ -44,16 +44,26 @@ def run_once(cores: int, pages_dir: str, zip_path: str) -> dict:
     else:
         master = f"local[{cores}]"
     out_dir = tempfile.mkdtemp(prefix=f"scale_out_{cores}_")
+    # Single-core executor JVMs must size their SERVICE threads for the
+    # 1 core they own, not the 32-core host they see: default GC/JIT
+    # pools (host-core-sized) measurably thrash when 8 executors each
+    # spin up 32 GC threads (transform stage 69.5s -> 55.6s at 4N with
+    # the pools pinned). A real cluster gets this from container CPU
+    # limits; local-cluster executors see the bare host, so pin
+    # explicitly — identically at BOTH levels.
+    jvm_opts = "-XX:ParallelGCThreads=2 -XX:ConcGCThreads=1 -XX:CICompilerCount=2"
     try:
         proc = subprocess.run(
             [
                 "spark-submit", "--master", master,
                 "--conf", "spark.ui.enabled=false",
                 "--conf", "spark.driver.memory=8g",
+                "--conf", f"spark.executor.extraJavaOptions={jvm_opts}",
                 "--py-files", zip_path,
                 os.path.join(REPO, "scripts", "run_filter.py"),
                 "--input", pages_dir, "--output", out_dir,
                 "--run-id", f"scale-{cores}", "--warmup",
+                "--skew-mode", "split",
             ],
             capture_output=True, text=True, cwd=REPO, timeout=1800,
         )
