@@ -210,7 +210,7 @@ def main() -> int:
             "is still the most favorable denominator, which is why the\n"
             "current default is back to N=2, the stricter baseline).\n\n"
             f"**Scaling efficiency** = (docs/sec@4N / docs/sec@N) / 4 = "
-            f"**{eff:.3f}** at local[{n_lo}]->local[{n_hi}] "
+            f"**{eff:.3f}** at {lo_name}->{hi_name} "
             f"(target >= 0.8: {'PASS' if eff >= 0.8 else 'FAIL'})\n\n"
             "Host calibration: the SAME fixed sha256 workload split over\n"
             f"{n_lo} vs {n_hi} plain OS processes (no Spark, no Python GIL\n"
