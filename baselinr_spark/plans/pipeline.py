@@ -276,6 +276,41 @@ def _chunk_bytes(input_path: str, chunk) -> int:
     return total
 
 
+def _resolve_skew_mode(input_path: str, chunk, par: int) -> str:
+    """skew_mode='auto': pick scan-split balancing when the layout can
+    actually be split finely enough, else fall back to the rebalance
+    shuffle. Parquet scan splits cannot be smaller than a row group, so
+    the decisive stat is the largest per-row-group granule (file bytes /
+    row groups) and whether the chunk yields enough granules to smooth
+    waves across `par` slots. Driver-side footer reads — O(files), no
+    data scan (same contract as the incremental planner's estimates)."""
+    try:
+        import pyarrow.parquet as pq
+    except ImportError:  # pragma: no cover
+        return "rebalance"
+    max_granule = 0
+    n_granules = 0
+    for p in chunk:
+        d = os.path.join(input_path, f"dt={p}")
+        if not os.path.isdir(d):
+            continue
+        for root, _, files in os.walk(d):
+            for f in files:
+                if not f.endswith(".parquet"):
+                    continue
+                full = os.path.join(root, f)
+                try:
+                    rgs = max(pq.ParquetFile(full).metadata.num_row_groups, 1)
+                    max_granule = max(max_granule,
+                                      os.path.getsize(full) // rgs)
+                    n_granules += rgs
+                except Exception:
+                    return "rebalance"  # unreadable footer → play safe
+    if n_granules >= 4 * par and max_granule <= (64 << 20):
+        return "split"
+    return "rebalance"
+
+
 def run_pipeline(
     spark: SparkSession,
     input_path: str,
@@ -290,7 +325,7 @@ def run_pipeline(
     hook_min_severity: str = "medium",
     scheduling=None,
     cost=None,
-    skew_mode: str = "rebalance",
+    skew_mode: str = "auto",
     _fail_before_commit_chunk: int | None = None,
 ) -> dict:
     """Run the filter over all not-yet-processed partitions. Returns a
@@ -372,10 +407,16 @@ def run_pipeline(
 
     for ci, chunk in enumerate(chunks):
         t0 = time.time()
+        chunk_skew = skew_mode
+        if skew_mode == "auto":
+            chunk_skew = _resolve_skew_mode(
+                input_path, chunk, spark.sparkContext.defaultParallelism
+            )
+            summary.setdefault("skew_mode_used", {})[",".join(chunk[:1])] = chunk_skew
         prior_split = spark.conf.get(
             "spark.sql.files.maxPartitionBytes", str(128 << 20)
         )
-        if skew_mode == "split":
+        if chunk_skew == "split":
             # scan-split balancing: with a well-laid-out warehouse
             # (bounded file sizes, splittable row groups — what Iceberg's
             # target-file-size maintenance guarantees at scale) sizing the
@@ -435,7 +476,7 @@ def run_pipeline(
         )
         spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", str(adv))
         try:
-            if skew_mode != "split":
+            if chunk_skew != "split":
                 pages = pages.hint("rebalance", "dt")
             docs = transform_pages(spark, pages, cfg, run_id,
                                    scrub_mode=scrub_mode)
