@@ -1242,15 +1242,83 @@ FROM ranked WHERE rank <= 3
 """
 
 
+def _sql_fold_dot(a: str, b: str, dim: int = 64) -> str:
+    """Dot product as DuckDB's in-order list_sum fold — bit-identical to
+    Spark's `aggregate(zip_with(...))` left-to-right fold (verified on
+    the embeddings table), so sign tests and rank windows ordered by the
+    unrounded value agree across engines."""
+    return (f"list_sum(list_transform(range({dim}), j -> "
+            f"{a}[j+1]::double * {b}[j+1]::double))")
+
+
+def _sql_fold_cos(a: str, b: str, dim: int = 64) -> str:
+    return (f"({_sql_fold_dot(a, b, dim)} / "
+            f"(sqrt({_sql_fold_dot(a, a, dim)}) * "
+            f"sqrt({_sql_fold_dot(b, b, dim)})))")
+
+
 def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate ANN — no SQL oracle (bucketed recall is engine-
-    specific); the driver records a rows-only check, and
-    tests/test_similarity.py asserts ≥0.8 recall of planted near-dup
-    pairs (the retrieval LSH actually guarantees) vs brute force."""
+    """Hyperplane-LSH ANN top-k. The hyperplanes are seeded and baked
+    into the plan as literals, so the whole path — signature bits, band
+    buckets, candidate join, cosine ranking — is deterministic and the
+    DuckDB oracle replays it exactly (same trick as
+    `_sql_minhash_lsh_pairs`). tests/test_similarity.py additionally
+    asserts ≥0.8 planted near-dup recall vs brute force."""
     from baselinr_spark.operators.similarity import lsh_topk
 
     emb = _read(spark, sf_dir, "embeddings")
-    return lsh_topk(emb, "vec_id", "embedding", k=3, dim=64)
+    out = lsh_topk(emb, "vec_id", "embedding", k=3, dim=64)
+    return _r6(out, "cosine")
+
+
+def _sql_lsh_topk() -> str:
+    """DuckDB twin of q_lsh_topk: same seeded hyperplanes embedded as
+    literal double lists; dot signs, 3×4-bit band buckets, ≤10k bucket
+    cap, distinct candidate pairs, fold-cosine rank ≤ 3."""
+    from baselinr_spark.operators.similarity import make_planes
+
+    planes = make_planes(dim=64, n_planes=12)
+    rows = ",\n    ".join(
+        "({}, [{}])".format(i, ", ".join(repr(float(x)) for x in p))
+        for i, p in enumerate(planes)
+    )
+    cos = _sql_fold_cos("qa.embedding", "qb.embedding")
+    return f"""
+WITH planes(i, pl) AS (
+  VALUES
+    {rows}
+), sig AS (
+  SELECT e.vec_id AS id,
+         sum(CASE WHEN {_sql_fold_dot("e.embedding", "p.pl")} > 0
+             THEN (1::bigint << p.i) ELSE 0 END)::bigint AS sig
+  FROM embeddings e, planes p GROUP BY e.vec_id
+), banded AS (
+  SELECT id, b.band, (sig >> (b.band * 4)) & 15 AS bucket
+  FROM sig, (SELECT unnest(range(3)) AS band) b
+), ok AS (
+  SELECT band, bucket FROM banded GROUP BY band, bucket
+  HAVING count(*) <= 10000
+), bok AS (
+  SELECT banded.id, banded.band, banded.bucket
+  FROM banded JOIN ok USING (band, bucket)
+), pairs AS (
+  SELECT DISTINCT a.id AS query_id, b.id AS neighbor_id
+  FROM bok a JOIN bok b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.id != b.id
+), scored AS (
+  SELECT p.query_id, p.neighbor_id, {cos} AS cos
+  FROM pairs p
+  JOIN embeddings qa ON qa.vec_id = p.query_id
+  JOIN embeddings qb ON qb.vec_id = p.neighbor_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, round(cos, 6) AS cosine, rank::int AS rank
+FROM ranked WHERE rank <= 3
+"""
 
 
 def q_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1289,13 +1357,58 @@ FROM best WHERE rn = 1
 
 
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-flat ANN top-k — rows-only check (probe recall is structure-
-    specific); tests/test_similarity.py asserts planted near-dup recall
-    ≥ 0.8 and that the build partitions the corpus."""
+    """IVF-flat ANN top-k. Deterministic end-to-end (md5-sampled
+    centroids, fold-cosine routing and ranking), so the DuckDB oracle
+    replays the exact algorithm — probe the 4 nearest cells, score only
+    their members. tests/test_similarity.py additionally asserts planted
+    near-dup recall ≥ 0.8 and that the build partitions the corpus."""
     from baselinr_spark.operators.similarity import ivf_topk
 
     emb = _read(spark, sf_dir, "embeddings")
-    return ivf_topk(emb, "vec_id", "embedding", k=3, n_centroids=16, n_probe=4)
+    out = ivf_topk(emb, "vec_id", "embedding", k=3, n_centroids=16, n_probe=4)
+    return _r6(out, "cosine")
+
+
+def _sql_ivf_topk() -> str:
+    acos = _sql_fold_cos("e.embedding", "c.cvec")
+    ccos = _sql_fold_cos("qe.embedding", "ne.embedding")
+    return f"""
+WITH seeds AS (
+  SELECT vec_id, embedding,
+         row_number() OVER (ORDER BY md5(vec_id::varchar), vec_id) AS rn
+  FROM embeddings
+), cents AS (
+  SELECT rn - 1 AS centroid_id, embedding AS cvec FROM seeds WHERE rn <= 16
+), assign AS (
+  SELECT vec_id AS neighbor_id, centroid_id FROM (
+    SELECT e.vec_id, c.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {acos} DESC, c.centroid_id) AS arn
+    FROM embeddings e, cents c
+  ) WHERE arn = 1
+), probes AS (
+  SELECT query_id, centroid_id FROM (
+    SELECT e.vec_id AS query_id, c.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {acos} DESC, c.centroid_id) AS prn
+    FROM embeddings e, cents c
+  ) WHERE prn <= 4
+), cand AS (
+  SELECT p.query_id, a.neighbor_id, {ccos} AS cos
+  FROM probes p
+  JOIN assign a USING (centroid_id)
+  JOIN embeddings qe ON qe.vec_id = p.query_id
+  JOIN embeddings ne ON ne.vec_id = a.neighbor_id
+  WHERE p.query_id != a.neighbor_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id) AS rank
+  FROM cand
+)
+SELECT query_id, neighbor_id, round(cos, 6) AS cosine, rank::int AS rank
+FROM ranked WHERE rank <= 3
+"""
 
 
 def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1341,10 +1454,41 @@ SELECT vec_id, m::int AS m, k::int AS code FROM ranked WHERE rn = 1
 """
 
 
+# shared CTE prefix for the PQ oracles: deterministic sampled codebooks
+# (seeds/cw, same as _SQL_PQ_ENCODE), per-(vector, subspace) distances,
+# and the argmin codes
+_SQL_PQ_INDEX_CTES = """
+seeds AS (
+  SELECT vec_id, embedding,
+         row_number() OVER (ORDER BY md5(vec_id::varchar), vec_id) AS rn
+  FROM embeddings
+), cw AS (
+  SELECT s.rn - 1 AS k, m.m,
+         list_slice(s.embedding, m.m * 16 + 1, m.m * 16 + 16) AS cvec
+  FROM (SELECT * FROM seeds WHERE rn <= 16) s,
+       (SELECT unnest(range(4)) AS m) m
+), dist AS (
+  SELECT e.vec_id, c.m, c.k,
+         list_sum(list_transform(range(16), j ->
+           (e.embedding[c.m * 16 + j + 1]::double - c.cvec[j + 1]::double) *
+           (e.embedding[c.m * 16 + j + 1]::double - c.cvec[j + 1]::double)
+         )) AS d
+  FROM embeddings e CROSS JOIN cw c
+), enc AS (
+  SELECT vec_id, m, k AS code FROM (
+    SELECT vec_id, m, k,
+           row_number() OVER (PARTITION BY vec_id, m ORDER BY d, k) AS ern
+    FROM dist
+  ) WHERE ern = 1
+)"""
+
+
 def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PQ asymmetric-distance top-k — rows-only check (ADC distances are
-    quantized approximations); tests/test_similarity.py asserts planted
-    near-dup recall."""
+    """PQ asymmetric-distance top-k (unrouted linear-ADC baseline). The
+    whole path is deterministic arithmetic — sampled codebooks, fold-L2²
+    table entries bit-identical across engines — so the DuckDB oracle
+    replays it exactly. tests/test_similarity.py additionally asserts
+    the planted-pair code-agreement/ADC-signal invariants."""
     from baselinr_spark.operators.similarity import (
         pq_adc_topk, pq_codebooks, pq_encode,
     )
@@ -1353,7 +1497,97 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cbs = pq_codebooks(emb, "vec_id", "embedding")
     enc = pq_encode(emb, cbs, "vec_id", "embedding")
     queries = emb.where(F.col("vec_id") % 53 == 0)
-    return pq_adc_topk(queries, enc, cbs, "vec_id", "embedding", k=3)
+    out = pq_adc_topk(queries, enc, cbs, "vec_id", "embedding", k=3)
+    return _r6(out, "adc_dist")
+
+
+# ADC distance = Σ_m dtab[m][code[m]]; list(d ORDER BY m) folds in
+# subspace order, matching Spark's adc_dist_expr left-to-right addition
+# bit-for-bit, so rank windows on the unrounded value agree.
+_SQL_PQ_ADC_TOPK = f"""
+WITH {_SQL_PQ_INDEX_CTES}, qd AS (
+  SELECT q.vec_id AS query_id, c.m, c.k,
+         list_sum(list_transform(range(16), j ->
+           (q.embedding[c.m * 16 + j + 1]::double - c.cvec[j + 1]::double) *
+           (q.embedding[c.m * 16 + j + 1]::double - c.cvec[j + 1]::double)
+         )) AS d
+  FROM (SELECT * FROM embeddings WHERE vec_id % 53 = 0) q CROSS JOIN cw c
+), adc AS (
+  SELECT qd.query_id, e.vec_id AS neighbor_id,
+         list_sum(list(qd.d ORDER BY qd.m)) AS adc_dist
+  FROM enc e JOIN qd ON qd.m = e.m AND qd.k = e.code
+  WHERE e.vec_id != qd.query_id
+  GROUP BY qd.query_id, e.vec_id
+), ranked AS (
+  SELECT query_id, neighbor_id, adc_dist,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc_dist, neighbor_id) AS rank
+  FROM adc
+)
+SELECT query_id, neighbor_id, round(adc_dist, 6) AS adc_dist, rank::int AS rank
+FROM ranked WHERE rank <= 3
+"""
+
+
+def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF×PQ composition — probe 4 nearest cells per query, ADC-score
+    only their members (equi-join on centroid_id; candidate work is
+    cell-bounded, never |corpus|·|queries|). Deterministic end-to-end,
+    full DuckDB oracle."""
+    from baselinr_spark.operators.similarity import ivfpq_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    out = ivfpq_topk(emb, "vec_id", "embedding", k=3,
+                     n_centroids=16, n_probe=4)
+    return _r6(out, "adc_dist")
+
+
+def _sql_ivfpq_topk() -> str:
+    acos = _sql_fold_cos("e.embedding", "c.cvec")
+    return f"""
+WITH {_SQL_PQ_INDEX_CTES}, cents AS (
+  SELECT rn - 1 AS centroid_id, embedding AS cvec FROM seeds WHERE rn <= 16
+), assign AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT e.vec_id, c.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {acos} DESC, c.centroid_id) AS arn
+    FROM embeddings e, cents c
+  ) WHERE arn = 1
+), probes AS (
+  SELECT query_id, centroid_id FROM (
+    SELECT e.vec_id AS query_id, c.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {acos} DESC, c.centroid_id) AS prn
+    FROM embeddings e, cents c
+  ) WHERE prn <= 4
+), qd AS (
+  SELECT q.vec_id AS query_id, c.m, c.k,
+         list_sum(list_transform(range(16), j ->
+           (q.embedding[c.m * 16 + j + 1]::double - c.cvec[j + 1]::double) *
+           (q.embedding[c.m * 16 + j + 1]::double - c.cvec[j + 1]::double)
+         )) AS d
+  FROM embeddings q CROSS JOIN cw c
+), cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM probes p JOIN assign a USING (centroid_id)
+  WHERE p.query_id != a.vec_id
+), adc AS (
+  SELECT c.query_id, c.neighbor_id,
+         list_sum(list(qd.d ORDER BY qd.m)) AS adc_dist
+  FROM cand c
+  JOIN enc e ON e.vec_id = c.neighbor_id
+  JOIN qd ON qd.query_id = c.query_id AND qd.m = e.m AND qd.k = e.code
+  GROUP BY c.query_id, c.neighbor_id
+), ranked AS (
+  SELECT query_id, neighbor_id, adc_dist,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc_dist, neighbor_id) AS rank
+  FROM adc
+)
+SELECT query_id, neighbor_id, round(adc_dist, 6) AS adc_dist, rank::int AS rank
+FROM ranked WHERE rank <= 3
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -3635,6 +3869,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "pq_encode": q_pq_encode,
         "pq_adc_topk": q_pq_adc_topk,
+        "ivfpq_topk": q_ivfpq_topk,
         "embedding_near_dups": q_embedding_near_dups,
         # classic analytics
         "tpch_q1": q_tpch_q1,
@@ -3796,8 +4031,11 @@ def oracle_sql() -> dict[str, str]:
         "knn_cosine": _SQL_KNN_COSINE,
         "ivf_assign": _SQL_IVF_ASSIGN,
         "pq_encode": _SQL_PQ_ENCODE,
+        "lsh_topk": _sql_lsh_topk(),
+        "ivf_topk": _sql_ivf_topk(),
+        "pq_adc_topk": _SQL_PQ_ADC_TOPK,
+        "ivfpq_topk": _sql_ivfpq_topk(),
         "tpch_q1": _SQL_TPCH_Q1,
         "top_customers_revenue": _SQL_TOP_CUSTOMERS,
         "keep_drop_docs": _SQL_KEEP_DROP_DOCS,
-        # lsh_topk intentionally omitted (approximate; rows-only check)
     }

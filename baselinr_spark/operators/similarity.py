@@ -219,6 +219,33 @@ def ivf_assign(
     )
 
 
+def ivf_probes(
+    queries: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int = 4,
+) -> DataFrame:
+    """Query-side IVF routing: the `n_probe` nearest cells per query
+    (cosine desc, tie → lowest centroid_id). Centroids broadcast, so
+    routing is a map-side pass over the query set. Returns
+    (query_id, q_vec, centroid_id) — n_probe rows per query."""
+    from pyspark.sql import Window as W
+
+    q_scored = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    ).crossJoin(F.broadcast(centroids.select("centroid_id", "centroid_vec")))
+    qw = W.partitionBy("query_id").orderBy(
+        F.desc(cosine_expr(F.col("q_vec"), F.col("centroid_vec"))),
+        F.asc("centroid_id"),
+    )
+    return (
+        q_scored.withColumn("__rn", F.row_number().over(qw))
+        .filter(F.col("__rn") <= n_probe)
+        .select("query_id", "q_vec", "centroid_id")
+    )
+
+
 def ivf_topk(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -243,19 +270,7 @@ def ivf_topk(
         "vec_id",
     ).select(F.col("vec_id").alias("neighbor_id"), "centroid_id", "c_vec")
 
-    # query side: n_probe nearest cells per query
-    q_scored = df.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
-    ).crossJoin(F.broadcast(cents.select("centroid_id", "centroid_vec")))
-    qw = W.partitionBy("query_id").orderBy(
-        F.desc(cosine_expr(F.col("q_vec"), F.col("centroid_vec"))),
-        F.asc("centroid_id"),
-    )
-    probes = (
-        q_scored.withColumn("__rn", F.row_number().over(qw))
-        .filter(F.col("__rn") <= n_probe)
-        .select("query_id", "q_vec", "centroid_id")
-    )
+    probes = ivf_probes(df, cents, id_col, vec_col, n_probe)
 
     cand = (
         probes.join(corpus, "centroid_id")
@@ -371,6 +386,35 @@ def pq_encode(
     )
 
 
+def adc_tables_expr(q_vec_col, codebooks: list[list[list[float]]]):
+    """Per-query M×K ADC lookup table: ``dtab[m][k]`` is the exact L2²
+    distance from the query's m-th subvector to codeword k — the same
+    left-to-right fold as `pq_encode`, so table entries are bit-identical
+    to the encode-side distances (and to the DuckDB oracle). NOTE: the
+    transform lambda must take exactly ONE parameter — F.transform passes
+    the element INDEX to a second parameter, so the common `lambda cw,
+    m=m:` default-binding idiom silently rebinds m to 0..K-1."""
+    sub = len(codebooks[0][0])
+
+    def _table(m: int, cws) -> "F.Column":
+        sv = F.slice(q_vec_col, m * sub + 1, sub)
+        return F.transform(_codebook_lit(cws), lambda cw: _sq_l2(sv, cw))
+
+    return F.array(*[_table(m, cws) for m, cws in enumerate(codebooks)])
+
+
+def adc_dist_expr(dtab_col, code_col, n_subspaces: int):
+    """``Σ_m dtab[m][code[m]]`` — M array lookups per (query, vector)
+    instead of D multiplies."""
+    adc = F.lit(0.0)
+    for m in range(n_subspaces):
+        adc = adc + F.element_at(
+            F.element_at(dtab_col, m + 1),
+            F.element_at(code_col, m + 1) + 1,
+        )
+    return adc
+
+
 def pq_adc_topk(
     queries: DataFrame,
     encoded: DataFrame,
@@ -384,30 +428,20 @@ def pq_adc_topk(
     vector's approximate distance is ``Σ_m table[m][code[m]]`` — M array
     lookups per (query, vector) instead of D multiplies, over the 32×
     smaller encoded corpus. Queries broadcast; per-query top-k via
-    window. Returns (query_id, neighbor_id, adc_dist, rank)."""
+    window. Returns (query_id, neighbor_id, adc_dist, rank).
+
+    SCALE NOTE: this is the *unrouted* ADC baseline — every query scans
+    the whole encoded corpus (linear, memory-light, exact-ADC). For the
+    production composition that bounds work to probed cells, use
+    `ivfpq_topk`."""
     from pyspark.sql import Window as W
 
     n_subspaces = len(codebooks)
-    sub = len(codebooks[0][0])
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
-    # per-query distance tables, computed once per query row. NOTE: the
-    # lambda must take exactly ONE parameter — F.transform passes the
-    # element INDEX to a second parameter, so the common `lambda cw,
-    # m=m:` default-binding idiom silently rebinds m to 0..K-1
-    def _table(m: int, cws) -> "F.Column":
-        sv = F.slice(F.col("q_vec"), m * sub + 1, sub)
-        return F.transform(_codebook_lit(cws), lambda cw: _sq_l2(sv, cw))
-
-    tables = F.array(*[_table(m, cws) for m, cws in enumerate(codebooks)])
-    q = q.select("query_id", tables.alias("dtab"))
-    adc = F.lit(0.0)
-    for m in range(n_subspaces):
-        adc = adc + F.element_at(
-            F.element_at("dtab", m + 1),
-            F.element_at(F.col("code"), m + 1) + 1,
-        )
+    q = q.select("query_id", adc_tables_expr(F.col("q_vec"), codebooks).alias("dtab"))
+    adc = adc_dist_expr(F.col("dtab"), F.col("code"), n_subspaces)
     scored = (
         encoded.crossJoin(F.broadcast(q))
         .filter(F.col("query_id") != F.col("id"))
@@ -423,4 +457,71 @@ def pq_adc_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
+    )
+
+
+def ivfpq_topk(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    n_subspaces: int = 4,
+    n_codewords: int = 16,
+    queries: DataFrame | None = None,
+) -> DataFrame:
+    """IVF×PQ composition — the production ANN plan at 100 TB. The index
+    is (cell, PQ code) per corpus vector: IVF assignment partitions the
+    corpus into `n_centroids` cells (broadcast-centroid map pass), PQ
+    encodes each vector into M small codes (32× compression, so the
+    index fits executor memory). A query routes to its `n_probe`
+    nearest cells (`ivf_probes`, broadcast centroids) and runs
+    asymmetric-distance scoring ONLY against those cells' members via an
+    equi-join on centroid_id — candidate work is Σ probed-cell sizes,
+    i.e. ~corpus × n_probe/n_centroids, never |corpus|·|queries| (the
+    `pq_adc_topk` crossJoin this replaces). Returns
+    (query_id, neighbor_id, adc_dist, rank).
+
+    Recasts the ANN scale path the reference's drift engine would need
+    for embedding-cohort comparison; structure follows Jégou et al.,
+    "Product Quantization for Nearest Neighbor Search" (IVFADC),
+    re-expressed as DataFrame equi-joins."""
+    from pyspark.sql import Window as W
+
+    cents = ivf_centroids(df, id_col, vec_col, n_centroids)
+    cbs = pq_codebooks(df, id_col, vec_col, n_subspaces, n_codewords)
+
+    # index build: one (cell, code) row per corpus vector
+    assign = ivf_assign(df, cents, id_col, vec_col).select(
+        F.col("vec_id").alias("id"), "centroid_id"
+    )
+    cells = pq_encode(df, cbs, id_col, vec_col).join(assign, "id")
+
+    # query routing + per-query ADC tables (computed once per probe row;
+    # the table is M·K folds over literal codewords — cheap next to the
+    # per-candidate work it replaces)
+    q = queries if queries is not None else df
+    probes = ivf_probes(q, cents, id_col, vec_col, n_probe).select(
+        "query_id",
+        "centroid_id",
+        adc_tables_expr(F.col("q_vec"), cbs).alias("dtab"),
+    )
+
+    cand = (
+        probes.join(cells, "centroid_id")
+        .filter(F.col("query_id") != F.col("id"))
+        .select(
+            "query_id",
+            F.col("id").alias("neighbor_id"),
+            adc_dist_expr(F.col("dtab"), F.col("code"), n_subspaces).alias(
+                "adc_dist"
+            ),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("adc_dist"), F.col("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc_dist", "rank")
     )

@@ -108,6 +108,56 @@ def test_pq_encode_properties(spark, emb):
         assert list(by_id[s["vec_id"]]) == [k] * 4
 
 
+def test_ivfpq_topk_near_dup_recall(spark, planted):
+    """The IVF×PQ composition keeps the near-dup recall the routed
+    candidate set allows: with >=3/4 subspace-code agreement on planted
+    pairs (asserted below) the true source ADC-ranks near the top inside
+    its probed cell."""
+    from baselinr_spark.operators.similarity import ivfpq_topk
+
+    approx = ivfpq_topk(planted, "vec_id", "embedding", k=5,
+                        n_centroids=16, n_probe=4).collect()
+    assert _plant_recall(approx) >= 0.8
+
+
+def test_ivfpq_candidates_cell_bounded(spark, emb):
+    """The defining scale property vs pq_adc_topk: candidate count is
+    exactly Σ over (query, probed cell) of cell size (minus self-hits),
+    NOT |queries|·|corpus|; and the plan joins the encoded corpus via an
+    equi-join on centroid_id, not a cross join."""
+    from baselinr_spark.operators.similarity import (
+        ivf_assign, ivf_centroids, ivf_probes, ivfpq_topk,
+    )
+
+    n = emb.count()
+    cents = ivf_centroids(emb, "vec_id", "embedding", n_centroids=16)
+    cell_sizes = {
+        r["centroid_id"]: r["n"]
+        for r in ivf_assign(emb, cents, "vec_id", "embedding")
+        .groupBy("centroid_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    own_cell = {
+        r["vec_id"]: r["centroid_id"]
+        for r in ivf_assign(emb, cents, "vec_id", "embedding").collect()
+    }
+    probes = ivf_probes(emb, cents, "vec_id", "embedding", n_probe=4).collect()
+    expected = sum(
+        cell_sizes.get(p["centroid_id"], 0)
+        - (1 if own_cell[p["query_id"]] == p["centroid_id"] else 0)
+        for p in probes
+    )
+    # unbounded k → the output IS the candidate set
+    out = ivfpq_topk(emb, "vec_id", "embedding", k=10**9,
+                     n_centroids=16, n_probe=4)
+    got = out.count()
+    assert got == expected
+    assert got < n * n  # and in fact ~n * n_probe/n_centroids
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the only nested-loop joins are against the broadcast 16-row
+    # centroid set (routing); the encoded-corpus join is an equi-join
+    assert "CartesianProduct" not in plan
+
+
 def test_pq_code_agreement_and_adc_signal(spark, planted):
     """What sampled-codebook PQ honestly promises on random vectors:
     near-identical vectors quantize to (almost) the same codes — the
