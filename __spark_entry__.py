@@ -2893,6 +2893,40 @@ FROM s
 """
 
 
+def q_recommend_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smart-selection column-check recommender over the events + orders
+    schemas: per-column profile stats (one scan each) → semantic-type /
+    cardinality / name-pattern rule cascade → top-5 recommended checks
+    per column with confidence + priority. The DuckDB twin is generated
+    from the SAME rule spec (operators/recommender.py), so the gate
+    catches any divergence in the hand-mirrored condition snippets.
+    Recasts /root/reference/baselinr/smart_selection/recommender.py +
+    column_analysis/ (~4.8k LoC) as one DataFrame pass."""
+    from baselinr_spark.operators.recommender import (
+        column_stats, recommend_checks,
+    )
+
+    ev = _read(spark, sf_dir, "events")
+    orders = _read(spark, sf_dir, "orders")
+    stats = column_stats(ev, "events").unionByName(
+        column_stats(orders, "orders"))
+    return recommend_checks(stats)
+
+
+def _sql_recommend_checks() -> str:
+    from baselinr_spark.operators.recommender import oracle_recommend_sql
+
+    return oracle_recommend_sql({
+        "events": [("event_id", "bigint"), ("ts", "timestamp"),
+                   ("user_id", "bigint"), ("event_type", "string"),
+                   ("value", "double"), ("props", "string")],
+        "orders": [("o_orderkey", "bigint"), ("o_custkey", "bigint"),
+                   ("o_orderstatus", "string"), ("o_totalprice", "double"),
+                   ("o_orderdate", "timestamp"),
+                   ("o_orderpriority", "string")],
+    })
+
+
 def q_freshness_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-day freshness relative to the newest event (deterministic
     'now' proxy), reference step + linear decay."""
@@ -3846,110 +3880,95 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # come first (flagship, RCA, similarity/ANN, dedup-pairs), then queries
     # last driver-checked in round 1, then the round-2-checked block.
     return {
-        # --- never driver-checked before round 3 ---
-        # flagship
-        "keep_drop_docs": q_keep_drop_docs,
-        # new this round
-        "gopher_repetition_docs": q_gopher_repetition_docs,
-        "c4_line_rules_docs": q_c4_line_rules_docs,
-        # root-cause analysis
-        "rca_pipeline_causes": q_rca_pipeline_causes,
-        "rca_ranked_causes": q_rca_ranked_causes,
-        "rca_recurring_patterns": q_rca_recurring_patterns,
-        "rca_upstream_causes": q_rca_upstream_causes,
-        "rca_impact_analysis": q_rca_impact_analysis,
-        # dedup (pair/graph stages)
-        "lsh_verified_pairs": q_lsh_verified_pairs,
-        "connected_components": q_connected_components,
-        "simhash_near_pairs": q_simhash_near_pairs,
-        # similarity
-        "knn_cosine": q_knn_cosine,
-        "lsh_topk": q_lsh_topk,
-        "ivf_assign": q_ivf_assign,
-        "ivf_topk": q_ivf_topk,
-        "pq_encode": q_pq_encode,
-        "pq_adc_topk": q_pq_adc_topk,
+        # --- front block = the driver gate's 50-sample window:
+        # new this round + everything without a green r03 row, then the
+        # block last checked in round 1, padded with four r03 greens ---
+        "recommend_checks": q_recommend_checks,
         "ivfpq_topk": q_ivfpq_topk,
-        "embedding_near_dups": q_embedding_near_dups,
-        # classic analytics
-        "tpch_q1": q_tpch_q1,
-        "top_customers_revenue": q_top_customers_revenue,
-        # --- last driver-checked in round 1 ---
-        # text analysis
-        "doc_stats": q_doc_stats,
-        "token_counts": q_token_counts,
-        "lang_id_heuristic": q_lang_id_heuristic,
-        "quality_score_docs": q_quality_score_docs,
-        "fingerprint_docs": q_fingerprint_docs,
-        "vocabulary_docs": q_vocabulary_docs,
-        # dedup (per-doc stages)
-        "dedup_exact_summary": q_dedup_exact_summary,
-        "exact_dup_groups": q_exact_dup_groups,
-        "minhash_signatures": q_minhash_signatures,
-        "minhash_lsh_pairs": q_minhash_lsh_pairs,
-        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
-        "simhash_docs": q_simhash_docs,
-        # --- driver-checked green in round 2 ---
-        # profiling
-        "profile_lineitem": q_profile_lineitem,
-        "histogram_quantity": q_histogram_quantity,
-        "string_lengths_part": q_string_lengths_part,
-        "profile_orders_minmax": q_profile_orders_minmax,
-        "profile_wildcard_columns": q_profile_wildcard_columns,
-        # validation
-        "validation_suite": q_validation_suite,
-        "validation_samples": q_validation_samples,
-        "duplicate_samples": q_duplicate_samples,
-        # drift
-        "psi_value": q_psi_value,
-        "chi_square_event_type": q_chi_square_event_type,
-        "entropy_event_type": q_entropy_event_type,
-        "topk_jaccard_event_type": q_topk_jaccard_event_type,
-        "zscore_value": q_zscore_value,
-        "ks_value": q_ks_value,
-        # window / anomaly / learning
-        "daily_ma7": q_daily_ma7,
-        "ewma_daily": q_ewma_daily,
-        "iqr_outlier_days": q_iqr_outlier_days,
-        "rowcount_stability": q_rowcount_stability,
         "regime_shift_daily": q_regime_shift_daily,
         "learn_expectations": q_learn_expectations,
         "mad_outlier_days": q_mad_outlier_days,
         "control_limits_daily": q_control_limits_daily,
-        # baseline selection
         "moving_avg_baseline": q_moving_avg_baseline,
         "stable_window_baseline": q_stable_window_baseline,
         "seasonality_check_daily": q_seasonality_check_daily,
         "auto_baseline_daily": q_auto_baseline_daily,
         "prior_period_baseline": q_prior_period_baseline,
         "learn_categorical_freqs": q_learn_categorical_freqs,
-        # drift strategy + schema drift
         "drift_absolute_threshold": q_drift_absolute_threshold,
         "drift_stddev_strategy": q_drift_stddev_strategy,
         "drift_typed_thresholds": q_drift_typed_thresholds,
         "seasonal_residual_days": q_seasonal_residual_days,
         "schema_diff_orders": q_schema_diff_orders,
         "schema_rename_candidates": q_schema_rename_candidates,
-        # partition filters + sampling
         "partition_latest_day": q_partition_latest_day,
         "partition_recent_days": q_partition_recent_days,
         "hash_sample_orders": q_hash_sample_orders,
         "stratified_sample_orders": q_stratified_sample_orders,
-        # type inference + rule fire rates
         "type_inference_orders": q_type_inference_orders,
         "rule_fire_rates_docs": q_rule_fire_rates_docs,
-        # quality score + smart selection
         "quality_score_orders": q_quality_score_orders,
         "column_stability": q_column_stability,
         "quality_score_full": q_quality_score_full,
         "smart_selection": q_smart_selection,
         "freshness_scores": q_freshness_scores,
-        # table scoping + metadata query client + lineage
         "table_matcher_counts": q_table_matcher_counts,
         "query_runs_paginated": q_query_runs,
         "active_drift_summary": q_active_drift_summary,
         "lineage_upstream": q_lineage_upstream,
         "lineage_path": q_lineage_path,
+        "doc_stats": q_doc_stats,
+        "token_counts": q_token_counts,
+        "lang_id_heuristic": q_lang_id_heuristic,
+        "quality_score_docs": q_quality_score_docs,
+        "fingerprint_docs": q_fingerprint_docs,
+        "vocabulary_docs": q_vocabulary_docs,
+        "dedup_exact_summary": q_dedup_exact_summary,
+        "exact_dup_groups": q_exact_dup_groups,
+        "minhash_signatures": q_minhash_signatures,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "simhash_docs": q_simhash_docs,
+        "keep_drop_docs": q_keep_drop_docs,
+        "gopher_repetition_docs": q_gopher_repetition_docs,
+        "c4_line_rules_docs": q_c4_line_rules_docs,
+        "rca_pipeline_causes": q_rca_pipeline_causes,
+        # --- driver-checked green in rounds 2-3 ---
+        "rca_ranked_causes": q_rca_ranked_causes,
+        "rca_recurring_patterns": q_rca_recurring_patterns,
+        "rca_upstream_causes": q_rca_upstream_causes,
+        "rca_impact_analysis": q_rca_impact_analysis,
+        "lsh_verified_pairs": q_lsh_verified_pairs,
+        "connected_components": q_connected_components,
+        "simhash_near_pairs": q_simhash_near_pairs,
+        "knn_cosine": q_knn_cosine,
+        "lsh_topk": q_lsh_topk,
+        "ivf_assign": q_ivf_assign,
+        "ivf_topk": q_ivf_topk,
+        "pq_encode": q_pq_encode,
+        "pq_adc_topk": q_pq_adc_topk,
+        "embedding_near_dups": q_embedding_near_dups,
+        "tpch_q1": q_tpch_q1,
+        "top_customers_revenue": q_top_customers_revenue,
+        "profile_lineitem": q_profile_lineitem,
+        "histogram_quantity": q_histogram_quantity,
+        "string_lengths_part": q_string_lengths_part,
+        "profile_orders_minmax": q_profile_orders_minmax,
+        "profile_wildcard_columns": q_profile_wildcard_columns,
+        "validation_suite": q_validation_suite,
+        "validation_samples": q_validation_samples,
+        "duplicate_samples": q_duplicate_samples,
+        "psi_value": q_psi_value,
+        "chi_square_event_type": q_chi_square_event_type,
+        "entropy_event_type": q_entropy_event_type,
+        "topk_jaccard_event_type": q_topk_jaccard_event_type,
+        "zscore_value": q_zscore_value,
+        "ks_value": q_ks_value,
+        "daily_ma7": q_daily_ma7,
+        "ewma_daily": q_ewma_daily,
+        "iqr_outlier_days": q_iqr_outlier_days,
+        "rowcount_stability": q_rowcount_stability,
+    
     }
 
 
@@ -4004,6 +4023,7 @@ def oracle_sql() -> dict[str, str]:
         "column_stability": _SQL_COLUMN_STABILITY,
         "quality_score_full": _SQL_QUALITY_SCORE_FULL,
         "smart_selection": _SQL_SMART_SELECTION,
+        "recommend_checks": _sql_recommend_checks(),
         "freshness_scores": _SQL_FRESHNESS,
         "table_matcher_counts": _SQL_TABLE_MATCHER_COUNTS,
         "query_runs_paginated": _SQL_QUERY_RUNS,
