@@ -3850,8 +3850,8 @@ f AS (
 )
 SELECT doc_id,
        CASE WHEN len(lines) > 0
-            THEN len(list_filter(lines, ln -> starts_with(ln, '-')
-                     OR starts_with(ln, '*') OR starts_with(ln, '•')))::double
+            THEN len(list_filter(lines, ln -> starts_with(ln, '- ')
+                     OR starts_with(ln, '* ') OR starts_with(ln, '• ')))::double
                  / len(lines) ELSE 0.0 END AS bullet_line_fraction,
        CASE WHEN len(lines) > 0
             THEN len(list_filter(lines, ln -> ends_with(ln, '...')

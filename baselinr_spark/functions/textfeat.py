@@ -301,9 +301,11 @@ def with_line_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     def frac(pred_count):
         return F.when(n_lines > 0, pred_count / n_lines).otherwise(F.lit(0.0))
 
+    # bullet-char + space, so '-5 degrees' / '*emphasis*' don't count as
+    # bullet points (the prefix the Gopher rule intends)
     bullet = F.size(F.filter(
-        lines, lambda ln: ln.startswith("-") | ln.startswith("*")
-        | ln.startswith("•")
+        lines, lambda ln: ln.startswith("- ") | ln.startswith("* ")
+        | ln.startswith("• ")
     ))
     ellipsis = F.size(F.filter(
         lines, lambda ln: ln.endswith("...") | ln.endswith("…")

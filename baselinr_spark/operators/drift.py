@@ -147,29 +147,39 @@ def psi_pairwise_lag(
     cohort_col: str,
     bucket_col: str,
     count_col: str,
+    key_cols: list[str] | None = None,
 ) -> DataFrame:
     """PSI of every cohort vs its predecessor (ordered by cohort value) in
     one plan: pivot cohort→prob map per bucket is avoided; instead
     collect each cohort's distribution as a sorted array and lag it.
     Cohort count is small (per-day partitions), so the collect_list per
-    cohort is bounded by the bucket count (10)."""
+    cohort is bounded by the bucket count (10).
+
+    ``key_cols`` keys the lag window (one independent PSI sequence per
+    key — per metric/table/column), matching `ks_from_histograms` /
+    `top_k_jaccard`; without it the window is global, which is fine for
+    one bounded sequence but warns and single-partitions at scale."""
     from pyspark.sql import Window as W
 
-    tot = dist.groupBy(cohort_col).agg(F.sum(count_col).alias("__tot"))
+    key_cols = list(key_cols or [])
+    tot = dist.groupBy(*key_cols, cohort_col).agg(
+        F.sum(count_col).alias("__tot"))
     probs = (
-        dist.join(F.broadcast(tot), cohort_col)
+        dist.join(F.broadcast(tot), key_cols + [cohort_col])
         .select(
+            *key_cols,
             F.col(cohort_col).alias("cohort"),
             F.col(bucket_col).alias("bucket"),
             (F.col(count_col) / F.when(F.col("__tot") > 0, F.col("__tot")).otherwise(1.0)).alias("p"),
         )
     )
-    per_cohort = probs.groupBy("cohort").agg(
+    per_cohort = probs.groupBy(*key_cols, "cohort").agg(
         F.map_from_entries(
             F.array_sort(F.collect_list(F.struct("bucket", "p")))
         ).alias("dist")
     )
-    w = W.orderBy("cohort")
+    w = (W.partitionBy(*key_cols).orderBy("cohort") if key_cols
+         else W.orderBy("cohort"))
     lagged = per_cohort.withColumn("base_dist", F.lag("dist").over(w)).filter(
         F.col("base_dist").isNotNull()
     )
@@ -186,6 +196,7 @@ def psi_pairwise_lag(
     )
     psi_col = F.aggregate(term, F.lit(0.0), lambda acc, x: acc + x)
     return lagged.select(
+        *key_cols,
         F.col("cohort"),
         psi_col.alias("psi"),
         (psi_col > 0.2).alias("drift"),

@@ -237,14 +237,21 @@ def drift_events(
         m.filter(F.col("metric_name").startswith("ppl_bucket:"))
         .select(
             F.col("partition"),
+            # PSI sequences are per-metric family; keying the lag window
+            # by the family DERIVED FROM DATA (not a literal — Catalyst
+            # constant-folds a lit() key right back out of the window
+            # spec) keeps the window partitioned, so adding more bucket
+            # families later parallelizes instead of single-partitioning
+            F.split(F.col("metric_name"), ":")[0].alias("metric"),
             F.split(F.col("metric_name"), ":")[1].cast("int").alias("bucket"),
             F.col("metric_value").alias("count"),
         )
         # latest metrics per partition survive via overwrite; dedupe anyway
-        .groupBy("partition", "bucket")
+        .groupBy("partition", "metric", "bucket")
         .agg(F.max("count").alias("count"))
     )
-    psi_df = psi_pairwise_lag(buckets, "partition", "bucket", "count")
+    psi_df = psi_pairwise_lag(buckets, "partition", "bucket", "count",
+                              key_cols=["metric"])
     return psi_df.select(
         F.concat(F.lit("evt-"), F.md5(F.concat_ws("|", F.lit(run_id), F.col("cohort")))).alias("event_id"),
         F.lit("distribution_drift").alias("event_type"),
@@ -412,7 +419,7 @@ def run_pipeline(
             chunk_skew = _resolve_skew_mode(
                 input_path, chunk, spark.sparkContext.defaultParallelism
             )
-            summary.setdefault("skew_mode_used", {})[",".join(chunk[:1])] = chunk_skew
+            summary.setdefault("skew_mode_used", {})[",".join(chunk)] = chunk_skew
         prior_split = spark.conf.get(
             "spark.sql.files.maxPartitionBytes", str(128 << 20)
         )
@@ -603,6 +610,11 @@ def run_pipeline(
             raise RuntimeError(f"injected failure before manifest commit of chunk {ci}")
 
         now = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
+        # cost-cap downgraded chunks commit as status='sampled' with the
+        # fraction recorded, NOT 'done': the planner skips them only
+        # while the same cap+fraction still applies and promotes them to
+        # a full run once caps are lifted — a 'done' commit would
+        # silently freeze the partition at ~fraction of its docs forever
         manifest.commit_partitions(
             spark,
             output_root,
@@ -610,12 +622,13 @@ def run_pipeline(
             [
                 {
                     "partition": p,
-                    "status": "done",
+                    "status": "done" if chunk_frac is None else "sampled",
                     "doc_count": counts.get(p, (0, 0))[0],
                     "kept_count": counts.get(p, (0, 0))[1],
                     "completed_at": now,
                     "snapshot_id": f"{run_id}:{ci}",
                     "fingerprint": chunk_fps[p],
+                    "sample_fraction": chunk_frac,
                 }
                 for p in chunk
             ],

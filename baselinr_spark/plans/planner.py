@@ -82,6 +82,7 @@ def partition_stats(input_path: str, partitions: list[str]) -> list[tuple]:
         nbytes = 0
         nrows = 0
         rows_known = False
+        unread_bytes = 0  # files whose footer failed: estimate, don't drop
         if os.path.isdir(d):
             for root, _, files in os.walk(d):
                 for f in sorted(files):
@@ -89,17 +90,24 @@ def partition_stats(input_path: str, partitions: list[str]) -> list[tuple]:
                         continue
                     full = os.path.join(root, f)
                     try:
-                        nbytes += os.stat(full).st_size
+                        sz = os.stat(full).st_size
                     except OSError:
                         continue
+                    nbytes += sz
                     if pq is not None and f.endswith(".parquet"):
                         try:
                             nrows += pq.ParquetFile(full).metadata.num_rows
                             rows_known = True
                         except Exception:
-                            pass
+                            # a single bad footer must not silently
+                            # undercount the partition below the rows
+                            # cap: fall back to the ~1KB/row heuristic
+                            # for THIS file's bytes
+                            unread_bytes += sz
         if not rows_known:
             nrows = nbytes // 1024  # reference heuristic: ~1KB/row
+        else:
+            nrows += unread_bytes // 1024
         return (p, nbytes, nrows)
 
     # footer/stat reads are I/O-bound; a thread pool keeps planning at
@@ -159,11 +167,13 @@ def plan_partitions(
 
     state = (
         manifest.latest_state(manifest.read_manifest(spark, output_root))
-        .filter(F.col("status") == "done")
+        .filter(F.col("status").isin("done", "sampled"))
         .select(
             "partition",
+            F.col("status").alias("stored_status"),
             F.col("fingerprint").alias("stored_fp"),
             F.col("completed_at").alias("last_profiled_at"),
+            F.col("sample_fraction").alias("stored_fraction"),
         )
     )
     joined = meta.join(F.broadcast(state), "partition", "left")
@@ -194,10 +204,17 @@ def plan_partitions(
     fp_match = F.col("stored_fp").isNotNull() & (
         F.col("stored_fp") == F.col("current_fp")
     )
-    done = F.col("last_profiled_at").isNotNull()
-    # without reprocess_changed, done partitions never re-run (legacy
-    # manifest-only resume); with it, only a fingerprint match skips
+    ever_profiled = F.col("last_profiled_at").isNotNull()
+    done = ever_profiled & (F.col("stored_status") == "done")
+    # without reprocess_changed, FULLY-done partitions never re-run
+    # (legacy manifest-only resume); with it, only a fingerprint match
+    # skips. Partitions whose latest run was cost-cap SAMPLED are never
+    # terminally done: they skip only while the same cap + fraction
+    # still applies (re-sampling the same deterministic url-hash cohort
+    # would reproduce the identical output), and are otherwise promoted
+    # to a full run.
     would_skip_done = done & (fp_match | F.lit(not reprocess_changed))
+    stored_sampled = ever_profiled & (F.col("stored_status") == "sampled")
 
     over_bytes = (
         F.lit(cost.enabled and cost.max_bytes_scanned is not None)
@@ -209,6 +226,11 @@ def plan_partitions(
     )
     capped_action = {"sample": "sample", "defer": "defer"}.get(
         cost.fallback_strategy, "run"
+    )
+    sampled_cap_unchanged = (
+        stored_sampled & fp_match & (over_bytes | over_rows)
+        & F.lit(capped_action == "sample")
+        & (F.col("stored_fraction") == F.lit(float(cost.sample_fraction)))
     )
 
     decision = (
@@ -223,13 +245,19 @@ def plan_partitions(
         .when(would_skip_done, F.struct(
             F.lit("skip").alias("action"),
             F.lit("already_profiled").alias("reason")))
+        .when(sampled_cap_unchanged, F.struct(
+            F.lit("skip").alias("action"),
+            F.lit("sampled_cap_unchanged").alias("reason")))
         .when(over_bytes, F.struct(
             F.lit(capped_action).alias("action"),
             F.lit("bytes_cap_exceeded").alias("reason")))
         .when(over_rows, F.struct(
             F.lit(capped_action).alias("action"),
             F.lit("rows_cap_exceeded").alias("reason")))
-        .when(done, F.struct(
+        .when(stored_sampled & fp_match, F.struct(
+            F.lit("run").alias("action"),
+            F.lit("promote_sampled_to_full").alias("reason")))
+        .when(ever_profiled, F.struct(
             F.lit("run").alias("action"),
             F.lit("change_detected").alias("reason")))
         .otherwise(F.struct(

@@ -24,7 +24,7 @@ from pyspark.sql import Window as W
 MANIFEST_DDL = (
     "run_id string, partition string, status string, doc_count long, "
     "kept_count long, completed_at timestamp, snapshot_id string, "
-    "fingerprint string"
+    "fingerprint string, sample_fraction double"
 )
 
 
@@ -36,9 +36,13 @@ def read_manifest(spark: SparkSession, output_root: str) -> DataFrame:
     path = manifest_path(output_root)
     if not os.path.isdir(path):
         return spark.createDataFrame([], schema=MANIFEST_DDL)
-    m = spark.read.parquet(path)
+    # mergeSchema: manifests written before a column existed coexist
+    # with newer rows in the same append-only dir
+    m = spark.read.option("mergeSchema", "true").parquet(path)
     if "fingerprint" not in m.columns:  # pre-fingerprint manifests
         m = m.withColumn("fingerprint", F.lit(None).cast("string"))
+    if "sample_fraction" not in m.columns:  # pre-cost-cap manifests
+        m = m.withColumn("sample_fraction", F.lit(None).cast("double"))
     return m
 
 
@@ -53,6 +57,9 @@ def latest_state(manifest: DataFrame) -> DataFrame:
 
 
 def done_partitions(spark: SparkSession, output_root: str) -> list[str]:
+    """Partitions whose latest state is a FULL run. Cost-capped runs are
+    committed as status='sampled' and deliberately excluded, so a later
+    un-capped run promotes them to full instead of skipping forever."""
     m = read_manifest(spark, output_root)
     rows = (
         latest_state(m)
@@ -91,11 +98,13 @@ def commit_partitions(
                 r["completed_at"],
                 r.get("snapshot_id"),
                 r.get("fingerprint"),
+                r.get("sample_fraction"),
             )
             for r in rows
         ],
         columns=["run_id", "partition", "status", "doc_count",
-                 "kept_count", "completed_at", "snapshot_id", "fingerprint"],
+                 "kept_count", "completed_at", "snapshot_id", "fingerprint",
+                 "sample_fraction"],
     )
     df = spark.createDataFrame(pdf, schema=MANIFEST_DDL)
     df.coalesce(1).write.mode("append").parquet(manifest_path(output_root))

@@ -147,3 +147,69 @@ def test_pipeline_sample_downgrade_and_defer(spark, warehouse, out_root,
     assert set(s["partitions_deferred"]) == big
     assert set(s["partitions_processed"]) == set(parts) - big
     assert set(counts(defer_root)) == set(parts) - big
+
+
+def test_sampled_partitions_promote_to_full(spark, warehouse, out_root):
+    """A cost-cap sampled partition is committed as status='sampled'
+    (with the fraction), keeps skipping only while the same cap+fraction
+    applies, and is promoted to a full run once caps are lifted."""
+    import pyspark.sql.functions as F
+
+    from baselinr_spark.sources import manifest as mf
+
+    parts = catalog.list_partitions(warehouse)
+    stats = {p: (b, r) for p, b, r in partition_stats(warehouse, parts)}
+    sizes = sorted(b for b, _ in stats.values())
+    cap = sizes[len(sizes) // 2]
+    big = {p for p, (b, _) in stats.items() if b > cap}
+
+    cc = CostControls(enabled=True, max_bytes_scanned=cap,
+                      fallback_strategy="sample", sample_fraction=0.3)
+    run_pipeline(spark, warehouse, out_root, run_id="r1", cost=cc)
+
+    state = {r["partition"]: r for r in mf.latest_state(
+        mf.read_manifest(spark, out_root)).collect()}
+    for p in parts:
+        if p in big:
+            assert state[p]["status"] == "sampled"
+            assert state[p]["sample_fraction"] == 0.3
+        else:
+            assert state[p]["status"] == "done"
+            assert state[p]["sample_fraction"] is None
+
+    # same cap + fraction → sampled partitions skip (identical cohort)
+    d = _plan_dict(plan_partitions(spark, warehouse, out_root, cost=cc))
+    for p in parts:
+        expect = "sampled_cap_unchanged" if p in big else "snapshot_match"
+        assert d[p]["action"] == "skip" and d[p]["reason"] == expect
+
+    # different fraction → re-sample; caps lifted → promote to full
+    cc2 = CostControls(enabled=True, max_bytes_scanned=cap,
+                       fallback_strategy="sample", sample_fraction=0.6)
+    d = _plan_dict(plan_partitions(spark, warehouse, out_root, cost=cc2))
+    assert all(d[p]["action"] == "sample" for p in big)
+    d = _plan_dict(plan_partitions(spark, warehouse, out_root))
+    for p in parts:
+        if p in big:
+            assert d[p]["action"] == "run"
+            assert d[p]["reason"] == "promote_sampled_to_full"
+        else:
+            assert d[p]["action"] == "skip"
+
+    # uncapped run promotes: full doc counts land, manifest says done.
+    # (the legacy fast path must also re-run sampled partitions)
+    assert set(mf.done_partitions(spark, out_root)) == set(parts) - big
+    s2 = run_pipeline(spark, warehouse, out_root, run_id="r2")
+    assert sorted(s2["partitions_processed"]) == sorted(big)
+    state = {r["partition"]: r for r in mf.latest_state(
+        mf.read_manifest(spark, out_root)).collect()}
+    assert all(state[p]["status"] == "done" for p in parts)
+    docs = spark.read.parquet(os.path.join(out_root, "docs"))
+    per = {r["dt"]: r["n"] for r in docs.groupBy(
+        F.col("dt").cast("string").alias("dt")).agg(
+        F.count("*").alias("n")).collect()}
+    pages = spark.read.parquet(warehouse)
+    full = {r["dt"]: r["n"] for r in pages.groupBy(
+        F.col("dt").cast("string").alias("dt")).agg(
+        F.count("*").alias("n")).collect()}
+    assert per == full

@@ -136,22 +136,35 @@ def main() -> int:
     results = {}
     n_lo = int(os.environ.get('SCALE_N_CORES', '2'))
     n_hi = 4 * n_lo
+    n_pairs = int(os.environ.get('SCALE_PAIRS', '3'))
     host_effs = []
-    # best-of-2 per level: the sandbox host is noisy (+-30% between
-    # back-to-back identical runs); min wall filters neighbor interference.
-    # A host-ceiling calibration brackets every pipeline run.
-    for cores in (n_lo, n_hi, n_lo, n_hi):
-        host_effs.append(host_mp_efficiency(n_lo, n_hi))
-        s = run_once(cores, pages_dir, zip_path)
-        r = {
-            "wall_s": s["pipeline_wall_s"],
-            "docs": s["doc_count"],
-            "docs_per_sec": round(s["doc_count"] / s["pipeline_wall_s"], 1),
-        }
-        if cores not in results or r["wall_s"] < results[cores]["wall_s"]:
-            results[cores] = r
+    pair_effs = []
+    pairs = []
+    # >=3 (N, 4N) pairs with a host-ceiling calibration interleaved
+    # before EVERY pipeline run plus one final bracket (2*pairs+1
+    # samples): the headline raw efficiency is the median of the
+    # per-pair efficiencies, which is robust to a single contended run
+    # on this +-30%-noisy host; best-of per level is kept as context.
+    for i in range(n_pairs):
+        level = {}
+        for cores in (n_lo, n_hi):
+            host_effs.append(host_mp_efficiency(n_lo, n_hi))
+            s = run_once(cores, pages_dir, zip_path)
+            r = {
+                "wall_s": s["pipeline_wall_s"],
+                "docs": s["doc_count"],
+                "docs_per_sec": round(s["doc_count"] / s["pipeline_wall_s"], 1),
+            }
+            level[cores] = r
+            if cores not in results or r["wall_s"] < results[cores]["wall_s"]:
+                results[cores] = r
+        pe = (level[n_hi]["docs_per_sec"] / level[n_lo]["docs_per_sec"]) / 4.0
+        pair_effs.append(pe)
+        pairs.append({"pair": i + 1, "N": level[n_lo], "4N": level[n_hi],
+                      "eff": round(pe, 3)})
     host_effs.append(host_mp_efficiency(n_lo, n_hi))
     host_eff = sorted(host_effs)[len(host_effs) // 2]
+    cal_spread = (max(host_effs) - min(host_effs)) / 2.0
 
     mode = os.environ.get("SCALE_MODE", "local-cluster")
     if mode == "local-cluster":
@@ -160,19 +173,30 @@ def main() -> int:
     else:
         lo_name = f"local[{n_lo}]"
         hi_name = f"local[{n_hi}]"
-    eff = (results[n_hi]["docs_per_sec"] / results[n_lo]["docs_per_sec"]) / 4.0
+    eff = sorted(pair_effs)[len(pair_effs) // 2]  # median of pairs
+    eff_best = (results[n_hi]["docs_per_sec"]
+                / results[n_lo]["docs_per_sec"]) / 4.0
     norm = eff / host_eff if host_eff > 0 else eff
+    # pass is keyed to RAW efficiency; the host-normalized number is a
+    # secondary path that only counts when it clears a HIGHER bar (0.85)
+    # AND the calibration itself was stable (spread <= +-0.05) — a noisy
+    # ceiling must not launder a genuine scaling regression
     out = {
         "n_docs": n_docs,
-        "n": n_lo, "4n": n_hi, "mode": mode,
+        "n": n_lo, "4n": n_hi, "mode": mode, "n_pairs": n_pairs,
         "localN": results[n_lo],
         "local4N": results[n_hi],
+        "pairs": pairs,
         "scaling_efficiency_n_to_4n": round(eff, 3),
+        "scaling_efficiency_best_of": round(eff_best, 3),
         "host_mp_ceiling": round(host_eff, 3),
         "host_mp_ceiling_samples": [round(e, 3) for e in host_effs],
+        "host_mp_ceiling_spread": round(cal_spread, 3),
         "normalized_efficiency": round(norm, 3),
         "target": 0.8,
-        "pass": eff >= 0.8 or norm >= 0.8,
+        "pass_raw": eff >= 0.8,
+        "pass_normalized": norm >= 0.85 and cal_spread <= 0.05,
+        "pass": eff >= 0.8 or (norm >= 0.85 and cal_spread <= 0.05),
     }
     print(json.dumps(out))
 
@@ -209,19 +233,35 @@ def main() -> int:
             "baseline pays the same fixed driver/AQE/python-worker costs but\n"
             "is still the most favorable denominator, which is why the\n"
             "current default is back to N=2, the stricter baseline).\n\n"
-            f"**Scaling efficiency** = (docs/sec@4N / docs/sec@N) / 4 = "
-            f"**{eff:.3f}** at {lo_name}->{hi_name} "
-            f"(target >= 0.8: {'PASS' if eff >= 0.8 else 'FAIL'})\n\n"
-            "Host calibration: the SAME fixed sha256 workload split over\n"
+            f"**Raw scaling efficiency** = median over {n_pairs} "
+            f"interleaved (N, 4N) pairs of (docs/sec@4N / docs/sec@N) / 4 "
+            f"= **{eff:.3f}** at {lo_name}->{hi_name} "
+            f"(target >= 0.8: {'PASS' if eff >= 0.8 else 'FAIL'}; "
+            f"best-of-levels {eff_best:.3f})\n\n"
+            "Per-pair runs:\n\n"
+            "| pair | N wall s | N docs/s | 4N wall s | 4N docs/s | eff |\n"
+            "|---|---|---|---|---|---|\n"
+            + "".join(
+                f"| {p['pair']} | {p['N']['wall_s']} | "
+                f"{p['N']['docs_per_sec']} | {p['4N']['wall_s']} | "
+                f"{p['4N']['docs_per_sec']} | {p['eff']} |\n"
+                for p in pairs)
+            + "\nHost calibration: the SAME fixed sha256 workload split over\n"
             f"{n_lo} vs {n_hi} plain OS processes (no Spark, no Python GIL\n"
-            "sharing, nothing to coordinate) measured alongside each pipeline\n"
-            f"run gave efficiency {host_eff:.3f} (median of\n"
-            f"{[round(e, 3) for e in host_effs]}) -- the virtualized host\n"
-            "itself does not deliver 4x CPU from 4x processes at all times.\n"
-            f"Normalized to that ceiling the pipeline scales at\n"
-            f"**{norm:.3f}** "
-            f"({'PASS' if norm >= 0.8 else 'FAIL'} against the 0.8 target).\n\n"
-            "Best of 2 runs per level (noisy shared host).\n\n"
+            "sharing, nothing to coordinate), measured immediately before\n"
+            "every pipeline run plus a final bracket, gave efficiency\n"
+            f"{host_eff:.3f} (median of\n"
+            f"{[round(e, 3) for e in host_effs]}, spread +-{cal_spread:.3f})\n"
+            "-- the virtualized host itself does not deliver 4x CPU from 4x\n"
+            "processes at all times. Normalized to that ceiling the pipeline\n"
+            f"scales at **{norm:.3f}**.\n\n"
+            "**The pass criterion is keyed to the RAW number** (>= 0.8); the\n"
+            "normalized number is a secondary path that only counts when it\n"
+            "clears a higher bar (>= 0.85) AND the calibration spread is\n"
+            "<= +-0.05, so a noisy ceiling cannot launder a real scaling\n"
+            f"regression. This run: raw {'PASS' if out['pass_raw'] else 'FAIL'}, "
+            f"normalized {'PASS' if out['pass_normalized'] else 'FAIL'} "
+            f"=> overall {'PASS' if out['pass'] else 'FAIL'}.\n\n"
             "Reproduce: `python tools/bench_scaling.py " + str(n_docs) + "`\n"
         )
     return 0
