@@ -3241,6 +3241,187 @@ SELECT 2, 'ASIA' FROM hop
 """
 
 
+def q_lineage_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blast-radius + weighted impact score for every node of a 4-level
+    lineage DAG (suppliers → nations → regions → per-region dashboards,
+    plus an isolated audit_log node exercising the orphan path). The
+    whole-graph scoring — transitive descendant sets, BFS depths, leaf
+    fanout, exposure/mart criticality, boosts — runs as O(depth)
+    distributed joins (operators/lineage_impact.py); the DuckDB twin
+    recomputes it with recursive CTEs, a genuinely different shape."""
+    from baselinr_spark.operators.lineage_impact import lineage_impact
+
+    sup = _read(spark, sf_dir, "supplier")
+    nat = _read(spark, sf_dir, "nation")
+    reg = _read(spark, sf_dir, "region")
+    edges = (
+        sup.join(nat, sup["s_nationkey"] == nat["n_nationkey"])
+        .select(F.col("s_name").alias("upstream_table"),
+                F.col("n_name").alias("downstream_table"))
+        .unionByName(
+            nat.join(reg, nat["n_regionkey"] == reg["r_regionkey"])
+            .select(F.col("n_name").alias("upstream_table"),
+                    F.col("r_name").alias("downstream_table")))
+        .unionByName(
+            reg.select(F.col("r_name").alias("upstream_table"),
+                       F.concat(F.lit("dash_"), F.col("r_name"))
+                       .alias("downstream_table")))
+    )
+    nodes = (
+        sup.select(F.col("s_name").alias("table"),
+                   F.lit("source").alias("node_type"))
+        .unionByName(nat.select(F.col("n_name").alias("table"),
+                                F.lit("staging").alias("node_type")))
+        .unionByName(reg.select(F.col("r_name").alias("table"),
+                                F.lit("mart").alias("node_type")))
+        .unionByName(reg.select(
+            F.concat(F.lit("dash_"), F.col("r_name")).alias("table"),
+            F.lit("dashboard").alias("node_type")))
+        .unionByName(spark.createDataFrame(
+            [("audit_log", "source")], "table string, node_type string"))
+    )
+    return lineage_impact(edges, nodes)
+
+
+_SQL_LINEAGE_IMPACT = """
+WITH RECURSIVE
+edges AS (
+  SELECT s_name AS src, n_name AS dst
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  UNION
+  SELECT n_name, r_name FROM nation JOIN region ON n_regionkey = r_regionkey
+  UNION
+  SELECT r_name, 'dash_' || r_name FROM region
+),
+typed AS (
+  SELECT s_name AS tbl, 'source' AS node_type FROM supplier
+  UNION SELECT n_name, 'staging' FROM nation
+  UNION SELECT r_name, 'mart' FROM region
+  UNION SELECT 'dash_' || r_name, 'dashboard' FROM region
+  UNION SELECT 'audit_log', 'source'
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst
+),
+paths(node, depth) AS (
+  SELECT t.tbl, 0 FROM typed t WHERE t.tbl NOT IN (SELECT dst FROM edges)
+  UNION
+  SELECT e.dst, p.depth + 1 FROM paths p JOIN edges e ON e.src = p.node
+),
+depths AS (SELECT node, min(depth) AS depth FROM paths GROUP BY node),
+upc AS (SELECT dst AS tbl, count(*) AS n FROM edges GROUP BY dst),
+dnc AS (SELECT src AS tbl, count(*) AS n FROM edges GROUP BY src),
+base AS (
+  SELECT t.tbl, t.node_type,
+         coalesce(u.n, 0) AS upstream_count,
+         coalesce(d.n, 0) AS downstream_count,
+         coalesce(dp.depth, 0) AS depth
+  FROM typed t
+  LEFT JOIN upc u ON u.tbl = t.tbl
+  LEFT JOIN dnc d ON d.tbl = t.tbl
+  LEFT JOIN depths dp ON dp.node = t.tbl
+),
+leafset AS (SELECT tbl FROM base WHERE downstream_count = 0),
+dagg AS (
+  SELECT r.src AS tbl,
+         count(*) AS total_downstream,
+         sum(CASE WHEN r.dst IN (SELECT tbl FROM leafset)
+             THEN 1 ELSE 0 END) AS fanout_factor,
+         sum(CASE WHEN td.node_type IN
+             ('exposure','dashboard','report','notebook','ml_model')
+             THEN 1 ELSE 0 END) AS n_exposures,
+         sum(CASE WHEN td.node_type = 'mart' THEN 1 ELSE 0 END) AS n_marts
+  FROM reach r JOIN typed td ON td.tbl = r.dst
+  GROUP BY r.src
+),
+g AS (
+  SELECT b.*,
+         coalesce(a.total_downstream, 0) AS total_downstream,
+         coalesce(a.fanout_factor, 0) AS fanout_factor,
+         coalesce(a.n_exposures, 0) AS n_exposures,
+         coalesce(a.n_marts, 0) AS n_marts,
+         (b.upstream_count = 0) AS is_root,
+         (b.downstream_count = 0) AS is_leaf,
+         (b.upstream_count = 0 AND b.downstream_count = 0) AS is_orphaned
+  FROM base b LEFT JOIN dagg a ON a.tbl = b.tbl
+),
+mx AS (
+  SELECT greatest(max(total_downstream), 1) AS max_down,
+         greatest(max(fanout_factor), 1) AS max_fanout,
+         max(depth) AS max_depth
+  FROM g
+),
+scored AS (
+  SELECT g.*, mx.max_down, mx.max_fanout, mx.max_depth,
+    CASE WHEN total_downstream = 0 THEN 0.0
+         ELSE least(1.0, ln(1.0 + total_downstream::double)
+                         / ln(1.0 + max_down::double)) END AS down_score,
+    CASE WHEN max_depth = 0 THEN 0.5
+         ELSE (max_depth - depth)::double / max_depth::double
+         END AS depth_score,
+    CASE WHEN total_downstream = 0 THEN
+           CASE WHEN node_type IN
+                ('exposure','dashboard','report','notebook','ml_model')
+                THEN 1.0 ELSE 0.0 END
+         ELSE least(1.0, (n_exposures + 0.5 * n_marts)
+                         / total_downstream::double) END AS crit_score,
+    CASE WHEN fanout_factor = 0 THEN 0.0
+         ELSE least(1.0, fanout_factor::double / max_fanout::double)
+         END AS fan_score
+  FROM g, mx
+),
+boosted AS (
+  SELECT *,
+    CASE WHEN is_orphaned THEN least(b3, 0.5) ELSE b3 END AS boost
+  FROM (
+    SELECT *,
+      CASE WHEN is_leaf AND NOT is_root THEN least(b2, 0.6) ELSE b2 END AS b3
+    FROM (
+      SELECT *,
+        CASE WHEN fanout_factor > max_fanout * 0.5
+             THEN b1 * 1.15 ELSE b1 END AS b2
+      FROM (
+        SELECT *,
+          CASE WHEN is_root AND NOT is_orphaned
+               THEN greatest(1.0, 1.25) ELSE 1.0 END AS b1
+        FROM scored
+      )
+    )
+  )
+)
+SELECT tbl AS "table", node_type,
+       CASE WHEN is_orphaned THEN 'orphaned'
+            WHEN is_root THEN 'root'
+            WHEN is_leaf THEN 'leaf'
+            ELSE 'intermediate' END AS position,
+       depth::int AS depth,
+       upstream_count::int AS upstream_count,
+       downstream_count::int AS downstream_count,
+       total_downstream::int AS total_downstream,
+       fanout_factor::int AS fanout_factor,
+       n_exposures::int AS exposures_affected,
+       (n_exposures + n_marts)::int AS critical_assets_affected,
+       CASE WHEN n_exposures + n_marts = 0 AND total_downstream = 0
+              THEN 'NONE'
+            WHEN n_exposures + n_marts = 0 THEN 'LOW'
+            WHEN n_exposures + n_marts <= 2 THEN 'MEDIUM'
+            WHEN n_exposures + n_marts <= 5 THEN 'HIGH'
+            ELSE 'CRITICAL' END AS estimated_user_impact,
+       round(down_score, 6) AS downstream_score,
+       round(depth_score, 6) AS depth_score,
+       round(crit_score, 6) AS criticality_score,
+       round(fan_score, 6) AS fanout_score,
+       round(boost, 6) AS boost_factor,
+       round(least(1.0, (0.4 * down_score + 0.3 * crit_score
+                         + 0.2 * depth_score + 0.1 * fan_score) * boost),
+             6) AS total_score,
+       FALSE AS is_critical_path
+FROM boosted
+"""
+
+
 # ---------------------------------------------------------------------------
 # root-cause analysis (reference rca/analysis/* recast as range joins)
 # ---------------------------------------------------------------------------
@@ -3884,6 +4065,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new this round + everything without a green r03 row, then the
         # block last checked in round 1, padded with four r03 greens ---
         "recommend_checks": q_recommend_checks,
+        "lineage_impact": q_lineage_impact,
         "ivfpq_topk": q_ivfpq_topk,
         "regime_shift_daily": q_regime_shift_daily,
         "learn_expectations": q_learn_expectations,
@@ -4024,6 +4206,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_score_full": _SQL_QUALITY_SCORE_FULL,
         "smart_selection": _SQL_SMART_SELECTION,
         "recommend_checks": _sql_recommend_checks(),
+        "lineage_impact": _SQL_LINEAGE_IMPACT,
         "freshness_scores": _SQL_FRESHNESS,
         "table_matcher_counts": _SQL_TABLE_MATCHER_COUNTS,
         "query_runs_paginated": _SQL_QUERY_RUNS,
