@@ -2927,6 +2927,41 @@ def _sql_recommend_checks() -> str:
     })
 
 
+def q_prioritize_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Check prioritizer composed on recommend_checks: re-score each
+    recommended check (base priority × confidence × preferred boost ×
+    pk/fk/timestamp column factor × statistical-support factor), keep
+    the per-column top-5, then allocate a tight table-wide budget (8) to
+    columns in importance order — exercising the budget truncation. All
+    window functions; DuckDB twin generated from the same spec
+    (operators/recommender.py:prioritize_checks, recasting
+    /root/reference/baselinr/smart_selection/scoring/check_prioritizer.py)."""
+    from baselinr_spark.operators.recommender import (
+        column_stats, prioritize_checks, recommend_checks,
+    )
+
+    ev = _read(spark, sf_dir, "events")
+    orders = _read(spark, sf_dir, "orders")
+    stats = column_stats(ev, "events").unionByName(
+        column_stats(orders, "orders"))
+    rec = recommend_checks(stats)
+    return prioritize_checks(rec, stats, max_checks_per_table=8)
+
+
+def _sql_prioritize_checks() -> str:
+    from baselinr_spark.operators.recommender import oracle_prioritize_sql
+
+    return oracle_prioritize_sql({
+        "events": [("event_id", "bigint"), ("ts", "timestamp"),
+                   ("user_id", "bigint"), ("event_type", "string"),
+                   ("value", "double"), ("props", "string")],
+        "orders": [("o_orderkey", "bigint"), ("o_custkey", "bigint"),
+                   ("o_orderstatus", "string"), ("o_totalprice", "double"),
+                   ("o_orderdate", "timestamp"),
+                   ("o_orderpriority", "string")],
+    }, max_checks_per_table=8)
+
+
 def q_freshness_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-day freshness relative to the newest event (deterministic
     'now' proxy), reference step + linear decay."""
@@ -4065,6 +4100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new this round + everything without a green r03 row, then the
         # block last checked in round 1, padded with four r03 greens ---
         "recommend_checks": q_recommend_checks,
+        "prioritize_checks": q_prioritize_checks,
         "lineage_impact": q_lineage_impact,
         "ivfpq_topk": q_ivfpq_topk,
         "regime_shift_daily": q_regime_shift_daily,
@@ -4206,6 +4242,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_score_full": _SQL_QUALITY_SCORE_FULL,
         "smart_selection": _SQL_SMART_SELECTION,
         "recommend_checks": _sql_recommend_checks(),
+        "prioritize_checks": _sql_prioritize_checks(),
         "lineage_impact": _SQL_LINEAGE_IMPACT,
         "freshness_scores": _SQL_FRESHNESS,
         "table_matcher_counts": _SQL_TABLE_MATCHER_COUNTS,

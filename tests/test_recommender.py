@@ -161,3 +161,60 @@ def test_canonical_type():
     assert canonical_type("array<float>") == "array"
     assert canonical_type("string") == "string"
     assert canonical_type("timestamp") == "timestamp"
+
+
+def _stats_rows(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "table_name string, column_name string, data_type string, "
+        "position int, row_count double, null_count double, "
+        "distinct_count double, num_min double, num_max double",
+    )
+
+
+def test_prioritize_checks_scoring_and_budget(spark):
+    from baselinr_spark.operators.recommender import (
+        prioritize_checks, recommend_checks,
+    )
+
+    stats = _stats_rows(spark, [
+        ("t", "id", "bigint", 0, 1000.0, 0.0, 1000.0, 1.0, 1000.0),
+        # pk-named but only half-unique: exercises the 0.7 uniqueness
+        # stat-support penalty (pattern still recommends uniqueness)
+        ("t", "order_pk", "bigint", 1, 1000.0, 0.0, 500.0, 1.0, 200.0),
+        ("t", "created_at", "timestamp", 2, 1000.0, 0.0, 900.0, None, None),
+        ("t", "status", "string", 3, 1000.0, 0.0, 4.0, None, None),
+    ])
+    rec = recommend_checks(stats)
+    out = prioritize_checks(rec, stats).collect()
+    rows = {(r["column_name"], r["check_type"]): r for r in out}
+
+    # id: uniqueness — base 95 × conf 0.95 × preferred 1.2 × pk 1.5 ×
+    # stat 1.2 (unique_ratio 1.0)
+    u = rows[("id", "uniqueness")]
+    assert u["check_score"] == pytest.approx(95 * 0.95 * 1.2 * 1.5 * 1.2,
+                                             abs=1e-4)
+    assert u["col_rank"] == 1
+    # order_pk: pk factor 1.5 but uniqueness stat penalty 0.7 (ratio 0.5)
+    fu = rows[("order_pk", "uniqueness")]
+    assert fu["check_score"] == pytest.approx(95 * 0.95 * 1.2 * 1.5 * 0.7,
+                                              abs=1e-4)
+    # status: allowed_values stat boost 1.15 on low cardinality, default
+    # column factor 1.0, not preferred
+    av = rows[("status", "allowed_values")]
+    assert av["check_score"] == pytest.approx(68 * 0.90 * 1.0 * 1.0 * 1.15,
+                                              abs=1e-4)
+    # per-column cap holds
+    from collections import Counter
+
+    per_col = Counter(r["column_name"] for r in out)
+    assert all(n <= 5 for n in per_col.values())
+
+    # tight budget: exactly 6 checks survive, allocated to the most
+    # important columns first (id is pk → highest importance)
+    small = prioritize_checks(rec, stats, max_checks_per_table=6).collect()
+    assert len(small) == 6
+    assert {r["column_name"] for r in small if r["column_name"] == "id"}
+    # the budget truncates whole trailing columns/checks, never the top
+    kept_cols = [r["column_name"] for r in small]
+    assert kept_cols.count("id") >= 2
