@@ -2962,6 +2962,72 @@ def _sql_prioritize_checks() -> str:
     }, max_checks_per_table=8)
 
 
+def q_learn_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Naming-convention pattern learner over a deterministic synthetic
+    column-config corpus built from the events table's event_type
+    values (one pseudo-table per type with _id/_count/is_-shaped columns
+    and parity-dependent check sets, so the majority/consistency math
+    has real variation). Recasts
+    /root/reference/baselinr/smart_selection/learning/pattern_learner.py
+    (operators/pattern_learning.py)."""
+    from baselinr_spark.operators.pattern_learning import learn_patterns
+
+    t = _read(spark, sf_dir, "events").select("event_type").distinct()
+    L = F.length("event_type")
+
+    def rows(col_expr, check, cond=None):
+        d = t if cond is None else t.filter(cond)
+        return d.select(
+            F.col("event_type").alias("table_name"),
+            col_expr.alias("column_name"),
+            F.lit(check).alias("check_type"),
+        )
+
+    idc = F.concat(F.col("event_type"), F.lit("_id"))
+    cfg = (
+        rows(idc, "completeness")
+        .unionByName(rows(idc, "uniqueness", L % 2 == 0))
+        .unionByName(rows(F.concat(F.lit("is_"), F.col("event_type")),
+                          "completeness"))
+        .unionByName(rows(F.concat(F.lit("is_"), F.col("event_type")),
+                          "distribution", L % 3 == 0))
+        .unionByName(rows(F.concat(F.col("event_type"), F.lit("_count")),
+                          "non_negative", L % 2 == 1))
+        .unionByName(rows(F.lit("status"), "allowed_values"))
+        .unionByName(rows(F.lit("status"), "completeness", L % 2 == 1))
+        .unionByName(rows(F.lit("created_at"), "freshness"))
+    )
+    return learn_patterns(cfg)
+
+
+def _sql_learn_patterns() -> str:
+    from baselinr_spark.operators.pattern_learning import oracle_learn_sql
+
+    config_sql = """
+  WITH types AS (SELECT DISTINCT event_type FROM events)
+  SELECT event_type AS table_name, event_type || '_id' AS column_name,
+         'completeness' AS check_type FROM types
+  UNION ALL
+  SELECT event_type, event_type || '_id', 'uniqueness'
+  FROM types WHERE length(event_type) % 2 = 0
+  UNION ALL
+  SELECT event_type, 'is_' || event_type, 'completeness' FROM types
+  UNION ALL
+  SELECT event_type, 'is_' || event_type, 'distribution'
+  FROM types WHERE length(event_type) % 3 = 0
+  UNION ALL
+  SELECT event_type, event_type || '_count', 'non_negative'
+  FROM types WHERE length(event_type) % 2 = 1
+  UNION ALL
+  SELECT event_type, 'status', 'allowed_values' FROM types
+  UNION ALL
+  SELECT event_type, 'status', 'completeness'
+  FROM types WHERE length(event_type) % 2 = 1
+  UNION ALL
+  SELECT event_type, 'created_at', 'freshness' FROM types"""
+    return oracle_learn_sql(config_sql)
+
+
 def q_freshness_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-day freshness relative to the newest event (deterministic
     'now' proxy), reference step + linear decay."""
@@ -4101,6 +4167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # block last checked in round 1, padded with four r03 greens ---
         "recommend_checks": q_recommend_checks,
         "prioritize_checks": q_prioritize_checks,
+        "learn_patterns": q_learn_patterns,
         "lineage_impact": q_lineage_impact,
         "ivfpq_topk": q_ivfpq_topk,
         "regime_shift_daily": q_regime_shift_daily,
@@ -4243,6 +4310,7 @@ def oracle_sql() -> dict[str, str]:
         "smart_selection": _SQL_SMART_SELECTION,
         "recommend_checks": _sql_recommend_checks(),
         "prioritize_checks": _sql_prioritize_checks(),
+        "learn_patterns": _sql_learn_patterns(),
         "lineage_impact": _SQL_LINEAGE_IMPACT,
         "freshness_scores": _SQL_FRESHNESS,
         "table_matcher_counts": _SQL_TABLE_MATCHER_COUNTS,
