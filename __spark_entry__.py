@@ -2962,6 +2962,39 @@ def _sql_prioritize_checks() -> str:
     }, max_checks_per_table=8)
 
 
+def q_column_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recommendation confidence scorer over the events + orders
+    schemas: weighted metadata/statistical/pattern/consistency signal
+    scores with pk/fk boosts, high/medium/low levels, and the
+    check-count-weighted table confidence. Recasts
+    /root/reference/baselinr/smart_selection/scoring/confidence_scorer.py
+    (operators/recommender.py:column_confidence); DuckDB twin generated
+    from the same spec."""
+    from baselinr_spark.operators.recommender import (
+        column_confidence, column_stats, recommend_checks,
+    )
+
+    ev = _read(spark, sf_dir, "events")
+    orders = _read(spark, sf_dir, "orders")
+    stats = column_stats(ev, "events").unionByName(
+        column_stats(orders, "orders"))
+    return column_confidence(recommend_checks(stats), stats)
+
+
+def _sql_column_confidence() -> str:
+    from baselinr_spark.operators.recommender import oracle_confidence_sql
+
+    return oracle_confidence_sql({
+        "events": [("event_id", "bigint"), ("ts", "timestamp"),
+                   ("user_id", "bigint"), ("event_type", "string"),
+                   ("value", "double"), ("props", "string")],
+        "orders": [("o_orderkey", "bigint"), ("o_custkey", "bigint"),
+                   ("o_orderstatus", "string"), ("o_totalprice", "double"),
+                   ("o_orderdate", "timestamp"),
+                   ("o_orderpriority", "string")],
+    })
+
+
 def q_learn_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Naming-convention pattern learner over a deterministic synthetic
     column-config corpus built from the events table's event_type
@@ -4167,6 +4200,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # block last checked in round 1, padded with four r03 greens ---
         "recommend_checks": q_recommend_checks,
         "prioritize_checks": q_prioritize_checks,
+        "column_confidence": q_column_confidence,
         "learn_patterns": q_learn_patterns,
         "lineage_impact": q_lineage_impact,
         "ivfpq_topk": q_ivfpq_topk,
@@ -4310,6 +4344,7 @@ def oracle_sql() -> dict[str, str]:
         "smart_selection": _SQL_SMART_SELECTION,
         "recommend_checks": _sql_recommend_checks(),
         "prioritize_checks": _sql_prioritize_checks(),
+        "column_confidence": _sql_column_confidence(),
         "learn_patterns": _sql_learn_patterns(),
         "lineage_impact": _SQL_LINEAGE_IMPACT,
         "freshness_scores": _SQL_FRESHNESS,

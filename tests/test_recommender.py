@@ -218,3 +218,47 @@ def test_prioritize_checks_scoring_and_budget(spark):
     # the budget truncates whole trailing columns/checks, never the top
     kept_cols = [r["column_name"] for r in small]
     assert kept_cols.count("id") >= 2
+
+
+def test_column_confidence_components(spark):
+    from baselinr_spark.operators.recommender import (
+        column_confidence, recommend_checks,
+    )
+
+    stats = _stats_rows(spark, [
+        ("t", "id", "bigint", 0, 5000.0, 0.0, 5000.0, 1.0, 5000.0),
+        ("t", "props", "string", 1, 5000.0, 2600.0, 4800.0, None, None),
+    ])
+    rec = recommend_checks(stats)
+    out = {r["column_name"]: r
+           for r in column_confidence(rec, stats).collect()}
+
+    i = out["id"]
+    # metadata: 0.5 + 0.3 pk + 0.2 fk(no) + 0.1·1 pattern family
+    # (identifier) + 0.1 known type = 0.9 → wait fk doesn't match 'id'
+    assert i["metadata_score"] == pytest.approx(0.5 + 0.3 + 0.1 + 0.1)
+    # statistical: 0.5 + 0.2 (rc>1000) + 0.1 (unique card)
+    # + 0.05·2 detected (no_nulls, potential_identifier) = 0.9
+    assert i["statistical_score"] == pytest.approx(0.9)
+    assert i["confidence_level"] in ("high", "medium")
+    # pk boost applied → above the unboosted weighted sum
+    unboosted = (0.3 * i["metadata_score"] + 0.3 * i["statistical_score"]
+                 + 0.25 * i["pattern_score"]
+                 + 0.15 * i["consistency_score"])
+    assert i["confidence"] == pytest.approx(min(1.0, unboosted * 1.1),
+                                            abs=1e-6)
+
+    p = out["props"]
+    # props: no patterns, unknown→ string type known (+0.1), no pk/fk
+    assert p["metadata_score"] == pytest.approx(0.6)
+    # 52% nulls → high_nulls detected; no other patterns; card 'high'
+    # (4800/5000 > 0.5): 0.5 + 0.2 + 0.05 = 0.75
+    assert p["statistical_score"] == pytest.approx(0.75)
+    # no surviving checks for a 52%-null plain string? completeness at
+    # null_pct>1 isn't emitted, so pattern 0.5 / consistency 0.4 / 0 checks
+    if p["n_checks"] == 0:
+        assert p["pattern_score"] == pytest.approx(0.5)
+        assert p["consistency_score"] == pytest.approx(0.4)
+
+    # table confidence is check-count weighted and shared per table
+    assert i["table_confidence"] == p["table_confidence"]
