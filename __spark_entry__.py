@@ -3556,6 +3556,83 @@ FROM boosted
 """
 
 
+def q_lineage_aware_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phase-2 lineage-aware prioritization: nations as candidate tables
+    with deterministic usage metadata (supplier counts + key-derived
+    recency), combined 0.6/0.4 with their lineage impact score from the
+    supplier→nation→region→dashboard graph; an external_feed table with
+    no lineage node keeps its pure usage score. Recasts
+    /root/reference/baselinr/smart_selection/lineage/lineage_scorer.py
+    (operators/smart_selection.py:lineage_aware_scores)."""
+    from baselinr_spark.operators.smart_selection import (
+        lineage_aware_scores, score_tables,
+    )
+
+    sup = _read(spark, sf_dir, "supplier")
+    nat = _read(spark, sf_dir, "nation")
+    meta = (
+        nat.join(sup, nat["n_nationkey"] == sup["s_nationkey"])
+        .groupBy("n_name", "n_nationkey", "n_regionkey")
+        .agg(F.count(F.lit(1)).alias("n_sup"))
+        .select(
+            F.col("n_name").alias("table"),
+            F.col("n_sup").cast("long").alias("query_count"),
+            (F.col("n_nationkey") % 10).cast("double")
+            .alias("days_since_last_query"),
+            (F.col("n_regionkey") * 2).cast("double")
+            .alias("days_since_modified"),
+            (F.col("n_sup") * 1000).cast("long").alias("row_count"),
+        )
+        .unionByName(spark.createDataFrame(
+            [("external_feed", 7, 3.0, 5.0, 500)],
+            "table string, query_count long, days_since_last_query double, "
+            "days_since_modified double, row_count long"))
+    )
+    scored = score_tables(meta)
+    impact = q_lineage_impact(spark, sf_dir)
+    return lineage_aware_scores(scored, impact)
+
+
+def _sql_lineage_aware_scores() -> str:
+    return f"""
+WITH imp AS (
+  SELECT * FROM ({_SQL_LINEAGE_IMPACT})
+), meta AS (
+  SELECT n_name AS tbl, count(*)::bigint AS query_count,
+         (n_nationkey % 10)::double AS days1,
+         (n_regionkey * 2)::double AS days2,
+         (count(*) * 1000)::bigint AS row_count
+  FROM nation JOIN supplier ON s_nationkey = n_nationkey
+  GROUP BY n_name, n_nationkey, n_regionkey
+  UNION ALL
+  SELECT 'external_feed', 7, 3.0, 5.0, 500
+), s AS (
+  SELECT tbl,
+    (CASE WHEN query_count <= 0 THEN 0.0
+          ELSE least(100.0, log10(query_count::double) * 33.33) END) * 0.4
+    + (100.0 * exp(-ln(2) / 7.0 * days1)) * 0.25
+    + (100.0 * exp(-ln(2) / 14.0 * days2)) * 0.2
+    + (CASE WHEN row_count < 100 THEN 20.0 WHEN row_count < 1000 THEN 40.0
+            WHEN row_count < 10000 THEN 70.0
+            WHEN row_count < 100000 THEN 100.0
+            WHEN row_count < 1000000 THEN 95.0
+            WHEN row_count < 10000000 THEN 85.0
+            WHEN row_count < 100000000 THEN 70.0 ELSE 50.0 END) * 0.15
+      AS usage_score
+  FROM meta
+)
+SELECT s.tbl AS "table",
+       round(s.usage_score, 6) AS usage_score,
+       round(coalesce(i.total_score, 0.0), 6) AS lineage_score,
+       round(CASE WHEN i."table" IS NOT NULL
+             THEN (0.6 * s.usage_score / 100.0 + 0.4 * i.total_score) * 100.0
+             ELSE s.usage_score END, 6) AS combined_score,
+       coalesce(i.position, 'unknown') AS position,
+       coalesce(i.estimated_user_impact, 'NONE') AS estimated_user_impact
+FROM s LEFT JOIN imp i ON i."table" = s.tbl
+"""
+
+
 # ---------------------------------------------------------------------------
 # root-cause analysis (reference rca/analysis/* recast as range joins)
 # ---------------------------------------------------------------------------
@@ -4203,6 +4280,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "column_confidence": q_column_confidence,
         "learn_patterns": q_learn_patterns,
         "lineage_impact": q_lineage_impact,
+        "lineage_aware_scores": q_lineage_aware_scores,
         "ivfpq_topk": q_ivfpq_topk,
         "regime_shift_daily": q_regime_shift_daily,
         "learn_expectations": q_learn_expectations,
@@ -4347,6 +4425,7 @@ def oracle_sql() -> dict[str, str]:
         "column_confidence": _sql_column_confidence(),
         "learn_patterns": _sql_learn_patterns(),
         "lineage_impact": _SQL_LINEAGE_IMPACT,
+        "lineage_aware_scores": _sql_lineage_aware_scores(),
         "freshness_scores": _SQL_FRESHNESS,
         "table_matcher_counts": _SQL_TABLE_MATCHER_COUNTS,
         "query_runs_paginated": _SQL_QUERY_RUNS,

@@ -76,3 +76,42 @@ def score_tables(
     return out.withColumn("total_score", total).orderBy(
         F.desc("total_score"), F.asc("table")
     )
+
+
+def lineage_aware_scores(
+    scored: DataFrame,
+    impact: DataFrame,
+    lineage_weight: float = 0.4,
+) -> DataFrame:
+    """Phase-2 lineage-aware table prioritization
+    (/root/reference/baselinr/smart_selection/lineage/lineage_scorer.py:273-324):
+    combined = (1−w)·usage_score/100 + w·lineage_impact_score, scaled
+    back to 0-100; default w = 0.4 (config.py:394-396). Tables with no
+    lineage node keep their usage-based score unchanged (:304-308).
+
+    ``scored`` is `score_tables` output (total_score 0-100); ``impact``
+    is `lineage_impact` output (total_score 0-1) — one broadcastable
+    join, so the combine adds nothing to the scoring passes' cost."""
+    imp = impact.select(
+        "table",
+        F.col("total_score").alias("lineage_score"),
+        "position",
+        "estimated_user_impact",
+    )
+    j = scored.join(F.broadcast(imp), "table", "left")
+    w = float(lineage_weight)
+    combined = F.when(
+        F.col("lineage_score").isNotNull(),
+        ((1.0 - w) * F.col("total_score") / 100.0
+         + w * F.col("lineage_score")) * 100.0,
+    ).otherwise(F.col("total_score"))
+    return j.select(
+        "table",
+        F.round("total_score", 6).alias("usage_score"),
+        F.round(F.coalesce("lineage_score", F.lit(0.0)), 6)
+        .alias("lineage_score"),
+        F.round(combined, 6).alias("combined_score"),
+        F.coalesce("position", F.lit("unknown")).alias("position"),
+        F.coalesce("estimated_user_impact", F.lit("NONE"))
+        .alias("estimated_user_impact"),
+    )
