@@ -85,3 +85,90 @@ def infer_partition_key(df: DataFrame) -> str | None:
             if "date" in field.name.lower():
                 return field.name
     return None
+
+
+def collect_table_metadata(
+    spark: SparkSession,
+    tables: dict[str, str],
+    now=None,
+) -> DataFrame:
+    """Filesystem recast of the reference MetadataCollector
+    (/root/reference/baselinr/smart_selection/metadata_collector.py:74-681).
+    The reference fans out per-dialect system-table SQL (Snowflake
+    ACCOUNT_USAGE, BigQuery INFORMATION_SCHEMA, pg_stat tables, ...) —
+    the per-warehouse fan-out SURVEY.md flags as an anti-pattern to
+    collapse. The parquet/Iceberg analog reads the same signals from
+    storage metadata: bytes from file stats, rows from parquet footers,
+    modification time from mtimes, partitioning from the directory
+    layout — O(files) metadata reads, never a data scan.
+
+    ``tables`` maps table name → directory. Query statistics
+    (query_count, last_query_time) live in the query ENGINE's log, not
+    in table storage; callers join them in, and `score_tables` treats
+    their absence as the neutral 50 the reference uses for unknown
+    metadata.
+
+    Returns (table, row_count, size_bytes, last_modified_time,
+    days_since_modified, has_partitions, partition_key)."""
+    import datetime as _dt
+
+    try:
+        import pyarrow.parquet as pq
+    except ImportError:  # pragma: no cover - pyarrow is baked in
+        pq = None
+
+    now = now or _dt.datetime.now(_dt.timezone.utc)
+    if now.tzinfo is not None:
+        now = now.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+
+    rows = []
+    for name, path in sorted(tables.items()):
+        nbytes, nrows, mtime, rows_known = 0, 0, None, False
+        if os.path.isdir(path):
+            for root, _, files in os.walk(path):
+                for f in sorted(files):
+                    if f.startswith(("_", ".")):
+                        continue
+                    full = os.path.join(root, f)
+                    try:
+                        st = os.stat(full)
+                    except OSError:
+                        continue
+                    nbytes += st.st_size
+                    if mtime is None or st.st_mtime > mtime:
+                        mtime = st.st_mtime
+                    if pq is not None and f.endswith(".parquet"):
+                        try:
+                            nrows += pq.ParquetFile(full).metadata.num_rows
+                            rows_known = True
+                        except Exception:
+                            nrows += st.st_size // 1024
+        if not rows_known and nrows == 0:
+            nrows = nbytes // 1024
+        parts = list_partitions(path)
+        pkey = None
+        if parts:
+            first = next(
+                n for n in os.listdir(path)
+                if "=" in n and os.path.isdir(os.path.join(path, n)))
+            pkey = first.split("=", 1)[0]
+        last_mod = (_dt.datetime.utcfromtimestamp(mtime)
+                    if mtime is not None else None)
+        days = ((now - last_mod).total_seconds() / 86400.0
+                if last_mod is not None else None)
+        rows.append((name, nrows, nbytes, last_mod, days,
+                     bool(parts), pkey))
+
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        rows,
+        columns=["table", "row_count", "size_bytes", "last_modified_time",
+                 "days_since_modified", "has_partitions", "partition_key"],
+    )
+    return spark.createDataFrame(
+        pdf,
+        schema="table string, row_count long, size_bytes long, "
+               "last_modified_time timestamp, days_since_modified double, "
+               "has_partitions boolean, partition_key string",
+    )

@@ -215,3 +215,46 @@ def test_infer_partition_key(spark):
     # timestamp without 'date' in the name does NOT match (reference :274-278)
     df = spark.createDataFrame([], "url string, warc_ts timestamp")
     assert infer_partition_key(df) is None
+
+
+def test_collect_table_metadata(spark, warehouse):
+    import datetime as dt
+
+    from baselinr_spark.sources.catalog import collect_table_metadata
+
+    now = dt.datetime.now(dt.timezone.utc)
+    md = {r["table"]: r for r in collect_table_metadata(
+        spark, {"pages": warehouse}, now=now).collect()}
+    p = md["pages"]
+    assert p["row_count"] == 400  # footer-exact, not estimated
+    assert p["size_bytes"] > 0
+    assert p["has_partitions"] and p["partition_key"] == "dt"
+    assert 0 <= p["days_since_modified"] < 1
+
+    # missing dir → zeroed metadata, no partitions
+    md = {r["table"]: r for r in collect_table_metadata(
+        spark, {"ghost": "/tmp/does_not_exist_xyz"}, now=now).collect()}
+    g = md["ghost"]
+    assert g["row_count"] == 0 and not g["has_partitions"]
+    assert g["last_modified_time"] is None
+
+
+def test_metadata_feeds_table_scorer(spark, warehouse):
+    from baselinr_spark.operators.smart_selection import score_tables
+    from baselinr_spark.sources.catalog import collect_table_metadata
+    from pyspark.sql import functions as F
+
+    md = collect_table_metadata(spark, {"pages": warehouse})
+    meta = md.select(
+        "table",
+        F.lit(None).cast("long").alias("query_count"),
+        F.lit(None).cast("double").alias("days_since_last_query"),
+        "days_since_modified",
+        "row_count",
+    )
+    out = score_tables(meta).collect()[0]
+    # unknown query stats → neutral recency 50, zero frequency;
+    # fresh write activity ≈ 100
+    assert out["query_frequency_score"] == 0.0
+    assert out["query_recency_score"] == 50.0
+    assert out["write_activity_score"] > 90.0
