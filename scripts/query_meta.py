@@ -168,10 +168,40 @@ def cmd_plan(spark, out_root, args) -> list[dict]:
     ))
 
 
+def cmd_recommend(spark, out_root, args) -> list[dict]:
+    """Smart-selection recommendation surface (reference cli.py
+    recommend-checks): profile the given table once, emit prioritized
+    check recommendations with confidence — one JSON row per check,
+    plus per-column confidence rows with --confidence."""
+    from baselinr_spark.operators.recommender import (
+        column_confidence, column_stats, prioritize_checks,
+        recommend_checks,
+    )
+
+    name = args.table_name or os.path.basename(args.input.rstrip("/"))
+    df = spark.read.parquet(args.input)
+    stats = column_stats(df, name)
+    rec = recommend_checks(stats)
+    if args.confidence:
+        return _emit(column_confidence(rec, stats)
+                     .orderBy("table_name", "column_name"))
+    out = prioritize_checks(
+        rec, stats, max_checks_per_table=args.max_checks_per_table)
+    return _emit(out.orderBy("table_name", "column_name", "col_rank"))
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="query_meta")
     p.add_argument("--output", required=True, help="pipeline output root")
     sub = p.add_subparsers(dest="command", required=True)
+
+    rec = sub.add_parser("recommend")
+    rec.add_argument("--input", required=True,
+                     help="parquet table dir to profile")
+    rec.add_argument("--table-name", default=None)
+    rec.add_argument("--max-checks-per-table", type=int, default=50)
+    rec.add_argument("--confidence", action="store_true",
+                     help="emit per-column confidence rows instead")
 
     runs = sub.add_parser("runs")
     runs.add_argument("--status")
@@ -228,6 +258,7 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None):
             "table": cmd_table,
             "status": cmd_status,
             "plan": cmd_plan,
+            "recommend": cmd_recommend,
             "lineage": cmd_lineage,
         }[args.command]
         return fn(spark, args.output, args)

@@ -65,3 +65,27 @@ def test_query_meta_status(spark, warehouse, out_root):
         + r["anomaly_detected"] for r in rows
     )
     assert all(r["latest_event"] is not None for r in by_part.values())
+
+
+def test_query_meta_recommend(spark, warehouse, out_root):
+    rows = _run(spark, out_root, [
+        "recommend", "--input", warehouse, "--table-name", "pages",
+    ])
+    assert rows
+    cols = {r["column_name"] for r in rows}
+    # pages schema: url, warc_ts, html, text, lang (+ dt partition col)
+    assert "url" in cols and "warc_ts" in cols
+    url_checks = {r["check_type"] for r in rows if r["column_name"] == "url"}
+    assert "format_url" in url_checks
+    ts_checks = {r["check_type"] for r in rows
+                 if r["column_name"] == "warc_ts"}
+    assert "freshness" in ts_checks or "valid_date_range" in ts_checks
+    assert all(r["col_rank"] <= 5 for r in rows)
+
+    conf = _run(spark, out_root, [
+        "recommend", "--input", warehouse, "--table-name", "pages",
+        "--confidence",
+    ])
+    assert {r["column_name"] for r in conf} >= cols
+    assert all(r["confidence_level"] in ("high", "medium", "low")
+               for r in conf)
