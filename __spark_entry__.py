@@ -1186,6 +1186,53 @@ WHERE n_inter::double / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
 """
 
 
+def q_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: even-doc_id documents as the training
+    corpus, odd as the benchmark set; flag train docs sharing ≥3
+    distinct 5-gram shingles with any benchmark doc (the planted
+    near-dup structure guarantees cross-parity overlaps). Benchmark
+    n-grams broadcast; the only shuffle is over actual hits
+    (operators/dedup.py:ngram_contamination)."""
+    from baselinr_spark.operators.dedup import ngram_contamination
+
+    docs = _read(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 2 == 0)
+    bench = docs.where(F.col("doc_id") % 2 == 1)
+    return ngram_contamination(train, bench, "doc_id", "text",
+                               n=5, min_hits=3)
+
+
+_SQL_NGRAM_CONTAMINATION = r"""
+WITH grams AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(words) - 4 > 0
+           THEN list_transform(range(len(words) - 4),
+                i -> array_to_string(list_slice(words, i + 1, i + 5), ' '))
+           ELSE [array_to_string(words, ' ')] END) AS gs
+  FROM (
+    SELECT doc_id,
+           list_filter(string_split(trim(regexp_replace(lower(text),
+                       '\s+', ' ', 'g')), ' '),
+                       x -> length(x) > 0) AS words
+    FROM documents
+  )
+), tg AS (
+  SELECT doc_id AS train_id, unnest(gs) AS g, len(gs) AS train_ngrams
+  FROM grams WHERE doc_id % 2 = 0
+), bg AS (
+  SELECT doc_id AS benchmark_id, unnest(gs) AS g
+  FROM grams WHERE doc_id % 2 = 1
+)
+SELECT train_id, benchmark_id, count(*)::bigint AS n_hits,
+       any_value(train_ngrams)::int AS train_ngrams,
+       round(count(*)::double / any_value(train_ngrams), 6)
+         AS contamination_frac
+FROM tg JOIN bg USING (g)
+GROUP BY train_id, benchmark_id
+HAVING count(*) >= 3
+"""
+
+
 def q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from baselinr_spark.operators.dedup import simhash
 
@@ -4281,6 +4328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "learn_patterns": q_learn_patterns,
         "lineage_impact": q_lineage_impact,
         "lineage_aware_scores": q_lineage_aware_scores,
+        "ngram_contamination": q_ngram_contamination,
         "ivfpq_topk": q_ivfpq_topk,
         "regime_shift_daily": q_regime_shift_daily,
         "learn_expectations": q_learn_expectations,
@@ -4426,6 +4474,7 @@ def oracle_sql() -> dict[str, str]:
         "learn_patterns": _sql_learn_patterns(),
         "lineage_impact": _SQL_LINEAGE_IMPACT,
         "lineage_aware_scores": _sql_lineage_aware_scores(),
+        "ngram_contamination": _SQL_NGRAM_CONTAMINATION,
         "freshness_scores": _SQL_FRESHNESS,
         "table_matcher_counts": _SQL_TABLE_MATCHER_COUNTS,
         "query_runs_paginated": _SQL_QUERY_RUNS,

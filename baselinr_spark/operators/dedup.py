@@ -443,3 +443,51 @@ def dedup_by_components(
     # anti-join, not broadcast: the loser set scales with dup density and
     # AQE will still pick a broadcast when it happens to be small
     return df.join(losers, id_col, "left_anti")
+
+
+def ngram_contamination(
+    train: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination — flag training documents that share
+    ≥ `min_hits` distinct word n-grams with any benchmark document
+    (the train/test-overlap filter every LLM data pipeline needs; same
+    construction as GPT-3/PaLM-style 8-gram decontamination).
+
+    Scale shape: the benchmark side is corpus-tiny (10⁴–10⁶ docs) next
+    to a 10¹²-doc training set, so its exploded n-gram set is BROADCAST
+    and the training corpus is only SCANNED — train n-grams are
+    generated row-locally (word_shingles) and probed map-side; the only
+    shuffle is the groupBy over actual HITS, which are rare by
+    construction. Per-train-doc n-gram counts come from a row-local
+    `size(word_shingles(...))`, never a second aggregation.
+
+    Returns (train_id, benchmark_id, n_hits, train_ngrams,
+    contamination_frac = n_hits / train_ngrams)."""
+    t = train.select(
+        F.col(id_col).alias("train_id"),
+        F.explode(word_shingles(F.col(text_col), n)).alias("g"),
+    )
+    b = benchmark.select(
+        F.col(id_col).alias("benchmark_id"),
+        F.explode(word_shingles(F.col(text_col), n)).alias("g"),
+    )
+    sizes = train.select(
+        F.col(id_col).alias("train_id"),
+        F.size(word_shingles(F.col(text_col), n)).alias("train_ngrams"),
+    )
+    hits = (
+        t.join(F.broadcast(b), "g")
+        .groupBy("train_id", "benchmark_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .filter(F.col("n_hits") >= min_hits)
+    )
+    return hits.join(sizes, "train_id").select(
+        "train_id", "benchmark_id", "n_hits", "train_ngrams",
+        F.round(F.col("n_hits") / F.col("train_ngrams"), 6)
+        .alias("contamination_frac"),
+    )

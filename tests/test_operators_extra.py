@@ -455,3 +455,38 @@ def test_connected_components_and_dedup(spark):
     )
     # one canonical per component + the unclustered doc 99
     assert kept == [1, 10, 20, 99]
+
+
+def test_ngram_contamination_planted(spark):
+    from baselinr_spark.operators.dedup import ngram_contamination
+
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep dark forest tonight")
+    train = spark.createDataFrame(
+        [(1, base),  # verbatim benchmark copy
+         (2, base.replace("quick", "slow")),  # near-copy, shares 8-grams
+         (3, "completely unrelated text about spark dataframes and "
+             "parquet files in a warehouse")],
+        "doc_id bigint, text string")
+    bench = spark.createDataFrame([(100, base)], "doc_id bigint, text string")
+
+    out = {r["train_id"]: r for r in ngram_contamination(
+        train, bench, "doc_id", "text", n=8, min_hits=1).collect()}
+    assert 1 in out and out[1]["benchmark_id"] == 100
+    # verbatim copy: every train 8-gram hits → contamination 1.0
+    assert out[1]["contamination_frac"] == 1.0
+    assert out[1]["n_hits"] == out[1]["train_ngrams"]
+    assert 2 in out and 0 < out[2]["contamination_frac"] < 1.0
+    assert 3 not in out
+
+    # min_hits raises the bar past the near-copy's overlap? no — it
+    # shares many 8-grams; but an absurd bar drops everything
+    strict = ngram_contamination(train, bench, "doc_id", "text",
+                                 n=8, min_hits=10**6).collect()
+    assert strict == []
+
+    # scale shape: benchmark side is broadcast (no shuffle of the
+    # training n-grams into a sort-merge join)
+    plan = ngram_contamination(train, bench, "doc_id", "text", n=8) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan
