@@ -1589,7 +1589,7 @@ def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _r6(out, "adc_dist")
 
 
-def _sql_ivfpq_topk() -> str:
+def _sql_ivfpq_topk(k: int = 3) -> str:
     acos = _sql_fold_cos("e.embedding", "c.cvec")
     return f"""
 WITH {_SQL_PQ_INDEX_CTES}, cents AS (
@@ -1633,6 +1633,41 @@ WITH {_SQL_PQ_INDEX_CTES}, cents AS (
   FROM adc
 )
 SELECT query_id, neighbor_id, round(adc_dist, 6) AS adc_dist, rank::int AS rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
+def q_ivfpq_refined_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF×PQ + exact re-ranking (FAISS refine stage): top-12 ADC
+    candidates per query re-ranked by exact fold-cosine, top-3 kept.
+    Candidate work stays cell-bounded; the refine join touches
+    |queries|·12 vectors, never the corpus. Deterministic end-to-end
+    (operators/similarity.py:ivfpq_refined_topk)."""
+    from baselinr_spark.operators.similarity import ivfpq_refined_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    out = ivfpq_refined_topk(emb, "vec_id", "embedding", k=3, refine=12,
+                             n_centroids=16, n_probe=4)
+    return _r6(out, "cosine")
+
+
+def _sql_ivfpq_refined_topk() -> str:
+    cos = _sql_fold_cos("qa.embedding", "nb.embedding")
+    return f"""
+WITH cand AS (
+  SELECT query_id, neighbor_id FROM ({_sql_ivfpq_topk(k=12)})
+), scored AS (
+  SELECT c.query_id, c.neighbor_id, {cos} AS cos
+  FROM cand c
+  JOIN embeddings qa ON qa.vec_id = c.query_id
+  JOIN embeddings nb ON nb.vec_id = c.neighbor_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, round(cos, 6) AS cosine, rank::int AS rank
 FROM ranked WHERE rank <= 3
 """
 
@@ -4329,6 +4364,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineage_impact": q_lineage_impact,
         "lineage_aware_scores": q_lineage_aware_scores,
         "ngram_contamination": q_ngram_contamination,
+        "ivfpq_refined_topk": q_ivfpq_refined_topk,
         "ivfpq_topk": q_ivfpq_topk,
         "regime_shift_daily": q_regime_shift_daily,
         "learn_expectations": q_learn_expectations,
@@ -4475,6 +4511,7 @@ def oracle_sql() -> dict[str, str]:
         "lineage_impact": _SQL_LINEAGE_IMPACT,
         "lineage_aware_scores": _sql_lineage_aware_scores(),
         "ngram_contamination": _SQL_NGRAM_CONTAMINATION,
+        "ivfpq_refined_topk": _sql_ivfpq_refined_topk(),
         "freshness_scores": _SQL_FRESHNESS,
         "table_matcher_counts": _SQL_TABLE_MATCHER_COUNTS,
         "query_runs_paginated": _SQL_QUERY_RUNS,

@@ -198,3 +198,18 @@ def test_pq_code_agreement_and_adc_signal(spark, planted):
         if dists.get(q - 100000, float("inf")) < med:
             better += 1
     assert better >= 8  # ADC signal: source below median for >=8/10
+
+
+def test_ivfpq_refined_recall_not_worse(spark, planted):
+    """Exact re-ranking of the top-refine ADC candidates must not lose
+    planted near-dup recall vs raw ADC ordering at the same k."""
+    from baselinr_spark.operators.similarity import (
+        ivfpq_refined_topk, ivfpq_topk,
+    )
+
+    raw = ivfpq_topk(planted, "vec_id", "embedding", k=5,
+                     n_centroids=16, n_probe=4).collect()
+    ref = ivfpq_refined_topk(planted, "vec_id", "embedding", k=5,
+                             refine=20, n_centroids=16, n_probe=4).collect()
+    assert _plant_recall(ref) >= _plant_recall(raw)
+    assert _plant_recall(ref) >= 0.8
