@@ -4398,6 +4398,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "active_drift_summary": q_active_drift_summary,
         "lineage_upstream": q_lineage_upstream,
         "lineage_path": q_lineage_path,
+        # flagship re-greened every round
+        "keep_drop_docs": q_keep_drop_docs,
         "doc_stats": q_doc_stats,
         "token_counts": q_token_counts,
         "lang_id_heuristic": q_lang_id_heuristic,
@@ -4410,7 +4412,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "simhash_docs": q_simhash_docs,
-        "keep_drop_docs": q_keep_drop_docs,
         "gopher_repetition_docs": q_gopher_repetition_docs,
         "c4_line_rules_docs": q_c4_line_rules_docs,
         "rca_pipeline_causes": q_rca_pipeline_causes,
