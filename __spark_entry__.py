@@ -1261,6 +1261,296 @@ FROM bitsum GROUP BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# corpus text rewriting + training-data selection (training-data ops)
+# ---------------------------------------------------------------------------
+
+def _pages_with_shared_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived multi-line page corpus: page i (i<100) = texts of docs
+    i, (i+1)%100, (i+2)%100 joined by newline. The sliding window makes
+    every doc's text a line of three pages — real corpus-level
+    duplicate lines, deterministically (the raw synthetic docs are
+    single-line with no natural repeats)."""
+    base = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 100) \
+        .select("doc_id", "text")
+    b = base.select(F.col("doc_id").alias("b_id"), F.col("text").alias("b_text"))
+    c = base.select(F.col("doc_id").alias("c_id"), F.col("text").alias("c_text"))
+    return (
+        base.join(b, (F.col("doc_id") + 1) % 100 == F.col("b_id"))
+        .join(c, (F.col("doc_id") + 2) % 100 == F.col("c_id"))
+        .select(
+            F.col("doc_id").alias("page_id"),
+            F.concat_ws("\n", "text", "b_text", "c_text").alias("text"),
+        )
+    )
+
+
+_SQL_PAGES_SHARED = """
+  base AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
+  pages AS (
+    SELECT a.doc_id AS page_id,
+           a.text || chr(10) || b.text || chr(10) || c.text AS text
+    FROM base a
+    JOIN base b ON b.doc_id = (a.doc_id + 1) % 100
+    JOIN base c ON c.doc_id = (a.doc_id + 2) % 100
+  )
+"""
+
+
+def q_line_dedup_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus-level line dedup over the derived page corpus:
+    each repeated line survives only at its first (page, pos)."""
+    from baselinr_spark.operators.linededup import line_dedup
+
+    pages = _pages_with_shared_lines(spark, sf_dir)
+    return line_dedup(pages, "page_id", "text", min_line_chars=10)
+
+
+_SQL_LINE_DEDUP = f"""
+WITH {_SQL_PAGES_SHARED},
+ln AS (
+  SELECT page_id, generate_subscripts(ls, 1) - 1 AS pos, unnest(ls) AS line
+  FROM (SELECT page_id, string_split(text, chr(10)) AS ls FROM pages)
+),
+content AS (
+  SELECT *, md5(trim(line)) AS k FROM ln WHERE length(trim(line)) >= 10
+),
+kept AS (
+  SELECT page_id, pos, line FROM (
+    SELECT *, row_number() OVER (PARTITION BY k ORDER BY page_id, pos) AS rn
+    FROM content) WHERE rn = 1
+  UNION ALL
+  SELECT page_id, pos, line FROM ln WHERE length(trim(line)) < 10
+),
+reb AS (
+  SELECT page_id, string_agg(line, chr(10) ORDER BY pos) AS text_dedup,
+         count(*) AS n_kept
+  FROM kept GROUP BY page_id
+),
+nl AS (SELECT page_id, len(string_split(text, chr(10))) AS n_lines FROM pages)
+SELECT nl.page_id, coalesce(reb.text_dedup, '') AS text_dedup,
+       nl.n_lines::int AS n_lines,
+       (nl.n_lines - coalesce(reb.n_kept, 0))::bigint AS n_lines_dropped
+FROM nl LEFT JOIN reb USING (page_id)
+"""
+
+
+def q_paragraph_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-doc repetition removal: docs rewritten as
+    text ⏎ text ⏎ 'tail <id>' so every doc has one repeated paragraph;
+    dedup keeps first occurrence, order preserved, zero shuffle."""
+    from baselinr_spark.operators.linededup import paragraph_dedup
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat_ws(
+            "\n", "text", "text", F.concat(F.lit("tail "), F.col("doc_id"))
+        ).alias("text"),
+    )
+    return paragraph_dedup(docs, "doc_id", "text")
+
+
+_SQL_PARAGRAPH_DEDUP = """
+WITH d AS (
+  SELECT doc_id,
+         text || chr(10) || text || chr(10) || 'tail ' || doc_id AS text
+  FROM documents
+),
+p AS (
+  SELECT doc_id, generate_subscripts(ls, 1) - 1 AS pos, unnest(ls) AS para
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM d)
+),
+firsts AS (SELECT doc_id, para, min(pos) AS fp FROM p GROUP BY doc_id, para),
+nl AS (SELECT doc_id, len(string_split(text, chr(10))) AS n_paras FROM d)
+SELECT nl.doc_id,
+       (SELECT string_agg(para, chr(10) ORDER BY fp) FROM firsts f
+         WHERE f.doc_id = nl.doc_id) AS text_dedup,
+       nl.n_paras::bigint AS n_paras,
+       (nl.n_paras - (SELECT count(*) FROM firsts f WHERE f.doc_id = nl.doc_id))::bigint
+         AS n_paras_dropped
+FROM nl
+"""
+
+_DSIR_BUCKETS = 256
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR hashed-n-gram importance log-weights, target = lang='en'."""
+    from baselinr_spark.operators.selection import dsir_log_weights
+
+    docs = _read(spark, sf_dir, "documents")
+    out = dsir_log_weights(
+        docs, "doc_id", "text", F.col("lang") == "en", n_buckets=_DSIR_BUCKETS
+    )
+    return _r6(out, "log_weight")
+
+
+def _sql_dsir_weights() -> str:
+    B = _DSIR_BUCKETS
+    return f"""
+WITH docs AS (SELECT doc_id, text, (lang = 'en') AS is_t FROM documents),
+words AS (
+  SELECT doc_id, is_t,
+         list_filter(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+                     x -> length(x) > 0) AS ws
+  FROM docs
+),
+grams AS (
+  SELECT doc_id, is_t, unnest(ws) AS gram FROM words
+  UNION ALL
+  SELECT doc_id, is_t,
+         unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS gram
+  FROM words
+),
+bk AS (
+  SELECT doc_id, is_t,
+         ('0x' || substring(md5(gram), 1, 8))::bigint % {B} AS bucket
+  FROM grams
+),
+per_doc AS (SELECT doc_id, bucket, count(*) AS cnt FROM bk GROUP BY doc_id, bucket),
+dist AS (
+  SELECT bucket,
+         sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS t_cnt,
+         count(*) AS r_cnt
+  FROM bk GROUP BY bucket
+),
+tot AS (SELECT sum(t_cnt) AS t_tot, sum(r_cnt) AS r_tot FROM dist),
+llr AS (
+  SELECT bucket,
+         ln((t_cnt + 1.0) / (t_tot + {B}.0)) - ln((r_cnt + 1.0) / (r_tot + {B}.0)) AS llr
+  FROM dist, tot
+)
+SELECT per_doc.doc_id, round(sum(cnt * llr), 6) AS log_weight
+FROM per_doc JOIN llr USING (bucket)
+GROUP BY per_doc.doc_id
+"""
+
+
+def q_dsir_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR Gumbel top-k resample (k=50) — deterministic md5 Gumbel
+    noise, so the winner set is engine-independent."""
+    from baselinr_spark.operators.selection import dsir_log_weights, dsir_resample
+
+    docs = _read(spark, sf_dir, "documents")
+    w = dsir_log_weights(
+        docs, "doc_id", "text", F.col("lang") == "en", n_buckets=_DSIR_BUCKETS
+    )
+    return _r6(dsir_resample(w, "doc_id", k=50), "log_weight", "gumbel_key")
+
+
+def _sql_dsir_topk() -> str:
+    inner = _sql_dsir_weights().replace("round(sum(cnt * llr), 6)", "sum(cnt * llr)")
+    return f"""
+WITH w AS ({inner}),
+keyed AS (
+  SELECT doc_id, log_weight,
+         log_weight - ln(-ln((('0x' || substring(md5(doc_id::varchar || '|dsir'), 1, 8))::bigint)
+                             / 4294967296.0)) AS gumbel_key
+  FROM w
+)
+SELECT doc_id, round(log_weight, 6) AS log_weight, round(gumbel_key, 6) AS gumbel_key
+FROM keyed ORDER BY gumbel_key DESC, doc_id LIMIT 50
+"""
+
+
+_MIX_ALPHA = 0.3
+_MIX_TARGET = 200
+
+
+def q_mixture_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based language mixture rates (XLM-R alpha=0.3)."""
+    from baselinr_spark.operators.selection import temperature_mixture_rates
+
+    docs = _read(spark, sf_dir, "documents")
+    out = temperature_mixture_rates(
+        docs, "lang", alpha=_MIX_ALPHA, target_total=_MIX_TARGET
+    )
+    return _r6(out, "mix_prob", "sample_rate")
+
+
+_SQL_MIXTURE_RATES = f"""
+WITH c AS (SELECT lang, count(*)::bigint AS n_docs FROM documents GROUP BY lang),
+z AS (SELECT sum(pow(n_docs, {_MIX_ALPHA})) AS z FROM c)
+SELECT lang, n_docs,
+       round(pow(n_docs, {_MIX_ALPHA}) / z, 6) AS mix_prob,
+       round(least(1.0, {_MIX_TARGET} * (pow(n_docs, {_MIX_ALPHA}) / z) / n_docs), 6)
+         AS sample_rate
+FROM c, z
+"""
+
+
+def q_mixture_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kept-doc counts per language after deterministic temperature
+    sampling — verifies the row-local keep/drop itself."""
+    from baselinr_spark.operators.selection import temperature_mixture_sample
+
+    docs = _read(spark, sf_dir, "documents")
+    kept = temperature_mixture_sample(
+        docs, "doc_id", "lang", alpha=_MIX_ALPHA, target_total=_MIX_TARGET
+    )
+    return kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept"))
+
+
+_SQL_MIXTURE_SAMPLE = f"""
+WITH c AS (SELECT lang, count(*)::bigint AS n_docs FROM documents GROUP BY lang),
+z AS (SELECT sum(pow(n_docs, {_MIX_ALPHA})) AS z FROM c),
+rates AS (
+  SELECT lang,
+         least(1.0, {_MIX_TARGET} * (pow(n_docs, {_MIX_ALPHA}) / z) / n_docs) AS rate
+  FROM c, z
+)
+SELECT d.lang, count(*)::bigint AS n_kept
+FROM documents d JOIN rates USING (lang)
+WHERE (('0x' || substring(md5(d.doc_id::varchar || '|mix'), 1, 8))::bigint)
+      / 4294967296.0 < rate
+GROUP BY d.lang
+"""
+
+
+def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus statistics (the synthetic `source` column
+    stands in for the URL domain)."""
+    from baselinr_spark.operators.selection import domain_stats
+
+    docs = _read(spark, sf_dir, "documents")
+    return _r6(domain_stats(docs, "source", "text"), "mean_chars", "corpus_share")
+
+
+_SQL_DOMAIN_STATS = """
+WITH tot AS (SELECT count(*) AS corpus_docs FROM documents)
+SELECT source, count(*)::bigint AS n_docs,
+       sum(length(text))::bigint AS total_chars,
+       round(avg(length(text)), 6) AS mean_chars,
+       count(DISTINCT lang)::bigint AS n_langs,
+       round(count(*) / any_value(corpus_docs), 6) AS corpus_share
+FROM documents, tot
+GROUP BY source
+"""
+
+_BLOCKED_SOURCES = ("src0", "src3", "src7")
+
+
+def q_domain_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Surviving per-source doc counts after a broadcast anti-join
+    against a domain blocklist."""
+    from baselinr_spark.operators.selection import domain_blocklist_filter
+
+    docs = _read(spark, sf_dir, "documents")
+    block = spark.createDataFrame(
+        [(s,) for s in _BLOCKED_SOURCES], schema="source string"
+    )
+    kept = domain_blocklist_filter(docs, "source", block)
+    return kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+_SQL_DOMAIN_BLOCKLIST = """
+SELECT source, count(*)::bigint AS n_docs
+FROM documents
+WHERE source NOT IN ({})
+GROUP BY source
+""".format(", ".join(f"'{s}'" for s in _BLOCKED_SOURCES))
+
+
+# ---------------------------------------------------------------------------
 # similarity search over embeddings (training-data ops)
 # ---------------------------------------------------------------------------
 
@@ -4357,6 +4647,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- front block = the driver gate's 50-sample window:
         # new this round + everything without a green r03 row, then the
         # block last checked in round 1, padded with four r03 greens ---
+        "line_dedup_pages": q_line_dedup_pages,
+        "paragraph_dedup_docs": q_paragraph_dedup_docs,
+        "dsir_weights": q_dsir_weights,
+        "dsir_topk": q_dsir_topk,
+        "mixture_rates": q_mixture_rates,
+        "mixture_sample_counts": q_mixture_sample_counts,
+        "domain_stats": q_domain_stats,
+        "domain_blocklist": q_domain_blocklist,
         "recommend_checks": q_recommend_checks,
         "prioritize_checks": q_prioritize_checks,
         "column_confidence": q_column_confidence,
@@ -4456,6 +4754,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "line_dedup_pages": _SQL_LINE_DEDUP,
+        "paragraph_dedup_docs": _SQL_PARAGRAPH_DEDUP,
+        "dsir_weights": _sql_dsir_weights(),
+        "dsir_topk": _sql_dsir_topk(),
+        "mixture_rates": _SQL_MIXTURE_RATES,
+        "mixture_sample_counts": _SQL_MIXTURE_SAMPLE,
+        "domain_stats": _SQL_DOMAIN_STATS,
+        "domain_blocklist": _SQL_DOMAIN_BLOCKLIST,
         "gopher_repetition_docs": _sql_gopher_repetition(),
         "c4_line_rules_docs": _SQL_C4_LINE_RULES,
         "profile_lineitem": _sql_profile_lineitem(),

@@ -1,0 +1,219 @@
+"""Training-data selection operators: DSIR-style importance weighting
+and resampling, temperature-based language mixture sampling, and
+per-domain statistics / blocklist filtering.
+
+Published methods, Spark-first recasts (additive to the reference,
+whose selection surface stops at table/column smart-selection —
+`/root/reference/baselinr/smart_selection/`):
+
+* DSIR — Xie et al. 2023, "Data Selection for Language Models via
+  Importance Resampling": score every raw document by the hashed-n-gram
+  log-likelihood ratio log p_target(x) − log q_raw(x) under bag-of-
+  n-gram models, then take a Gumbel top-k over the weights (sampling
+  without replacement ∝ softmax of the log-weights).
+* Temperature mixture — Conneau et al. 2020 (XLM-R, §3): rebalance a
+  multilingual corpus by sampling language l with probability
+  ∝ n_l^alpha, alpha < 1 upweighting the tail.
+
+Scale design:
+
+* Hashed features keep the model state at exactly ``n_buckets`` rows —
+  a broadcast join against per-doc bucket counts, never a shuffle of
+  model state. Per-doc bucket counts come from one explode + two
+  map-side-combining groupBys.
+* All randomness is md5-derived (Gumbel keys, per-doc uniforms), so
+  results are engine-independent and each gate query has an exact
+  DuckDB twin — same trick the minhash/LSH oracles use
+  (`__spark_entry__._sql_minhash_lsh_pairs`).
+* Temperature sampling needs only the per-language counts on the
+  driver side of the plan (a tiny agg, broadcast back); the keep/drop
+  decision is a row-local comparison.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "hashed_gram_buckets",
+    "dsir_log_weights",
+    "dsir_resample",
+    "temperature_mixture_rates",
+    "temperature_mixture_sample",
+    "domain_stats",
+    "domain_blocklist_filter",
+]
+
+
+def _md5_uniform(col: Column, salt: str) -> Column:
+    """Deterministic U[0,1) from md5 — first 8 hex chars / 16^8."""
+    h = F.conv(F.substring(F.md5(F.concat(col.cast("string"), F.lit("|" + salt))), 1, 8), 16, 10)
+    return h.cast("double") / F.lit(4294967296.0)
+
+
+def _norm_words(text_col: Column) -> Column:
+    return F.filter(
+        F.split(F.trim(F.regexp_replace(F.lower(text_col), r"\s+", " ")), " "),
+        lambda w: F.length(w) > 0,
+    )
+
+
+def hashed_gram_buckets(df: DataFrame, id_col: str, text_col: str, *, n_buckets: int = 1024) -> DataFrame:
+    """Explode each document into hashed word uni+bigram feature
+    buckets: (id, bucket, cnt). Bucket = md5(gram) first 8 hex chars
+    mod n_buckets — engine-independent."""
+    words = _norm_words(F.col(text_col))
+    bigrams = F.zip_with(
+        F.slice(words, 1, F.greatest(F.size(words) - 1, F.lit(0))),
+        F.slice(words, 2, F.greatest(F.size(words) - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    grams = F.concat(words, bigrams)
+    exploded = df.select(F.col(id_col), F.explode(grams).alias("gram"))
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("gram")), 1, 8), 16, 10).cast("long")
+        % F.lit(n_buckets)
+    ).alias("bucket")
+    return exploded.select(F.col(id_col), bucket).groupBy(id_col, "bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def dsir_log_weights(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target_pred: Column,
+    *,
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Per-document DSIR importance log-weight.
+
+    ``target_pred`` marks the in-domain target sample (rows of ``df``).
+    Bag-of-hashed-n-gram models with add-one smoothing:
+    log_w(x) = Σ_b cnt_b(x) · (log p_target(b) − log q_raw(b)).
+
+    Returns (id_col, log_weight). The bucket-distribution table is
+    ``n_buckets`` rows — broadcast to the per-doc counts join.
+    """
+    docs = df.withColumn("__is_target", target_pred)
+    per_doc = hashed_gram_buckets(docs, id_col, text_col, n_buckets=n_buckets)
+    flags = docs.select(F.col(id_col), "__is_target")
+    counts = per_doc.join(F.broadcast(flags), id_col)
+
+    dist = counts.groupBy("bucket").agg(
+        F.sum(F.when(F.col("__is_target"), F.col("cnt")).otherwise(F.lit(0))).alias("t_cnt"),
+        F.sum("cnt").alias("r_cnt"),
+    )
+    totals = dist.agg(
+        F.sum("t_cnt").alias("t_tot"), F.sum("r_cnt").alias("r_tot")
+    )
+    # add-one smoothing over the full bucket space so unseen buckets
+    # stay finite; totals is a 1-row broadcast crossJoin.
+    dist = dist.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        (
+            F.log((F.col("t_cnt") + 1.0) / (F.col("t_tot") + F.lit(float(n_buckets))))
+            - F.log((F.col("r_cnt") + 1.0) / (F.col("r_tot") + F.lit(float(n_buckets))))
+        ).alias("llr"),
+    )
+    return (
+        per_doc.join(F.broadcast(dist), "bucket")
+        .groupBy(id_col)
+        .agg(F.sum(F.col("cnt") * F.col("llr")).alias("log_weight"))
+    )
+
+
+def dsir_resample(
+    weights: DataFrame, id_col: str, *, k: int, salt: str = "dsir"
+) -> DataFrame:
+    """Gumbel top-k over log-weights = sampling k docs without
+    replacement with probability ∝ exp(log_weight). Deterministic:
+    the Gumbel noise is −log(−log u) with u md5-derived from the id.
+
+    Returns (id_col, log_weight, gumbel_key) — the k winners.
+    """
+    u = _md5_uniform(F.col(id_col), salt)
+    keyed = weights.select(
+        F.col(id_col),
+        "log_weight",
+        (F.col("log_weight") - F.log(-F.log(u))).alias("gumbel_key"),
+    )
+    return keyed.orderBy(F.desc("gumbel_key"), F.col(id_col)).limit(k)
+
+
+def temperature_mixture_rates(
+    df: DataFrame, group_col: str, *, alpha: float = 0.3, target_total: int
+) -> DataFrame:
+    """Per-group sampling rates for temperature-based rebalancing:
+    p_g ∝ n_g^alpha; rate_g = min(1, target_total · p_g / n_g).
+
+    Returns (group_col, n_docs, mix_prob, sample_rate) — one row per
+    group; at corpus scale this is a tiny agg broadcast back.
+    """
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = counts.agg(F.sum(F.pow(F.col("n_docs"), F.lit(alpha))).alias("z"))
+    return counts.crossJoin(F.broadcast(tot)).select(
+        group_col,
+        "n_docs",
+        (F.pow(F.col("n_docs"), F.lit(alpha)) / F.col("z")).alias("mix_prob"),
+        F.least(
+            F.lit(1.0),
+            F.lit(float(target_total))
+            * (F.pow(F.col("n_docs"), F.lit(alpha)) / F.col("z"))
+            / F.col("n_docs"),
+        ).alias("sample_rate"),
+    )
+
+
+def temperature_mixture_sample(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    *,
+    alpha: float = 0.3,
+    target_total: int,
+    salt: str = "mix",
+) -> DataFrame:
+    """Row-local deterministic keep/drop against the per-group rate:
+    keep iff md5-uniform(id) < rate(group). Broadcast rates join —
+    no shuffle of the corpus."""
+    rates = temperature_mixture_rates(
+        df, group_col, alpha=alpha, target_total=target_total
+    ).select(group_col, "sample_rate")
+    u = _md5_uniform(F.col(id_col), salt)
+    return df.join(F.broadcast(rates), group_col).filter(u < F.col("sample_rate"))
+
+
+def domain_stats(df: DataFrame, domain_col: str, text_col: str) -> DataFrame:
+    """Per-domain corpus statistics: doc count, total/mean chars,
+    distinct languages, share of corpus. One map-side-combining agg."""
+    tot = df.agg(F.count(F.lit(1)).alias("corpus_docs"))
+    return (
+        df.groupBy(domain_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length(F.col(text_col))).alias("total_chars"),
+            F.avg(F.length(F.col(text_col))).alias("mean_chars"),
+            F.count_distinct(F.col("lang")).alias("n_langs"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            domain_col,
+            "n_docs",
+            "total_chars",
+            "mean_chars",
+            "n_langs",
+            (F.col("n_docs") / F.col("corpus_docs")).alias("corpus_share"),
+        )
+    )
+
+
+def domain_blocklist_filter(
+    df: DataFrame, domain_col: str, blocklist: DataFrame
+) -> DataFrame:
+    """Drop documents whose domain is on the blocklist — broadcast
+    left_anti join (the blocklist is always small relative to the
+    corpus)."""
+    return df.join(F.broadcast(blocklist), domain_col, "left_anti")

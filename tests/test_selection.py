@@ -1,0 +1,137 @@
+"""Tests for corpus-level line dedup, paragraph dedup, and
+training-data selection (DSIR, temperature mixture, domain ops)."""
+
+import math
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from baselinr_spark.operators.linededup import line_dedup, paragraph_dedup
+from baselinr_spark.operators.selection import (
+    domain_blocklist_filter,
+    domain_stats,
+    dsir_log_weights,
+    dsir_resample,
+    temperature_mixture_rates,
+    temperature_mixture_sample,
+)
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    return spark.createDataFrame(
+        [
+            Row(doc_id=1, text="unique first line here\nshared boilerplate line\nx"),
+            Row(doc_id=2, text="shared boilerplate line\nanother unique line two"),
+            Row(doc_id=3, text="shared boilerplate line\nshared boilerplate line"),
+            Row(doc_id=4, text="tiny\nok"),
+        ]
+    )
+
+
+def test_line_dedup_keeps_first_occurrence(pages):
+    out = {r["doc_id"]: r for r in line_dedup(pages, "doc_id", "text").collect()}
+    # doc 1 holds the first occurrence of the shared line; 'x' is short → kept
+    assert out[1]["text_dedup"] == "unique first line here\nshared boilerplate line\nx"
+    assert out[1]["n_lines_dropped"] == 0
+    # doc 2 loses the repeat, keeps its unique line
+    assert out[2]["text_dedup"] == "another unique line two"
+    assert out[2]["n_lines_dropped"] == 1
+    # doc 3 loses both occurrences (both are corpus repeats)
+    assert out[3]["text_dedup"] == ""
+    assert out[3]["n_lines_dropped"] == 2
+    # doc 4: both lines below min_line_chars → untouched
+    assert out[4]["text_dedup"] == "tiny\nok"
+    assert out[4]["n_lines_dropped"] == 0
+
+
+def test_line_dedup_no_vanishing_docs(pages):
+    assert line_dedup(pages, "doc_id", "text").count() == pages.count()
+
+
+def test_paragraph_dedup_order_preserving(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="b\na\nb\nc\na"), Row(doc_id=2, text="solo")]
+    )
+    out = {r["doc_id"]: r for r in paragraph_dedup(df, "doc_id", "text").collect()}
+    assert out[1]["text_dedup"] == "b\na\nc"
+    assert out[1]["n_paras_dropped"] == 2
+    assert out[2]["text_dedup"] == "solo"
+    assert out[2]["n_paras_dropped"] == 0
+
+
+@pytest.fixture(scope="module")
+def mini_corpus(spark):
+    rows = []
+    for i in range(40):
+        if i % 4 == 0:
+            rows.append(Row(doc_id=i, lang="en", source=f"src{i % 3}",
+                            text="the quick brown fox jumps over the lazy dog"))
+        else:
+            rows.append(Row(doc_id=i, lang="de" if i % 2 else "fr",
+                            source=f"src{i % 3}",
+                            text=f"zzz qqq www token{i} noise noise noise"))
+    return spark.createDataFrame(rows)
+
+
+def test_dsir_weights_upweight_target_like_docs(mini_corpus):
+    w = dsir_log_weights(
+        mini_corpus, "doc_id", "text", F.col("lang") == "en", n_buckets=64
+    ).collect()
+    by_id = {r["doc_id"]: r["log_weight"] for r in w}
+    target_like = [v for k, v in by_id.items() if k % 4 == 0]
+    rest = [v for k, v in by_id.items() if k % 4 != 0]
+    assert min(target_like) > max(rest)
+    assert all(math.isfinite(v) for v in by_id.values())
+
+
+def test_dsir_resample_deterministic_topk(mini_corpus):
+    w = dsir_log_weights(
+        mini_corpus, "doc_id", "text", F.col("lang") == "en", n_buckets=64
+    )
+    a = [r["doc_id"] for r in dsir_resample(w, "doc_id", k=5).collect()]
+    b = [r["doc_id"] for r in dsir_resample(w, "doc_id", k=5).collect()]
+    assert a == b and len(a) == 5
+    # softmax-weighted sampling should pick mostly target-like docs
+    assert sum(1 for d in a if d % 4 == 0) >= 4
+
+
+def test_temperature_rates_upweight_tail(mini_corpus):
+    rates = {
+        r["lang"]: r
+        for r in temperature_mixture_rates(
+            mini_corpus, "lang", alpha=0.3, target_total=20
+        ).collect()
+    }
+    # mix probabilities sum to 1; minority langs get rate boosts
+    assert abs(sum(r["mix_prob"] for r in rates.values()) - 1.0) < 1e-9
+    # en has 10 docs, de 15, fr 15 → alpha<1 compresses: en rate > de rate
+    assert rates["en"]["sample_rate"] > rates["de"]["sample_rate"]
+    for r in rates.values():
+        assert 0.0 < r["sample_rate"] <= 1.0
+
+
+def test_temperature_sample_deterministic_and_bounded(mini_corpus):
+    s1 = temperature_mixture_sample(
+        mini_corpus, "doc_id", "lang", alpha=0.3, target_total=20
+    )
+    a = sorted(r["doc_id"] for r in s1.collect())
+    b = sorted(
+        r["doc_id"]
+        for r in temperature_mixture_sample(
+            mini_corpus, "doc_id", "lang", alpha=0.3, target_total=20
+        ).collect()
+    )
+    assert a == b
+    assert 0 < len(a) <= 40
+
+
+def test_domain_stats_and_blocklist(mini_corpus, spark):
+    stats = {r["source"]: r for r in domain_stats(mini_corpus, "source", "text").collect()}
+    assert abs(sum(r["corpus_share"] for r in stats.values()) - 1.0) < 1e-9
+    assert stats["src0"]["n_docs"] == 14
+    block = spark.createDataFrame([Row(source="src0")])
+    kept = domain_blocklist_filter(mini_corpus, "source", block)
+    assert kept.count() == 40 - 14
+    assert kept.filter(F.col("source") == "src0").count() == 0
