@@ -1452,6 +1452,93 @@ FROM keyed ORDER BY gumbel_key DESC, doc_id LIMIT 50
 """
 
 
+def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-page repeated-substring spans (hashed-shingle approximation
+    of suffix-array dedup) over the sliding-window page corpus — every
+    doc text appears in 3 pages, so every page is covered by duplicated
+    spans with deterministic boundaries."""
+    from baselinr_spark.operators.dedup import duplicate_spans
+
+    pages = _pages_with_shared_lines(spark, sf_dir)
+    return duplicate_spans(pages, "page_id", "text", shingle_n=8, min_docs=2)
+
+
+_SQL_DUPLICATE_SPANS = f"""
+WITH {_SQL_PAGES_SHARED},
+words AS (
+  SELECT page_id,
+         list_filter(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+                     x -> length(x) > 0) AS ws
+  FROM pages
+),
+occ AS (
+  SELECT page_id, unnest(range(0, len(ws) - 7)) AS pos,
+         list_transform(range(0, len(ws) - 7),
+                        i -> md5(array_to_string(ws[i + 1: i + 8], ' '))) AS hs
+  FROM words WHERE len(ws) >= 8
+),
+o2 AS (SELECT page_id, pos, hs[pos + 1] AS h FROM occ),
+dup AS (SELECT h FROM o2 GROUP BY h HAVING count(DISTINCT page_id) >= 2),
+d AS (
+  SELECT page_id, pos,
+         pos - row_number() OVER (PARTITION BY page_id ORDER BY pos) AS grp
+  FROM o2 JOIN dup USING (h)
+)
+SELECT page_id AS id, min(pos)::int AS span_start,
+       (max(pos) + 7)::int AS span_end, count(*)::bigint AS n_shingles
+FROM d GROUP BY page_id, grp
+"""
+
+
+def q_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-aware per-cluster quota sample over the embeddings
+    table — md5-seeded IVF centroids + deterministic md5 ranking, with
+    the scale prefilter active so the oracle also verifies the
+    prefilter-then-rank composition."""
+    from baselinr_spark.operators.selection import cluster_balanced_sample
+
+    vecs = _read(spark, sf_dir, "embeddings")
+    return cluster_balanced_sample(
+        vecs, "vec_id", "embedding", n_clusters=8, quota=12
+    )
+
+
+_SQL_CLUSTER_BALANCED = """
+WITH ranked0 AS (
+  SELECT vec_id, embedding,
+         row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) AS rn
+  FROM embeddings
+),
+cents AS (
+  SELECT rn - 1 AS centroid_id, embedding AS cvec FROM ranked0 WHERE rn <= 8
+),
+scored AS (
+  SELECT e.vec_id, c.centroid_id,
+         list_cosine_similarity(e.embedding::double[], c.cvec::double[]) AS cos
+  FROM embeddings e, cents c
+),
+assign AS (
+  SELECT vec_id, centroid_id
+  FROM scored
+  QUALIFY row_number() OVER (PARTITION BY vec_id
+                             ORDER BY cos DESC, centroid_id ASC) = 1
+),
+ranked AS (
+  SELECT vec_id, centroid_id,
+         ('0x' || substring(md5(vec_id::varchar || '|cbs'), 1, 8))::bigint AS u_rank,
+         count(*) OVER (PARTITION BY centroid_id) AS n_c
+  FROM assign
+),
+pre AS (
+  SELECT vec_id, centroid_id, u_rank FROM ranked
+  WHERE u_rank / 4294967296.0 < least(1.0, 8.0 * 12 / n_c)
+)
+SELECT vec_id, centroid_id::int AS centroid_id, u_rank
+FROM pre
+QUALIFY row_number() OVER (PARTITION BY centroid_id ORDER BY u_rank, vec_id) <= 12
+"""
+
+
 _MIX_ALPHA = 0.3
 _MIX_TARGET = 200
 
@@ -4649,6 +4736,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # block last checked in round 1, padded with four r03 greens ---
         "line_dedup_pages": q_line_dedup_pages,
         "paragraph_dedup_docs": q_paragraph_dedup_docs,
+        "duplicate_spans": q_duplicate_spans,
+        "cluster_balanced_sample": q_cluster_balanced_sample,
         "dsir_weights": q_dsir_weights,
         "dsir_topk": q_dsir_topk,
         "mixture_rates": q_mixture_rates,
@@ -4756,6 +4845,8 @@ def oracle_sql() -> dict[str, str]:
     return {
         "line_dedup_pages": _SQL_LINE_DEDUP,
         "paragraph_dedup_docs": _SQL_PARAGRAPH_DEDUP,
+        "duplicate_spans": _SQL_DUPLICATE_SPANS,
+        "cluster_balanced_sample": _SQL_CLUSTER_BALANCED,
         "dsir_weights": _sql_dsir_weights(),
         "dsir_topk": _sql_dsir_topk(),
         "mixture_rates": _SQL_MIXTURE_RATES,

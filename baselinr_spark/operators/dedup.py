@@ -491,3 +491,66 @@ def ngram_contamination(
         F.round(F.col("n_hits") / F.col("train_ngrams"), 6)
         .alias("contamination_frac"),
     )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    shingle_n: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document repeated-substring detection — the hashed-shingle
+    approximation of suffix-array substring dedup (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better"): a word
+    position starts a duplicated span iff its `shingle_n`-gram occurs in
+    ≥ `min_docs` distinct documents; runs of consecutive duplicated
+    positions are merged into maximal spans per document.
+
+    Returns (id, span_start, span_end, n_shingles) in word positions
+    (span_end = last covered word, inclusive).
+
+    Scale shape: positional shingles are exploded (linear in corpus
+    words — the same footprint as tokenisation); the corpus-wide
+    duplicated-shingle set comes from ONE groupBy on the shingle hash
+    with map-side combine (boilerplate shingles collapse per map task
+    before the shuffle); the join back is an equi-join on the hash that
+    AQE skew-splits; span merging is a per-document window (bounded
+    partitions — never corpus-global)."""
+    from pyspark.sql import Window as W
+
+    words = F.filter(
+        F.split(normalize_text(F.col(text_col)), " "), lambda w: F.length(w) > 0
+    )
+    k = F.size(words) - (shingle_n - 1)
+    shingles = F.when(
+        k > 0,
+        F.transform(
+            F.sequence(F.lit(0), k - 1),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(words, i + 1, shingle_n))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    occ = df.select(
+        F.col(id_col).alias("id"), F.posexplode(shingles).alias("pos", "h")
+    )
+    dup_keys = (
+        occ.groupBy("h")
+        .agg(F.count_distinct("id").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("h")
+    )
+    dup_occ = occ.join(dup_keys, "h").select("id", "pos")
+    # island merge: consecutive positions share (pos - row_number)
+    w = W.partitionBy("id").orderBy("pos")
+    grp = (F.col("pos") - F.row_number().over(w)).alias("grp")
+    return (
+        dup_occ.select("id", "pos", grp)
+        .groupBy("id", "grp")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(shingle_n - 1)).alias("span_end"),
+            F.count(F.lit(1)).alias("n_shingles"),
+        )
+        .drop("grp")
+    )

@@ -43,6 +43,7 @@ __all__ = [
     "temperature_mixture_sample",
     "domain_stats",
     "domain_blocklist_filter",
+    "cluster_balanced_sample",
 ]
 
 
@@ -217,3 +218,64 @@ def domain_blocklist_filter(
     left_anti join (the blocklist is always small relative to the
     corpus)."""
     return df.join(F.broadcast(blocklist), domain_col, "left_anti")
+
+
+def cluster_balanced_sample(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    n_clusters: int = 16,
+    quota: int = 10,
+    salt: str = "cbs",
+    prefilter_oversample: float | None = 8.0,
+) -> DataFrame:
+    """Diversity-aware selection over an embedding column: assign every
+    vector to its nearest md5-seeded centroid (the IVF coarse quantizer
+    from operators.similarity), then keep a deterministic per-cluster
+    quota — the cluster-balanced sampling used to de-bias web corpora
+    toward head topics (cf. DSIR §5 "diversity" ablations; SemDeDup-style
+    cluster partitioning).
+
+    Determinism: within a cluster, rank by the md5-derived integer
+    u(id) — engine-independent, so the winner set has an exact DuckDB
+    twin. Returns (vec_id, centroid_id, u_rank) — ≤ quota rows/cluster.
+
+    Scale shape: centroids broadcast; assignment map-side. The
+    per-cluster quota window would see partitions the size of the
+    LARGEST cluster at corpus scale, so when `prefilter_oversample` is
+    set, rows are pre-filtered to u/2^32 < oversample·quota/|cluster|
+    (cluster sizes from a tiny broadcast agg) BEFORE the window — the
+    window then ranks ~oversample·quota rows per cluster instead of
+    |cluster|. The prefilter is itself deterministic, so the oracle
+    replays it exactly; with oversample=8 the probability of starving a
+    quota is (analytically) negligible but the cut is by construction,
+    not by luck."""
+    from pyspark.sql import Window as W
+
+    from baselinr_spark.operators.similarity import ivf_assign, ivf_centroids
+
+    cents = ivf_centroids(df, id_col, vec_col, n_centroids=n_clusters)
+    assign = ivf_assign(df, cents, id_col, vec_col).select("vec_id", "centroid_id")
+    u = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("vec_id").cast("string"), F.lit("|" + salt))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    ranked = assign.withColumn("u_rank", u)
+    if prefilter_oversample is not None:
+        sizes = assign.groupBy("centroid_id").agg(F.count(F.lit(1)).alias("n_c"))
+        ranked = ranked.join(F.broadcast(sizes), "centroid_id").filter(
+            (F.col("u_rank") / F.lit(4294967296.0))
+            < F.least(
+                F.lit(1.0), F.lit(prefilter_oversample * quota) / F.col("n_c")
+            )
+        ).drop("n_c")
+    w = W.partitionBy("centroid_id").orderBy("u_rank", "vec_id")
+    return (
+        ranked.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= quota)
+        .select("vec_id", "centroid_id", "u_rank")
+    )

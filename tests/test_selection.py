@@ -135,3 +135,67 @@ def test_domain_stats_and_blocklist(mini_corpus, spark):
     kept = domain_blocklist_filter(mini_corpus, "source", block)
     assert kept.count() == 40 - 14
     assert kept.filter(F.col("source") == "src0").count() == 0
+
+
+def test_duplicate_spans_detects_planted_overlap(spark):
+    from baselinr_spark.operators.dedup import duplicate_spans
+
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    rows = [
+        Row(doc_id=1, text="one two three " + shared + " four five six"),
+        Row(doc_id=2, text="seven eight " + shared + " nine ten"),
+        Row(doc_id=3, text="totally different words with no overlap at all here"),
+    ]
+    df = spark.createDataFrame(rows)
+    spans = duplicate_spans(df, "doc_id", "text", shingle_n=8, min_docs=2)
+    out = {r["id"]: r for r in spans.collect()}
+    # docs 1 and 2 share a 10-word run -> 3 consecutive 8-shingles each
+    assert set(out) == {1, 2}
+    # doc 1: shared words occupy positions 3..12
+    assert out[1]["span_start"] == 3 and out[1]["span_end"] == 12
+    assert out[1]["n_shingles"] == 3
+    # doc 2: shared words occupy positions 2..11
+    assert out[2]["span_start"] == 2 and out[2]["span_end"] == 11
+
+
+def test_duplicate_spans_merges_islands(spark):
+    from baselinr_spark.operators.dedup import duplicate_spans
+
+    a = "w1 w2 w3 w4 w5 w6 w7 w8"
+    b = "x1 x2 x3 x4 x5 x6 x7 x8"
+    rows = [
+        Row(doc_id=1, text=a + " gapword gapword2 gapword3 " + b),
+        Row(doc_id=2, text=a), Row(doc_id=3, text=b),
+    ]
+    spans = duplicate_spans(
+        spark.createDataFrame(rows), "doc_id", "text", shingle_n=8, min_docs=2
+    )
+    doc1 = sorted(
+        [(r["span_start"], r["span_end"]) for r in spans.collect() if r["id"] == 1]
+    )
+    # two separate islands, not merged across the gap
+    assert doc1 == [(0, 7), (11, 18)]
+
+
+def test_cluster_balanced_sample_quota_and_determinism(spark):
+    import random
+
+    from baselinr_spark.operators.selection import cluster_balanced_sample
+
+    rng = random.Random(7)
+    rows = [
+        Row(vec_id=i, embedding=[rng.uniform(-1, 1) for _ in range(8)])
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows)
+    out = cluster_balanced_sample(df, "vec_id", "embedding", n_clusters=4, quota=5)
+    got = out.collect()
+    per = {}
+    for r in got:
+        per.setdefault(r["centroid_id"], []).append(r["vec_id"])
+    assert all(len(v) <= 5 for v in per.values())
+    assert len(per) == 4  # 200 random vecs fill every cluster
+    again = cluster_balanced_sample(df, "vec_id", "embedding", n_clusters=4, quota=5)
+    assert sorted(r["vec_id"] for r in again.collect()) == sorted(
+        r["vec_id"] for r in got
+    )
