@@ -4993,6 +4993,72 @@ _SQL_SEQUENCE_PACKING = (
 )
 
 
+# ---------------------------------------------------------------------------
+# distributed BPE tokenizer training (operators/bpe.py — additive
+# training-data coverage; the reference has no tokenizer surface)
+# ---------------------------------------------------------------------------
+
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 frequency-weighted adjacent-symbol pairs over the initial
+    character vocab (operators/bpe.py:pair_counts): the corpus is read
+    once into a unique-word table, so the count is O(|vocab|) — the
+    map-reduce BPE formulation that stays corpus-size-independent."""
+    from baselinr_spark.operators.bpe import pair_counts, word_symbol_table
+
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        pair_counts(word_symbol_table(docs))
+        .orderBy(F.desc("pair_count"), "lhs", "rhs")
+        .limit(20)
+    )
+
+
+def _sql_bpe_pair_counts() -> str:
+    from baselinr_spark.operators.bpe import oracle_pair_counts_sql
+
+    return oracle_pair_counts_sql(20)
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Six learned BPE merges (operators/bpe.py:bpe_train): per round,
+    argmax pair via TakeOrderedAndProject (one collected row), then a
+    row-local greedy-leftmost fold applies the merge — zero shuffle per
+    application, state bounded by |vocab|. Oracle replays the identical
+    algorithm as an unrolled CTE chain (list_reduce fold)."""
+    from baselinr_spark.operators.bpe import bpe_train
+
+    docs = _read(spark, sf_dir, "documents")
+    merges, _ = bpe_train(docs, n_merges=6)
+    return merges
+
+
+def _sql_bpe_merges() -> str:
+    from baselinr_spark.operators.bpe import oracle_merges_sql
+
+    return oracle_merges_sql(6)
+
+
+def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 symbols by weighted count after the 6 learned merges
+    (operators/bpe.py:bpe_vocab) — the vocabulary snapshot downstream
+    token budgeting would consume."""
+    from baselinr_spark.operators.bpe import bpe_train, bpe_vocab
+
+    docs = _read(spark, sf_dir, "documents")
+    _, words = bpe_train(docs, n_merges=6)
+    return (
+        bpe_vocab(words)
+        .orderBy(F.desc("total_count"), "symbol")
+        .limit(20)
+    )
+
+
+def _sql_bpe_vocab() -> str:
+    from baselinr_spark.operators.bpe import oracle_vocab_sql
+
+    return oracle_vocab_sql(6, 20)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: keep/drop quality filter over sf0.001 documents."""
     return q_keep_drop_docs(spark, "/root/testdata/sf0.001")
@@ -5012,6 +5078,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_extract_docs": q_html_extract_docs,
         "semdedup_keepers": q_semdedup_keepers,
         "sequence_packing": q_sequence_packing,
+        "bpe_pair_counts": q_bpe_pair_counts,
+        "bpe_merges": q_bpe_merges,
+        "bpe_vocab": q_bpe_vocab,
         "line_dedup_pages": q_line_dedup_pages,
         "paragraph_dedup_docs": q_paragraph_dedup_docs,
         "duplicate_spans": q_duplicate_spans,
@@ -5051,25 +5120,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score_orders": q_quality_score_orders,
         "column_stability": q_column_stability,
         "quality_score_full": q_quality_score_full,
-        "smart_selection": q_smart_selection,
-        "freshness_scores": q_freshness_scores,
-        "table_matcher_counts": q_table_matcher_counts,
         # the 3 ANN top-k queries gained exact oracles in round 4 (r03
         # row was err:no_oracle) — they need their first full hash row
         "lsh_topk": q_lsh_topk,
         "ivf_topk": q_ivf_topk,
         "pq_adc_topk": q_pq_adc_topk,
-        # --- end of the 50-entry gate window: 26 round-4-new queries +
-        # 3 newly-oracled ANN top-k + 21 never-r03-checked r02-greens.
-        # 59 candidates > 50 slots; the 9 r02-green entries directly
-        # below (5 partition/sampling/type ops displaced late in the
-        # round by the new web-crawl + packing ops, plus the 4
-        # metadata-SDK reads) are the only entries left without an
-        # r03∪r04 row, chosen because their code is unchanged since
-        # their green r02 record; rotate them into the r05 window first.
-        # ALL 105+ queries are locally gate-checked green at sf0.01
-        # (tools/check_gate.py). The flagship keep_drop_docs is r03-green
-        # AND smoke-run as entry() every round, so it cedes its slot. ---
+        # --- end of the 50-entry gate window: 29 round-4-new queries +
+        # 3 newly-oracled ANN top-k + 18 never-r03-checked r02-greens.
+        # 62 candidates > 50 slots; the 12 r02-green entries directly
+        # below (smart_selection/freshness/table-matcher displaced by
+        # the late BPE ops, 5 partition/sampling/type ops displaced by
+        # the web-crawl + packing ops, plus the 4 metadata-SDK reads)
+        # are the only entries left without an r03∪r04 row, chosen
+        # because their code is unchanged since their green r02 record;
+        # rotate them into the r05 window first. ALL queries are locally
+        # gate-checked green at sf0.01 (tools/check_gate.py). The
+        # flagship keep_drop_docs is r03-green AND smoke-run as entry()
+        # every round, so it cedes its slot. ---
+        "smart_selection": q_smart_selection,
+        "freshness_scores": q_freshness_scores,
+        "table_matcher_counts": q_table_matcher_counts,
         "partition_latest_day": q_partition_latest_day,
         "type_inference_orders": q_type_inference_orders,
         "partition_recent_days": q_partition_recent_days,
@@ -5138,6 +5208,9 @@ def oracle_sql() -> dict[str, str]:
         "html_extract_docs": _SQL_HTML_EXTRACT,
         "semdedup_keepers": _sql_semdedup(),
         "sequence_packing": _SQL_SEQUENCE_PACKING,
+        "bpe_pair_counts": _sql_bpe_pair_counts(),
+        "bpe_merges": _sql_bpe_merges(),
+        "bpe_vocab": _sql_bpe_vocab(),
         "line_dedup_pages": _SQL_LINE_DEDUP,
         "paragraph_dedup_docs": _SQL_PARAGRAPH_DEDUP,
         "duplicate_spans": _SQL_DUPLICATE_SPANS,
