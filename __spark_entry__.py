@@ -5059,6 +5059,99 @@ def _sql_bpe_vocab() -> str:
     return oracle_vocab_sql(6, 20)
 
 
+# ---------------------------------------------------------------------------
+# link-graph domain authority (operators/linkgraph.py — additive
+# crawl-prioritization coverage; the reference has no graph surface)
+# ---------------------------------------------------------------------------
+
+def _derived_domain_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic domain link graph over the derived URL corpus's 37
+    domains: each doc emits 2 out-links from its own domain to a
+    md5-derived target domain (same '0x'-hex idiom as the dedup
+    oracles, so DuckDB reproduces the edge set exactly)."""
+    docs = _read(spark, sf_dir, "documents")
+    g = F.expr("doc_id div 5")
+    src = F.concat(F.lit("example"), (g % 37).cast("string"), F.lit(".com"))
+    parts = []
+    for j in (1, 2):
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(f"#{j}"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("long")
+        dst = F.concat(F.lit("example"), (h % 37).cast("string"), F.lit(".com"))
+        parts.append(docs.select(src.alias("src"), dst.alias("dst")))
+    return parts[0].unionByName(parts[1])
+
+
+_SQL_DOMAIN_EDGES = """
+  SELECT 'example' || ((doc_id // 5) % 37)::varchar || '.com' AS src,
+         'example' || ((('0x' || substring(md5(doc_id::varchar || '#1'), 1, 8))::bigint
+                        % 37))::varchar || '.com' AS dst
+  FROM documents
+  UNION ALL
+  SELECT 'example' || ((doc_id // 5) % 37)::varchar || '.com' AS src,
+         'example' || ((('0x' || substring(md5(doc_id::varchar || '#2'), 1, 8))::bigint
+                        % 37))::varchar || '.com' AS dst
+  FROM documents
+"""
+
+
+def q_domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the derived domain link graph
+    (operators/linkgraph.py:pagerank): 5 power-iteration rounds, d=0.85,
+    dangling redistribution; state is O(|nodes|) per round with the two
+    scalars riding as broadcast 1-row aggregates."""
+    from baselinr_spark.operators.linkgraph import pagerank
+
+    edges = _derived_domain_edges(spark, sf_dir)
+    return _r6(pagerank(edges, n_iter=5, damping=0.85), "rank")
+
+
+def _sql_domain_pagerank() -> str:
+    from baselinr_spark.operators.linkgraph import oracle_pagerank_cte
+
+    return (
+        oracle_pagerank_cte(_SQL_DOMAIN_EDGES, n_iter=5, damping=0.85)
+        + "\nSELECT node, round(rank, 6) AS rank FROM r5"
+    )
+
+
+def q_authority_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Authority-weighted corpus: each doc joined (broadcast — ranks are
+    O(|domains|)) to its domain's PageRank, the per-doc sampling weight
+    a crawl-prioritizing selection stage would consume."""
+    from baselinr_spark.operators.linkgraph import pagerank
+
+    docs = _read(spark, sf_dir, "documents")
+    g = F.expr("doc_id div 5")
+    domain = F.concat(F.lit("example"), (g % 37).cast("string"), F.lit(".com"))
+    ranks = pagerank(
+        _derived_domain_edges(spark, sf_dir), n_iter=5, damping=0.85
+    ).withColumnRenamed("node", "domain")
+    out = docs.select("doc_id", domain.alias("domain")).join(
+        F.broadcast(ranks), "domain"
+    )
+    return _r6(out.select("doc_id", "domain", F.col("rank").alias("authority")),
+               "authority")
+
+
+def _sql_authority_weights() -> str:
+    from baselinr_spark.operators.linkgraph import oracle_pagerank_cte
+
+    return (
+        oracle_pagerank_cte(_SQL_DOMAIN_EDGES, n_iter=5, damping=0.85)
+        + """
+SELECT d.doc_id, 'example' || ((d.doc_id // 5) % 37)::varchar || '.com' AS domain,
+       round(r.rank, 6) AS authority
+FROM documents d
+JOIN r5 r ON r.node = 'example' || ((d.doc_id // 5) % 37)::varchar || '.com'
+"""
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: keep/drop quality filter over sf0.001 documents."""
     return q_keep_drop_docs(spark, "/root/testdata/sf0.001")
@@ -5081,6 +5174,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_pair_counts": q_bpe_pair_counts,
         "bpe_merges": q_bpe_merges,
         "bpe_vocab": q_bpe_vocab,
+        "domain_pagerank": q_domain_pagerank,
+        "authority_weights": q_authority_weights,
         "line_dedup_pages": q_line_dedup_pages,
         "paragraph_dedup_docs": q_paragraph_dedup_docs,
         "duplicate_spans": q_duplicate_spans,
@@ -5118,25 +5213,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "schema_rename_candidates": q_schema_rename_candidates,
         "rule_fire_rates_docs": q_rule_fire_rates_docs,
         "quality_score_orders": q_quality_score_orders,
-        "column_stability": q_column_stability,
-        "quality_score_full": q_quality_score_full,
         # the 3 ANN top-k queries gained exact oracles in round 4 (r03
         # row was err:no_oracle) — they need their first full hash row
         "lsh_topk": q_lsh_topk,
         "ivf_topk": q_ivf_topk,
         "pq_adc_topk": q_pq_adc_topk,
-        # --- end of the 50-entry gate window: 29 round-4-new queries +
-        # 3 newly-oracled ANN top-k + 18 never-r03-checked r02-greens.
-        # 62 candidates > 50 slots; the 12 r02-green entries directly
-        # below (smart_selection/freshness/table-matcher displaced by
-        # the late BPE ops, 5 partition/sampling/type ops displaced by
-        # the web-crawl + packing ops, plus the 4 metadata-SDK reads)
-        # are the only entries left without an r03∪r04 row, chosen
-        # because their code is unchanged since their green r02 record;
-        # rotate them into the r05 window first. ALL queries are locally
-        # gate-checked green at sf0.01 (tools/check_gate.py). The
-        # flagship keep_drop_docs is r03-green AND smoke-run as entry()
-        # every round, so it cedes its slot. ---
+        # --- end of the 50-entry gate window: 31 round-4-new queries +
+        # 3 newly-oracled ANN top-k + 16 never-r03-checked r02-greens.
+        # 64 candidates > 50 slots; the 14 r02-green entries directly
+        # below (stability/quality/selection/matcher ops displaced by
+        # the late BPE + link-graph ops, 5 partition/sampling/type ops
+        # displaced by the web-crawl + packing ops, plus the 4
+        # metadata-SDK reads) are the only entries left without an
+        # r03∪r04 row, chosen because their code is unchanged since
+        # their green r02 record; rotate them into the r05 window first.
+        # ALL queries are locally gate-checked green at sf0.01
+        # (tools/check_gate.py). The flagship keep_drop_docs is r03-green
+        # AND smoke-run as entry() every round, so it cedes its slot. ---
+        "column_stability": q_column_stability,
+        "quality_score_full": q_quality_score_full,
         "smart_selection": q_smart_selection,
         "freshness_scores": q_freshness_scores,
         "table_matcher_counts": q_table_matcher_counts,
@@ -5211,6 +5306,8 @@ def oracle_sql() -> dict[str, str]:
         "bpe_pair_counts": _sql_bpe_pair_counts(),
         "bpe_merges": _sql_bpe_merges(),
         "bpe_vocab": _sql_bpe_vocab(),
+        "domain_pagerank": _sql_domain_pagerank(),
+        "authority_weights": _sql_authority_weights(),
         "line_dedup_pages": _SQL_LINE_DEDUP,
         "paragraph_dedup_docs": _SQL_PARAGRAPH_DEDUP,
         "duplicate_spans": _SQL_DUPLICATE_SPANS,

@@ -1,0 +1,64 @@
+"""PageRank / link-graph tests (operators/linkgraph.py)."""
+
+import pytest
+from pyspark.sql import Row
+
+from baselinr_spark.operators.linkgraph import normalize_edges, pagerank
+
+
+def _edges(spark, *pairs):
+    return spark.createDataFrame([Row(src=a, dst=b) for a, b in pairs])
+
+
+def _py_pagerank(pairs, n_iter, d=0.85):
+    """Driver-side reference implementation of the same spec."""
+    e = {(a, b) for a, b in pairs if a != b}
+    nodes = sorted({a for a, _ in e} | {b for _, b in e})
+    out = {}
+    for a, _ in e:
+        out[a] = out.get(a, 0) + 1
+    n = len(nodes)
+    r = {v: 1.0 / n for v in nodes}
+    for _ in range(n_iter):
+        dang = sum(r[v] for v in nodes if v not in out)
+        contrib = {v: 0.0 for v in nodes}
+        for a, b in e:
+            contrib[b] += r[a] / out[a]
+        r = {v: (1 - d) / n + d * (contrib[v] + dang / n) for v in nodes}
+    return r
+
+
+def test_normalize_edges_dedup_and_self_loops(spark):
+    e = normalize_edges(_edges(spark, ("a", "b"), ("a", "b"), ("a", "a"), ("b", "c")))
+    assert sorted(tuple(r) for r in e.collect()) == [("a", "b"), ("b", "c")]
+
+
+def test_two_node_cycle_is_uniform(spark):
+    r = {x["node"]: x["rank"] for x in
+         pagerank(_edges(spark, ("a", "b"), ("b", "a")), n_iter=3).collect()}
+    assert r["a"] == pytest.approx(0.5)
+    assert r["b"] == pytest.approx(0.5)
+    assert sum(r.values()) == pytest.approx(1.0)
+
+
+def test_matches_reference_with_dangling(spark):
+    # 'c' is dangling (no out-edges): its mass redistributes uniformly.
+    pairs = [("a", "b"), ("b", "c"), ("a", "c"), ("d", "a"), ("c", "c")]
+    r = {x["node"]: x["rank"] for x in
+         pagerank(_edges(spark, *pairs), n_iter=5).collect()}
+    exp = _py_pagerank(pairs, n_iter=5)
+    assert set(r) == set(exp)
+    for v in exp:
+        assert r[v] == pytest.approx(exp[v], abs=1e-12)
+    assert sum(r.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_hub_collects_rank(spark):
+    # star graph: everyone links to 'hub'; hub is dangling.
+    pairs = [(s, "hub") for s in ("a", "b", "c", "d")]
+    r = {x["node"]: x["rank"] for x in
+         pagerank(_edges(spark, *pairs), n_iter=10).collect()}
+    assert r["hub"] > r["a"] * 3
+    exp = _py_pagerank(pairs, n_iter=10)
+    for v in exp:
+        assert r[v] == pytest.approx(exp[v], abs=1e-12)
