@@ -5152,6 +5152,80 @@ JOIN r5 r ON r.node = 'example' || ((d.doc_id // 5) % 37)::varchar || '.com'
     )
 
 
+# ---------------------------------------------------------------------------
+# CCNet-style per-language score bucketing (operators/selection.py)
+# ---------------------------------------------------------------------------
+
+_SQL_CCNET_CUTS = """
+w AS (
+  SELECT doc_id, lang,
+         list_filter(string_split_regex(trim(text), '\\s+'), x -> length(x) > 0) AS words
+  FROM documents
+), f AS (
+  SELECT doc_id, lang,
+         CASE WHEN len(words) > 0
+              THEN list_sum(list_transform(words, x -> length(x)))::double / len(words)
+              ELSE 0.0 END AS score
+  FROM w
+), cuts AS (
+  SELECT lang, quantile_cont(score, 0.3333333333333333) AS q1,
+               quantile_cont(score, 0.6666666666666666) AS q2
+  FROM f GROUP BY lang
+), b AS (
+  SELECT f.doc_id, f.lang, f.score,
+         CASE WHEN f.score <= c.q1 THEN 'head'
+              WHEN f.score <= c.q2 THEN 'middle'
+              ELSE 'tail' END AS bucket
+  FROM f JOIN cuts c USING (lang)
+)"""
+
+
+def _ccnet_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from baselinr_spark.operators.selection import score_buckets
+    from baselinr_spark.operators.textanalysis import doc_stats
+
+    docs = _read(spark, sf_dir, "documents")
+    s = doc_stats(docs, "doc_id", "text").join(
+        docs.select("doc_id", "lang"), "doc_id"
+    ).select("doc_id", "lang", F.col("mean_word_length").alias("score"))
+    return score_buckets(s, ["lang"], "score")
+
+
+def q_ccnet_buckets_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail cohorts per language
+    (operators/selection.py:score_buckets): exact per-lang terciles of
+    a Catalyst-expressible score proxy (production plugs the pipeline's
+    perplexity column), broadcast back for a row-local CASE."""
+    out = _ccnet_bucketed(spark, sf_dir)
+    return _r6(out.select("doc_id", "lang", "score", "bucket"), "score")
+
+
+def _sql_ccnet_buckets() -> str:
+    return (
+        "WITH " + _SQL_CCNET_CUTS
+        + "\nSELECT doc_id, lang, round(score, 6) AS score, bucket FROM b"
+    )
+
+
+def q_ccnet_bucket_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket occupancy per language (selection.py:bucket_rates) — the
+    cohort-distribution table PSI drift checks consume."""
+    from baselinr_spark.operators.selection import bucket_rates
+
+    out = bucket_rates(_ccnet_bucketed(spark, sf_dir), ["lang"])
+    return _r6(out.select("lang", "bucket", "n_docs", "fraction"), "fraction")
+
+
+def _sql_ccnet_bucket_rates() -> str:
+    return (
+        "WITH " + _SQL_CCNET_CUTS
+        + """
+SELECT lang, bucket, count(*)::bigint AS n_docs,
+       round(count(*)::double / sum(count(*)) OVER (PARTITION BY lang), 6) AS fraction
+FROM b GROUP BY lang, bucket"""
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: keep/drop quality filter over sf0.001 documents."""
     return q_keep_drop_docs(spark, "/root/testdata/sf0.001")
@@ -5176,6 +5250,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_vocab": q_bpe_vocab,
         "domain_pagerank": q_domain_pagerank,
         "authority_weights": q_authority_weights,
+        "ccnet_buckets_docs": q_ccnet_buckets_docs,
+        "ccnet_bucket_rates": q_ccnet_bucket_rates,
         "line_dedup_pages": q_line_dedup_pages,
         "paragraph_dedup_docs": q_paragraph_dedup_docs,
         "duplicate_spans": q_duplicate_spans,
@@ -5211,25 +5287,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_residual_days": q_seasonal_residual_days,
         "schema_diff_orders": q_schema_diff_orders,
         "schema_rename_candidates": q_schema_rename_candidates,
-        "rule_fire_rates_docs": q_rule_fire_rates_docs,
-        "quality_score_orders": q_quality_score_orders,
         # the 3 ANN top-k queries gained exact oracles in round 4 (r03
         # row was err:no_oracle) — they need their first full hash row
         "lsh_topk": q_lsh_topk,
         "ivf_topk": q_ivf_topk,
         "pq_adc_topk": q_pq_adc_topk,
-        # --- end of the 50-entry gate window: 31 round-4-new queries +
-        # 3 newly-oracled ANN top-k + 16 never-r03-checked r02-greens.
-        # 64 candidates > 50 slots; the 14 r02-green entries directly
-        # below (stability/quality/selection/matcher ops displaced by
-        # the late BPE + link-graph ops, 5 partition/sampling/type ops
-        # displaced by the web-crawl + packing ops, plus the 4
-        # metadata-SDK reads) are the only entries left without an
-        # r03∪r04 row, chosen because their code is unchanged since
-        # their green r02 record; rotate them into the r05 window first.
-        # ALL queries are locally gate-checked green at sf0.01
-        # (tools/check_gate.py). The flagship keep_drop_docs is r03-green
-        # AND smoke-run as entry() every round, so it cedes its slot. ---
+        # --- end of the 50-entry gate window: 33 round-4-new queries +
+        # 3 newly-oracled ANN top-k + 14 never-r03-checked r02-greens.
+        # 66 candidates > 50 slots; the 16 r02-green entries directly
+        # below (rule-fire/quality/stability/selection/matcher ops
+        # displaced by the late BPE + link-graph + CCNet-bucket ops, 5
+        # partition/sampling/type ops displaced by the web-crawl +
+        # packing ops, plus the 4 metadata-SDK reads) are the only
+        # entries left without an r03∪r04 row, chosen because their
+        # code is unchanged since their green r02 record; rotate them
+        # into the r05 window first. ALL queries are locally
+        # gate-checked green at sf0.01 (tools/check_gate.py). The
+        # flagship keep_drop_docs is r03-green AND smoke-run as entry()
+        # every round, so it cedes its slot. ---
+        "rule_fire_rates_docs": q_rule_fire_rates_docs,
+        "quality_score_orders": q_quality_score_orders,
         "column_stability": q_column_stability,
         "quality_score_full": q_quality_score_full,
         "smart_selection": q_smart_selection,
@@ -5308,6 +5385,8 @@ def oracle_sql() -> dict[str, str]:
         "bpe_vocab": _sql_bpe_vocab(),
         "domain_pagerank": _sql_domain_pagerank(),
         "authority_weights": _sql_authority_weights(),
+        "ccnet_buckets_docs": _sql_ccnet_buckets(),
+        "ccnet_bucket_rates": _sql_ccnet_bucket_rates(),
         "line_dedup_pages": _SQL_LINE_DEDUP,
         "paragraph_dedup_docs": _SQL_PARAGRAPH_DEDUP,
         "duplicate_spans": _SQL_DUPLICATE_SPANS,

@@ -279,3 +279,57 @@ def cluster_balanced_sample(
         .filter(F.col("__rn") <= quota)
         .select("vec_id", "centroid_id", "u_rank")
     )
+
+
+def score_buckets(
+    df: DataFrame,
+    key_cols: list[str],
+    score_col: str,
+    qs: tuple[float, float] = (1.0 / 3, 2.0 / 3),
+    labels: tuple[str, str, str] = ("head", "middle", "tail"),
+) -> DataFrame:
+    """CCNet-style per-group score bucketing (Wenzek et al. 2020, §4.3:
+    per-language perplexity terciles → head/middle/tail cohorts).
+    Ascending: scores ≤ the qs[0] quantile land in labels[0]. The score
+    column is pluggable — production feeds the pipeline's perplexity
+    column; anything Catalyst-expressible works.
+
+    Scale shape: the cut table is ONE exact-percentile aggregate with
+    O(|groups|) rows (languages: dozens), broadcast back onto the
+    corpus for a row-local CASE — no window over the corpus, no
+    per-doc shuffle beyond the single groupBy. Exact `percentile` (not
+    approx) so the DuckDB twin (quantile_cont — same linear
+    interpolation, see operators/anomaly.py note) reproduces the cuts
+    bit-for-bit."""
+    cuts = df.groupBy(*key_cols).agg(
+        F.expr(f"percentile({score_col}, {qs[0]!r})").alias("__q1"),
+        F.expr(f"percentile({score_col}, {qs[1]!r})").alias("__q2"),
+    )
+    bucket = (
+        F.when(F.col(score_col) <= F.col("__q1"), labels[0])
+        .when(F.col(score_col) <= F.col("__q2"), labels[1])
+        .otherwise(labels[2])
+    )
+    return (
+        df.join(F.broadcast(cuts), key_cols)
+        .withColumn("bucket", bucket)
+        .drop("__q1", "__q2")
+    )
+
+
+def bucket_rates(
+    bucketed: DataFrame, key_cols: list[str], bucket_col: str = "bucket"
+) -> DataFrame:
+    """Per-group bucket occupancy: (keys…, bucket, n_docs, fraction) —
+    the cohort-distribution table the drift checks (PSI between
+    partition cohorts) consume. One groupBy + a broadcast join back to
+    the per-group totals."""
+    counts = bucketed.groupBy(*key_cols, bucket_col).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    totals = counts.groupBy(*key_cols).agg(F.sum("n_docs").alias("__total"))
+    return (
+        counts.join(F.broadcast(totals), key_cols)
+        .withColumn("fraction", F.col("n_docs") / F.col("__total"))
+        .drop("__total")
+    )

@@ -199,3 +199,28 @@ def test_cluster_balanced_sample_quota_and_determinism(spark):
     assert sorted(r["vec_id"] for r in again.collect()) == sorted(
         r["vec_id"] for r in got
     )
+
+
+def test_score_buckets_terciles(spark):
+    from pyspark.sql import Row
+
+    from baselinr_spark.operators.selection import bucket_rates, score_buckets
+
+    # lang 'a': scores 1..9 -> cuts at ~3.67/6.33: head {1,2,3},
+    # middle {4,5,6}, tail {7,8,9}; lang 'b' all-equal -> all head.
+    rows = [Row(doc_id=i, lang="a", score=float(i)) for i in range(1, 10)]
+    rows += [Row(doc_id=100 + i, lang="b", score=5.0) for i in range(3)]
+    b = score_buckets(spark.createDataFrame(rows), ["lang"], "score")
+    got = {r["doc_id"]: r["bucket"] for r in b.collect()}
+    assert [got[i] for i in range(1, 10)] == (
+        ["head"] * 3 + ["middle"] * 3 + ["tail"] * 3
+    )
+    assert all(got[100 + i] == "head" for i in range(3))
+
+    rates = {
+        (r["lang"], r["bucket"]): (r["n_docs"], r["fraction"])
+        for r in bucket_rates(b, ["lang"]).collect()
+    }
+    assert rates[("a", "head")] == (3, 3 / 9)
+    assert rates[("b", "head")] == (3, 1.0)
+    assert ("b", "tail") not in rates
