@@ -5059,6 +5059,24 @@ def _sql_bpe_vocab() -> str:
     return oracle_vocab_sql(6, 20)
 
 
+def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus encode under the learned merges
+    (operators/bpe.py:encode_token_counts): doc words broadcast-joined
+    to the O(|vocab|) post-merge subword counts, summed per doc — the
+    token-budget input sequence packing consumes."""
+    from baselinr_spark.operators.bpe import bpe_train, encode_token_counts
+
+    docs = _read(spark, sf_dir, "documents")
+    _, words = bpe_train(docs, n_merges=6)
+    return encode_token_counts(docs, "doc_id", "text", words)
+
+
+def _sql_bpe_token_counts() -> str:
+    from baselinr_spark.operators.bpe import oracle_token_counts_sql
+
+    return oracle_token_counts_sql(6)
+
+
 # ---------------------------------------------------------------------------
 # link-graph domain authority (operators/linkgraph.py — additive
 # crawl-prioritization coverage; the reference has no graph surface)
@@ -5248,6 +5266,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_pair_counts": q_bpe_pair_counts,
         "bpe_merges": q_bpe_merges,
         "bpe_vocab": q_bpe_vocab,
+        "bpe_token_counts": q_bpe_token_counts,
         "domain_pagerank": q_domain_pagerank,
         "authority_weights": q_authority_weights,
         "ccnet_buckets_docs": q_ccnet_buckets_docs,
@@ -5286,25 +5305,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_typed_thresholds": q_drift_typed_thresholds,
         "seasonal_residual_days": q_seasonal_residual_days,
         "schema_diff_orders": q_schema_diff_orders,
-        "schema_rename_candidates": q_schema_rename_candidates,
         # the 3 ANN top-k queries gained exact oracles in round 4 (r03
         # row was err:no_oracle) — they need their first full hash row
         "lsh_topk": q_lsh_topk,
         "ivf_topk": q_ivf_topk,
         "pq_adc_topk": q_pq_adc_topk,
-        # --- end of the 50-entry gate window: 33 round-4-new queries +
-        # 3 newly-oracled ANN top-k + 14 never-r03-checked r02-greens.
-        # 66 candidates > 50 slots; the 16 r02-green entries directly
-        # below (rule-fire/quality/stability/selection/matcher ops
-        # displaced by the late BPE + link-graph + CCNet-bucket ops, 5
-        # partition/sampling/type ops displaced by the web-crawl +
-        # packing ops, plus the 4 metadata-SDK reads) are the only
+        # --- end of the 50-entry gate window: 34 round-4-new queries +
+        # 3 newly-oracled ANN top-k + 13 never-r03-checked r02-greens.
+        # 67 candidates > 50 slots; the 17 r02-green entries directly
+        # below (schema/rule-fire/quality/stability/selection/matcher
+        # ops displaced by the late BPE + link-graph + CCNet-bucket
+        # ops, 5 partition/sampling/type ops displaced by the web-crawl
+        # + packing ops, plus the 4 metadata-SDK reads) are the only
         # entries left without an r03∪r04 row, chosen because their
         # code is unchanged since their green r02 record; rotate them
         # into the r05 window first. ALL queries are locally
         # gate-checked green at sf0.01 (tools/check_gate.py). The
         # flagship keep_drop_docs is r03-green AND smoke-run as entry()
         # every round, so it cedes its slot. ---
+        "schema_rename_candidates": q_schema_rename_candidates,
         "rule_fire_rates_docs": q_rule_fire_rates_docs,
         "quality_score_orders": q_quality_score_orders,
         "column_stability": q_column_stability,
@@ -5383,6 +5402,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_pair_counts": _sql_bpe_pair_counts(),
         "bpe_merges": _sql_bpe_merges(),
         "bpe_vocab": _sql_bpe_vocab(),
+        "bpe_token_counts": _sql_bpe_token_counts(),
         "domain_pagerank": _sql_domain_pagerank(),
         "authority_weights": _sql_authority_weights(),
         "ccnet_buckets_docs": _sql_ccnet_buckets(),

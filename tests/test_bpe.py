@@ -89,3 +89,17 @@ def test_bpe_plan_has_no_corpus_rescans(spark):
     _, words = bpe_train(docs, n_merges=2)
     plan = words._jdf.queryExecution().executedPlan().toString()
     assert "Scan ExistingRDD" in plan or "LocalTableScan" in plan
+
+def test_encode_token_counts(spark):
+    from baselinr_spark.operators.bpe import encode_token_counts
+
+    text = " ".join(["low"] * 2 + ["newest"])
+    docs = spark.createDataFrame([Row(doc_id=1, text=text),
+                                  Row(doc_id=2, text="low")])
+    merges, words = bpe_train(docs, n_merges=4)
+    out = {r["doc_id"]: r for r in
+           encode_token_counts(docs, "doc_id", "text", words).collect()}
+    syms = {r["word"]: list(r["syms"]) for r in words.collect()}
+    exp1 = 2 * len(syms["low"]) + len(syms["newest"])
+    assert (out[1]["n_words"], out[1]["n_tokens"]) == (3, exp1)
+    assert (out[2]["n_words"], out[2]["n_tokens"]) == (1, len(syms["low"]))
