@@ -1,0 +1,259 @@
+"""Corpus-trained n-gram language model + per-document perplexity.
+
+The north-star pipeline scores documents with a KenLM-style n-gram
+perplexity (functions/perplexity.py ships the sandbox stand-in model);
+this module supplies the TRAINING side — count tables learned from the
+corpus itself with add-k smoothing — and a scoring path that consumes
+them, so the quality-filter loop (train counts on a trusted cohort →
+score candidate cohorts → CCNet-bucket by perplexity,
+operators/selection.py:score_buckets) is closed end-to-end in Spark.
+The reference repo has no LM surface (its text handling stops at
+validation rules); additive training-data-pipeline coverage.
+
+Model (documented spec, replayed exactly by the DuckDB oracle):
+
+* tokens: lowercase ``[a-z]+`` runs (same tokenizer as operators/bpe).
+* bigram probability with add-k smoothing:
+  ``p(w | prev) = (c(prev, w) + k) / (c(prev) + k·V)`` where ``c(prev)``
+  is prev's unigram count (modeling choice: denominator = unigram
+  count, not successor-context count — identical in both engines) and
+  ``V`` = corpus-wide distinct-token count.
+* a document's first token scores against the unigram model:
+  ``p(w) = (c(w) + k) / (N + k·V)``, N = total corpus tokens.
+* ``ppl(doc) = exp(−(Σ ln p) / T)``, T = doc token count; empty docs
+  score NULL.
+
+Scale design (10^12 documents):
+
+* Training is two groupBys (unigrams, bigrams) with map-side combine;
+  Zipf-hot grams collapse per map partition before the shuffle.
+* Scoring does NOT explode one row per token position: per-doc bigram
+  terms are pre-collapsed to ``(doc, gram, multiplicity)`` — the join
+  against the count tables carries distinct-grams-per-doc rows (≪ T),
+  and the log term is multiplied by the multiplicity. One shuffle on
+  the gram key; AQE skew-join splits the hot-gram partitions.
+* The three scalars (V, N, k) ride as a broadcast 1-row aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_RE = "[a-z]+"
+
+
+def _words_expr(text_col):
+    return F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0)
+
+
+def unigram_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(gram, cnt) unigram count table — one corpus pass."""
+    return (
+        df.select(F.explode(_words_expr(text_col)).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def bigram_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(prev, gram, cnt) bigram count table — adjacent-token pairs per
+    doc, generated row-locally then one groupBy."""
+    w = df.select(_words_expr(text_col).alias("ws")).filter(F.size("ws") >= 2)
+    idx = F.sequence(F.lit(1), F.size("ws") - 1)
+    pairs = w.select(
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    F.element_at(F.col("ws"), i).alias("prev"),
+                    F.element_at(F.col("ws"), i + 1).alias("gram"),
+                ),
+            )
+        ).alias("p")
+    )
+    return pairs.groupBy(
+        F.col("p.prev").alias("prev"), F.col("p.gram").alias("gram")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def lm_perplexity(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    train: DataFrame | None = None,
+    k: float = 0.5,
+) -> DataFrame:
+    """Per-document add-k bigram perplexity under counts trained on
+    ``train`` (defaults to ``docs`` itself — self-trained). Returns
+    (id_col, n_tokens, log_prob, perplexity)."""
+    train = train if train is not None else docs
+    uni = unigram_counts(train, text_col)
+    bi = bigram_counts(train, text_col)
+    scalars = F.broadcast(
+        uni.agg(
+            F.count(F.lit(1)).cast("double").alias("__v"),
+            F.sum("cnt").cast("double").alias("__n"),
+        )
+    )
+
+    base = docs.select(
+        F.col(id_col), _words_expr(text_col).alias("ws")
+    ).localCheckpoint(eager=False)
+
+    # first-token unigram term: ln((c(w1)+k)/(N+k·V))
+    first = (
+        base.filter(F.size("ws") >= 1)
+        .select(id_col, F.element_at("ws", 1).alias("gram"))
+        .join(uni, "gram", "left")
+        .crossJoin(scalars)
+        .select(
+            id_col,
+            F.log(
+                (F.coalesce(F.col("cnt"), F.lit(0)) + F.lit(k))
+                / (F.col("__n") + F.lit(k) * F.col("__v"))
+            ).alias("__term"),
+        )
+    )
+
+    # bigram terms, pre-collapsed to (doc, prev, gram, multiplicity) so
+    # the count-table join carries distinct pairs per doc, not T rows
+    idx = F.sequence(F.lit(1), F.size("ws") - 1)
+    doc_pairs = (
+        base.filter(F.size("ws") >= 2)
+        .select(
+            id_col,
+            F.explode(
+                F.transform(
+                    idx,
+                    lambda i: F.struct(
+                        F.element_at(F.col("ws"), i).alias("prev"),
+                        F.element_at(F.col("ws"), i + 1).alias("gram"),
+                    ),
+                )
+            ).alias("p"),
+        )
+        .groupBy(id_col, F.col("p.prev").alias("prev"), F.col("p.gram").alias("gram"))
+        .agg(F.count(F.lit(1)).alias("m"))
+    )
+    bigram_terms = (
+        doc_pairs.join(bi.withColumnRenamed("cnt", "c_bi"), ["prev", "gram"], "left")
+        .join(
+            uni.select(F.col("gram").alias("prev"), F.col("cnt").alias("c_prev")),
+            "prev",
+            "left",
+        )
+        .crossJoin(scalars)
+        .select(
+            id_col,
+            (
+                F.col("m")
+                * F.log(
+                    (F.coalesce(F.col("c_bi"), F.lit(0)) + F.lit(k))
+                    / (F.coalesce(F.col("c_prev"), F.lit(0)) + F.lit(k) * F.col("__v"))
+                )
+            ).alias("__term"),
+        )
+    )
+
+    sums = (
+        first.unionByName(bigram_terms)
+        .groupBy(id_col)
+        .agg(F.sum("__term").alias("log_prob"))
+    )
+    toks = base.select(id_col, F.size("ws").cast("long").alias("n_tokens"))
+    return (
+        toks.join(sums, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            "log_prob",
+            F.when(
+                F.col("n_tokens") > 0,
+                F.exp(-F.col("log_prob") / F.col("n_tokens")),
+            ).alias("perplexity"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle — the identical model spec
+# ---------------------------------------------------------------------------
+
+def oracle_lm_cte(table: str = "documents", text_col: str = "text",
+                  id_col: str = "doc_id", k: float = 0.5) -> str:
+    """CTE prefix: uni / bi count tables, scalars, per-doc first +
+    collapsed bigram terms, summed into ppl (…, n_tokens, log_prob,
+    perplexity). Callers append a final SELECT over ``ppl``."""
+    return f"""WITH docw AS (
+  SELECT {id_col}, regexp_extract_all(lower({text_col}), '{TOKEN_RE}') AS ws
+  FROM {table}
+),
+uni AS (
+  SELECT w AS gram, count(*) AS cnt
+  FROM (SELECT unnest(ws) AS w FROM docw) GROUP BY 1
+),
+bi AS (
+  SELECT prev, gram, count(*) AS cnt FROM (
+    SELECT ws[i] AS prev, ws[i+1] AS gram
+    FROM docw, UNNEST(range(1, len(ws))) AS t(i)
+  ) GROUP BY 1, 2
+),
+sc AS (
+  SELECT count(*)::double AS v, sum(cnt)::double AS n FROM uni
+),
+first_term AS (
+  SELECT d.{id_col},
+         ln((coalesce(u.cnt, 0) + {k}) / (sc.n + {k} * sc.v)) AS term
+  FROM docw d
+  LEFT JOIN uni u ON u.gram = d.ws[1], sc
+  WHERE len(d.ws) >= 1
+),
+doc_pairs AS (
+  SELECT {id_col}, prev, gram, count(*) AS m FROM (
+    SELECT {id_col}, ws[i] AS prev, ws[i+1] AS gram
+    FROM docw, UNNEST(range(1, len(ws))) AS t(i)
+  ) GROUP BY 1, 2, 3
+),
+bigram_terms AS (
+  SELECT p.{id_col},
+         p.m * ln((coalesce(b.cnt, 0) + {k})
+                  / (coalesce(u.cnt, 0) + {k} * sc.v)) AS term
+  FROM doc_pairs p
+  LEFT JOIN bi b ON b.prev = p.prev AND b.gram = p.gram
+  LEFT JOIN uni u ON u.gram = p.prev, sc
+),
+sums AS (
+  SELECT {id_col}, sum(term) AS log_prob
+  FROM (SELECT * FROM first_term UNION ALL SELECT * FROM bigram_terms)
+  GROUP BY 1
+),
+ppl AS (
+  SELECT d.{id_col}, len(d.ws)::bigint AS n_tokens, s.log_prob,
+         CASE WHEN len(d.ws) > 0
+              THEN exp(-s.log_prob / len(d.ws)) END AS perplexity
+  FROM docw d LEFT JOIN sums s USING ({id_col})
+)"""
+
+
+def oracle_lm_perplexity_sql(table: str = "documents", text_col: str = "text",
+                             id_col: str = "doc_id", k: float = 0.5) -> str:
+    return (
+        oracle_lm_cte(table, text_col, id_col, k)
+        + f"""
+SELECT {id_col}, n_tokens, round(log_prob, 6) AS log_prob,
+       round(perplexity, 6) AS perplexity
+FROM ppl"""
+    )
+
+
+def oracle_bigram_counts_sql(top_k: int = 20, table: str = "documents",
+                             text_col: str = "text") -> str:
+    return f"""WITH docw AS (
+  SELECT regexp_extract_all(lower({text_col}), '{TOKEN_RE}') AS ws FROM {table}
+)
+SELECT prev, gram, count(*)::bigint AS cnt FROM (
+  SELECT ws[i] AS prev, ws[i+1] AS gram
+  FROM docw, UNNEST(range(1, len(ws))) AS t(i)
+) GROUP BY 1, 2
+ORDER BY cnt DESC, prev, gram LIMIT {top_k}"""
