@@ -5171,6 +5171,49 @@ JOIN r5 r ON r.node = 'example' || ((d.doc_id // 5) % 37)::varchar || '.com'
 
 
 # ---------------------------------------------------------------------------
+# corpus-trained n-gram LM + perplexity (operators/ngramlm.py — the
+# training side of the north-star KenLM-style scorer; additive coverage)
+# ---------------------------------------------------------------------------
+
+def q_ngram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 bigram counts from the LM trainer
+    (operators/ngramlm.py:bigram_counts) — row-local pair generation,
+    ONE groupBy with map-side combine collapsing Zipf-hot grams."""
+    from baselinr_spark.operators.ngramlm import bigram_counts
+
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        bigram_counts(docs)
+        .orderBy(F.desc("cnt"), "prev", "gram")
+        .limit(20)
+    )
+
+
+def _sql_ngram_lm_counts() -> str:
+    from baselinr_spark.operators.ngramlm import oracle_bigram_counts_sql
+
+    return oracle_bigram_counts_sql(20)
+
+
+def q_ngram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc add-k bigram perplexity under self-trained counts
+    (operators/ngramlm.py:lm_perplexity): per-doc terms pre-collapsed
+    to (doc, gram, multiplicity) so the count-table join carries
+    distinct pairs, never one row per token position."""
+    from baselinr_spark.operators.ngramlm import lm_perplexity
+
+    docs = _read(spark, sf_dir, "documents")
+    out = lm_perplexity(docs, "doc_id", "text")
+    return _r6(out, "log_prob", "perplexity")
+
+
+def _sql_ngram_lm_perplexity() -> str:
+    from baselinr_spark.operators.ngramlm import oracle_lm_perplexity_sql
+
+    return oracle_lm_perplexity_sql()
+
+
+# ---------------------------------------------------------------------------
 # CCNet-style per-language score bucketing (operators/selection.py)
 # ---------------------------------------------------------------------------
 
@@ -5271,6 +5314,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "authority_weights": q_authority_weights,
         "ccnet_buckets_docs": q_ccnet_buckets_docs,
         "ccnet_bucket_rates": q_ccnet_bucket_rates,
+        "ngram_lm_counts": q_ngram_lm_counts,
+        "ngram_lm_perplexity": q_ngram_lm_perplexity,
         "line_dedup_pages": q_line_dedup_pages,
         "paragraph_dedup_docs": q_paragraph_dedup_docs,
         "duplicate_spans": q_duplicate_spans,
@@ -5303,26 +5348,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_absolute_threshold": q_drift_absolute_threshold,
         "drift_stddev_strategy": q_drift_stddev_strategy,
         "drift_typed_thresholds": q_drift_typed_thresholds,
-        "seasonal_residual_days": q_seasonal_residual_days,
-        "schema_diff_orders": q_schema_diff_orders,
         # the 3 ANN top-k queries gained exact oracles in round 4 (r03
         # row was err:no_oracle) — they need their first full hash row
         "lsh_topk": q_lsh_topk,
         "ivf_topk": q_ivf_topk,
         "pq_adc_topk": q_pq_adc_topk,
-        # --- end of the 50-entry gate window: 34 round-4-new queries +
-        # 3 newly-oracled ANN top-k + 13 never-r03-checked r02-greens.
-        # 67 candidates > 50 slots; the 17 r02-green entries directly
-        # below (schema/rule-fire/quality/stability/selection/matcher
-        # ops displaced by the late BPE + link-graph + CCNet-bucket
-        # ops, 5 partition/sampling/type ops displaced by the web-crawl
-        # + packing ops, plus the 4 metadata-SDK reads) are the only
-        # entries left without an r03∪r04 row, chosen because their
-        # code is unchanged since their green r02 record; rotate them
-        # into the r05 window first. ALL queries are locally
+        # --- end of the 50-entry gate window: 36 round-4-new queries +
+        # 3 newly-oracled ANN top-k + 11 never-r03-checked r02-greens.
+        # 69 candidates > 50 slots; the 19 r02-green entries directly
+        # below (seasonal/schema/rule-fire/quality/stability/selection/
+        # matcher ops displaced by the late BPE + link-graph + CCNet +
+        # n-gram-LM ops, 5 partition/sampling/type ops displaced by the
+        # web-crawl + packing ops, plus the 4 metadata-SDK reads) are
+        # the only entries left without an r03∪r04 row, chosen because
+        # their code is unchanged since their green r02 record; rotate
+        # them into the r05 window first. ALL queries are locally
         # gate-checked green at sf0.01 (tools/check_gate.py). The
         # flagship keep_drop_docs is r03-green AND smoke-run as entry()
         # every round, so it cedes its slot. ---
+        "seasonal_residual_days": q_seasonal_residual_days,
+        "schema_diff_orders": q_schema_diff_orders,
         "schema_rename_candidates": q_schema_rename_candidates,
         "rule_fire_rates_docs": q_rule_fire_rates_docs,
         "quality_score_orders": q_quality_score_orders,
@@ -5407,6 +5452,8 @@ def oracle_sql() -> dict[str, str]:
         "authority_weights": _sql_authority_weights(),
         "ccnet_buckets_docs": _sql_ccnet_buckets(),
         "ccnet_bucket_rates": _sql_ccnet_bucket_rates(),
+        "ngram_lm_counts": _sql_ngram_lm_counts(),
+        "ngram_lm_perplexity": _sql_ngram_lm_perplexity(),
         "line_dedup_pages": _SQL_LINE_DEDUP,
         "paragraph_dedup_docs": _SQL_PARAGRAPH_DEDUP,
         "duplicate_spans": _SQL_DUPLICATE_SPANS,
