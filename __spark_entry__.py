@@ -1481,12 +1481,18 @@ o2 AS (SELECT page_id, pos, hs[pos + 1] AS h FROM occ),
 dup AS (SELECT h FROM o2 GROUP BY h HAVING count(DISTINCT page_id) >= 2),
 d AS (
   SELECT page_id, pos,
-         pos - row_number() OVER (PARTITION BY page_id ORDER BY pos) AS grp
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY page_id ORDER BY pos) >= 8
+              THEN 1 ELSE 0 END AS brk
   FROM o2 JOIN dup USING (h)
+),
+seg AS (
+  SELECT page_id, pos,
+         sum(brk) OVER (PARTITION BY page_id ORDER BY pos) AS grp
+  FROM d
 )
 SELECT page_id AS id, min(pos)::int AS span_start,
        (max(pos) + 7)::int AS span_end, count(*)::bigint AS n_shingles
-FROM d GROUP BY page_id, grp
+FROM seg GROUP BY page_id, grp
 """
 
 
@@ -2451,6 +2457,118 @@ SELECT day::VARCHAR AS day, round(day_mean, 6) AS day_mean,
        round(mu - 3 * sd, 6) AS lcl, round(mu + 3 * sd, 6) AS ucl,
        (day_mean < mu - 3 * sd OR day_mean > mu + 3 * sd) AS is_anomaly
 FROM cur, learned
+"""
+
+
+def q_explainer_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic explainer-context assembly (reference llm/
+    explainer.py with no provider = prompt construction + template
+    fallback): control-limit-breach anomalies on per-type daily mean
+    `value`, each joined with its expectation context (per-type mean,
+    stddev, 3σ limits, history length) and rendered to the exact
+    prompt and template-explanation strings of prompts.py:103-170 /
+    templates.py:78-146 — all Catalyst string expressions, one pass."""
+    from baselinr_spark.operators.explainer import assemble_anomaly_context
+
+    ev = _read(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day"), "event_type").agg(
+        F.avg("value").alias("actual_value")
+    )
+    stats = daily.groupBy("event_type").agg(
+        F.avg("actual_value").alias("expected_value"),
+        F.stddev_samp("actual_value").alias("sd"),
+        F.count(F.lit(1)).alias("historical_values_count"),
+    )
+    z = (F.col("actual_value") - F.col("expected_value")) / F.col("sd")
+    anomalies = (
+        daily.join(F.broadcast(stats), "event_type")
+        .withColumn("deviation_score", z)
+        .where(F.abs("deviation_score") > 2)
+        .select(
+            F.col("day").cast("string").alias("day"),
+            F.lit("events").alias("table_name"),
+            F.col("event_type").alias("column_name"),
+            F.lit("daily_mean_value").alias("metric_name"),
+            F.lit("control_limit_breach").alias("anomaly_type"),
+            F.lit("control_limits").alias("detection_method"),
+            F.when(F.abs("deviation_score") > 3, "high")
+            .when(F.abs("deviation_score") > 2.5, "medium")
+            .otherwise("low")
+            .alias("severity"),
+            "expected_value",
+            "actual_value",
+            "deviation_score",
+            (F.col("expected_value") - 3 * F.col("sd")).alias("lower_control_limit"),
+            (F.col("expected_value") + 3 * F.col("sd")).alias("upper_control_limit"),
+            "historical_values_count",
+        )
+    )
+    out = assemble_anomaly_context(anomalies)
+    return out.select(
+        "day",
+        F.col("column_name").alias("event_type"),
+        F.round("actual_value", 6).alias("actual_value"),
+        F.round("expected_value", 6).alias("expected_value"),
+        F.round("deviation_score", 6).alias("deviation_score"),
+        "severity",
+        "prompt",
+        "explanation",
+    )
+
+
+_SQL_EXPLAINER_CONTEXT = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, event_type, avg(value) AS actual
+  FROM events GROUP BY 1, 2
+),
+st AS (
+  SELECT event_type, avg(actual) AS expected, stddev(actual) AS sd,
+         count(*) AS n_hist
+  FROM daily GROUP BY 1
+),
+an AS (
+  SELECT day::VARCHAR AS day, event_type, actual, expected,
+         (actual - expected) / sd AS dev,
+         expected - 3 * sd AS lcl, expected + 3 * sd AS ucl,
+         CASE WHEN abs((actual - expected) / sd) > 3 THEN 'high'
+              WHEN abs((actual - expected) / sd) > 2.5 THEN 'medium'
+              ELSE 'low' END AS severity
+  FROM daily JOIN st USING (event_type)
+  WHERE abs((actual - expected) / sd) > 2
+)
+SELECT day, event_type,
+       round(actual, 6) AS actual_value,
+       round(expected, 6) AS expected_value,
+       round(dev, 6) AS deviation_score,
+       severity,
+       'An anomaly was detected:' || chr(10) || chr(10)
+         || 'Table: events' || chr(10)
+         || 'Column: ' || event_type || chr(10)
+         || 'Metric: daily_mean_value' || chr(10)
+         || 'Anomaly Type: control_limit_breach' || chr(10)
+         || 'Detection Method: control_limits' || chr(10)
+         || 'Severity: ' || upper(severity) || chr(10) || chr(10)
+         || 'Expected value: ' || printf('%.2f', round(expected, 2)) || chr(10)
+         || 'Actual value: ' || printf('%.2f', round(actual, 2)) || chr(10)
+         || 'Deviation: ' || printf('%.2f', round(dev, 2))
+         || ' standard deviations from expected' || chr(10)
+         || 'Control limits: [' || printf('%.2f', round(lcl, 2)) || ', '
+         || printf('%.2f', round(ucl, 2)) || ']' || chr(10) || chr(10)
+         || 'Explain this anomaly in 2-4 clear sentences for a data engineer.'
+         AS prompt,
+       'Anomaly detected in events.' || event_type
+         || ': daily_mean_value value of ' || printf('%.2f', round(actual, 2))
+         || ' deviates from expected value of ' || printf('%.2f', round(expected, 2))
+         || ' by ' || printf('%.2f', round(abs(actual - expected), 2))
+         || ' (outside control limits)'
+         || CASE WHEN severity = 'high'
+                 THEN '. This is a control_limit_breach anomaly of high severity that requires immediate attention.'
+                 WHEN severity = 'medium'
+                 THEN '. This control_limit_breach anomaly is of medium severity and should be investigated.'
+                 ELSE '. This control_limit_breach anomaly is of low severity but should be monitored.'
+            END
+         AS explanation
+FROM an
 """
 
 
@@ -3831,6 +3949,70 @@ UNION ALL
 SELECT 1, n_name FROM hop
 UNION ALL
 SELECT 2, 'ASIA' FROM hop
+"""
+
+
+def q_lineage_graph_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serializable lineage graph (nodes + back-filled edges, signed
+    levels, root flag, impact annotation) around NATION_7 in the TPC-H
+    lineage fixture — reference graph_builder.build_table_graph
+    semantics: suppliers of NATION_7 at level -1, ASIA at +1, every edge
+    with both endpoints inside the neighborhood, per-table direct
+    fanout as the annotation score."""
+    from baselinr_spark.operators.graph_export import lineage_graph_export
+
+    edges = _lineage_edges(spark, sf_dir)
+    ann = edges.groupBy(F.col("upstream_table").alias("table")).agg(
+        F.count(F.lit(1)).cast("double").alias("score")
+    )
+    return lineage_graph_export(
+        edges, "NATION_7", direction="both", max_depth=2, annotations=ann
+    )
+
+
+_SQL_LINEAGE_GRAPH_EXPORT = """
+WITH edges AS (
+  SELECT n_name AS up, r_name AS down, 'aggregation' AS lineage_type,
+         1.0::double AS confidence_score
+  FROM nation JOIN region ON n_regionkey = r_regionkey
+  UNION ALL
+  SELECT s_name, n_name, 'fk', 0.9::double
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+),
+u1 AS (SELECT up AS id, -1 AS level FROM edges WHERE down = 'NATION_7'),
+u2 AS (SELECT e.up AS id, -2 AS level FROM edges e JOIN u1 ON e.down = u1.id),
+d1 AS (SELECT down AS id, 1 AS level FROM edges WHERE up = 'NATION_7'),
+d2 AS (SELECT e.down AS id, 2 AS level FROM edges e JOIN d1 ON e.up = d1.id),
+lv AS (
+  SELECT 'NATION_7' AS id, 0 AS level
+  UNION ALL SELECT id, level FROM u1
+  UNION ALL SELECT id, level FROM u2
+  UNION ALL SELECT id, level FROM d1
+  UNION ALL SELECT id, level FROM d2
+),
+nodes AS (
+  SELECT id, level FROM (
+    SELECT id, level,
+           row_number() OVER (PARTITION BY id ORDER BY abs(level), level) AS rn
+    FROM lv
+  ) WHERE rn = 1
+),
+ge AS (
+  SELECT DISTINCT e.up AS source, e.down AS target,
+         e.lineage_type AS relationship_type,
+         round(e.confidence_score, 6) AS confidence
+  FROM edges e JOIN nodes a ON e.up = a.id JOIN nodes b ON e.down = b.id
+),
+ann AS (SELECT up AS id, count(*)::double AS impact_score FROM edges GROUP BY up)
+SELECT 'node' AS kind, n.id, NULL::varchar AS source, NULL::varchar AS target,
+       n.id AS label, n.level::int AS level, (n.id = 'NATION_7') AS is_root,
+       NULL::varchar AS relationship_type, NULL::double AS confidence,
+       a.impact_score
+FROM nodes n LEFT JOIN ann a ON n.id = a.id
+UNION ALL
+SELECT 'edge', NULL, source, target, NULL, NULL, FALSE,
+       relationship_type, confidence, NULL
+FROM ge
 """
 
 
@@ -5301,6 +5483,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- front block = the driver gate's 50-sample window:
         # new this round + everything without a green r03 row, then the
         # block last checked in round 1, padded with four r03 greens ---
+        "lineage_graph_export": q_lineage_graph_export,
+        "explainer_context": q_explainer_context,
         "canonical_urls": q_canonical_urls,
         "url_dedup": q_url_dedup,
         "html_extract_docs": q_html_extract_docs,
@@ -5439,6 +5623,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "lineage_graph_export": _SQL_LINEAGE_GRAPH_EXPORT,
+        "explainer_context": _SQL_EXPLAINER_CONTEXT,
         "canonical_urls": _SQL_CANONICAL_URLS,
         "url_dedup": _SQL_URL_DEDUP,
         "html_extract_docs": _SQL_HTML_EXTRACT,

@@ -505,8 +505,12 @@ def duplicate_spans(
     approximation of suffix-array substring dedup (Lee et al. 2021,
     "Deduplicating Training Data Makes Language Models Better"): a word
     position starts a duplicated span iff its `shingle_n`-gram occurs in
-    ≥ `min_docs` distinct documents; runs of consecutive duplicated
-    positions are merged into maximal spans per document.
+    ≥ `min_docs` distinct documents; duplicated positions are merged
+    into maximal spans per document. Because each position covers
+    `shingle_n` words, two start positions whose gap is < `shingle_n`
+    produce overlapping word coverage — they are merged into ONE span,
+    so the returned spans are disjoint and their word lengths sum to
+    the true duplicated-word footprint.
 
     Returns (id, span_start, span_end, n_shingles) in word positions
     (span_end = last covered word, inclusive).
@@ -541,12 +545,25 @@ def duplicate_spans(
         .select("h")
     )
     dup_occ = occ.join(dup_keys, "h").select("id", "pos")
-    # island merge: consecutive positions share (pos - row_number)
+    # island merge with coverage-aware gaps: a new span starts only when
+    # the previous duplicated position's shingle no longer reaches this
+    # one (gap >= shingle_n); the running sum of break flags is the
+    # segment id. First position per doc: lag is null -> flag 0.
     w = W.partitionBy("id").orderBy("pos")
-    grp = (F.col("pos") - F.row_number().over(w)).alias("grp")
+    brk = (
+        F.when(F.col("pos") - F.lag("pos").over(w) >= shingle_n, 1)
+        .otherwise(0)
+        .alias("brk")
+    )
+    seg = dup_occ.select("id", "pos", brk).select(
+        "id",
+        "pos",
+        F.sum("brk")
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("grp"),
+    )
     return (
-        dup_occ.select("id", "pos", grp)
-        .groupBy("id", "grp")
+        seg.groupBy("id", "grp")
         .agg(
             F.min("pos").alias("span_start"),
             (F.max("pos") + F.lit(shingle_n - 1)).alias("span_end"),

@@ -77,6 +77,6 @@ def packing_summary(packed: DataFrame, pack_key: str | None = None) -> DataFrame
     return grouped.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
-        (F.max("seq_id") + 1).alias("n_seqs"),
+        F.max(F.col("seq_id") + F.col("n_seqs_spanned")).alias("n_seqs"),
         F.sum((F.col("n_seqs_spanned") > 1).cast("int")).alias("n_spanning"),
     )

@@ -60,10 +60,21 @@ def _norm_words(text_col: Column) -> Column:
     )
 
 
-def hashed_gram_buckets(df: DataFrame, id_col: str, text_col: str, *, n_buckets: int = 1024) -> DataFrame:
+def hashed_gram_buckets(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n_buckets: int = 1024,
+    carry_cols: tuple[str, ...] = (),
+) -> DataFrame:
     """Explode each document into hashed word uni+bigram feature
-    buckets: (id, bucket, cnt). Bucket = md5(gram) first 8 hex chars
-    mod n_buckets — engine-independent."""
+    buckets: (id, <carry_cols...,> bucket, cnt). Bucket = md5(gram)
+    first 8 hex chars mod n_buckets — engine-independent.
+    ``carry_cols`` are per-document columns carried through the explode
+    and groupBy unchanged (constant within a document), so callers that
+    need doc-level flags alongside the buckets avoid a corpus-scale
+    join back to ``df``."""
     words = _norm_words(F.col(text_col))
     bigrams = F.zip_with(
         F.slice(words, 1, F.greatest(F.size(words) - 1, F.lit(0))),
@@ -71,13 +82,16 @@ def hashed_gram_buckets(df: DataFrame, id_col: str, text_col: str, *, n_buckets:
         lambda a, b: F.concat(a, F.lit(" "), b),
     )
     grams = F.concat(words, bigrams)
-    exploded = df.select(F.col(id_col), F.explode(grams).alias("gram"))
+    carry = [F.col(c) for c in carry_cols]
+    exploded = df.select(F.col(id_col), *carry, F.explode(grams).alias("gram"))
     bucket = (
         F.conv(F.substring(F.md5(F.col("gram")), 1, 8), 16, 10).cast("long")
         % F.lit(n_buckets)
     ).alias("bucket")
-    return exploded.select(F.col(id_col), bucket).groupBy(id_col, "bucket").agg(
-        F.count(F.lit(1)).alias("cnt")
+    return (
+        exploded.select(F.col(id_col), *carry, bucket)
+        .groupBy(id_col, *carry_cols, "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
     )
 
 
@@ -96,12 +110,16 @@ def dsir_log_weights(
     log_w(x) = Σ_b cnt_b(x) · (log p_target(b) − log q_raw(b)).
 
     Returns (id_col, log_weight). The bucket-distribution table is
-    ``n_buckets`` rows — broadcast to the per-doc counts join.
+    ``n_buckets`` rows — broadcast to the per-doc counts join. The
+    target flag rides through the gram explode as a carried column, so
+    no corpus-scale join (let alone broadcast) is ever needed to
+    recover it.
     """
     docs = df.withColumn("__is_target", target_pred)
-    per_doc = hashed_gram_buckets(docs, id_col, text_col, n_buckets=n_buckets)
-    flags = docs.select(F.col(id_col), "__is_target")
-    counts = per_doc.join(F.broadcast(flags), id_col)
+    counts = hashed_gram_buckets(
+        docs, id_col, text_col, n_buckets=n_buckets, carry_cols=("__is_target",)
+    )
+    per_doc = counts.select(id_col, "bucket", "cnt")
 
     dist = counts.groupBy("bucket").agg(
         F.sum(F.when(F.col("__is_target"), F.col("cnt")).otherwise(F.lit(0))).alias("t_cnt"),
@@ -187,17 +205,27 @@ def temperature_mixture_sample(
     return df.join(F.broadcast(rates), group_col).filter(u < F.col("sample_rate"))
 
 
-def domain_stats(df: DataFrame, domain_col: str, text_col: str) -> DataFrame:
+def domain_stats(
+    df: DataFrame, domain_col: str, text_col: str, lang_col: str = "lang"
+) -> DataFrame:
     """Per-domain corpus statistics: doc count, total/mean chars,
-    distinct languages, share of corpus. One map-side-combining agg."""
+    distinct languages, share of corpus. One map-side-combining agg.
+    ``n_langs`` counts distinct ``lang_col`` values when that column
+    exists; on lang-less inputs it is emitted as 0 rather than failing
+    analysis."""
     tot = df.agg(F.count(F.lit(1)).alias("corpus_docs"))
+    n_langs = (
+        F.count_distinct(F.col(lang_col))
+        if lang_col in df.columns
+        else F.lit(0).cast("long")
+    )
     return (
         df.groupBy(domain_col)
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum(F.length(F.col(text_col))).alias("total_chars"),
             F.avg(F.length(F.col(text_col))).alias("mean_chars"),
-            F.count_distinct(F.col("lang")).alias("n_langs"),
+            n_langs.alias("n_langs"),
         )
         .crossJoin(F.broadcast(tot))
         .select(

@@ -44,8 +44,10 @@ def test_pack_layout_exact(spark):
         ).collect()
     }
     assert summ["x"]["n_docs"] == 4 and summ["x"]["total_tokens"] == 9
-    assert summ["x"]["n_seqs"] == 2 and summ["x"]["n_spanning"] == 2
-    assert summ["y"]["n_seqs"] == 1
+    # shard x: 9 tokens at budget 4 -> 3 sequences (doc4 reaches token 8,
+    # which sits in chunk 2); shard y: 5 tokens -> 2 sequences.
+    assert summ["x"]["n_seqs"] == 3 and summ["x"]["n_spanning"] == 2
+    assert summ["y"]["n_seqs"] == 2
 
 
 def test_pack_offsets_contiguous(spark, warehouse):

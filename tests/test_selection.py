@@ -177,6 +177,32 @@ def test_duplicate_spans_merges_islands(spark):
     assert doc1 == [(0, 7), (11, 18)]
 
 
+def test_duplicate_spans_disjoint_when_gap_under_shingle(spark):
+    """Duplicated start positions closer than shingle_n have overlapping
+    word coverage and must merge into ONE span — summing span lengths
+    then equals the true duplicated-word footprint (no double count)."""
+    from baselinr_spark.operators.dedup import duplicate_spans
+
+    w = [f"w{i}" for i in range(12)]
+    rows = [
+        Row(doc_id=1, text=" ".join(w)),          # positions 0..11
+        Row(doc_id=2, text=" ".join(w[:8])),      # shares shingle at pos 0
+        Row(doc_id=3, text=" ".join(w[4:12])),    # shares shingle at pos 4
+    ]
+    spans = duplicate_spans(
+        spark.createDataFrame(rows), "doc_id", "text", shingle_n=8, min_docs=2
+    )
+    doc1 = sorted(
+        [
+            (r["span_start"], r["span_end"], r["n_shingles"])
+            for r in spans.collect()
+            if r["id"] == 1
+        ]
+    )
+    # dup positions {0, 4}: gap 4 < 8 -> one merged span covering 0..11
+    assert doc1 == [(0, 11, 2)]
+
+
 def test_cluster_balanced_sample_quota_and_determinism(spark):
     import random
 
