@@ -94,17 +94,31 @@ def descendant_sets(edges: DataFrame, max_iters: int = 30) -> DataFrame:
     return desc
 
 
+def _depth_signature(depth: DataFrame) -> tuple:
+    """(node count, total depth) in ONE aggregate — the convergence
+    witness for node_depths. Count can only grow and per-node min depth
+    only shrink, so an unchanged pair means a fixed point."""
+    r = depth.agg(
+        F.count(F.lit(1)).alias("c"), F.sum("depth").alias("s")
+    ).collect()[0]
+    return (r["c"], r["s"])
+
+
 def node_depths(edges: DataFrame, max_iters: int = 30) -> DataFrame:
     """(node, depth) — BFS min-depth from roots (graph.py:247-277):
     roots at 0, each child at min(parent)+1; min-propagated until
     stable. Nodes unreachable from any root default to 0 like the
-    reference."""
+    reference. One driver round trip per iteration: the convergence
+    check is a single (count, sum) aggregate over the NEW frame,
+    compared against the previous round's remembered pair — the old
+    frame is never re-aggregated."""
     e = _edge_pairs(edges).persist()
     nodes = (e.select(F.col("src").alias("node"))
              .union(e.select("dst")).distinct())
     roots = nodes.join(e.select(F.col("dst").alias("node")).distinct(),
                        "node", "left_anti")
     depth = roots.withColumn("depth", F.lit(0)).localCheckpoint()
+    sig = _depth_signature(depth)
     for _ in range(max_iters):
         step = (
             e.join(depth.withColumnRenamed("node", "src"), "src")
@@ -113,14 +127,11 @@ def node_depths(edges: DataFrame, max_iters: int = 30) -> DataFrame:
         )
         new = (depth.unionByName(step).groupBy("node")
                .agg(F.min("depth").alias("depth")).localCheckpoint())
-        # converged when no node's min depth changed (sum is a cheap
-        # monotone-decreasing-per-node witness given count is fixed)
-        if (new.count() == depth.count()
-                and (new.select(F.sum("depth")).collect()[0][0]
-                     == depth.select(F.sum("depth")).collect()[0][0])):
-            depth = new
-            break
+        new_sig = _depth_signature(new)
         depth = new
+        if new_sig == sig:
+            break
+        sig = new_sig
     e.unpersist()
     # unreached (cycle-trapped) nodes → 0, reference graph.py:275-277
     return (nodes.join(depth, "node", "left")

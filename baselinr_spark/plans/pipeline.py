@@ -266,6 +266,31 @@ def drift_events(
     )
 
 
+def _needed_metric_partitions(metrics_dir: str, chunk_strs: list[str]) -> list[str]:
+    """dt partitions the DRIFT pass must scan: the chunk itself plus each
+    chunk cohort's immediate predecessor (PSI lag pairs touch nothing
+    older). Stored cohorts come from a driver-side directory listing —
+    O(partitions), no Spark job — and dt strings are ISO dates, so
+    lexicographic order IS date order. Pruning preserves lag semantics:
+    by construction no stored dt lies strictly between a cohort and its
+    included predecessor, and rows whose cohort is outside the chunk are
+    filtered from the event output anyway."""
+    needed = set(chunk_strs)
+    try:
+        stored = sorted(
+            d.split("=", 1)[1]
+            for d in os.listdir(metrics_dir)
+            if d.startswith("partition_key=")
+        )
+    except OSError:
+        return sorted(needed)
+    for c in chunk_strs:
+        preds = [d for d in stored if d < c]
+        if preds:
+            needed.add(preds[-1])
+    return sorted(needed)
+
+
 def _chunk_bytes(input_path: str, chunk) -> int:
     """On-disk bytes of the chunk's dt partitions (drives the AQE advisory
     partition size). Driver-side directory stat — O(files), no Spark job."""
@@ -524,21 +549,28 @@ def run_pipeline(
         from . import events as ev_mod
 
         chunk_strs = [str(p) for p in chunk]
-        # ONE scan of the stored metrics feeds both drift (PSI buckets)
-        # and anomaly (rowcount control limits) builders — they need the
-        # full cross-run history, which the in-memory mrows (this chunk
-        # only) cannot provide
-        stored_metrics = spark.read.parquet(metrics_dir).persist()
+        # drift (PSI lag) needs only the chunk cohorts plus each one's
+        # immediate predecessor — prune the metrics scan to those dt
+        # partitions so the read stays O(chunk), not O(history): a year
+        # of daily cohorts would otherwise be rescanned on every chunk.
+        # anomaly (leave-one-out rowcount control limits) genuinely needs
+        # every cohort's count, but only the metric_name='count' rows —
+        # it gets its OWN scan with that filter pushed to parquet instead
+        # of sharing the (now-pruned) drift frame.
+        drift_metrics = spark.read.parquet(metrics_dir).filter(
+            F.col("partition_key").isin(
+                _needed_metric_partitions(metrics_dir, chunk_strs)
+            )
+        ).persist()
         ev = drift_events(spark, output_root, run_id,
-                          metrics=stored_metrics).filter(
+                          metrics=drift_metrics).filter(
             F.col("partition").isin(chunk_strs)
         )
         ev = ev.unionByName(
             ev_mod.validation_events(mrows, run_id)
         )
         ev = ev.unionByName(
-            ev_mod.anomaly_events(spark, metrics_dir, run_id,
-                                  metrics=stored_metrics).filter(
+            ev_mod.anomaly_events(spark, metrics_dir, run_id).filter(
                 F.col("partition").isin(chunk_strs)
             )
         )
@@ -560,7 +592,7 @@ def run_pipeline(
             from .hooks import dispatch_events
 
             dispatch_events(ev, hooks, min_severity=hook_min_severity)
-        stored_metrics.unpersist()
+        drift_metrics.unpersist()
         t0 = _tick("drift", t0)
 
         # per-partition (doc, kept) counts come straight from the cached

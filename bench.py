@@ -116,6 +116,7 @@ def main() -> int:
         "sf": sf,
         "docs_per_sec": round(docs_per_sec, 1),
         "pipeline_docs": summary["doc_count"],
+        "pipeline_phases": summary.get("phase_s", {}),
         "cpus": cpus,
     }))
     spark.stop()

@@ -37,6 +37,26 @@ def test_descendant_sets_and_depths(spark, graph):
     assert dp == {"A": 0, "B": 1, "C": 1, "D": 2, "dash": 3}
 
 
+def test_node_depths_one_round_trip_per_iteration(spark, graph, monkeypatch):
+    """Convergence costs exactly ONE driver aggregate per round: the
+    (count, sum) signature of the new frame; the previous round's pair
+    is remembered, never recomputed. Diamond depth 3 -> 1 initial
+    signature + 4 propagation rounds (3 growth + 1 fixed-point) = 5."""
+    import baselinr_spark.operators.lineage_impact as li
+
+    edges, _ = graph
+    calls = {"n": 0}
+    real = li._depth_signature
+
+    def counting(df):
+        calls["n"] += 1
+        return real(df)
+
+    monkeypatch.setattr(li, "_depth_signature", counting)
+    li.node_depths(edges)
+    assert calls["n"] == 5
+
+
 def test_impact_scores_hand_computed(spark, graph):
     edges, nodes = graph
     out = {r["table"]: r for r in lineage_impact(edges, nodes).collect()}
