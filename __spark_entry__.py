@@ -50,6 +50,54 @@ def q_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _r6(out, "metric_value")
 
 
+def q_approx_distinct_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-engine sketch sanity for approx_count_distinct (reference
+    profiler approx-distinct metric): each engine runs its OWN HLL
+    sketch next to the exact distinct count in one agg pass and asserts
+    the estimate lands within 3× Spark's default rsd (3·0.05 = 0.15) of
+    truth. The estimates themselves are engine-specific and never
+    compared; the hashed output is (column_name, exact_distinct,
+    within_bound) — a tolerance check the value-hash gate can verify
+    deterministically."""
+    df = _read(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+    aggs = []
+    for c in cols:
+        aggs.append(F.count_distinct(F.col(c)).alias(f"__e_{c}"))
+        aggs.append(F.approx_count_distinct(c).alias(f"__a_{c}"))
+    one = df.agg(*aggs)
+    rows = []
+    for c in cols:
+        e = F.col(f"__e_{c}").cast("double")
+        a = F.col(f"__a_{c}").cast("double")
+        rows.append(
+            one.select(
+                F.lit(c).alias("column_name"),
+                F.col(f"__e_{c}").cast("long").alias("exact_distinct"),
+                ((F.abs(a - e) / e) <= 0.15).alias("within_bound"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def _sql_approx_distinct_bound() -> str:
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+    sel = ", ".join(
+        f"count(DISTINCT {c}) AS e_{c}, approx_count_distinct({c}) AS a_{c}"
+        for c in cols
+    )
+    parts = [
+        f"SELECT '{c}' AS column_name, e_{c}::bigint AS exact_distinct, "
+        f"(abs(a_{c}::double - e_{c}::double) / e_{c}::double <= 0.15) "
+        f"AS within_bound FROM s"
+        for c in cols
+    ]
+    return f"WITH s AS (SELECT {sel} FROM orders)\n" + "\nUNION ALL\n".join(parts)
+
+
 def _sql_profile_lineitem() -> str:
     parts = []
     for c in _PROFILE_COLS:
@@ -5485,6 +5533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # block last checked in round 1, padded with four r03 greens ---
         "lineage_graph_export": q_lineage_graph_export,
         "explainer_context": q_explainer_context,
+        "approx_distinct_bound": q_approx_distinct_bound,
         "canonical_urls": q_canonical_urls,
         "url_dedup": q_url_dedup,
         "html_extract_docs": q_html_extract_docs,
@@ -5625,6 +5674,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "lineage_graph_export": _SQL_LINEAGE_GRAPH_EXPORT,
         "explainer_context": _SQL_EXPLAINER_CONTEXT,
+        "approx_distinct_bound": _sql_approx_distinct_bound(),
         "canonical_urls": _SQL_CANONICAL_URLS,
         "url_dedup": _SQL_URL_DEDUP,
         "html_extract_docs": _SQL_HTML_EXTRACT,

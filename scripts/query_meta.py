@@ -7,6 +7,14 @@ Maps the reference CLI's query surface
 pipeline writes under --output (docs/metrics/events/lineage/
 processed_partitions). Prints one JSON line per result row.
 
+Also carries the reference CLI's WRITE-side verbs (cli.py:196-879
+plan/profile/drift/validate/score) over a parquet-table warehouse:
+`profile` appends long-format metric rows to <output>/profile_runs;
+`drift-check` (the reference's top-level `drift`; the name `drift`
+here already means the event query) compares two stored runs;
+`validate` runs rule specs in one agg pass; `score` emits the
+six-component quality score.
+
 Usage:
   spark-submit scripts/query_meta.py --output /path/out runs [--status done]
   ... query drift   [--partition P] [--severity high] [--limit N]
@@ -14,6 +22,11 @@ Usage:
   ... query table   --partition P
   ... lineage upstream|downstream --table T [--max-depth D]
   ... lineage path --from-table A --to-table B
+  ... profile --warehouse DIR --table T [--run-id R] [--dry-run]
+  ... drift-check --table T [--baseline R1] [--current R2]
+                  [--drift-only] [--fail-on-drift]
+  ... validate --warehouse DIR --table T [--rules-json FILE]
+  ... score --warehouse DIR --table T
 """
 
 from __future__ import annotations
@@ -190,6 +203,135 @@ def cmd_recommend(spark, out_root, args) -> list[dict]:
     return _emit(out.orderBy("table_name", "column_name", "col_rank"))
 
 
+def _profile_store(out_root: str) -> str:
+    return os.path.join(out_root, "profile_runs")
+
+
+def cmd_profile(spark, out_root, args) -> list[dict]:
+    """Write-side `profile` (reference cli.py:3766-3774 / cmd_profile
+    :196-433): profile a warehouse parquet table and append the
+    long-format rows to <output>/profile_runs keyed by run_id, so two
+    invocations seed the drift-check history exactly like the
+    reference's profile-twice-then-drift CI (cli-e2e.yml:60-73).
+    --dry-run prints without storing."""
+    import uuid
+
+    path = os.path.join(args.warehouse, args.table)
+    if not os.path.exists(path):
+        path = os.path.join(args.warehouse, f"{args.table}.parquet")
+    df = spark.read.parquet(path)
+    cols = args.columns.split(",") if args.columns else None
+    from baselinr_spark.operators.profiling import profile
+
+    run_id = args.run_id or uuid.uuid4().hex[:12]
+    rows = profile(df, columns=cols).select(
+        F.lit(args.table).alias("table_name"),
+        F.lit(run_id).alias("run_id"),
+        F.current_timestamp().alias("profiled_at"),
+        "column_name", "metric_name", "metric_value", "metric_str",
+    )
+    if not args.dry_run:
+        rows.coalesce(1).write.mode("append").parquet(_profile_store(out_root))
+        return _emit(
+            spark.read.parquet(_profile_store(out_root))
+            .filter(F.col("run_id") == run_id)
+            .orderBy("column_name", "metric_name")
+        )
+    return _emit(rows.orderBy("column_name", "metric_name"))
+
+
+def _run_order(store: DataFrame, table: str) -> list[str]:
+    """run_ids for a table, newest first (by max profiled_at, run_id)."""
+    rows = (
+        store.filter(F.col("table_name") == table)
+        .groupBy("run_id").agg(F.max("profiled_at").alias("t"))
+        .orderBy(F.desc("t"), F.desc("run_id"))
+        .collect()
+    )
+    return [r["run_id"] for r in rows]
+
+
+def cmd_drift_check(spark, out_root, args) -> list[dict]:
+    """Write-side `drift` (reference cli.py:3776-3792 / cmd_drift
+    :984-1232): compare two stored profile runs of a table — current
+    defaults to the latest run, baseline to the second-latest — with
+    the absolute-threshold strategy; --fail-on-drift exits 3 when any
+    high-severity drift is found (the reference's critical-drift exit
+    path)."""
+    from baselinr_spark.operators.drift import absolute_threshold
+
+    store = spark.read.parquet(_profile_store(out_root))
+    order = _run_order(store, args.table)
+    current = args.current or (order[0] if order else None)
+    baseline = args.baseline or (order[1] if len(order) > 1 else None)
+    if not current or not baseline:
+        print(json.dumps({"error": "need at least two stored profile runs",
+                          "runs_found": len(order)}), file=sys.stderr)
+        raise SystemExit(2)
+    t = store.filter(F.col("table_name") == args.table)
+    base = t.filter(F.col("run_id") == baseline).select(
+        "column_name", "metric_name", F.col("metric_value").alias("base_value")
+    )
+    cur = t.filter(F.col("run_id") == current).select(
+        "column_name", "metric_name", F.col("metric_value").alias("cur_value")
+    )
+    joined = base.join(cur, ["column_name", "metric_name"]).where(
+        F.col("base_value").isNotNull() & F.col("cur_value").isNotNull()
+    )
+    out = absolute_threshold(joined).select(
+        F.lit(args.table).alias("table_name"),
+        F.lit(baseline).alias("baseline_run"),
+        F.lit(current).alias("current_run"),
+        "column_name", "metric_name", "base_value", "cur_value",
+        F.round("change_pct", 6).alias("change_pct"), "drift", "severity",
+    )
+    if args.drift_only:
+        out = out.filter(F.col("drift"))
+    rows = _emit(out.orderBy("column_name", "metric_name"))
+    if args.fail_on_drift and any(r["severity"] == "high" for r in rows):
+        raise SystemExit(3)
+    return rows
+
+
+def cmd_validate(spark, out_root, args) -> list[dict]:
+    """Write-side `validate` (reference cli.py:3794-3800 / cmd_validate):
+    run validation rules over a warehouse table in one agg pass. Rules
+    come from --rules-json (list of {name, rule_type, column, ...}
+    objects); default is not_null on every column."""
+    from baselinr_spark.operators.validation import Rule, validate
+
+    path = os.path.join(args.warehouse, args.table)
+    if not os.path.exists(path):
+        path = os.path.join(args.warehouse, f"{args.table}.parquet")
+    df = spark.read.parquet(path)
+    if args.rules_json:
+        with open(args.rules_json) as fh:
+            specs = json.load(fh)
+        rules = [Rule(**{**s, "values": tuple(s.get("values", ()))})
+                 for s in specs]
+    else:
+        rules = [Rule(name=f"{c}_not_null", rule_type="not_null", column=c)
+                 for c in df.columns]
+    return _emit(validate(df, rules))
+
+
+def cmd_score(spark, out_root, args) -> list[dict]:
+    """Write-side `score` (reference cli.py:3802-3866 / quality
+    scorer.py): profile the table, run the six-component quality score,
+    emit the single overall row (0-100 + letter band)."""
+    from baselinr_spark.operators.profiling import profile
+    from baselinr_spark.operators.quality import component_scores, overall_score
+
+    path = os.path.join(args.warehouse, args.table)
+    if not os.path.exists(path):
+        path = os.path.join(args.warehouse, f"{args.table}.parquet")
+    df = spark.read.parquet(path)
+    comp = component_scores(profile(df))
+    return _emit(overall_score(comp).withColumn(
+        "table_name", F.lit(args.table)
+    ))
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="query_meta")
     p.add_argument("--output", required=True, help="pipeline output root")
@@ -231,6 +373,33 @@ def build_parser() -> argparse.ArgumentParser:
     plan.add_argument("--sample-fraction", type=float, default=0.1)
     plan.add_argument("--reprocess-changed", action="store_true")
 
+    prof = sub.add_parser("profile")
+    prof.add_argument("--warehouse", required=True,
+                      help="dir of parquet tables (<table> or <table>.parquet)")
+    prof.add_argument("--table", required=True)
+    prof.add_argument("--run-id", default=None)
+    prof.add_argument("--columns", default=None,
+                      help="comma-separated column subset")
+    prof.add_argument("--dry-run", action="store_true")
+
+    dc = sub.add_parser("drift-check")
+    dc.add_argument("--table", required=True)
+    dc.add_argument("--baseline", default=None,
+                    help="baseline run id (default: second-latest)")
+    dc.add_argument("--current", default=None,
+                    help="current run id (default: latest)")
+    dc.add_argument("--drift-only", action="store_true")
+    dc.add_argument("--fail-on-drift", action="store_true")
+
+    val = sub.add_parser("validate")
+    val.add_argument("--warehouse", required=True)
+    val.add_argument("--table", required=True)
+    val.add_argument("--rules-json", default=None)
+
+    sc = sub.add_parser("score")
+    sc.add_argument("--warehouse", required=True)
+    sc.add_argument("--table", required=True)
+
     lin = sub.add_parser("lineage")
     lsub = lin.add_subparsers(dest="lineage_command", required=True)
     for name in ("upstream", "downstream"):
@@ -260,6 +429,10 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None):
             "plan": cmd_plan,
             "recommend": cmd_recommend,
             "lineage": cmd_lineage,
+            "profile": cmd_profile,
+            "drift-check": cmd_drift_check,
+            "validate": cmd_validate,
+            "score": cmd_score,
         }[args.command]
         return fn(spark, args.output, args)
     finally:
