@@ -5524,24 +5524,92 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is deliberate: the driver's correctness gate samples the
-    # first 50 entries, so queries with no prior driver CORRECTNESS record
-    # come first (flagship, RCA, similarity/ANN, dedup-pairs), then queries
-    # last driver-checked in round 1, then the round-2-checked block.
+    # first 50 entries, so the window rotates each round toward the
+    # entries with the OLDEST driver CORRECTNESS row. Round-5 window:
+    # 3 never-driver-checked (new in r4 commits) + the 3 BPE oracles that
+    # failed r04 on int-type grounds (fixed; need a fresh green row) +
+    # all 19 entries last checked in r02 + the 25 oldest r03 entries.
+    # Remaining r03 entries rotate forward in r06.
     return {
-        # --- front block = the driver gate's 50-sample window:
-        # new this round + everything without a green r03 row, then the
-        # block last checked in round 1, padded with four r03 greens ---
+        # --- r05 front block = the driver gate's 50-sample window ---
         "lineage_graph_export": q_lineage_graph_export,
         "explainer_context": q_explainer_context,
         "approx_distinct_bound": q_approx_distinct_bound,
+        "bpe_pair_counts": q_bpe_pair_counts,
+        "bpe_merges": q_bpe_merges,
+        "bpe_vocab": q_bpe_vocab,
+        "seasonal_residual_days": q_seasonal_residual_days,
+        "schema_diff_orders": q_schema_diff_orders,
+        "schema_rename_candidates": q_schema_rename_candidates,
+        "rule_fire_rates_docs": q_rule_fire_rates_docs,
+        "quality_score_orders": q_quality_score_orders,
+        "column_stability": q_column_stability,
+        "quality_score_full": q_quality_score_full,
+        "smart_selection": q_smart_selection,
+        "freshness_scores": q_freshness_scores,
+        "table_matcher_counts": q_table_matcher_counts,
+        "partition_latest_day": q_partition_latest_day,
+        "type_inference_orders": q_type_inference_orders,
+        "partition_recent_days": q_partition_recent_days,
+        "hash_sample_orders": q_hash_sample_orders,
+        "stratified_sample_orders": q_stratified_sample_orders,
+        "active_drift_summary": q_active_drift_summary,
+        "query_runs_paginated": q_query_runs,
+        "lineage_upstream": q_lineage_upstream,
+        "lineage_path": q_lineage_path,
+        "keep_drop_docs": q_keep_drop_docs,
+        "doc_stats": q_doc_stats,
+        "token_counts": q_token_counts,
+        "lang_id_heuristic": q_lang_id_heuristic,
+        "quality_score_docs": q_quality_score_docs,
+        "fingerprint_docs": q_fingerprint_docs,
+        "vocabulary_docs": q_vocabulary_docs,
+        "dedup_exact_summary": q_dedup_exact_summary,
+        "exact_dup_groups": q_exact_dup_groups,
+        "minhash_signatures": q_minhash_signatures,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "simhash_docs": q_simhash_docs,
+        "gopher_repetition_docs": q_gopher_repetition_docs,
+        "c4_line_rules_docs": q_c4_line_rules_docs,
+        "rca_pipeline_causes": q_rca_pipeline_causes,
+        "rca_ranked_causes": q_rca_ranked_causes,
+        "rca_recurring_patterns": q_rca_recurring_patterns,
+        "rca_upstream_causes": q_rca_upstream_causes,
+        "rca_impact_analysis": q_rca_impact_analysis,
+        "lsh_verified_pairs": q_lsh_verified_pairs,
+        "connected_components": q_connected_components,
+        "simhash_near_pairs": q_simhash_near_pairs,
+        "knn_cosine": q_knn_cosine,
+        "ivf_assign": q_ivf_assign,
+        # --- checked green in r03/r04; rotate forward in later rounds ---
+        "pq_encode": q_pq_encode,
+        "embedding_near_dups": q_embedding_near_dups,
+        "tpch_q1": q_tpch_q1,
+        "top_customers_revenue": q_top_customers_revenue,
+        "profile_lineitem": q_profile_lineitem,
+        "histogram_quantity": q_histogram_quantity,
+        "string_lengths_part": q_string_lengths_part,
+        "profile_orders_minmax": q_profile_orders_minmax,
+        "profile_wildcard_columns": q_profile_wildcard_columns,
+        "validation_suite": q_validation_suite,
+        "validation_samples": q_validation_samples,
+        "duplicate_samples": q_duplicate_samples,
+        "psi_value": q_psi_value,
+        "chi_square_event_type": q_chi_square_event_type,
+        "entropy_event_type": q_entropy_event_type,
+        "topk_jaccard_event_type": q_topk_jaccard_event_type,
+        "zscore_value": q_zscore_value,
+        "ks_value": q_ks_value,
+        "daily_ma7": q_daily_ma7,
+        "ewma_daily": q_ewma_daily,
+        "iqr_outlier_days": q_iqr_outlier_days,
+        "rowcount_stability": q_rowcount_stability,
         "canonical_urls": q_canonical_urls,
         "url_dedup": q_url_dedup,
         "html_extract_docs": q_html_extract_docs,
         "semdedup_keepers": q_semdedup_keepers,
         "sequence_packing": q_sequence_packing,
-        "bpe_pair_counts": q_bpe_pair_counts,
-        "bpe_merges": q_bpe_merges,
-        "bpe_vocab": q_bpe_vocab,
         "bpe_token_counts": q_bpe_token_counts,
         "domain_pagerank": q_domain_pagerank,
         "authority_weights": q_authority_weights,
@@ -5581,92 +5649,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_absolute_threshold": q_drift_absolute_threshold,
         "drift_stddev_strategy": q_drift_stddev_strategy,
         "drift_typed_thresholds": q_drift_typed_thresholds,
-        # the 3 ANN top-k queries gained exact oracles in round 4 (r03
-        # row was err:no_oracle) — they need their first full hash row
         "lsh_topk": q_lsh_topk,
         "ivf_topk": q_ivf_topk,
         "pq_adc_topk": q_pq_adc_topk,
-        # --- end of the 50-entry gate window: 36 round-4-new queries +
-        # 3 newly-oracled ANN top-k + 11 never-r03-checked r02-greens.
-        # 69 candidates > 50 slots; the 19 r02-green entries directly
-        # below (seasonal/schema/rule-fire/quality/stability/selection/
-        # matcher ops displaced by the late BPE + link-graph + CCNet +
-        # n-gram-LM ops, 5 partition/sampling/type ops displaced by the
-        # web-crawl + packing ops, plus the 4 metadata-SDK reads) are
-        # the only entries left without an r03∪r04 row, chosen because
-        # their code is unchanged since their green r02 record; rotate
-        # them into the r05 window first. ALL queries are locally
-        # gate-checked green at sf0.01 (tools/check_gate.py). The
-        # flagship keep_drop_docs is r03-green AND smoke-run as entry()
-        # every round, so it cedes its slot. ---
-        "seasonal_residual_days": q_seasonal_residual_days,
-        "schema_diff_orders": q_schema_diff_orders,
-        "schema_rename_candidates": q_schema_rename_candidates,
-        "rule_fire_rates_docs": q_rule_fire_rates_docs,
-        "quality_score_orders": q_quality_score_orders,
-        "column_stability": q_column_stability,
-        "quality_score_full": q_quality_score_full,
-        "smart_selection": q_smart_selection,
-        "freshness_scores": q_freshness_scores,
-        "table_matcher_counts": q_table_matcher_counts,
-        "partition_latest_day": q_partition_latest_day,
-        "type_inference_orders": q_type_inference_orders,
-        "partition_recent_days": q_partition_recent_days,
-        "hash_sample_orders": q_hash_sample_orders,
-        "stratified_sample_orders": q_stratified_sample_orders,
-        "keep_drop_docs": q_keep_drop_docs,
-        "active_drift_summary": q_active_drift_summary,
-        "query_runs_paginated": q_query_runs,
-        "lineage_upstream": q_lineage_upstream,
-        "lineage_path": q_lineage_path,
-        "doc_stats": q_doc_stats,
-        "token_counts": q_token_counts,
-        "lang_id_heuristic": q_lang_id_heuristic,
-        "quality_score_docs": q_quality_score_docs,
-        "fingerprint_docs": q_fingerprint_docs,
-        "vocabulary_docs": q_vocabulary_docs,
-        "dedup_exact_summary": q_dedup_exact_summary,
-        "exact_dup_groups": q_exact_dup_groups,
-        "minhash_signatures": q_minhash_signatures,
-        "minhash_lsh_pairs": q_minhash_lsh_pairs,
-        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
-        "simhash_docs": q_simhash_docs,
-        "gopher_repetition_docs": q_gopher_repetition_docs,
-        "c4_line_rules_docs": q_c4_line_rules_docs,
-        "rca_pipeline_causes": q_rca_pipeline_causes,
-        # --- driver-checked green in rounds 2-3 ---
-        "rca_ranked_causes": q_rca_ranked_causes,
-        "rca_recurring_patterns": q_rca_recurring_patterns,
-        "rca_upstream_causes": q_rca_upstream_causes,
-        "rca_impact_analysis": q_rca_impact_analysis,
-        "lsh_verified_pairs": q_lsh_verified_pairs,
-        "connected_components": q_connected_components,
-        "simhash_near_pairs": q_simhash_near_pairs,
-        "knn_cosine": q_knn_cosine,
-        "ivf_assign": q_ivf_assign,
-        "pq_encode": q_pq_encode,
-        "embedding_near_dups": q_embedding_near_dups,
-        "tpch_q1": q_tpch_q1,
-        "top_customers_revenue": q_top_customers_revenue,
-        "profile_lineitem": q_profile_lineitem,
-        "histogram_quantity": q_histogram_quantity,
-        "string_lengths_part": q_string_lengths_part,
-        "profile_orders_minmax": q_profile_orders_minmax,
-        "profile_wildcard_columns": q_profile_wildcard_columns,
-        "validation_suite": q_validation_suite,
-        "validation_samples": q_validation_samples,
-        "duplicate_samples": q_duplicate_samples,
-        "psi_value": q_psi_value,
-        "chi_square_event_type": q_chi_square_event_type,
-        "entropy_event_type": q_entropy_event_type,
-        "topk_jaccard_event_type": q_topk_jaccard_event_type,
-        "zscore_value": q_zscore_value,
-        "ks_value": q_ks_value,
-        "daily_ma7": q_daily_ma7,
-        "ewma_daily": q_ewma_daily,
-        "iqr_outlier_days": q_iqr_outlier_days,
-        "rowcount_stability": q_rowcount_stability,
-    
     }
 
 

@@ -38,6 +38,9 @@ Semantics matched to the reference:
 
 from __future__ import annotations
 
+import json
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -172,3 +175,107 @@ def lineage_graph_export(
         F.lit(None).cast("double").alias("impact_score"),
     )
     return node_rows.unionByName(edge_rows)
+
+
+# ---------------------------------------------------------------- exporters
+# The graph DataFrame is a bounded root-neighborhood (max_depth hops),
+# so rendering collects it to the driver — an export artifact is small
+# by construction even when the catalog is 10^6 tables. Recasts of
+# /root/reference/baselinr/visualization/exporters/{mermaid_exporter.py,
+# graphviz_exporter.py,json_exporter.py}; output is DETERMINISTIC
+# (nodes ordered by (level, id), edges by (source, target)) where the
+# reference renders in dict-insertion order.
+
+def _split(graph: DataFrame) -> tuple[list, list, str | None]:
+    rows = graph.collect()
+    nodes = sorted(
+        (r for r in rows if r["kind"] == "node"),
+        key=lambda r: (r["level"], r["id"]),
+    )
+    edges = sorted(
+        (r for r in rows if r["kind"] == "edge"),
+        key=lambda r: (r["source"], r["target"]),
+    )
+    root = next((r["id"] for r in nodes if r["is_root"]), None)
+    return nodes, edges, root
+
+
+def _safe(node_id: str) -> str:
+    return re.sub(r"[^A-Za-z0-9_]", "_", node_id)
+
+
+def to_mermaid(graph: DataFrame, direction: str = "TD") -> str:
+    """Mermaid diagram (mermaid_exporter.py:31-112): root label bolded,
+    edge arrow style by confidence (solid ≥0.8, dotted ≥0.5, faint
+    below), confidence appended to the edge label when < 1.0."""
+    nodes, edges, _ = _split(graph)
+    lines = [f"graph {direction}"]
+    for n in nodes:
+        label = f"**{n['label']}**" if n["is_root"] else n["label"]
+        lines.append(f"    {_safe(n['id'])}[{label}]")
+    for e in edges:
+        label = e["relationship_type"]
+        conf = e["confidence"] if e["confidence"] is not None else 1.0
+        if conf < 1.0:
+            label += f" ({conf:.2f})"
+        arrow = "-->|" if conf >= 0.8 else ("-.->|" if conf >= 0.5 else "-.-|")
+        lines.append(f"    {_safe(e['source'])} {arrow}{label}|{_safe(e['target'])}")
+    return "\n".join(lines)
+
+
+def to_dot(graph: DataFrame, rankdir: str = "LR") -> str:
+    """Graphviz DOT (graphviz_exporter.py:40-145): one node statement
+    per table (root gets penwidth=2), one edge statement with the
+    relationship label; dashed style below 0.8 confidence."""
+    nodes, edges, _ = _split(graph)
+    lines = [f'digraph lineage {{', f'    rankdir={rankdir};',
+             '    node [shape=box];']
+    for n in nodes:
+        attrs = [f'label="{n["label"]}"']
+        if n["is_root"]:
+            attrs.append("penwidth=2")
+        if n["impact_score"] is not None:
+            attrs.append(f'tooltip="impact={n["impact_score"]:.4f}"')
+        lines.append(f'    {_safe(n["id"])} [{", ".join(attrs)}];')
+    for e in edges:
+        conf = e["confidence"] if e["confidence"] is not None else 1.0
+        attrs = [f'label="{e["relationship_type"]}"']
+        if conf < 0.8:
+            attrs.append("style=dashed")
+        lines.append(
+            f'    {_safe(e["source"])} -> {_safe(e["target"])} '
+            f'[{", ".join(attrs)}];'
+        )
+    lines.append("}")
+    return "\n".join(lines)
+
+
+def to_json(graph: DataFrame, direction: str = "both") -> str:
+    """LineageGraph.to_dict JSON shape (graph_builder.py:73-90 /
+    json_exporter.py): {nodes, edges, root_id, direction}, with the
+    level carried in each node's metadata like the reference's depth."""
+    nodes, edges, root = _split(graph)
+    doc = {
+        "nodes": [
+            {
+                "id": n["id"], "type": "table", "label": n["label"],
+                "metadata": {"level": n["level"], "is_root": bool(n["is_root"])},
+                "metrics": (
+                    {"impact_score": n["impact_score"]}
+                    if n["impact_score"] is not None else None
+                ),
+            }
+            for n in nodes
+        ],
+        "edges": [
+            {
+                "source": e["source"], "target": e["target"],
+                "relationship_type": e["relationship_type"],
+                "confidence": e["confidence"],
+            }
+            for e in edges
+        ],
+        "root_id": root,
+        "direction": direction,
+    }
+    return json.dumps(doc, indent=2, sort_keys=True)

@@ -148,6 +148,17 @@ def cmd_lineage(spark, out_root, args) -> list[dict]:
         return _emit(get_upstream_tables(edges, args.table, args.max_depth))
     if args.lineage_command == "downstream":
         return _emit(get_downstream_tables(edges, args.table, args.max_depth))
+    if args.lineage_command == "visualize":
+        from baselinr_spark.operators.graph_export import (
+            lineage_graph_export, to_dot, to_json, to_mermaid,
+        )
+
+        g = lineage_graph_export(edges, args.table,
+                                 max_depth=args.max_depth or 3)
+        render = {"mermaid": to_mermaid, "dot": to_dot, "json": to_json}
+        text = render[args.format](g)
+        print(text)
+        return [{"format": args.format, "chars": len(text)}]
     return _emit(get_lineage_path(edges, args.from_table, args.to_table))
 
 
@@ -409,6 +420,11 @@ def build_parser() -> argparse.ArgumentParser:
     path = lsub.add_parser("path")
     path.add_argument("--from-table", required=True)
     path.add_argument("--to-table", required=True)
+    viz = lsub.add_parser("visualize")
+    viz.add_argument("--table", required=True)
+    viz.add_argument("--max-depth", type=int, default=None)
+    viz.add_argument("--format", default="mermaid",
+                     choices=["mermaid", "dot", "json"])
     return p
 
 

@@ -119,3 +119,23 @@ def test_score_emits_overall(spark, tmp_path, wh):
     assert r["table_name"] == "customers"
     assert 0.0 <= r["overall_score"] <= 100.0
     assert r["status"] in ("healthy", "warning", "critical")
+
+
+def test_lineage_visualize(spark, tmp_path, wh):
+    """`lineage visualize` renders the pipeline lineage graph around a
+    partition path (reference cli lineage visualize surface)."""
+    from baselinr_spark.plans.pipeline import run_pipeline
+    from baselinr_spark.sources.pages import write_pages_warehouse
+
+    pages = str(tmp_path / "pages")
+    out = str(tmp_path / "out")
+    write_pages_warehouse(spark, pages, n_docs=40, seed=7)
+    run_pipeline(spark, pages, out, run_id="viz")
+    lin = spark.read.parquet(os.path.join(out, "lineage"))
+    some_input = lin.select("input_path").first()["input_path"]
+    res = _run(spark, out, ["lineage", "visualize", "--table", some_input,
+                            "--format", "mermaid"])
+    assert res and res[0]["format"] == "mermaid" and res[0]["chars"] > 0
+    res = _run(spark, out, ["lineage", "visualize", "--table", some_input,
+                            "--format", "dot"])
+    assert res[0]["chars"] > 0

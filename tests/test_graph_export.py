@@ -71,3 +71,41 @@ def test_graph_annotations_and_direction(spark):
     assert set(nodes) == {"stg", "mart"}
     assert nodes["mart"]["impact_score"] == 0.75
     assert nodes["stg"]["impact_score"] is None
+
+
+def test_exporters_render_deterministic(spark):
+    import json
+
+    from baselinr_spark.operators.graph_export import (
+        to_dot, to_json, to_mermaid,
+    )
+
+    ann = spark.createDataFrame([Row(table="stg", score=0.5)])
+    g = lineage_graph_export(_edges(spark, DIAMOND), "stg", max_depth=1,
+                             annotations=ann)
+
+    mer = to_mermaid(g, direction="LR")
+    lines = mer.split("\n")
+    assert lines[0] == "graph LR"
+    # nodes ordered by (level, id): sources first, bold root, then mart
+    assert lines[1:4] == ["    src_a[src_a]", "    src_b[src_b]",
+                          "    stg[**stg**]"]
+    assert "    src_b -->|fk (0.80)|stg" in mer    # 0.8 -> solid + conf
+    assert "    src_a -->|fk|stg" in mer           # 1.0 -> solid, no conf
+    assert "    stg -->|aggregation|mart" in mer
+
+    dot = to_dot(g)
+    assert dot.startswith("digraph lineage {")
+    assert '    stg [label="stg", penwidth=2, tooltip="impact=0.5000"];' in dot
+    assert '    src_b -> stg [label="fk"];' in dot  # 0.8: at the solid cutoff
+    assert '    src_a -> stg [label="fk"];' in dot
+    assert dot.rstrip().endswith("}")
+
+    doc = json.loads(to_json(g))
+    assert doc["root_id"] == "stg"
+    assert [n["id"] for n in doc["nodes"]] == ["src_a", "src_b", "stg", "mart"]
+    assert doc["nodes"][2]["metrics"] == {"impact_score": 0.5}
+    assert doc["nodes"][0]["metrics"] is None
+    assert {(e["source"], e["target"]) for e in doc["edges"]} == {
+        ("src_a", "stg"), ("src_b", "stg"), ("stg", "mart"),
+    }
