@@ -3053,6 +3053,96 @@ FROM chg
 """
 
 
+def q_drift_ml_based(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ml_based drift strategy — a REAL implementation of the strategy
+    the reference only declares (reference drift/strategies.py:302-342
+    raises NotImplementedError): diagonal-covariance Gaussian anomaly
+    model over per-event-type daily metric history (count + mean
+    value), scoring the newest day's metric vector with a Mahalanobis
+    chi-square p-value. History = all days before the newest; severity
+    ladder matches chi_square's."""
+    from baselinr_spark.operators.drift import ml_drift_scores
+
+    ev = _read(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type"), F.date_trunc("day", F.col("ts")).alias("d")
+    ).agg(
+        F.count(F.lit(1)).cast("double").alias("count"),
+        F.avg("value").alias("mean_value"),
+    )
+    long = daily.select(
+        "event_type", "d", F.lit("count").alias("metric_name"),
+        F.col("count").alias("metric_value"),
+    ).unionByName(daily.select(
+        "event_type", "d", F.lit("mean_value").alias("metric_name"),
+        F.col("mean_value").alias("metric_value"),
+    ))
+    maxd = daily.agg(F.max("d").alias("maxd"))
+    hist = long.join(F.broadcast(maxd)).filter(F.col("d") < F.col("maxd"))
+    cur = long.join(F.broadcast(maxd)).filter(F.col("d") == F.col("maxd"))
+    out = ml_drift_scores(hist, cur, ["event_type"])
+    return _r6(out, "score", "p_value", "top_z").orderBy("event_type")
+
+
+_SQL_DRIFT_ML = """
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS d,
+         count(*)::double AS count_v, avg(value) AS mean_v
+  FROM events GROUP BY 1, 2
+), mx AS (SELECT max(d) AS maxd FROM daily),
+long AS (
+  SELECT event_type, d, 'count' AS metric, count_v AS val FROM daily
+  UNION ALL
+  SELECT event_type, d, 'mean_value' AS metric, mean_v AS val FROM daily
+),
+model AS (
+  SELECT event_type, metric, avg(val) AS mu, stddev_samp(val) AS sd
+  FROM long, mx WHERE d < maxd GROUP BY 1, 2 HAVING count(*) >= 5
+),
+z AS (
+  SELECT c.event_type, c.metric,
+         (c.val - m.mu)
+           / (CASE WHEN m.sd IS NOT NULL AND m.sd > 0 THEN m.sd ELSE 1.0 END)
+           AS z
+  FROM (SELECT event_type, metric, val FROM long, mx WHERE d = maxd) c
+  JOIN model m USING (event_type, metric)
+),
+agg AS (
+  SELECT event_type, sum(z * z) AS score, count(*)::bigint AS dof
+  FROM z GROUP BY 1
+),
+top AS (
+  SELECT event_type, metric AS top_metric, z AS top_z,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY abs(z) DESC, metric DESC) AS rn
+  FROM z
+),
+zz AS (SELECT event_type, score, dof,
+       (pow(score / dof, 1.0 / 3.0) - (1.0 - 2.0 / (9.0 * dof)))
+         / sqrt(2.0 / (9.0 * dof)) / sqrt(2.0) AS x
+       FROM agg),
+tt AS (SELECT *, 1.0 / (1.0 + 0.3275911 * abs(x)) AS t FROM zz),
+ef AS (SELECT event_type, score, dof, x,
+       1.0 - (((((1.061405429 * t - 1.453152027) * t + 1.421413741) * t
+                - 0.284496736) * t + 0.254829592) * t) * exp(-x * x) AS e
+       FROM tt),
+pv AS (SELECT event_type, score, dof,
+       least(greatest(0.5 * (1.0 - (CASE WHEN x >= 0 THEN e ELSE -e END)), 0.0), 1.0)
+         AS p_value
+       FROM ef)
+SELECT pv.event_type, round(score, 6) AS score, dof,
+       round(p_value, 6) AS p_value,
+       top.top_metric, round(top.top_z, 6) AS top_z,
+       coalesce(p_value < 0.05, false) AS drift,
+       CASE WHEN NOT coalesce(p_value < 0.05, false) THEN 'none'
+            WHEN p_value < 0.001 THEN 'high'
+            WHEN p_value < 0.01 THEN 'medium'
+            ELSE 'low' END AS severity
+FROM pv JOIN top ON pv.event_type = top.event_type AND top.rn = 1
+ORDER BY pv.event_type
+"""
+
+
 def q_seasonal_residual_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seasonality-aware residual anomaly flags on daily counts
     (detection_methods.py:331-482)."""
@@ -5535,6 +5625,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineage_graph_export": q_lineage_graph_export,
         "explainer_context": q_explainer_context,
         "approx_distinct_bound": q_approx_distinct_bound,
+        "drift_ml_based": q_drift_ml_based,
         "bpe_pair_counts": q_bpe_pair_counts,
         "bpe_merges": q_bpe_merges,
         "bpe_vocab": q_bpe_vocab,
@@ -5718,6 +5809,7 @@ def oracle_sql() -> dict[str, str]:
         "drift_absolute_threshold": _SQL_DRIFT_ABS,
         "drift_stddev_strategy": _SQL_DRIFT_STDDEV,
         "drift_typed_thresholds": _SQL_DRIFT_TYPED,
+        "drift_ml_based": _SQL_DRIFT_ML,
         "seasonal_residual_days": _SQL_SEASONAL_RESIDUAL,
         "schema_diff_orders": _SQL_SCHEMA_DIFF,
         "schema_rename_candidates": _SQL_SCHEMA_RENAMES,

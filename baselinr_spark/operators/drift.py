@@ -564,3 +564,97 @@ def standard_deviation_strategy(
         F.when(s >= hi, "high").when(s >= md, "medium")
         .when(s >= lo, "low").otherwise("none"),
     )
+
+
+def ml_drift_scores(
+    history: DataFrame,
+    current: DataFrame,
+    key_cols: list[str],
+    metric_col: str = "metric_name",
+    value_col: str = "metric_value",
+    min_history: int = 5,
+) -> DataFrame:
+    """ML-based drift detection — drift strategy ``ml_based``.
+
+    The reference declares this strategy but never implements it
+    (/root/reference/baselinr/drift/strategies.py:302-342 raises
+    NotImplementedError and names "anomaly detection / statistical
+    models" as the intent). This is a real implementation of that
+    intent, Spark-first: a diagonal-covariance Gaussian anomaly model
+    fitted per key group over the metric history — the classic
+    multivariate Gaussian anomaly detector.
+
+    Model fit (one groupBy over history): per (key, metric) learn
+    μ and sample σ from ≥ ``min_history`` observations (σ→1.0 when 0
+    or undefined, matching the z_score strategy's guard). Scoring: the
+    current run's metric vector x gives standardized residuals
+    z_m = (x_m − μ_m)/σ_m; the anomaly score is the squared Mahalanobis
+    distance D² = Σ z_m² over the metrics modeled AND present, which
+    under the fitted model is χ²(dof = #metrics). p = P(χ²_dof > D²)
+    via the same Wilson–Hilferty + A&S erf approximation the other
+    drift tests use (chi2_sf_expr), so the whole pipeline stays
+    oracle-expressible. Severity ladder matches chi_square's:
+    drift iff p < 0.05; high p < 0.001, medium p < 0.01, else low.
+
+    Also reports the top contributing metric (largest |z|; ties break
+    toward the lexicographically larger metric name — a struct-max,
+    deterministic) and its signed z, the explainability hook the
+    reference's placeholder docstring asks for ("score the current
+    value ... return drift based on anomaly score").
+
+    Scale shape: the model is one map-side-combining groupBy over the
+    metric history (O(keys × metrics) rows out), the score is one
+    equi-join of the current run (tiny) against it plus one groupBy —
+    no windows, no shuffle of anything corpus-sized.
+
+    Returns (key_cols..., score:double, dof:long, p_value:double,
+    top_metric:string, top_z:double, drift:boolean, severity:string).
+    """
+    v = F.col(value_col).cast("double")
+    model = (
+        history.groupBy(*key_cols, metric_col)
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.avg(v).alias("__mu"),
+            F.stddev_samp(v).alias("__sd"),
+        )
+        .filter(F.col("__n") >= min_history)
+    )
+    sd = F.when(
+        F.col("__sd").isNotNull() & (F.col("__sd") > 0), F.col("__sd")
+    ).otherwise(F.lit(1.0))
+    scored = current.join(model, key_cols + [metric_col]).select(
+        *key_cols,
+        F.col(metric_col).alias("__metric"),
+        ((v - F.col("__mu")) / sd).alias("__z"),
+    )
+    agg = scored.groupBy(*key_cols).agg(
+        F.sum(F.col("__z") * F.col("__z")).alias("score"),
+        F.count(F.lit(1)).cast("long").alias("dof"),
+        F.max(
+            F.struct(
+                F.abs(F.col("__z")).alias("az"),
+                F.col("__metric").alias("m"),
+                F.col("__z").alias("z"),
+            )
+        ).alias("__top"),
+    )
+    p = chi2_sf_expr(F.col("score"), F.col("dof"))
+    agg = agg.select(
+        *key_cols,
+        "score",
+        "dof",
+        p.alias("p_value"),
+        F.col("__top.m").alias("top_metric"),
+        F.col("__top.z").alias("top_z"),
+    )
+    drift = F.coalesce(F.col("p_value") < 0.05, F.lit(False))
+    return agg.select(
+        *key_cols, "score", "dof", "p_value", "top_metric", "top_z",
+        drift.alias("drift"),
+        F.when(~drift, "none")
+        .when(F.col("p_value") < 0.001, "high")
+        .when(F.col("p_value") < 0.01, "medium")
+        .otherwise("low")
+        .alias("severity"),
+    )
