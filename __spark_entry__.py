@@ -385,18 +385,25 @@ def _event_cohorts(spark, sf_dir):
     return ev, base, cur
 
 
-def _value_buckets(ev, side):
-    """10 equi-width buckets of `value` over the GLOBAL min/max."""
+def _value_buckets_wide(ev):
+    """10 equi-width buckets of `value` over the GLOBAL min/max, with BOTH
+    cohorts' counts from ONE scan (conditional aggregation on the split
+    timestamp). The per-side form would read events 4x (min/max + bucket
+    per cohort); this reads it twice (min/max, then buckets) — the shape
+    that matters when `events` is 100 TB, not 2 MB."""
     mm = ev.agg(F.min(F.col("value").cast("double")).alias("mn"),
                 F.max(F.col("value").cast("double")).alias("mx"))
-    j = side.crossJoin(F.broadcast(mm))
+    j = ev.crossJoin(F.broadcast(mm))
     v = F.col("value").cast("double")
     w = (F.col("mx") - F.col("mn")) / 10.0
     b = F.least(F.floor((v - F.col("mn")) / w).cast("int"), F.lit(9))
     return (
         j.filter(v.isNotNull() & (F.col("mx") > F.col("mn")))
         .groupBy(b.alias("bucket"))
-        .agg(F.count(F.lit(1)).alias("count"))
+        .agg(
+            F.count(F.when(F.col("ts") < _SPLIT, 1)).alias("count_base"),
+            F.count(F.when(F.col("ts") >= _SPLIT, 1)).alias("count_cur"),
+        )
     )
 
 
@@ -418,10 +425,10 @@ _SQL_BUCKETS = f"""
 
 
 def q_psi_value(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from baselinr_spark.operators.drift import psi
+    from baselinr_spark.operators.drift import psi_from_wide
 
-    ev, base, cur = _event_cohorts(spark, sf_dir)
-    out = psi(_value_buckets(ev, base), _value_buckets(ev, cur))
+    ev, _, _ = _event_cohorts(spark, sf_dir)
+    out = psi_from_wide(_value_buckets_wide(ev))
     return _r6(out, "psi")
 
 
@@ -598,10 +605,10 @@ FROM z
 
 
 def q_ks_value(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from baselinr_spark.operators.drift import ks_from_histograms
+    from baselinr_spark.operators.drift import ks_from_wide
 
-    ev, base, cur = _event_cohorts(spark, sf_dir)
-    out = ks_from_histograms(_value_buckets(ev, base), _value_buckets(ev, cur))
+    ev, _, _ = _event_cohorts(spark, sf_dir)
+    out = ks_from_wide(_value_buckets_wide(ev))
     return _r6(out, "ks_d", "p_value")
 
 

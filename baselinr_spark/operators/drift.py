@@ -96,34 +96,69 @@ def psi(
     high > 0.5, medium > 0.3, else low.
 
     Returns one row per key group: (key_cols..., psi:double,
-    drift:boolean, severity:string)."""
+    drift:boolean, severity:string).
+
+    Per-side totals are window sums (partition = key_cols), NOT a
+    broadcast self-join: a self-join re-executes the whole upstream plan
+    (scan + bucket shuffle) once per reference, which at 100 TB doubles
+    the corpus reads; the window adds only one exchange of the already
+    tiny bucket-count table."""
     key_cols = key_cols or []
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(*key_cols)
 
     def _norm(df: DataFrame, p_name: str) -> DataFrame:
-        w_tot = df.groupBy(*key_cols).agg(F.sum(count_col).alias("__tot"))
-        joined = df.join(F.broadcast(w_tot), key_cols) if key_cols else df.crossJoin(
-            F.broadcast(w_tot)
-        )
-        return joined.select(
+        tot = F.sum(count_col).over(w)
+        return df.select(
             *key_cols,
             F.col(bucket_col).alias("bucket"),
-            (F.col(count_col) / F.when(F.col("__tot") > 0, F.col("__tot")).otherwise(1.0)).alias(p_name),
+            (F.col(count_col) / F.when(tot > 0, tot).otherwise(F.lit(1.0))).alias(p_name),
         )
 
-    b = _norm(base, "p_base")
-    c = _norm(cur, "p_cur")
-    on = key_cols + ["bucket"]
-    j = b.join(c, on, "full_outer").select(
-        *key_cols,
-        F.coalesce(
-            F.when(F.col("p_base") > 0, F.col("p_base")), F.lit(PSI_FLOOR)
-        ).alias("pb"),
-        F.coalesce(
-            F.when(F.col("p_cur") > 0, F.col("p_cur")), F.lit(PSI_FLOOR)
-        ).alias("pc"),
+    j = _norm(base, "p_base").join(
+        _norm(cur, "p_cur"), key_cols + ["bucket"], "full_outer"
     )
+    return _psi_reduce(j, key_cols)
+
+
+def psi_from_wide(
+    wide: DataFrame,
+    bucket_col: str = "bucket",
+    base_count_col: str = "count_base",
+    cur_count_col: str = "count_cur",
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """PSI when both cohorts' bucket counts come out of ONE aggregation
+    pass (base/cur counts side by side per bucket) — no join at all.
+    Preferred over `psi` whenever the cohorts share a scan: the
+    two-DataFrame form reads the corpus once per side, the wide form once
+    total. Missing side (count 0) → prob floor, identical to the
+    full-outer-join semantics of `psi`."""
+    key_cols = key_cols or []
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(*key_cols)
+    tb = F.sum(base_count_col).over(w)
+    tc = F.sum(cur_count_col).over(w)
+    j = wide.select(
+        *key_cols,
+        F.when(
+            (F.col(base_count_col) > 0) & (tb > 0), F.col(base_count_col) / tb
+        ).alias("p_base"),
+        F.when(
+            (F.col(cur_count_col) > 0) & (tc > 0), F.col(cur_count_col) / tc
+        ).alias("p_cur"),
+    )
+    return _psi_reduce(j, key_cols)
+
+
+def _psi_reduce(j: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Shared tail: floor zero/missing probs at 1e-4, sum PSI terms, gate."""
+    pb = F.coalesce(F.when(F.col("p_base") > 0, F.col("p_base")), F.lit(PSI_FLOOR))
+    pc = F.coalesce(F.when(F.col("p_cur") > 0, F.col("p_cur")), F.lit(PSI_FLOOR))
     agg = j.groupBy(*key_cols).agg(
-        F.sum((F.col("pc") - F.col("pb")) * F.log(F.col("pc") / F.col("pb"))).alias("psi")
+        F.sum((pc - pb) * F.log(pc / pb)).alias("psi")
     )
     return agg.select(
         *key_cols,
@@ -162,16 +197,15 @@ def psi_pairwise_lag(
     from pyspark.sql import Window as W
 
     key_cols = list(key_cols or [])
-    tot = dist.groupBy(*key_cols, cohort_col).agg(
-        F.sum(count_col).alias("__tot"))
-    probs = (
-        dist.join(F.broadcast(tot), key_cols + [cohort_col])
-        .select(
-            *key_cols,
-            F.col(cohort_col).alias("cohort"),
-            F.col(bucket_col).alias("bucket"),
-            (F.col(count_col) / F.when(F.col("__tot") > 0, F.col("__tot")).otherwise(1.0)).alias("p"),
-        )
+    # per-cohort total as a window sum: a broadcast self-join here would
+    # re-execute the upstream dist plan (metrics read-back) a second time
+    w_tot = W.partitionBy(*key_cols, cohort_col)
+    tot = F.sum(count_col).over(w_tot)
+    probs = dist.select(
+        *key_cols,
+        F.col(cohort_col).alias("cohort"),
+        F.col(bucket_col).alias("bucket"),
+        (F.col(count_col) / F.when(tot > 0, tot).otherwise(F.lit(1.0))).alias("p"),
     )
     per_cohort = probs.groupBy(*key_cols, "cohort").agg(
         F.map_from_entries(
@@ -375,13 +409,43 @@ def ks_from_histograms(
     c = cur.select(*key_cols, F.col(bucket_col).alias("bucket"),
                    F.col(count_col).cast("double").alias("n_c"))
     j = b.join(c, key_cols + ["bucket"], "full_outer").fillna(0.0, ["n_b", "n_c"])
-    tot = j.groupBy(*key_cols).agg(F.sum("n_b").alias("Nb"), F.sum("n_c").alias("Nc"))
-    jj = j.join(F.broadcast(tot), key_cols) if key_cols else j.crossJoin(F.broadcast(tot))
+    return _ks_reduce(j, key_cols)
+
+
+def ks_from_wide(
+    wide: DataFrame,
+    bucket_col: str = "bucket",
+    base_count_col: str = "count_base",
+    cur_count_col: str = "count_cur",
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """KS when both cohorts' bucket counts come out of ONE aggregation
+    pass — skips the full-outer join of `ks_from_histograms` (and the
+    second corpus read it implies when both sides derive from one scan)."""
+    key_cols = key_cols or []
+    j = wide.select(
+        *key_cols, F.col(bucket_col).alias("bucket"),
+        F.col(base_count_col).cast("double").alias("n_b"),
+        F.col(cur_count_col).cast("double").alias("n_c"),
+    )
+    return _ks_reduce(j, key_cols)
+
+
+def _ks_reduce(j: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Shared tail: per-side totals via window sums (NOT a broadcast
+    self-join, which would re-execute the upstream plan once per
+    reference), ECDF as a running sum of per-bucket ratios (same
+    association order as the DuckDB oracle), max |ΔECDF|, asymptotic p."""
     from pyspark.sql import Window as W
 
-    w = (W.partitionBy(*key_cols) if key_cols else W.partitionBy()).orderBy("bucket") \
-        .rowsBetween(W.unboundedPreceding, 0)
-    ecdf = jj.select(
+    wp = W.partitionBy(*key_cols)
+    w = wp.orderBy("bucket").rowsBetween(W.unboundedPreceding, 0)
+    tot = j.select(
+        *key_cols, "bucket", "n_b", "n_c",
+        F.sum("n_b").over(wp).alias("Nb"),
+        F.sum("n_c").over(wp).alias("Nc"),
+    )
+    ecdf = tot.select(
         *key_cols, "Nb", "Nc",
         (F.sum(F.col("n_b") / F.col("Nb")).over(w)).alias("F_b"),
         (F.sum(F.col("n_c") / F.col("Nc")).over(w)).alias("F_c"),
