@@ -461,9 +461,14 @@ def run_pipeline(
             # dt dir. Use rebalance mode for pathological layouts (many
             # tiny unsplittable skewed files).
             par0 = spark.sparkContext.defaultParallelism
-            split = max(4 << 20, min(128 << 20,
-                                     _chunk_bytes(input_path, chunk)
-                                     // (12 * par0)))
+            nbytes = _chunk_bytes(input_path, chunk)
+            # floor: small inputs would otherwise clamp to so few splits
+            # that the UDF stage runs ~1 wave with stragglers doing 2x
+            # duty; guarantee >=3 waves before giving up on balance, but
+            # never go below 256 KB (per-task overhead swamps compute).
+            # At real scale nbytes/(12*par) >> 4 MB and the floor is inert.
+            lo = max(256 << 10, min(4 << 20, nbytes // (3 * par0)))
+            split = max(lo, min(128 << 20, nbytes // (12 * par0)))
             spark.conf.set("spark.sql.files.maxPartitionBytes", str(split))
         pages = spark.read.parquet(input_path).filter(
             F.col("dt").cast("string").isin(chunk)
