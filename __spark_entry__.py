@@ -5614,6 +5614,179 @@ FROM b GROUP BY lang, bucket"""
     )
 
 
+# ---------------------------------------------------------------------------
+# as-of join / NB classifier / incremental dedup (round 5 additions)
+# ---------------------------------------------------------------------------
+
+
+def q_asof_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join (operators/asof.py): for every 'error' event,
+    the latest 'purchase' by the same user at-or-before it — the as-of
+    operator Spark lacks natively, recast as one union-tag window pass
+    (cost: a single |L|+|R| shuffle, no join blowup). Oracle: DuckDB's
+    native ASOF LEFT JOIN. (user_id, ts) is unique in the events table,
+    so the match is tie-free by construction."""
+    from baselinr_spark.operators.asof import asof_join
+
+    ev = _read(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    out = asof_join(errors, purchases, "user_id", "ts")
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("r_value").alias("r_value"),
+        F.round(
+            F.col("ts").cast("timestamp").cast("double")
+            - F.col("r_ts").cast("timestamp").cast("double"),
+            6,
+        ).alias("gap_s"),
+    )
+
+
+_SQL_ASOF_EVENTS = """
+SELECT l.event_id, l.user_id, r.value AS r_value,
+       round(epoch(l.ts) - epoch(r.ts), 6) AS gap_s
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') l
+ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
+_NB_BUCKETS = 512
+
+
+def q_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed multinomial Naive Bayes train→score round trip
+    (operators/classifier.py) — the CCNet/GPT-3-style learned quality
+    filter as pure aggregation: label = (lang='en'), add-1 smoothing
+    over the full 512-bucket space, resubstitution scoring. Exact
+    oracle: every step (md5 buckets, smoothed llr, per-doc sums) is
+    replayed in SQL."""
+    from baselinr_spark.operators.classifier import nb_train_score
+
+    docs = _read(spark, sf_dir, "documents")
+    out = nb_train_score(
+        docs, "doc_id", "text", F.col("lang") == "en", n_buckets=_NB_BUCKETS
+    )
+    return _r6(out.select("doc_id", "log_odds", "pred"), "log_odds")
+
+
+def _sql_nb_classifier() -> str:
+    B = _NB_BUCKETS
+    return f"""
+WITH docs AS (SELECT doc_id, text, (lang = 'en') AS y FROM documents),
+words AS (
+  SELECT doc_id, y,
+         list_filter(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+                     x -> length(x) > 0) AS ws
+  FROM docs
+),
+grams AS (
+  SELECT doc_id, y, unnest(ws) AS gram FROM words
+  UNION ALL
+  SELECT doc_id, y,
+         unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS gram
+  FROM words
+),
+bk AS (
+  SELECT doc_id, y,
+         ('0x' || substring(md5(gram), 1, 8))::bigint % {B} AS bucket
+  FROM grams
+),
+per_doc AS (SELECT doc_id, bucket, count(*) AS cnt FROM bk GROUP BY doc_id, bucket),
+dist AS (
+  SELECT bucket,
+         sum(CASE WHEN y THEN 1 ELSE 0 END) AS p_cnt,
+         sum(CASE WHEN NOT y THEN 1 ELSE 0 END) AS n_cnt
+  FROM bk GROUP BY bucket
+),
+dense AS (
+  SELECT r.range AS bucket,
+         coalesce(d.p_cnt, 0) AS p_cnt, coalesce(d.n_cnt, 0) AS n_cnt
+  FROM range({B}) r LEFT JOIN dist d ON r.range = d.bucket
+),
+tot AS (SELECT sum(p_cnt) AS p_tot, sum(n_cnt) AS n_tot FROM dense),
+prior AS (
+  SELECT ln(sum(CASE WHEN y THEN 1 ELSE 0 END)::double)
+         - ln(sum(CASE WHEN NOT y THEN 1 ELSE 0 END)::double) AS prior_llr
+  FROM docs
+),
+llr AS (
+  SELECT bucket,
+         ln((p_cnt + 1.0) / (p_tot + {B}.0)) - ln((n_cnt + 1.0) / (n_tot + {B}.0)) AS llr
+  FROM dense, tot
+),
+scored AS (
+  SELECT per_doc.doc_id, sum(cnt * llr) AS gram_llr
+  FROM per_doc JOIN llr USING (bucket) GROUP BY per_doc.doc_id
+)
+SELECT d.doc_id,
+       round(p.prior_llr + coalesce(s.gram_llr, 0.0), 6) AS log_odds,
+       (p.prior_llr + coalesce(s.gram_llr, 0.0)) > 0 AS pred
+FROM docs d LEFT JOIN scored s ON d.doc_id = s.doc_id, prior p
+"""
+
+
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-incremental exact dedup (operators/dedup.py:
+    incremental_exact_dedup): batch 1 = docs 0-399 (its kept hashes
+    become the seen state); batch 2 = docs 400-499 (new) ∪ docs 0-99
+    re-identified +10000 (cross-batch duplicates — must drop) ∪ docs
+    450-499 re-identified +30000 (intra-batch duplicates — original id
+    wins). Returns batch 2's kept rows; the seen state is hashes only,
+    never corpus text."""
+    from baselinr_spark.operators.dedup import incremental_exact_dedup
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    b1 = docs.filter(F.col("doc_id") < 400)
+    _, seen = incremental_exact_dedup(b1, None, "doc_id", "text")
+    b2 = (
+        docs.filter(F.col("doc_id") >= 400)
+        .unionByName(
+            docs.filter(F.col("doc_id") < 100)
+            .withColumn("doc_id", F.col("doc_id") + 10000)
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") >= 450)
+            .withColumn("doc_id", F.col("doc_id") + 30000)
+        )
+    )
+    kept, _ = incremental_exact_dedup(b2, seen, "doc_id", "text")
+    return kept.select("doc_id", "lang")
+
+
+_SQL_INCREMENTAL_DEDUP = """
+WITH h AS (
+  SELECT doc_id, lang,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS th
+  FROM documents
+),
+b1 AS (SELECT * FROM h WHERE doc_id < 400),
+seen AS (SELECT DISTINCT th FROM b1),
+b2 AS (
+  SELECT doc_id, lang, th FROM h WHERE doc_id >= 400
+  UNION ALL
+  SELECT doc_id + 10000, lang, th FROM h WHERE doc_id < 100
+  UNION ALL
+  SELECT doc_id + 30000, lang, th FROM h WHERE doc_id >= 450
+),
+fresh AS (
+  SELECT b2.* FROM b2 LEFT JOIN seen USING (th) WHERE seen.th IS NULL
+),
+ranked AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY th ORDER BY doc_id) AS rn
+  FROM fresh
+)
+SELECT doc_id, lang FROM ranked WHERE rn = 1
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: keep/drop quality filter over sf0.001 documents."""
     return q_keep_drop_docs(spark, "/root/testdata/sf0.001")
@@ -5623,12 +5796,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is deliberate: the driver's correctness gate samples the
     # first 50 entries, so the window rotates each round toward the
     # entries with the OLDEST driver CORRECTNESS row. Round-5 window:
-    # 3 never-driver-checked (new in r4 commits) + the 3 BPE oracles that
-    # failed r04 on int-type grounds (fixed; need a fresh green row) +
-    # all 19 entries last checked in r02 + the 25 oldest r03 entries.
-    # Remaining r03 entries rotate forward in r06.
+    # 6 never-driver-checked (asof/nb/incremental-dedup new this round +
+    # 3 new in r4 commits) + the 3 BPE oracles that failed r04 on
+    # int-type grounds (fixed; need a fresh green row) + all 19 entries
+    # last checked in r02 + the oldest r03 entries up to 50. Displaced
+    # by the 3 new entries: simhash_near_pairs, knn_cosine, ivf_assign
+    # (r02-checked) — they lead the r06 window with the remaining r03s.
     return {
         # --- r05 front block = the driver gate's 50-sample window ---
+        "asof_events": q_asof_events,
+        "nb_classifier": q_nb_classifier,
+        "incremental_dedup": q_incremental_dedup,
         "lineage_graph_export": q_lineage_graph_export,
         "explainer_context": q_explainer_context,
         "approx_distinct_bound": q_approx_distinct_bound,
@@ -5755,6 +5933,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "asof_events": _SQL_ASOF_EVENTS,
+        "nb_classifier": _sql_nb_classifier(),
+        "incremental_dedup": _SQL_INCREMENTAL_DEDUP,
         "lineage_graph_export": _SQL_LINEAGE_GRAPH_EXPORT,
         "explainer_context": _SQL_EXPLAINER_CONTEXT,
         "approx_distinct_bound": _sql_approx_distinct_bound(),

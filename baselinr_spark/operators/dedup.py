@@ -571,3 +571,51 @@ def duplicate_spans(
         )
         .drop("grp")
     )
+
+
+def incremental_exact_dedup(
+    new_docs: DataFrame,
+    seen: DataFrame | None,
+    id_col: str,
+    text_col: str,
+) -> tuple[DataFrame, DataFrame]:
+    """Snapshot-incremental exact dedup: filter a NEW batch against the
+    hashes of everything already accepted into the corpus, without ever
+    re-reading the corpus text. Returns (kept_new, seen_delta):
+
+    * kept_new — new rows that are neither duplicates of the seen set
+      nor intra-batch duplicates (min id wins within the batch);
+    * seen_delta — (text_hash, first_id) rows to APPEND to the seen
+      table for the next batch (exactly the kept rows' hashes).
+
+    This is the operator a rolling web crawl actually runs: each dump
+    is deduped against the union of all prior dumps. The seen state is
+    one 16-byte hash + id per accepted doc — ~3 orders of magnitude
+    smaller than the corpus text — and the batch-vs-seen check is a
+    LEFT ANTI equi-join on the hash, which AQE skew-splits; nothing
+    ever shuffles corpus text. With `seen=None` (first dump) the seen
+    side is skipped entirely, degenerating to plain exact_dedup.
+
+    Complements exact_dedup (whole-corpus) the way the pipeline
+    manifest complements a full re-run (sources/manifest.py) — the same
+    incremental contract, at the document level.
+    """
+    hashed = new_docs.withColumn(
+        "text_hash", F.md5(normalize_text(F.col(text_col)))
+    )
+    if seen is not None:
+        hashed = hashed.join(
+            seen.select("text_hash").distinct(), "text_hash", "left_anti"
+        )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("text_hash").orderBy(F.col(id_col).asc())
+    kept = (
+        hashed.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    delta = kept.select(
+        "text_hash", F.col(id_col).alias("first_id")
+    )
+    return kept.drop("text_hash"), delta
