@@ -5787,6 +5787,130 @@ SELECT doc_id, lang FROM ranked WHERE rn = 1
 """
 
 
+def q_range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed range join (operators/temporal.py:interval_point_join):
+    every click landing inside a same-user purchase attribution window
+    [purchase_ts, purchase_ts + 1h] — the point-in-interval join Spark
+    would otherwise run as BroadcastNestedLoopJoin. Each (point,
+    interval) pair meets in exactly one bucket (the point's), so the
+    plan is a plain equi-join with zero dedup. Oracle: DuckDB non-equi
+    join of the same predicate."""
+    from baselinr_spark.operators.temporal import interval_point_join
+
+    ev = _read(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("sess_id"),
+        "user_id",
+        F.col("ts").alias("s_ts"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("e_ts"),
+    )
+    out = interval_point_join(
+        clicks, purchases, "ts", "s_ts", "e_ts",
+        keys=["user_id"], bucket_width=3600.0,
+    )
+    return out.select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        "sess_id",
+        F.round(
+            F.col("ts").cast("timestamp").cast("double")
+            - F.col("s_ts").cast("timestamp").cast("double"),
+            6,
+        ).alias("gap_s"),
+    )
+
+
+_SQL_RANGE_JOIN_EVENTS = """
+SELECT c.event_id AS click_id, c.user_id, p.event_id AS sess_id,
+       round(epoch(c.ts) - epoch(p.ts), 6) AS gap_s
+FROM events c
+JOIN events p
+  ON c.user_id = p.user_id
+ AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 1 HOUR
+WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+"""
+
+
+def q_interval_overlap_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval×interval overlap join (temporal.py:
+    interval_overlap_join): same-user 30-minute error windows
+    overlapping 30-minute purchase windows. Every true pair is claimed
+    at exactly one bucket — the one containing max(start_a, start_b) —
+    so the equi-join needs no distinct."""
+    from baselinr_spark.operators.temporal import interval_overlap_join
+
+    ev = _read(spark, sf_dir, "events")
+    half_hour = F.expr("INTERVAL 30 MINUTES")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"),
+        "user_id",
+        F.col("ts").alias("err_s"),
+        (F.col("ts") + half_hour).alias("err_e"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("buy_id"),
+        "user_id",
+        F.col("ts").alias("buy_s"),
+        (F.col("ts") + half_hour).alias("buy_e"),
+    )
+    out = interval_overlap_join(
+        errors, purchases, "err_s", "err_e", "buy_s", "buy_e",
+        keys=["user_id"], bucket_width=1800.0,
+    )
+    return out.select("err_id", "user_id", "buy_id")
+
+
+_SQL_INTERVAL_OVERLAP_EVENTS = """
+SELECT e.event_id AS err_id, e.user_id, p.event_id AS buy_id
+FROM events e
+JOIN events p
+  ON e.user_id = p.user_id
+ AND e.ts <= p.ts + INTERVAL 30 MINUTES
+ AND p.ts <= e.ts + INTERVAL 30 MINUTES
+WHERE e.event_type = 'error' AND p.event_type = 'purchase'
+"""
+
+
+def q_time_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate (temporal.py:time_rollup):
+    hour/day/month rollups of event values scanning the corpus ONCE —
+    coarser grains re-aggregate the finest rollup (count/sum/min/max
+    are reaggregable; avg derived at every level)."""
+    from baselinr_spark.operators.temporal import time_rollup
+
+    ev = _read(spark, sf_dir, "events")
+    out = time_rollup(ev, "ts", "value", grains=("hour", "day", "month"))
+    return _r6(
+        out.select(
+            "grain",
+            F.col("bucket_start").cast("string").alias("bucket_start"),
+            "n", "sum", "min", "max", "avg",
+        ),
+        "sum", "min", "max", "avg",
+    )
+
+
+_SQL_TIME_ROLLUP_EVENTS = """
+SELECT grain, bucket_start::varchar AS bucket_start, n,
+       round(s, 6) AS sum, round(mn, 6) AS min, round(mx, 6) AS max,
+       round(s / n, 6) AS avg
+FROM (
+  SELECT 'hour' AS grain, date_trunc('hour', ts) AS bucket_start,
+         count(value) AS n, sum(value) AS s, min(value) AS mn, max(value) AS mx
+  FROM events GROUP BY 2
+  UNION ALL
+  SELECT 'day', date_trunc('day', ts), count(value), sum(value), min(value), max(value)
+  FROM events GROUP BY 2
+  UNION ALL
+  SELECT 'month', date_trunc('month', ts), count(value), sum(value), min(value), max(value)
+  FROM events GROUP BY 2
+)
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: keep/drop quality filter over sf0.001 documents."""
     return q_keep_drop_docs(spark, "/root/testdata/sf0.001")
@@ -5796,17 +5920,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is deliberate: the driver's correctness gate samples the
     # first 50 entries, so the window rotates each round toward the
     # entries with the OLDEST driver CORRECTNESS row. Round-5 window:
-    # 6 never-driver-checked (asof/nb/incremental-dedup new this round +
-    # 3 new in r4 commits) + the 3 BPE oracles that failed r04 on
-    # int-type grounds (fixed; need a fresh green row) + all 19 entries
-    # last checked in r02 + the oldest r03 entries up to 50. Displaced
-    # by the 3 new entries: simhash_near_pairs, knn_cosine, ivf_assign
-    # (r02-checked) — they lead the r06 window with the remaining r03s.
+    # 9 never-driver-checked (asof/nb/incremental-dedup/range-join/
+    # overlap-join/rollup new this round + 3 new in r4 commits) + the 3
+    # BPE oracles that failed r04 on int-type grounds (fixed; need a
+    # fresh green row) + all 19 entries last checked in r02 + the
+    # oldest r03 entries up to 50. Displaced by the 6 new entries:
+    # rca_impact_analysis, lsh_verified_pairs, connected_components,
+    # simhash_near_pairs, knn_cosine, ivf_assign — they lead the r06
+    # window with the remaining r03s.
     return {
         # --- r05 front block = the driver gate's 50-sample window ---
         "asof_events": q_asof_events,
         "nb_classifier": q_nb_classifier,
         "incremental_dedup": q_incremental_dedup,
+        "range_join_events": q_range_join_events,
+        "interval_overlap_events": q_interval_overlap_events,
+        "time_rollup_events": q_time_rollup_events,
         "lineage_graph_export": q_lineage_graph_export,
         "explainer_context": q_explainer_context,
         "approx_distinct_bound": q_approx_distinct_bound,
@@ -5936,6 +6065,9 @@ def oracle_sql() -> dict[str, str]:
         "asof_events": _SQL_ASOF_EVENTS,
         "nb_classifier": _sql_nb_classifier(),
         "incremental_dedup": _SQL_INCREMENTAL_DEDUP,
+        "range_join_events": _SQL_RANGE_JOIN_EVENTS,
+        "interval_overlap_events": _SQL_INTERVAL_OVERLAP_EVENTS,
+        "time_rollup_events": _SQL_TIME_ROLLUP_EVENTS,
         "lineage_graph_export": _SQL_LINEAGE_GRAPH_EXPORT,
         "explainer_context": _SQL_EXPLAINER_CONTEXT,
         "approx_distinct_bound": _sql_approx_distinct_bound(),

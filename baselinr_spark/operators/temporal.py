@@ -1,0 +1,233 @@
+"""Range (interval) joins and hypertable-style time rollups.
+
+Spark's only native answer to "join points to the intervals containing
+them" is a non-equi theta join, which Catalyst executes as
+BroadcastNestedLoopJoin — O(|P|·|I|) the moment the interval side
+outgrows the broadcast threshold. The scalable recast here is the
+standard bucketed range join (what Databricks' range-join hint and
+TimescaleDB's chunk exclusion do under the hood):
+
+* every interval is exploded onto the fixed-width time buckets it
+  overlaps; every point lands in exactly ONE bucket; the join becomes
+  a plain equi-join on (keys…, bucket) followed by the exact range
+  predicate. A (point, interval) pair can meet in only one bucket —
+  the point's — so no post-join dedup is needed.
+* interval×interval overlap joins explode BOTH sides, and each
+  candidate pair is claimed exactly once: at the bucket containing
+  max(start_a, start_b), where every true overlap must begin. Again
+  no distinct — dedup-by-construction, not dedup-by-shuffle.
+
+Bucket width tunes the explode factor vs join selectivity: width ≈
+the typical interval length keeps the per-interval replication O(1).
+At 100 TB both joins are shuffle-partitioned by (keys…, bucket) and
+AQE skew-splits hot buckets; nothing is ever quadratic in table size,
+only in per-bucket density (the join's true output-bound lower limit).
+
+`time_rollup` is the hypertable continuous-aggregate shape
+(TimescaleDB/Druid): aggregate ONCE at the finest grain, then derive
+every coarser grain by re-aggregating the finest result — count/sum/
+min/max are all reaggregable, so the corpus is scanned exactly once
+and each coarser level costs O(|finest rollup|), not another scan.
+
+The reference has no temporal join surface (its time logic is cohort
+lag + run history windows); these close the brief's named gaps
+(as-of join in operators/asof.py, range join + hypertable rollup
+here).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["interval_point_join", "interval_overlap_join", "time_rollup"]
+
+_GRAIN_ORDER = ("minute", "hour", "day", "week", "month", "year")
+
+
+def _bucket(col, width: float):
+    return F.floor(col.cast("double") / F.lit(float(width))).cast("long")
+
+
+def _interval_buckets(start, end, width: float):
+    """All bucket ids an [start, end] interval overlaps (inclusive)."""
+    return F.sequence(_bucket(start, width), _bucket(end, width))
+
+
+def interval_point_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str,
+    start_ts: str,
+    end_ts: str,
+    *,
+    keys: list[str] | None = None,
+    bucket_width: float = 3600.0,
+    how: str = "inner",
+) -> DataFrame:
+    """Join every point row to every interval row with
+    start <= point <= end (and equal ``keys``, if given). Columns of
+    both inputs survive; ``how='left'`` keeps unmatched points with
+    null interval columns. Timestamps may be numeric or timestamp
+    typed; ``bucket_width`` is in the same units (seconds for
+    timestamps)."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be inner|left, got {how!r}")
+    keys = list(keys or [])
+    clash = (set(points.columns) & set(intervals.columns)) - set(keys)
+    if clash:
+        raise ValueError(
+            f"points and intervals share non-key columns {sorted(clash)}; "
+            "rename one side to keep the output unambiguous"
+        )
+    p_ts = F.col(point_ts).cast("timestamp").cast("double") \
+        if dict(points.dtypes)[point_ts].startswith("timestamp") \
+        else F.col(point_ts).cast("double")
+    s_raw = F.col(start_ts)
+    e_raw = F.col(end_ts)
+    if dict(intervals.dtypes)[start_ts].startswith("timestamp"):
+        s_ts, e_ts = (s_raw.cast("timestamp").cast("double"),
+                      e_raw.cast("timestamp").cast("double"))
+    else:
+        s_ts, e_ts = s_raw.cast("double"), e_raw.cast("double")
+
+    iv = intervals.withColumn("__s", s_ts).withColumn("__e", e_ts).withColumn(
+        "__bkt", F.explode(_interval_buckets(F.col("__s"), F.col("__e"),
+                                             bucket_width))
+    )
+    pt = points.withColumn("__p", p_ts).withColumn(
+        "__bkt", _bucket(F.col("__p"), bucket_width)
+    )
+    # aliased join keeps the predicate unambiguous when points and
+    # intervals share column names
+    l = pt.alias("l")
+    r = iv.alias("r")
+    on = (F.col("l.__bkt") == F.col("r.__bkt"))
+    for k in keys:
+        on = on & (F.col(f"l.{k}") == F.col(f"r.{k}"))
+    rng = (F.col("l.__p") >= F.col("r.__s")) & (F.col("l.__p") <= F.col("r.__e"))
+    matched = l.join(r, on & rng, "inner")
+
+    iv_payload = [c for c in intervals.columns if c not in keys]
+    out_cols = (
+        [F.col(f"l.{c}").alias(c) for c in points.columns]
+        + [F.col(f"r.{c}").alias(c) for c in iv_payload]
+    )
+    inner = matched.select(*out_cols)
+    if how == "inner":
+        return inner
+    # left: recover unmatched points via anti-join on the point side's
+    # full row identity is not available generically — join back on all
+    # point columns would misfire on duplicate rows, so tag with a
+    # unique id first
+    tagged = points.withColumn("__pid", F.monotonically_increasing_id())
+    inner_t = interval_point_join(
+        tagged, intervals, point_ts, start_ts, end_ts,
+        keys=keys, bucket_width=bucket_width, how="inner",
+    )
+    missing = tagged.join(inner_t.select("__pid").distinct(), "__pid",
+                          "left_anti")
+    for c in iv_payload:
+        missing = missing.withColumn(c, F.lit(None).cast(
+            dict(intervals.dtypes)[c]))
+    return inner_t.unionByName(missing).drop("__pid")
+
+
+def interval_overlap_join(
+    a: DataFrame,
+    b: DataFrame,
+    a_start: str,
+    a_end: str,
+    b_start: str,
+    b_end: str,
+    *,
+    keys: list[str] | None = None,
+    bucket_width: float = 3600.0,
+    suffix: str = "_b",
+) -> DataFrame:
+    """All (a, b) interval pairs that overlap: a.start <= b.end AND
+    b.start <= a.end (closed intervals, equal ``keys`` if given).
+    Each true pair is emitted exactly once — claimed at the bucket of
+    max(a.start, b.start) — with b's non-key columns suffixed."""
+    keys = list(keys or [])
+
+    def _prep(df, s_col, e_col, side):
+        s = F.col(s_col).cast("timestamp").cast("double") \
+            if dict(df.dtypes)[s_col].startswith("timestamp") \
+            else F.col(s_col).cast("double")
+        e = F.col(e_col).cast("timestamp").cast("double") \
+            if dict(df.dtypes)[e_col].startswith("timestamp") \
+            else F.col(e_col).cast("double")
+        return (df.withColumn(f"__s{side}", s).withColumn(f"__e{side}", e)
+                .withColumn("__bkt", F.explode(_interval_buckets(
+                    F.col(f"__s{side}"), F.col(f"__e{side}"), bucket_width))))
+
+    l = _prep(a, a_start, a_end, "a").alias("l")
+    r = _prep(b, b_start, b_end, "b").alias("r")
+    on = (F.col("l.__bkt") == F.col("r.__bkt"))
+    for k in keys:
+        on = on & (F.col(f"l.{k}") == F.col(f"r.{k}"))
+    overlap = (F.col("l.__sa") <= F.col("r.__eb")) & \
+              (F.col("r.__sb") <= F.col("l.__ea"))
+    claim = _bucket(F.greatest(F.col("l.__sa"), F.col("r.__sb")),
+                    bucket_width) == F.col("l.__bkt")
+    matched = l.join(r, on & overlap & claim, "inner")
+
+    b_payload = [c for c in b.columns if c not in keys]
+    return matched.select(
+        *[F.col(f"l.{c}").alias(c) for c in a.columns],
+        *[F.col(f"r.{c}").alias(f"{c}{suffix}" if c in a.columns else c)
+          for c in b_payload],
+    )
+
+
+def time_rollup(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    *,
+    grains: tuple[str, ...] = ("hour", "day", "month"),
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Multi-grain continuous aggregate: (grain, bucket_start, keys…,
+    n, sum, min, max, avg) for every requested grain, scanning the
+    input exactly ONCE (finest grain), then re-aggregating coarser
+    grains from the finest rollup. avg is derived sum/n at every level
+    so it stays exact under reaggregation."""
+    grains = tuple(grains)
+    for g in grains:
+        if g not in _GRAIN_ORDER:
+            raise ValueError(f"unknown grain {g!r}")
+    order = sorted(grains, key=_GRAIN_ORDER.index)
+    keys = list(keys or [])
+    finest = order[0]
+
+    base = df.groupBy(
+        F.date_trunc(finest, F.col(ts_col)).alias("bucket_start"),
+        *[F.col(k) for k in keys],
+    ).agg(
+        F.count(value_col).alias("n"),
+        F.sum(value_col).alias("sum"),
+        F.min(value_col).alias("min"),
+        F.max(value_col).alias("max"),
+    )
+    levels = [base.withColumn("grain", F.lit(finest))]
+    prev = base
+    for g in order[1:]:
+        prev = prev.groupBy(
+            F.date_trunc(g, F.col("bucket_start")).alias("bucket_start"),
+            *[F.col(k) for k in keys],
+        ).agg(
+            F.sum("n").alias("n"),
+            F.sum("sum").alias("sum"),
+            F.min("min").alias("min"),
+            F.max("max").alias("max"),
+        )
+        levels.append(prev.withColumn("grain", F.lit(g)))
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    return out.select(
+        "grain", "bucket_start", *keys, "n", "sum", "min", "max",
+        (F.col("sum") / F.col("n")).alias("avg"),
+    )
