@@ -5911,6 +5911,48 @@ FROM (
 """
 
 
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (temporal.py:sessionize/session_stats):
+    per-user 30-minute-gap sessions over the events stream, with
+    per-session aggregates. One shuffle by user + per-key sort — the
+    inherent cost of threading an entity's events into sessions; the
+    streaming twin is Spark's built-in session_window."""
+    from baselinr_spark.operators.temporal import session_stats, sessionize
+
+    ev = _read(spark, sf_dir, "events").select("user_id", "ts")
+    sess = sessionize(ev, "user_id", "ts", gap=1800.0)
+    out = session_stats(sess, "user_id", "ts")
+    return out.select(
+        "user_id", "session_idx", "n_events",
+        F.round("start_s", 6).alias("start_s"),
+        F.round("duration_s", 6).alias("duration_s"),
+    )
+
+
+_SQL_SESSIONIZE_EVENTS = """
+WITH t AS (
+  SELECT user_id, epoch(ts) AS ep FROM events
+),
+flagged AS (
+  SELECT user_id, ep,
+         CASE WHEN ep - lag(ep) OVER (PARTITION BY user_id ORDER BY ep) > 1800
+              THEN 1 ELSE 0 END AS brk
+  FROM t
+),
+sess AS (
+  SELECT user_id, ep,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ep
+                        ROWS UNBOUNDED PRECEDING) + 1 AS session_idx
+  FROM flagged
+)
+SELECT user_id, session_idx::bigint AS session_idx,
+       count(*)::bigint AS n_events,
+       round(min(ep), 6) AS start_s,
+       round(max(ep) - min(ep), 6) AS duration_s
+FROM sess GROUP BY user_id, session_idx
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: keep/drop quality filter over sf0.001 documents."""
     return q_keep_drop_docs(spark, "/root/testdata/sf0.001")
@@ -5936,6 +5978,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_events": q_range_join_events,
         "interval_overlap_events": q_interval_overlap_events,
         "time_rollup_events": q_time_rollup_events,
+        "sessionize_events": q_sessionize_events,
         "lineage_graph_export": q_lineage_graph_export,
         "explainer_context": q_explainer_context,
         "approx_distinct_bound": q_approx_distinct_bound,
@@ -6068,6 +6111,7 @@ def oracle_sql() -> dict[str, str]:
         "range_join_events": _SQL_RANGE_JOIN_EVENTS,
         "interval_overlap_events": _SQL_INTERVAL_OVERLAP_EVENTS,
         "time_rollup_events": _SQL_TIME_ROLLUP_EVENTS,
+        "sessionize_events": _SQL_SESSIONIZE_EVENTS,
         "lineage_graph_export": _SQL_LINEAGE_GRAPH_EXPORT,
         "explainer_context": _SQL_EXPLAINER_CONTEXT,
         "approx_distinct_bound": _sql_approx_distinct_bound(),

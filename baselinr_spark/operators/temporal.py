@@ -40,7 +40,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["interval_point_join", "interval_overlap_join", "time_rollup"]
+__all__ = [
+    "interval_point_join",
+    "interval_overlap_join",
+    "time_rollup",
+    "sessionize",
+    "session_stats",
+]
 
 _GRAIN_ORDER = ("minute", "hour", "day", "week", "month", "year")
 
@@ -230,4 +236,67 @@ def time_rollup(
     return out.select(
         "grain", "bucket_start", *keys, "n", "sum", "min", "max",
         (F.col("sum") / F.col("n")).alias("avg"),
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    key_cols: list[str] | str,
+    ts_col: str,
+    *,
+    gap: float = 1800.0,
+) -> DataFrame:
+    """Gap-based session assignment: within each key, a new session
+    starts when the time since the previous event exceeds ``gap``
+    (same units as the timestamp; seconds for timestamp columns; a gap
+    of EXACTLY ``gap`` stays in-session). Appends ``session_idx``
+    (1-based per key, in time order) — deterministic, so replays and
+    the SQL oracle agree.
+
+    One shuffle by key + per-key sort — the inherent cost of the
+    semantics; a key's events must meet to be threaded into sessions.
+    Hot keys degrade to per-key sequential row_number work, the same
+    bound as any per-entity ordering. The STREAMING analogue is
+    Spark's built-in ``session_window`` aggregation (used by the
+    streaming parity paths); this is the batch/backfill twin that
+    yields row-level session ids rather than windowed aggregates."""
+    from pyspark.sql import Window as W
+
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    t = (F.col(ts_col).cast("timestamp").cast("double")
+         if dict(df.dtypes)[ts_col].startswith("timestamp")
+         else F.col(ts_col).cast("double"))
+    w = W.partitionBy(*keys).orderBy(t.asc(), F.col(ts_col).asc())
+    new_flag = F.when(
+        t - F.lag(t).over(w) > F.lit(float(gap)), 1
+    ).otherwise(0)
+    return df.withColumn(
+        "session_idx",
+        (F.sum(new_flag).over(
+            w.rowsBetween(W.unboundedPreceding, W.currentRow)
+        ) + 1).cast("long"),
+    )
+
+
+def session_stats(
+    sessions: DataFrame,
+    key_cols: list[str] | str,
+    ts_col: str,
+) -> DataFrame:
+    """Per-session aggregates over a `sessionize` result: event count,
+    start/end, duration (seconds for timestamp columns). One map-side-
+    combining groupBy on (keys…, session_idx)."""
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    t = (F.col(ts_col).cast("timestamp").cast("double")
+         if dict(sessions.dtypes)[ts_col].startswith("timestamp")
+         else F.col(ts_col).cast("double"))
+    return (
+        sessions.select(*keys, "session_idx", t.alias("__t"))
+        .groupBy(*keys, "session_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("__t").alias("start_s"),
+            F.max("__t").alias("end_s"),
+            (F.max("__t") - F.min("__t")).alias("duration_s"),
+        )
     )

@@ -164,3 +164,37 @@ def test_rollup_keys_and_single_scan(spark):
     assert day == [("a", 2, 3.0), ("b", 1, 4.0)]
     with pytest.raises(ValueError, match="unknown grain"):
         time_rollup(df, "ts", "v", grains=("fortnight",))
+
+
+def test_sessionize_hand_computed(spark):
+    from baselinr_spark.operators.temporal import session_stats, sessionize
+
+    rows = [
+        ("u1", 0.0), ("u1", 100.0), ("u1", 1900.0),   # gap 1800 exact: SAME session
+        ("u1", 3701.0),                                # gap 1801 -> new session
+        ("u2", 50.0),
+    ]
+    df = spark.createDataFrame(rows, "u string, t double")
+    sess = sessionize(df, "u", "t", gap=1800.0)
+    got = sorted((r["u"], r["t"], r["session_idx"]) for r in sess.collect())
+    assert got == [
+        ("u1", 0.0, 1), ("u1", 100.0, 1), ("u1", 1900.0, 1),
+        ("u1", 3701.0, 2), ("u2", 50.0, 1),
+    ]
+    stats = session_stats(sess, "u", "t")
+    s = sorted((r["u"], r["session_idx"], r["n_events"], r["duration_s"])
+               for r in stats.collect())
+    assert s == [("u1", 1, 3, 1900.0), ("u1", 2, 1, 0.0), ("u2", 1, 1, 0.0)]
+
+
+def test_sessionize_timestamp_column(spark):
+    from baselinr_spark.operators.temporal import sessionize
+
+    df = spark.createDataFrame(
+        [("u", "2024-01-01 00:00:00"), ("u", "2024-01-01 00:29:00"),
+         ("u", "2024-01-01 01:00:01")],
+        "u string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = sorted(r["session_idx"] for r in
+                 sessionize(df, "u", "ts", gap=1800.0).collect())
+    assert got == [1, 1, 2]
