@@ -5953,6 +5953,107 @@ FROM sess GROUP BY user_id, session_idx
 """
 
 
+_BLOOM_M = 1 << 14
+_BLOOM_K = 5
+
+
+def q_bloom_dedup_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter probe (operators/sketch.py) — the scale path for
+    incremental dedup's seen-state: filter membership is k row-local
+    broadcast joins (zero shuffle of the probe batch), positions
+    md5-derived so build+probe replay exactly in SQL. Seen = text
+    hashes of docs 0-399; probe = docs 400-499."""
+    from baselinr_spark.operators.dedup import normalize_text
+    from baselinr_spark.operators.sketch import bloom_build, bloom_probe
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(normalize_text(F.col("text"))).alias("k")
+    )
+    bloom = bloom_build(
+        docs.filter(F.col("doc_id") < 400), "k", m=_BLOOM_M, k=_BLOOM_K
+    )
+    probe = docs.filter(F.col("doc_id") >= 400)
+    out = bloom_probe(probe, bloom, "k", m=_BLOOM_M, k=_BLOOM_K)
+    return out.select("doc_id", "maybe_seen")
+
+
+def _sql_bloom_dedup_filter() -> str:
+    m, k = _BLOOM_M, _BLOOM_K
+    return f"""
+WITH keys AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS k
+  FROM documents
+),
+bloom AS (
+  SELECT DISTINCT
+         ('0x' || substring(md5(k || '|bloom' || i), 1, 8))::bigint % {m} AS pos
+  FROM (SELECT k FROM keys WHERE doc_id < 400), range({k}) t(i)
+),
+pp AS (
+  SELECT doc_id,
+         ('0x' || substring(md5(k || '|bloom' || i), 1, 8))::bigint % {m} AS pos
+  FROM (SELECT doc_id, k FROM keys WHERE doc_id >= 400), range({k}) t(i)
+)
+SELECT pp.doc_id,
+       (sum(CASE WHEN bloom.pos IS NOT NULL THEN 1 ELSE 0 END) = {k}) AS maybe_seen
+FROM pp LEFT JOIN bloom ON pp.pos = bloom.pos
+GROUP BY pp.doc_id
+"""
+
+
+_Z_BITS = 4
+_Z_COLS = ("o_totalprice", "o_custkey")
+
+
+def q_zorder_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over orders (sketch.py:
+    zorder_key): interleaved 4-bit exact-percentile ranks of
+    (o_totalprice, o_custkey) — the sort key that makes file-level
+    min/max stats prune on both dimensions after a range write."""
+    from baselinr_spark.operators.sketch import zorder_key
+
+    orders = _read(spark, sf_dir, "orders").select(
+        "o_orderkey", *(F.col(c) for c in _Z_COLS)
+    )
+    return zorder_key(orders, list(_Z_COLS), bits=_Z_BITS).select(
+        "o_orderkey", "zorder"
+    )
+
+
+def _sql_zorder_orders() -> str:
+    bits, cols = _Z_BITS, list(_Z_COLS)
+    n = len(cols)
+    levels = (1 << bits) - 1
+    qs = ", ".join(str(i / (levels + 1)) for i in range(1, levels + 1))
+    cut_sel = ",\n         ".join(
+        f"quantile_cont({c}::double, [{qs}]) AS cuts_{c}" for c in cols
+    )
+    rank_sel = ",\n         ".join(
+        f"coalesce(len(list_filter(cuts_{c}, x -> o.{c}::double >= x)), 0)"
+        f" AS r_{c}"
+        for c in cols
+    )
+    terms = " + ".join(
+        f"(((r_{c} >> {b}) & 1) << {b * n + j})"
+        for b in range(bits)
+        for j, c in enumerate(cols)
+    )
+    return f"""
+WITH cuts AS (
+  SELECT {cut_sel}
+  FROM orders
+),
+ranks AS (
+  SELECT o.o_orderkey,
+         {rank_sel}
+  FROM orders o, cuts
+)
+SELECT o_orderkey, ({terms})::bigint AS zorder
+FROM ranks
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: keep/drop quality filter over sf0.001 documents."""
     return q_keep_drop_docs(spark, "/root/testdata/sf0.001")
@@ -5979,6 +6080,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_overlap_events": q_interval_overlap_events,
         "time_rollup_events": q_time_rollup_events,
         "sessionize_events": q_sessionize_events,
+        "bloom_dedup_filter": q_bloom_dedup_filter,
+        "zorder_orders": q_zorder_orders,
         "lineage_graph_export": q_lineage_graph_export,
         "explainer_context": q_explainer_context,
         "approx_distinct_bound": q_approx_distinct_bound,
@@ -6112,6 +6215,8 @@ def oracle_sql() -> dict[str, str]:
         "interval_overlap_events": _SQL_INTERVAL_OVERLAP_EVENTS,
         "time_rollup_events": _SQL_TIME_ROLLUP_EVENTS,
         "sessionize_events": _SQL_SESSIONIZE_EVENTS,
+        "bloom_dedup_filter": _sql_bloom_dedup_filter(),
+        "zorder_orders": _sql_zorder_orders(),
         "lineage_graph_export": _SQL_LINEAGE_GRAPH_EXPORT,
         "explainer_context": _SQL_EXPLAINER_CONTEXT,
         "approx_distinct_bound": _sql_approx_distinct_bound(),

@@ -1,0 +1,124 @@
+"""Bloom filter + Z-order key: no-false-negative guarantee,
+mergeability, hand-computed Morton interleave, and the locality
+property that justifies z-ordering (range-chunked z-sorted data has
+tighter per-chunk min/max than the naive single-column sort)."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from baselinr_spark.operators.sketch import (
+    bloom_build,
+    bloom_positions,
+    bloom_probe,
+    zorder_key,
+)
+
+M, K = 1 << 12, 5
+
+
+def _py_positions(key: str) -> list[int]:
+    return [
+        int(hashlib.md5(f"{key}|bloom{i}".encode()).hexdigest()[:8], 16) % M
+        for i in range(K)
+    ]
+
+
+def test_positions_match_reference_hash(spark):
+    df = spark.createDataFrame([("alpha",), ("beta",)], "k string")
+    got = {r["k"]: r["p"] for r in df.select(
+        "k", bloom_positions(F.col("k"), M, K).alias("p")).collect()}
+    assert got["alpha"] == _py_positions("alpha")
+    assert got["beta"] == _py_positions("beta")
+
+
+def test_no_false_negatives_and_fp_sane(spark):
+    seen = spark.createDataFrame([(f"key{i}",) for i in range(300)], "k string")
+    bloom = bloom_build(seen, "k", m=M, k=K)
+    probe = spark.createDataFrame(
+        [(f"key{i}",) for i in range(250, 350)]
+        + [(f"other{i}",) for i in range(500)],
+        "k string",
+    )
+    res = {r["k"]: r["maybe_seen"] for r in
+           bloom_probe(probe, bloom, "k", m=M, k=K).collect()}
+    # every seen key MUST hit (bloom guarantee)
+    assert all(res[f"key{i}"] for i in range(250, 300))
+    # unseen: fp rate at these sizings (n=300, m=4096, k=5 -> ~0.2%)
+    fps = sum(1 for i in range(500) if res[f"other{i}"])
+    unseen_keys = sum(1 for i in range(300, 350) if res[f"key{i}"])
+    assert fps + unseen_keys <= 25  # generous 10x the expected rate
+
+
+def test_bloom_merge_is_union(spark):
+    a = spark.createDataFrame([(f"a{i}",) for i in range(50)], "k string")
+    b = spark.createDataFrame([(f"b{i}",) for i in range(50)], "k string")
+    merged = bloom_build(a, "k", m=M, k=K).unionByName(
+        bloom_build(b, "k", m=M, k=K)).distinct()
+    direct = bloom_build(a.unionByName(b), "k", m=M, k=K)
+    assert sorted(r["pos"] for r in merged.collect()) == \
+        sorted(r["pos"] for r in direct.collect())
+
+
+def test_bloom_probe_plan_has_no_shuffle_of_probe(spark):
+    seen = spark.createDataFrame([("x",)], "k string")
+    bloom = bloom_build(seen, "k", m=M, k=K)
+    probed = bloom_probe(
+        spark.createDataFrame([("x",), ("y",)], "k string"),
+        bloom, "k", m=M, k=K,
+    )
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") == K
+    assert "SortMergeJoin" not in plan
+
+
+def test_zorder_hand_computed_interleave(spark):
+    # 4 distinct values per column, bits=2 -> ranks 0..3 exactly;
+    # cuts at 1/4,2/4,3/4 quantiles of {0,1,2,3} = 0.75,1.5,2.25 ->
+    # rank(v) = #cuts <= v = v for v in 0..3
+    rows = [(float(x), float(y)) for x in range(4) for y in range(4)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    z = {(r["x"], r["y"]): r["zorder"] for r in
+         zorder_key(df, ["x", "y"], bits=2).collect()}
+
+    def morton(rx, ry):
+        out = 0
+        for b in range(2):
+            out |= ((rx >> b) & 1) << (2 * b)
+            out |= ((ry >> b) & 1) << (2 * b + 1)
+        return out
+
+    for x in range(4):
+        for y in range(4):
+            assert z[(float(x), float(y))] == morton(x, y), (x, y)
+
+
+def test_zorder_locality_beats_single_column_sort(spark):
+    """Chunk 1024 uniform 2-D points into 16 chunks: z-sorted chunks
+    must have a smaller total y-extent than x-sorted chunks (which
+    know nothing about y) — the min/max pruning win."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    pts = [(float(x), float(y)) for x, y in
+           zip(rng.uniform(0, 1, 1024), rng.uniform(0, 1, 1024))]
+    df = spark.createDataFrame(pts, "x double, y double")
+    z = zorder_key(df, ["x", "y"], bits=5).toPandas()
+
+    def chunk_extent(pdf, sort_col):
+        s = pdf.sort_values(sort_col).reset_index(drop=True)
+        total = 0.0
+        for i in range(0, 1024, 64):
+            ch = s.iloc[i:i + 64]
+            total += (ch["x"].max() - ch["x"].min()) + \
+                     (ch["y"].max() - ch["y"].min())
+        return total
+
+    assert chunk_extent(z, "zorder") < 0.7 * chunk_extent(z, "x")
+
+
+def test_zorder_guard(spark):
+    df = spark.createDataFrame([(1.0,)], "x double")
+    with pytest.raises(ValueError, match="exceeds"):
+        zorder_key(df, ["x"] * 8, bits=8)
