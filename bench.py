@@ -115,8 +115,10 @@ def main() -> int:
             # 24.3s -> 19.3s at local[32], 100k docs)
             s = run_pipeline(spark, pages_dir, out_dir, run_id=f"bench{ti}",
                              skew_mode="split")
-            took = time.time() - t0
-            pipeline_runs.append(round(took, 3))
+            took = round(time.time() - t0, 3)
+            pipeline_runs.append(took)
+            # compare the ROUNDED value against the rounded list, so the
+            # reported phase split always belongs to the reported best run
             if summary is None or took <= min(pipeline_runs):
                 summary = s
         finally:
