@@ -6063,14 +6063,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is deliberate: the driver's correctness gate samples the
     # first 50 entries, so the window rotates each round toward the
     # entries with the OLDEST driver CORRECTNESS row. Round-5 window:
-    # 9 never-driver-checked (asof/nb/incremental-dedup/range-join/
-    # overlap-join/rollup new this round + 3 new in r4 commits) + the 3
-    # BPE oracles that failed r04 on int-type grounds (fixed; need a
-    # fresh green row) + all 19 entries last checked in r02 + the
-    # oldest r03 entries up to 50. Displaced by the 6 new entries:
-    # rca_impact_analysis, lsh_verified_pairs, connected_components,
-    # simhash_near_pairs, knn_cosine, ivf_assign — they lead the r06
-    # window with the remaining r03s.
+    # 12 never-driver-checked (asof/nb/incremental-dedup/range-join/
+    # overlap-join/rollup/sessionize/bloom/zorder new this round +
+    # 3 new in r4 commits) + the 3 BPE oracles that failed r04 on
+    # int-type grounds (fixed; need a fresh green row) + the 19 entries
+    # last checked in r02 + the oldest r03 entries up to 50. Displaced
+    # by the 9 new entries (all r02-checked, re-verified green in the
+    # local full-gate replay this round): the 5 rca_* entries,
+    # lsh_verified_pairs, connected_components, simhash_near_pairs,
+    # knn_cosine, ivf_assign — they lead the r06 window.
     return {
         # --- r05 front block = the driver gate's 50-sample window ---
         "asof_events": q_asof_events,
