@@ -6054,6 +6054,59 @@ FROM ranks
 """
 
 
+def q_weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement ∝ n_chars
+    (selection.py:weighted_sample, Efraimidis–Spirakis A-ES with
+    md5-deterministic uniforms): one TakeOrderedAndProject, winner set
+    engine-independent."""
+    from baselinr_spark.operators.selection import weighted_sample
+
+    docs = _read(spark, sf_dir, "documents")
+    out = weighted_sample(docs, "doc_id", "n_chars", k=50)
+    return _r6(out, "sample_key")
+
+
+_SQL_WEIGHTED_SAMPLE_DOCS = """
+WITH keyed AS (
+  SELECT doc_id, n_chars::double AS weight,
+         ln((('0x' || substring(md5(doc_id::varchar || '|wsample'), 1, 8))::bigint)
+            / 4294967296.0) / n_chars::double AS sample_key
+  FROM documents
+  WHERE n_chars > 0
+)
+SELECT doc_id, weight, round(sample_key, 6) AS sample_key
+FROM keyed ORDER BY sample_key DESC, doc_id LIMIT 50
+"""
+
+
+def q_train_val_test_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic lang-stratified train/val/test assignment
+    (selection.py:train_val_test_split): row-local md5 split, stable
+    under corpus growth — eval membership never churns across crawl
+    snapshots."""
+    from baselinr_spark.operators.selection import train_val_test_split
+
+    docs = _read(spark, sf_dir, "documents")
+    out = train_val_test_split(
+        docs, "doc_id", val_frac=0.1, test_frac=0.1, strata_cols=("lang",)
+    )
+    return out.select("doc_id", "lang", "split")
+
+
+_SQL_TRAIN_VAL_TEST_DOCS = """
+SELECT doc_id, lang,
+       CASE WHEN u < 0.1 THEN 'val'
+            WHEN u < 0.2 THEN 'test'
+            ELSE 'train' END AS split
+FROM (
+  SELECT doc_id, lang,
+         (('0x' || substring(md5(doc_id::varchar || '|' || lang || '|split'), 1, 8))::bigint)
+         / 4294967296.0 AS u
+  FROM documents
+)
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: keep/drop quality filter over sf0.001 documents."""
     return q_keep_drop_docs(spark, "/root/testdata/sf0.001")
@@ -6083,6 +6136,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": q_sessionize_events,
         "bloom_dedup_filter": q_bloom_dedup_filter,
         "zorder_orders": q_zorder_orders,
+        "weighted_sample_docs": q_weighted_sample_docs,
+        "train_val_test_docs": q_train_val_test_docs,
         "lineage_graph_export": q_lineage_graph_export,
         "explainer_context": q_explainer_context,
         "approx_distinct_bound": q_approx_distinct_bound,
@@ -6218,6 +6273,8 @@ def oracle_sql() -> dict[str, str]:
         "sessionize_events": _SQL_SESSIONIZE_EVENTS,
         "bloom_dedup_filter": _sql_bloom_dedup_filter(),
         "zorder_orders": _sql_zorder_orders(),
+        "weighted_sample_docs": _SQL_WEIGHTED_SAMPLE_DOCS,
+        "train_val_test_docs": _SQL_TRAIN_VAL_TEST_DOCS,
         "lineage_graph_export": _SQL_LINEAGE_GRAPH_EXPORT,
         "explainer_context": _SQL_EXPLAINER_CONTEXT,
         "approx_distinct_bound": _sql_approx_distinct_bound(),

@@ -44,6 +44,8 @@ __all__ = [
     "domain_stats",
     "domain_blocklist_filter",
     "cluster_balanced_sample",
+    "weighted_sample",
+    "train_val_test_split",
 ]
 
 
@@ -361,3 +363,68 @@ def bucket_rates(
         .withColumn("fraction", F.col("n_docs") / F.col("__total"))
         .drop("__total")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    *,
+    k: int,
+    salt: str = "wsample",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, probability ∝ weight
+    (Efraimidis–Spirakis A-ES, 2006): key = u^(1/w) with u
+    md5-derived from the id, keep the k largest keys. The linear-
+    weight sibling of `dsir_resample`'s Gumbel top-k (which samples
+    ∝ exp(log_weight)); use this when weights are plain non-negative
+    numbers (authority scores, quality scores, token counts).
+
+    Rows with weight <= 0 or null never win (key −∞ → filtered).
+    One TakeOrderedAndProject over the corpus — no global sort, no
+    shuffle beyond top-k merge; deterministic, so the winner set has
+    an exact SQL twin. Computed in log space (ln u / w) to dodge
+    underflow at large weights: ln-key order equals key order."""
+    u = _md5_uniform(F.col(id_col), salt)
+    w = F.col(weight_col).cast("double")
+    key = F.when(w > 0, F.log(u) / w)  # ln(u^(1/w)); null when w<=0
+    keyed = df.select(
+        F.col(id_col),
+        w.alias("weight"),
+        key.alias("sample_key"),
+    ).filter(F.col("sample_key").isNotNull())
+    return keyed.orderBy(F.desc("sample_key"), F.col(id_col)).limit(k)
+
+
+def train_val_test_split(
+    df: DataFrame,
+    id_col: str,
+    *,
+    val_frac: float = 0.1,
+    test_frac: float = 0.1,
+    strata_cols: tuple[str, ...] = (),
+    salt: str = "split",
+) -> DataFrame:
+    """Append a deterministic ``split`` column ('train'/'val'/'test')
+    from the id's md5-uniform: u < val_frac → val, u < val_frac +
+    test_frac → test, else train. Row-local — zero shuffle, stable
+    across runs/engines, and membership never changes when the corpus
+    grows (the property that keeps eval sets uncontaminated across
+    crawl snapshots; a fraction-of-position scheme reshuffles every
+    ingest).
+
+    ``strata_cols`` salt the hash with the stratum so per-stratum
+    proportions concentrate independently (law of large numbers per
+    stratum rather than corpus-wide only)."""
+    if val_frac < 0 or test_frac < 0 or val_frac + test_frac >= 1:
+        raise ValueError("need val_frac, test_frac >= 0 and sum < 1")
+    key = F.col(id_col).cast("string")
+    for c in strata_cols:
+        key = F.concat(key, F.lit("|"), F.col(c).cast("string"))
+    u = _md5_uniform(key, salt)
+    split = (
+        F.when(u < F.lit(float(val_frac)), "val")
+        .when(u < F.lit(float(val_frac + test_frac)), "test")
+        .otherwise("train")
+    )
+    return df.withColumn("split", split)

@@ -250,3 +250,48 @@ def test_score_buckets_terciles(spark):
     assert rates[("a", "head")] == (3, 3 / 9)
     assert rates[("b", "head")] == (3, 1.0)
     assert ("b", "tail") not in rates
+
+
+def test_weighted_sample_proportional_and_deterministic(spark):
+    from baselinr_spark.operators.selection import weighted_sample
+
+    # heavy id gets weight 1000, light ids weight 1: over one draw the
+    # heavy id must ALWAYS be in a k=100-of-1000 sample (p_miss < 1e-40)
+    rows = [(0, 100000.0)] + [(i, 1.0) for i in range(1, 1000)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    out = weighted_sample(df, "id", "w", k=100)
+    ids = {r["id"] for r in out.collect()}
+    assert 0 in ids and len(ids) == 100
+    # deterministic replay
+    ids2 = {r["id"] for r in weighted_sample(df, "id", "w", k=100).collect()}
+    assert ids == ids2
+    # non-positive / null weights can never win
+    bad = spark.createDataFrame(
+        [(1, 0.0), (2, -3.0), (3, None), (4, 5.0)], "id long, w double")
+    assert [r["id"] for r in
+            weighted_sample(bad, "id", "w", k=10).collect()] == [4]
+
+
+def test_train_val_test_split_stability_and_strata(spark):
+    from baselinr_spark.operators.selection import train_val_test_split
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 3 else "de") for i in range(3000)],
+        "id long, lang string",
+    )
+    out = train_val_test_split(df, "id", val_frac=0.1, test_frac=0.2,
+                               strata_cols=("lang",))
+    frac = {r["split"]: r["n"] for r in
+            out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert abs(frac["val"] / 3000 - 0.1) < 0.03
+    assert abs(frac["test"] / 3000 - 0.2) < 0.03
+    # growth stability: adding rows never changes existing assignments
+    small = {r["id"]: r["split"] for r in
+             train_val_test_split(df.filter("id < 1000"), "id",
+                                  val_frac=0.1, test_frac=0.2,
+                                  strata_cols=("lang",)).collect()}
+    full = {r["id"]: r["split"] for r in out.collect()}
+    assert all(full[i] == s for i, s in small.items())
+    with _pytest.raises(ValueError, match="sum < 1"):
+        train_val_test_split(df, "id", val_frac=0.6, test_frac=0.5)
