@@ -6107,6 +6107,149 @@ FROM (
 """
 
 
+def q_encoding_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-quality triage (functions/encoding.py): mojibake /
+    replacement-char / control-char counts and the ftfy-style keep
+    flag. The documents corpus is clean ASCII, so artifacts are
+    synthesized IN-QUERY by doc_id mod 5 (mojibake suffix, U+FFFD
+    burst, C0 controls), identically in Spark and the DuckDB twin —
+    the real operator's regexes then score the staged column."""
+    from baselinr_spark.functions.encoding import with_encoding_features
+
+    docs = _read(spark, sf_dir, "documents")
+    m = F.pmod(F.col("doc_id"), F.lit(5))
+    suffix = (
+        F.when(m == 1, F.lit(" cafÃ© menu"))
+        .when(m == 2, F.lit(" itâ€™s â€“ok"))
+        .when(m == 3, F.lit(" xx���"))
+        .when(m == 4, F.lit(" a\x07b\x0bc"))
+        .otherwise(F.lit(""))
+    )
+    staged = docs.withColumn(
+        "_enc_text", F.concat(F.coalesce(F.col("text"), F.lit("")), suffix)
+    )
+    out = with_encoding_features(staged, "_enc_text")
+    return out.select(
+        "doc_id",
+        "replacement_count",
+        "control_count",
+        "mojibake_count",
+        F.round("bad_char_fraction", 6).alias("bad_char_fraction"),
+        "encoding_ok",
+    )
+
+
+def _sql_encoding_quality() -> str:
+    from baselinr_spark.functions.encoding import (
+        CONTROL_RE,
+        MOJIBAKE_RE,
+        REPLACEMENT_CHAR,
+    )
+
+    return f"""
+WITH staged AS (
+  SELECT doc_id,
+         coalesce(text, '') ||
+         CASE doc_id % 5
+           WHEN 1 THEN ' cafÃ© menu'
+           WHEN 2 THEN ' itâ€™s â€“ok'
+           WHEN 3 THEN ' xx���'
+           WHEN 4 THEN ' a' || chr(7) || 'b' || chr(11) || 'c'
+           ELSE ''
+         END AS t
+  FROM documents
+),
+c AS (
+  SELECT doc_id,
+         len(regexp_extract_all(t, '{REPLACEMENT_CHAR}'))::bigint AS repl,
+         len(regexp_extract_all(t, '{CONTROL_RE}'))::bigint AS ctrl,
+         len(regexp_extract_all(t, '{MOJIBAKE_RE}'))::bigint AS moji,
+         greatest(length(t), 1) AS n
+  FROM staged
+)
+SELECT doc_id, repl AS replacement_count, ctrl AS control_count,
+       moji AS mojibake_count,
+       round((repl + ctrl)::double / n, 6) AS bad_char_fraction,
+       ((repl + ctrl)::double / n <= 0.01 AND moji <= 2) AS encoding_ok
+FROM c
+"""
+
+
+def q_boilerplate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain boilerplate removal (operators/boilerplate.py):
+    deterministic line structure is synthesized IN-QUERY (the
+    c4_line_rules idiom: newline after every 'value ') plus a
+    per-source nav header and a footer present in 100% of each
+    source's docs; strip_boilerplate must drop exactly those chrome
+    lines (>=90% of the source's pages, >=2 docs) and reassemble the
+    body byte-identically (md5 compared)."""
+    from baselinr_spark.operators.boilerplate import strip_boilerplate
+
+    docs = _read(spark, sf_dir, "documents")
+    staged = docs.withColumn(
+        "_lined_text",
+        F.concat(
+            F.lit("NAV HOME "), F.col("source"), F.lit("\n"),
+            F.replace(
+                F.coalesce(F.col("text"), F.lit("")),
+                F.lit("value "), F.lit("value\n"),
+            ),
+            F.lit("\nALL RIGHTS RESERVED FOOTER"),
+        ),
+    )
+    out = strip_boilerplate(
+        staged, "doc_id", "source", "_lined_text",
+        min_frac=0.9, min_docs=2, min_line_chars=5,
+    )
+    return out.select(
+        "doc_id",
+        "n_lines",
+        "n_dropped",
+        F.md5("text_clean").alias("clean_md5"),
+    )
+
+
+_SQL_BOILERPLATE_DOCS = """
+WITH staged AS (
+  SELECT doc_id, source,
+         string_split(
+           'NAV HOME ' || source || chr(10) ||
+           replace(coalesce(text, ''), 'value ', 'value' || chr(10)) ||
+           chr(10) || 'ALL RIGHTS RESERVED FOOTER', chr(10)) AS ls
+  FROM documents
+),
+lines AS (
+  SELECT doc_id, source, i - 1 AS pos, ls[i] AS line
+  FROM staged, UNNEST(range(1, len(ls) + 1)) AS t(i)
+),
+votes AS (
+  SELECT DISTINCT doc_id, source, trim(line) AS line
+  FROM lines WHERE length(trim(line)) >= 5
+),
+freq AS (SELECT source, line, count(*)::bigint AS doc_freq
+         FROM votes GROUP BY 1, 2),
+gd AS (SELECT source, count(*)::bigint AS group_docs
+       FROM documents GROUP BY 1),
+boiler AS (
+  SELECT f.source, f.line
+  FROM freq f JOIN gd USING (source)
+  WHERE doc_freq >= 2 AND doc_freq::double / group_docs >= 0.9
+),
+tagged AS (
+  SELECT l.doc_id, l.pos, l.line,
+         (b.line IS NOT NULL AND length(trim(l.line)) >= 5) AS dropped
+  FROM lines l LEFT JOIN boiler b
+    ON l.source = b.source AND trim(l.line) = b.line
+)
+SELECT doc_id,
+       count(*)::bigint AS n_lines,
+       sum(CASE WHEN dropped THEN 1 ELSE 0 END)::bigint AS n_dropped,
+       md5(coalesce(string_agg(CASE WHEN NOT dropped THEN line END,
+                               chr(10) ORDER BY pos), '')) AS clean_md5
+FROM tagged GROUP BY doc_id
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: keep/drop quality filter over sf0.001 documents."""
     return q_keep_drop_docs(spark, "/root/testdata/sf0.001")
@@ -6116,15 +6259,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is deliberate: the driver's correctness gate samples the
     # first 50 entries, so the window rotates each round toward the
     # entries with the OLDEST driver CORRECTNESS row. Round-5 window:
-    # 12 never-driver-checked (asof/nb/incremental-dedup/range-join/
-    # overlap-join/rollup/sessionize/bloom/zorder new this round +
-    # 3 new in r4 commits) + the 3 BPE oracles that failed r04 on
-    # int-type grounds (fixed; need a fresh green row) + the 19 entries
-    # last checked in r02 + the oldest r03 entries up to 50. Displaced
-    # by the 9 new entries (all r02-checked, re-verified green in the
-    # local full-gate replay this round): the 5 rca_* entries,
-    # lsh_verified_pairs, connected_components, simhash_near_pairs,
-    # knn_cosine, ivf_assign — they lead the r06 window.
+    # 14 never-driver-checked (asof/nb/incremental-dedup/range-join/
+    # overlap-join/rollup/sessionize/bloom/zorder/encoding-quality/
+    # boilerplate new this round + 3 new in r4 commits) + the 3 BPE
+    # oracles that failed r04 on int-type grounds (fixed; need a fresh
+    # green row) + the entries last checked in r02 + the oldest r03
+    # entries up to 50. Displaced below position 50 by the new entries
+    # (all driver-green in earlier rounds AND re-verified green in the
+    # local full-gate replay this round): ngram_jaccard_pairs,
+    # simhash_docs, the 5 rca_* entries, lsh_verified_pairs,
+    # connected_components, simhash_near_pairs, knn_cosine, ivf_assign.
     return {
         # --- r05 front block = the driver gate's 50-sample window ---
         "asof_events": q_asof_events,
@@ -6138,6 +6282,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_orders": q_zorder_orders,
         "weighted_sample_docs": q_weighted_sample_docs,
         "train_val_test_docs": q_train_val_test_docs,
+        "encoding_quality_docs": q_encoding_quality_docs,
+        "boilerplate_docs": q_boilerplate_docs,
         "lineage_graph_export": q_lineage_graph_export,
         "explainer_context": q_explainer_context,
         "approx_distinct_bound": q_approx_distinct_bound,
@@ -6275,6 +6421,8 @@ def oracle_sql() -> dict[str, str]:
         "zorder_orders": _sql_zorder_orders(),
         "weighted_sample_docs": _SQL_WEIGHTED_SAMPLE_DOCS,
         "train_val_test_docs": _SQL_TRAIN_VAL_TEST_DOCS,
+        "encoding_quality_docs": _sql_encoding_quality(),
+        "boilerplate_docs": _SQL_BOILERPLATE_DOCS,
         "lineage_graph_export": _SQL_LINEAGE_GRAPH_EXPORT,
         "explainer_context": _SQL_EXPLAINER_CONTEXT,
         "approx_distinct_bound": _sql_approx_distinct_bound(),
