@@ -6250,6 +6250,227 @@ FROM tagged GROUP BY doc_id
 """
 
 
+def q_tfidf_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (operators/tfidf.py):
+    lowercased whitespace tokens, smoothed IDF ln((N+1)/(df+1))+1,
+    deterministic (score desc, term asc) tie-break."""
+    from baselinr_spark.operators.tfidf import tfidf_topk
+
+    docs = _read(spark, sf_dir, "documents")
+    out = tfidf_topk(docs, "doc_id", "text", k=3)
+    return out.select(
+        "doc_id", "rank", "term", "tf", "doc_freq",
+        F.round("tfidf", 6).alias("tfidf"),
+    )
+
+
+_SQL_TFIDF_TOPK = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                            x -> length(x) > 0)) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*)::bigint AS tf FROM toks GROUP BY 1, 2),
+dfreq AS (SELECT term, count(*)::bigint AS doc_freq FROM tf GROUP BY 1),
+n AS (SELECT count(*)::bigint AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfreq.doc_freq,
+         tf.tf * (ln((n_docs + 1)::double / (doc_freq + 1)) + 1) AS tfidf
+  FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n
+)
+SELECT doc_id, rank, term, tf, doc_freq, round(tfidf, 6) AS tfidf
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rank
+  FROM scored
+)
+WHERE rank <= 3
+"""
+
+
+def q_doc_chunks_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking (operators/chunking.py): 32-token
+    windows with 8-token overlap (stride 24); the 10-99-word documents
+    fan out into 1-4 chunks each. chunk_text compared by md5."""
+    from baselinr_spark.operators.chunking import chunk_documents
+
+    docs = _read(spark, sf_dir, "documents")
+    out = chunk_documents(
+        docs, "doc_id", "text", chunk_tokens=32, overlap_tokens=8
+    )
+    return out.select(
+        "doc_id", "chunk_id", "token_start", "n_chunk_tokens",
+        F.md5("chunk_text").alias("chunk_md5"),
+    )
+
+
+_SQL_DOC_CHUNKS = r"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(coalesce(text, '')), '\s+'),
+                     x -> length(x) > 0) AS ws
+  FROM documents
+),
+c AS (
+  SELECT doc_id, ws,
+         CASE WHEN len(ws) <= 32 THEN 1
+              ELSE (len(ws) - 32 + 23) // 24 + 1 END AS n_chunks
+  FROM w
+)
+SELECT doc_id,
+       i::int AS chunk_id,
+       (i * 24)::int AS token_start,
+       len(ws[(i * 24 + 1):(i * 24 + 32)])::int AS n_chunk_tokens,
+       md5(array_to_string(ws[(i * 24 + 1):(i * 24 + 32)], ' ')) AS chunk_md5
+FROM c, UNNEST(range(0, n_chunks)) AS t(i)
+"""
+
+
+def q_kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two Lloyd rounds of k-means (operators/kmeans.py) from the
+    deterministic md5-sampled init, k=8: final nearest-centroid
+    assignment per vector. Fully oracle-checkable because init is
+    hash-ordered and every fold is double-promoted + sequential."""
+    from baselinr_spark.operators.kmeans import kmeans_lloyd
+
+    emb = _read(spark, sf_dir, "embeddings")
+    out = kmeans_lloyd(emb, "vec_id", "embedding", n_centroids=8, iters=2)
+    return out.select(
+        "vec_id", "centroid_id", F.round("sqdist", 6).alias("sqdist")
+    )
+
+
+def q_kmeans_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster sizes + within-cluster sum of squares after the same
+    two Lloyd rounds (operators/kmeans.py:kmeans_inertia)."""
+    from baselinr_spark.operators.kmeans import kmeans_inertia, kmeans_lloyd
+
+    emb = _read(spark, sf_dir, "embeddings")
+    a = kmeans_lloyd(emb, "vec_id", "embedding", n_centroids=8, iters=2)
+    out = kmeans_inertia(a)
+    return out.select(
+        "centroid_id", "n_members", F.round("inertia", 4).alias("inertia")
+    )
+
+
+# Unrolled 2-iteration Lloyd oracle: c0 = md5-sampled seeds; each round
+# is assign (argmin sqdist, tie -> lowest centroid) then elementwise
+# mean update with empty clusters keeping the old vector; the reported
+# assignment runs against the twice-updated centroids.
+_SQL_KMEANS_BODY = """
+WITH ranked AS (
+  SELECT vec_id, embedding,
+         row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) AS rn
+  FROM embeddings
+),
+c0 AS (SELECT rn - 1 AS centroid_id, embedding::double[] AS cv
+       FROM ranked WHERE rn <= 8),
+pts AS (SELECT vec_id, embedding::double[] AS v FROM embeddings),
+s1 AS (
+  SELECT p.vec_id, c.centroid_id,
+         list_sum(list_transform(range(1, 65),
+                  i -> (p.v[i] - c.cv[i]) * (p.v[i] - c.cv[i]))) AS sqdist
+  FROM pts p, c0 c
+),
+a1 AS (SELECT vec_id, centroid_id FROM (
+         SELECT *, row_number() OVER (PARTITION BY vec_id
+                    ORDER BY sqdist, centroid_id) AS rn FROM s1)
+       WHERE rn = 1),
+m1 AS (
+  SELECT a.centroid_id, i AS dim, avg(p.v[i]) AS mean
+  FROM a1 a JOIN pts p USING (vec_id), UNNEST(range(1, 65)) AS t(i)
+  GROUP BY 1, 2
+),
+n1 AS (SELECT centroid_id, list(mean ORDER BY dim) AS cv
+       FROM m1 GROUP BY 1),
+c1 AS (SELECT c0.centroid_id, coalesce(n1.cv, c0.cv) AS cv
+       FROM c0 LEFT JOIN n1 USING (centroid_id)),
+s2 AS (
+  SELECT p.vec_id, c.centroid_id,
+         list_sum(list_transform(range(1, 65),
+                  i -> (p.v[i] - c.cv[i]) * (p.v[i] - c.cv[i]))) AS sqdist
+  FROM pts p, c1 c
+),
+a2 AS (SELECT vec_id, centroid_id FROM (
+         SELECT *, row_number() OVER (PARTITION BY vec_id
+                    ORDER BY sqdist, centroid_id) AS rn FROM s2)
+       WHERE rn = 1),
+m2 AS (
+  SELECT a.centroid_id, i AS dim, avg(p.v[i]) AS mean
+  FROM a2 a JOIN pts p USING (vec_id), UNNEST(range(1, 65)) AS t(i)
+  GROUP BY 1, 2
+),
+n2 AS (SELECT centroid_id, list(mean ORDER BY dim) AS cv
+       FROM m2 GROUP BY 1),
+c2 AS (SELECT c1.centroid_id, coalesce(n2.cv, c1.cv) AS cv
+       FROM c1 LEFT JOIN n2 USING (centroid_id)),
+s3 AS (
+  SELECT p.vec_id, c.centroid_id,
+         list_sum(list_transform(range(1, 65),
+                  i -> (p.v[i] - c.cv[i]) * (p.v[i] - c.cv[i]))) AS sqdist
+  FROM pts p, c2 c
+),
+final AS (SELECT vec_id, centroid_id, sqdist FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                       ORDER BY sqdist, centroid_id) AS rn FROM s3)
+          WHERE rn = 1)
+"""
+
+_SQL_KMEANS_ASSIGNMENTS = (
+    _SQL_KMEANS_BODY
+    + """
+SELECT vec_id, centroid_id::int AS centroid_id,
+       round(sqdist, 6) AS sqdist
+FROM final
+"""
+)
+
+_SQL_KMEANS_SUMMARY = (
+    _SQL_KMEANS_BODY
+    + """
+SELECT centroid_id::int AS centroid_id,
+       count(*)::bigint AS n_members,
+       round(sum(sqdist), 4) AS inertia
+FROM final GROUP BY 1
+"""
+)
+
+
+def q_char_entropy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc character-distribution Shannon entropy in bits
+    (operators/textanalysis.py:char_entropy) — the gibberish /
+    compressibility tagger signal."""
+    from baselinr_spark.operators.textanalysis import char_entropy
+
+    docs = _read(spark, sf_dir, "documents")
+    out = char_entropy(docs, "doc_id", "text")
+    return out.select(
+        "doc_id", "n_chars", "n_distinct_chars",
+        F.round("entropy_bits", 6).alias("entropy_bits"),
+    )
+
+
+_SQL_CHAR_ENTROPY = """
+WITH c AS (
+  SELECT doc_id,
+         list_filter(string_split(coalesce(text, ''), ''),
+                     x -> length(x) > 0) AS cs
+  FROM documents
+),
+u AS (SELECT doc_id, cs, len(cs) AS n, list_distinct(cs) AS uq FROM c)
+SELECT doc_id,
+       n::bigint AS n_chars,
+       len(uq)::bigint AS n_distinct_chars,
+       CASE WHEN n > 0 THEN round(
+         -list_sum(list_transform(uq, ch ->
+             (len(list_filter(cs, x -> x = ch))::double / n) *
+             log2(len(list_filter(cs, x -> x = ch))::double / n))), 6)
+       ELSE 0.0 END AS entropy_bits
+FROM u
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: keep/drop quality filter over sf0.001 documents."""
     return q_keep_drop_docs(spark, "/root/testdata/sf0.001")
@@ -6259,9 +6480,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is deliberate: the driver's correctness gate samples the
     # first 50 entries, so the window rotates each round toward the
     # entries with the OLDEST driver CORRECTNESS row. Round-5 window:
-    # 14 never-driver-checked (asof/nb/incremental-dedup/range-join/
+    # 18 never-driver-checked (asof/nb/incremental-dedup/range-join/
     # overlap-join/rollup/sessionize/bloom/zorder/encoding-quality/
-    # boilerplate new this round + 3 new in r4 commits) + the 3 BPE
+    # boilerplate/tfidf/chunking/kmeans×2/char-entropy new this round
+    # + 3 new in r4 commits) + the 3 BPE
     # oracles that failed r04 on int-type grounds (fixed; need a fresh
     # green row) + the entries last checked in r02 + the oldest r03
     # entries up to 50. Displaced below position 50 by the new entries
@@ -6284,6 +6506,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_val_test_docs": q_train_val_test_docs,
         "encoding_quality_docs": q_encoding_quality_docs,
         "boilerplate_docs": q_boilerplate_docs,
+        "tfidf_topk_docs": q_tfidf_topk_docs,
+        "doc_chunks_docs": q_doc_chunks_docs,
+        "kmeans_assignments": q_kmeans_assignments,
+        "kmeans_summary": q_kmeans_summary,
+        "char_entropy_docs": q_char_entropy_docs,
         "lineage_graph_export": q_lineage_graph_export,
         "explainer_context": q_explainer_context,
         "approx_distinct_bound": q_approx_distinct_bound,
@@ -6423,6 +6650,11 @@ def oracle_sql() -> dict[str, str]:
         "train_val_test_docs": _SQL_TRAIN_VAL_TEST_DOCS,
         "encoding_quality_docs": _sql_encoding_quality(),
         "boilerplate_docs": _SQL_BOILERPLATE_DOCS,
+        "tfidf_topk_docs": _SQL_TFIDF_TOPK,
+        "doc_chunks_docs": _SQL_DOC_CHUNKS,
+        "kmeans_assignments": _SQL_KMEANS_ASSIGNMENTS,
+        "kmeans_summary": _SQL_KMEANS_SUMMARY,
+        "char_entropy_docs": _SQL_CHAR_ENTROPY,
         "lineage_graph_export": _SQL_LINEAGE_GRAPH_EXPORT,
         "explainer_context": _SQL_EXPLAINER_CONTEXT,
         "approx_distinct_bound": _sql_approx_distinct_bound(),

@@ -98,6 +98,41 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return df.select(F.col(id_col), fp.alias("fingerprint"))
 
 
+def char_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document Shannon entropy of the character distribution, in
+    bits — the classic gibberish/compressibility signal (Dolma-style
+    tagger): base64 blobs and key-mashing run high, repeated-char spam
+    runs near zero, natural language sits ~4-4.5 bits. Entirely
+    row-local HOFs (per-doc distinct-char set is alphabet-bounded, so
+    the inner count scan is O(distinct × len) with tiny constants) —
+    zero shuffle, one codegen stage at any corpus size.
+
+    Returns (id_col, n_chars, n_distinct_chars, entropy_bits); empty
+    and NULL texts score 0.
+    """
+    chars = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), ""),
+        lambda c: F.length(c) > 0,
+    )
+    n = F.size(chars)
+    uniq = F.array_distinct(chars)
+    # fold over the distinct alphabet: -sum p*log2(p); left-to-right
+    # sequential, so the DuckDB twin replays it exactly
+    ent = F.aggregate(
+        uniq,
+        F.lit(0.0),
+        lambda acc, c: acc
+        - (F.size(F.filter(chars, lambda x: x == c)) / n)
+        * F.log2(F.size(F.filter(chars, lambda x: x == c)) / n),
+    )
+    return df.select(
+        F.col(id_col),
+        n.cast("long").alias("n_chars"),
+        F.size(uniq).cast("long").alias("n_distinct_chars"),
+        F.when(n > 0, ent).otherwise(F.lit(0.0)).alias("entropy_bits"),
+    )
+
+
 def vocabulary(df: DataFrame, text_col: str, k: int | None = 20) -> DataFrame:
     """Corpus vocabulary: explode lowercased whitespace tokens →
     count per word (partial agg map-side, one shuffle) → optional top-k
