@@ -137,31 +137,59 @@ def main() -> int:
     n_lo = int(os.environ.get('SCALE_N_CORES', '2'))
     n_hi = 4 * n_lo
     n_pairs = int(os.environ.get('SCALE_PAIRS', '3'))
+    bracket = os.environ.get("SCALE_BRACKET", "1") != "0"
     host_effs = []
     pair_effs = []
     pairs = []
-    # >=3 (N, 4N) pairs with a host-ceiling calibration interleaved
-    # before EVERY pipeline run plus one final bracket (2*pairs+1
-    # samples): the headline raw efficiency is the median of the
-    # per-pair efficiencies, which is robust to a single contended run
-    # on this +-30%-noisy host; best-of per level is kept as context.
-    for i in range(n_pairs):
-        level = {}
-        for cores in (n_lo, n_hi):
-            host_effs.append(host_mp_efficiency(n_lo, n_hi))
-            s = run_once(cores, pages_dir, zip_path)
-            r = {
-                "wall_s": s["pipeline_wall_s"],
-                "docs": s["doc_count"],
-                "docs_per_sec": round(s["doc_count"] / s["pipeline_wall_s"], 1),
-            }
-            level[cores] = r
-            if cores not in results or r["wall_s"] < results[cores]["wall_s"]:
-                results[cores] = r
-        pe = (level[n_hi]["docs_per_sec"] / level[n_lo]["docs_per_sec"]) / 4.0
-        pair_effs.append(pe)
-        pairs.append({"pair": i + 1, "N": level[n_lo], "4N": level[n_hi],
-                      "eff": round(pe, 3)})
+
+    def timed_run(cores: int) -> dict:
+        host_effs.append(host_mp_efficiency(n_lo, n_hi))
+        s = run_once(cores, pages_dir, zip_path)
+        r = {
+            "wall_s": s["pipeline_wall_s"],
+            "docs": s["doc_count"],
+            "docs_per_sec": round(s["doc_count"] / s["pipeline_wall_s"], 1),
+        }
+        if cores not in results or r["wall_s"] < results[cores]["wall_s"]:
+            results[cores] = r
+        return r
+
+    # A host-ceiling calibration runs before EVERY pipeline run plus one
+    # final bracket; the headline raw efficiency is the median of the
+    # per-pair efficiencies, robust to a single contended run on this
+    # +-30%-noisy host; best-of per level is kept as context.
+    if bracket:
+        # A/B/A bracketing: the run sequence is N,4N,N,4N,...,N — every
+        # 4N run is BRACKETED by two N runs and compared against the
+        # mean of their throughputs, i.e. the interpolated N-throughput
+        # at the moment the 4N run executed. Linear host drift (the
+        # dominant error source observed round 5: N-side throughput
+        # moved 25% between pairs 90 minutes apart while each pair's
+        # two halves were themselves minutes apart) cancels exactly;
+        # the efficiency itself stays RAW — no host normalization.
+        n_runs = [timed_run(n_lo)]
+        for i in range(n_pairs):
+            hi = timed_run(n_hi)
+            n_next = timed_run(n_lo)
+            base = 0.5 * (n_runs[-1]["docs_per_sec"] + n_next["docs_per_sec"])
+            pe = hi["docs_per_sec"] / base / (n_hi / n_lo)
+            pair_effs.append(pe)
+            pairs.append({
+                "pair": i + 1, "N_before": n_runs[-1], "4N": hi,
+                "N_after": n_next, "N_dps_interp": round(base, 1),
+                "eff": round(pe, 3),
+            })
+            n_runs.append(n_next)
+    else:
+        for i in range(n_pairs):
+            level = {}
+            for cores in (n_lo, n_hi):
+                level[cores] = timed_run(cores)
+            pe = (level[n_hi]["docs_per_sec"]
+                  / level[n_lo]["docs_per_sec"]) / 4.0
+            pair_effs.append(pe)
+            pairs.append({"pair": i + 1, "N": level[n_lo],
+                          "4N": level[n_hi], "eff": round(pe, 3)})
     host_effs.append(host_mp_efficiency(n_lo, n_hi))
     host_eff = sorted(host_effs)[len(host_effs) // 2]
     cal_spread = (max(host_effs) - min(host_effs)) / 2.0
@@ -184,6 +212,7 @@ def main() -> int:
     out = {
         "n_docs": n_docs,
         "n": n_lo, "4n": n_hi, "mode": mode, "n_pairs": n_pairs,
+        "bracketed": bracket,
         "localN": results[n_lo],
         "local4N": results[n_hi],
         "pairs": pairs,
@@ -233,8 +262,18 @@ def main() -> int:
             "baseline pays the same fixed driver/AQE/python-worker costs but\n"
             "is still the most favorable denominator, which is why the\n"
             "current default is back to N=2, the stricter baseline).\n\n"
-            f"**Raw scaling efficiency** = median over {n_pairs} "
-            f"interleaved (N, 4N) pairs of (docs/sec@4N / docs/sec@N) / 4 "
+            + ("Drift control: the run sequence is N,4N,N,4N,...,N — each 4N\n"
+               "run is BRACKETED by two N runs and its efficiency uses the MEAN\n"
+               "of the bracketing N throughputs (the interpolated N-throughput\n"
+               "at the moment the 4N run executed). Linear host drift — the\n"
+               "dominant error source on this shared host, where N-side\n"
+               "throughput was observed to move 25% between pairs while each\n"
+               "pair's halves were minutes apart — cancels exactly. The number\n"
+               "stays RAW: no host normalization enters the headline.\n\n"
+               if bracket else "")
+            + f"**Raw scaling efficiency** = median over {n_pairs} "
+            f"{'bracketed' if bracket else 'interleaved'} (N, 4N) pairs "
+            f"of (docs/sec@4N / docs/sec@N) / 4 "
             f"= **{eff:.3f}** at {lo_name}->{hi_name} "
             f"(target >= 0.8: {'PASS' if eff >= 0.8 else 'FAIL'}; "
             f"best-of-levels {eff_best:.3f})\n\n"
