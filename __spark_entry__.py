@@ -6471,6 +6471,243 @@ FROM u
 """
 
 
+def q_bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 documents for a 3-term query (operators/bm25.py):
+    Lucene idf ln(1 + (N-df+0.5)/(df+0.5)), k1=1.2, b=0.75, tie-break
+    (score desc, doc_id asc). Only query-term postings shuffle."""
+    from baselinr_spark.operators.bm25 import bm25_topk
+
+    docs = _read(spark, sf_dir, "documents")
+    out = bm25_topk(
+        docs, "doc_id", "text", ["spark", "vector", "customer"], k=20
+    )
+    return _r6(out, "score")
+
+
+def _sql_bm25_topk_docs() -> str:
+    from baselinr_spark.operators.bm25 import oracle_bm25_topk_sql
+
+    inner = oracle_bm25_topk_sql(
+        "SELECT doc_id, text FROM documents", "doc_id", "text",
+        ["spark", "vector", "customer"], k=20,
+    )
+    return (
+        "SELECT doc_id, n_hit_terms, round(score, 6) AS score FROM ("
+        + inner + ")"
+    )
+
+
+def q_rake_keywords_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 RAKE phrases per document (operators/keywords.py):
+    stopword/punctuation-delimited candidate runs, word score
+    deg/freq, phrase score = sum of member-word scores."""
+    from baselinr_spark.operators.keywords import rake_keywords
+
+    docs = _read(spark, sf_dir, "documents")
+    return _r6(rake_keywords(docs, "doc_id", "text", k=2), "score")
+
+
+def _sql_rake_keywords_docs() -> str:
+    from baselinr_spark.operators.keywords import oracle_rake_sql
+
+    inner = oracle_rake_sql(
+        "SELECT doc_id, text FROM documents", "doc_id", "text", k=2
+    )
+    return (
+        "SELECT doc_id, rank, phrase, phrase_len, round(score, 6) AS score "
+        "FROM (" + inner + ")"
+    )
+
+
+def q_readability_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch Reading Ease + FK grade (operators/readability.py):
+    vowel-group syllable heuristic, [.!?]+ sentence runs (floor 1) —
+    one shuffle-free projection."""
+    from baselinr_spark.operators.readability import readability
+
+    docs = _read(spark, sf_dir, "documents")
+    return _r6(readability(docs, "doc_id", "text"), "reading_ease", "fk_grade")
+
+
+def _sql_readability_docs() -> str:
+    from baselinr_spark.operators.readability import oracle_readability_sql
+
+    inner = oracle_readability_sql(
+        "SELECT doc_id, text FROM documents", "doc_id", "text"
+    )
+    return (
+        "SELECT doc_id, n_words, n_sentences, n_syllables, "
+        "round(reading_ease, 6) AS reading_ease, "
+        "round(fk_grade, 6) AS fk_grade FROM (" + inner + ")"
+    )
+
+
+def _derived_anchor_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The derived domain link graph of ``_derived_domain_edges`` with
+    an anchor-text column: each edge carries the first 3 lowercased
+    words of the linking document's text (the md5 '0x'-hex idiom keeps
+    DuckDB's edge set identical)."""
+    docs = _read(spark, sf_dir, "documents")
+    from baselinr_spark.operators.textanalysis import words_expr
+
+    g = F.expr("doc_id div 5")
+    src = F.concat(F.lit("example"), (g % 37).cast("string"), F.lit(".com"))
+    anchor = F.array_join(
+        F.slice(words_expr(F.lower(F.col("text"))), 1, 3), " "
+    )
+    parts = []
+    for j in (1, 2):
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(f"#{j}"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("long")
+        dst = F.concat(F.lit("example"), (h % 37).cast("string"), F.lit(".com"))
+        parts.append(
+            docs.select(src.alias("src"), dst.alias("dst"),
+                        anchor.alias("anchor"))
+        )
+    return parts[0].unionByName(parts[1])
+
+
+_SQL_ANCHOR_EDGES = r"""
+  SELECT 'example' || ((doc_id // 5) % 37)::varchar || '.com' AS src,
+         'example' || ((('0x' || substring(md5(doc_id::varchar || '#1'), 1, 8))::bigint
+                        % 37))::varchar || '.com' AS dst,
+         array_to_string(
+           (list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                        x -> length(x) > 0))[1:3], ' ') AS anchor
+  FROM documents
+  UNION ALL
+  SELECT 'example' || ((doc_id // 5) % 37)::varchar || '.com' AS src,
+         'example' || ((('0x' || substring(md5(doc_id::varchar || '#2'), 1, 8))::bigint
+                        % 37))::varchar || '.com' AS dst,
+         array_to_string(
+           (list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                        x -> length(x) > 0))[1:3], ' ') AS anchor
+  FROM documents
+"""
+
+
+def q_anchor_summary_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-target in-link/anchor stats over the derived anchor-text
+    link graph (operators/anchors.py): one map-side-combining agg."""
+    from baselinr_spark.operators.anchors import anchor_summary
+
+    return anchor_summary(_derived_anchor_edges(spark, sf_dir))
+
+
+def _sql_anchor_summary_domains() -> str:
+    from baselinr_spark.operators.anchors import oracle_anchor_summary_sql
+
+    return oracle_anchor_summary_sql(_SQL_ANCHOR_EDGES)
+
+
+def q_anchor_top_terms_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 anchor terms per link target by in-link term frequency
+    (operators/anchors.py), tie-break (count desc, term asc)."""
+    from baselinr_spark.operators.anchors import anchor_top_terms
+
+    return anchor_top_terms(_derived_anchor_edges(spark, sf_dir), k=3)
+
+
+def _sql_anchor_top_terms_domains() -> str:
+    from baselinr_spark.operators.anchors import oracle_anchor_top_terms_sql
+
+    return oracle_anchor_top_terms_sql(_SQL_ANCHOR_EDGES, k=3)
+
+
+def q_js_divergence_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence (log2) between the event_type
+    distributions of even- vs odd-user cohorts
+    (operators/drift.py:js_divergence) — the symmetric, floor-free
+    categorical drift companion to PSI."""
+    from baselinr_spark.operators.drift import js_divergence
+
+    ev = _read(spark, sf_dir, "events")
+
+    def _cohort(parity: int) -> DataFrame:
+        return (
+            ev.filter(F.col("user_id") % 2 == parity)
+            .groupBy(F.col("event_type").alias("category"))
+            .agg(F.count(F.lit(1)).alias("count"))
+        )
+
+    return _r6(js_divergence(_cohort(0), _cohort(1)), "js")
+
+
+_SQL_JS_DIVERGENCE_EVENTS = """
+WITH b AS (
+  SELECT event_type AS category, count(*)::double AS cnt
+  FROM events WHERE user_id % 2 = 0 GROUP BY 1
+),
+c AS (
+  SELECT event_type AS category, count(*)::double AS cnt
+  FROM events WHERE user_id % 2 = 1 GROUP BY 1
+),
+bn AS (SELECT category, cnt / (SELECT sum(cnt) FROM b) AS p FROM b),
+cn AS (SELECT category, cnt / (SELECT sum(cnt) FROM c) AS q FROM c),
+j AS (
+  SELECT coalesce(p, 0.0) AS p, coalesce(q, 0.0) AS q
+  FROM bn FULL OUTER JOIN cn USING (category)
+),
+agg AS (
+  SELECT sum(CASE WHEN p > 0 THEN 0.5 * p * log2(p / ((p + q) / 2))
+                  ELSE 0.0 END
+             + CASE WHEN q > 0 THEN 0.5 * q * log2(q / ((p + q) / 2))
+                    ELSE 0.0 END) AS js,
+         count(*)::bigint AS n_categories
+  FROM j
+)
+SELECT round(js, 6) AS js, n_categories,
+       js > 0.1 AS drift,
+       CASE WHEN js > 0.3 THEN 'high' WHEN js > 0.2 THEN 'medium'
+            WHEN js > 0.1 THEN 'low' ELSE 'none' END AS severity
+FROM agg
+"""
+
+
+def q_f1_sweep_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter calibration sweep
+    (operators/evalmetrics.py:confusion_sweep): confusion counts +
+    precision/recall/F1/accuracy of the composite quality score as a
+    predictor of lang='en', at thresholds 25/50/75 — the distributed
+    form of the north-rule F1 acceptance metric."""
+    from baselinr_spark.operators.evalmetrics import confusion_sweep
+    from baselinr_spark.operators.textanalysis import quality_score
+
+    docs = _read(spark, sf_dir, "documents")
+    labeled = quality_score(docs, "doc_id", "text").join(
+        docs.select("doc_id", (F.col("lang") == "en").alias("label")),
+        "doc_id",
+    )
+    out = confusion_sweep(
+        labeled, "label", "quality_score", [25.0, 50.0, 75.0]
+    )
+    return _r6(out, "precision", "recall", "f1", "accuracy")
+
+
+def _sql_f1_sweep_docs() -> str:
+    from baselinr_spark.operators.evalmetrics import oracle_confusion_sweep_sql
+
+    rows_sql = (
+        "SELECT (d.lang = 'en') AS label, q.quality_score "
+        "FROM (" + _SQL_QUALITY_SCORE_DOCS + ") q "
+        "JOIN documents d ON q.doc_id = d.doc_id"
+    )
+    inner = oracle_confusion_sweep_sql(
+        rows_sql, "label", "quality_score", [25.0, 50.0, 75.0]
+    )
+    return (
+        "SELECT threshold, tp, fp, fn, tn, "
+        "round(precision, 6) AS precision, round(recall, 6) AS recall, "
+        "round(f1, 6) AS f1, round(accuracy, 6) AS accuracy FROM ("
+        + inner + ")"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: keep/drop quality filter over sf0.001 documents."""
     return q_keep_drop_docs(spark, "/root/testdata/sf0.001")
@@ -6480,17 +6717,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is deliberate: the driver's correctness gate samples the
     # first 50 entries, so the window rotates each round toward the
     # entries with the OLDEST driver CORRECTNESS row. Round-5 window:
-    # 18 never-driver-checked (asof/nb/incremental-dedup/range-join/
+    # 25 never-driver-checked (asof/nb/incremental-dedup/range-join/
     # overlap-join/rollup/sessionize/bloom/zorder/encoding-quality/
-    # boilerplate/tfidf/chunking/kmeans×2/char-entropy new this round
-    # + 3 new in r4 commits) + the 3 BPE
-    # oracles that failed r04 on int-type grounds (fixed; need a fresh
-    # green row) + the entries last checked in r02 + the oldest r03
-    # entries up to 50. Displaced below position 50 by the new entries
-    # (all driver-green in earlier rounds AND re-verified green in the
-    # local full-gate replay this round): ngram_jaccard_pairs,
-    # simhash_docs, the 5 rca_* entries, lsh_verified_pairs,
-    # connected_components, simhash_near_pairs, knn_cosine, ivf_assign.
+    # boilerplate/tfidf/chunking/kmeans×2/char-entropy + bm25/rake/
+    # readability/anchor×2/js-divergence/f1-sweep new this round + 3
+    # new in r4 commits) + the 3 BPE oracles that failed r04 on
+    # int-type grounds (fixed; need a fresh green row) + the flagship
+    # keep_drop_docs (kept in-window by policy) + the entries last
+    # checked in r02 + the oldest r03 entries up to 50. Displaced below
+    # position 50 by the new entries (all driver-green in earlier
+    # rounds AND re-verified green in the local full-gate replay at
+    # HEAD): ngram_jaccard_pairs, simhash_docs, the 5 rca_* entries,
+    # lsh_verified_pairs, connected_components, simhash_near_pairs,
+    # knn_cosine, ivf_assign, lineage_upstream, lineage_path,
+    # doc_stats, token_counts, lang_id_heuristic, quality_score_docs,
+    # fingerprint_docs.
     return {
         # --- r05 front block = the driver gate's 50-sample window ---
         "asof_events": q_asof_events,
@@ -6518,6 +6759,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_pair_counts": q_bpe_pair_counts,
         "bpe_merges": q_bpe_merges,
         "bpe_vocab": q_bpe_vocab,
+        "keep_drop_docs": q_keep_drop_docs,
+        "bm25_topk_docs": q_bm25_topk_docs,
+        "rake_keywords_docs": q_rake_keywords_docs,
+        "readability_docs": q_readability_docs,
+        "anchor_summary_domains": q_anchor_summary_domains,
+        "anchor_top_terms_domains": q_anchor_top_terms_domains,
+        "js_divergence_events": q_js_divergence_events,
+        "f1_sweep_docs": q_f1_sweep_docs,
         "seasonal_residual_days": q_seasonal_residual_days,
         "schema_diff_orders": q_schema_diff_orders,
         "schema_rename_candidates": q_schema_rename_candidates,
@@ -6537,7 +6786,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_runs_paginated": q_query_runs,
         "lineage_upstream": q_lineage_upstream,
         "lineage_path": q_lineage_path,
-        "keep_drop_docs": q_keep_drop_docs,
         "doc_stats": q_doc_stats,
         "token_counts": q_token_counts,
         "lang_id_heuristic": q_lang_id_heuristic,
@@ -6666,6 +6914,13 @@ def oracle_sql() -> dict[str, str]:
         "bpe_pair_counts": _sql_bpe_pair_counts(),
         "bpe_merges": _sql_bpe_merges(),
         "bpe_vocab": _sql_bpe_vocab(),
+        "bm25_topk_docs": _sql_bm25_topk_docs(),
+        "rake_keywords_docs": _sql_rake_keywords_docs(),
+        "readability_docs": _sql_readability_docs(),
+        "anchor_summary_domains": _sql_anchor_summary_domains(),
+        "anchor_top_terms_domains": _sql_anchor_top_terms_domains(),
+        "js_divergence_events": _SQL_JS_DIVERGENCE_EVENTS,
+        "f1_sweep_docs": _sql_f1_sweep_docs(),
         "bpe_token_counts": _sql_bpe_token_counts(),
         "domain_pagerank": _sql_domain_pagerank(),
         "authority_weights": _sql_authority_weights(),

@@ -722,3 +722,71 @@ def ml_drift_scores(
         .otherwise("low")
         .alias("severity"),
     )
+
+
+def js_divergence(
+    base: DataFrame,
+    cur: DataFrame,
+    category_col: str = "category",
+    count_col: str = "count",
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """Jensen-Shannon divergence (log2, so bounded [0, 1]) between two
+    category-count distributions — the symmetric, always-finite
+    companion to `psi`/`entropy_drift` for categorical cohort drift:
+    ``JS = 0.5·KL(P‖M) + 0.5·KL(Q‖M)`` with ``M = (P+Q)/2``; a side's
+    missing category contributes with probability 0 (no floor needed —
+    0·log(0/m) = 0 and m > 0 wherever either side has mass).
+
+    Reference has no JS surface (its categorical battery stops at
+    chi-square/entropy/top-k Jaccard, statistical_tests.py:864-1126);
+    additive coverage. Same scale shape as `psi`: per-side totals are
+    window sums over the already-aggregated category table (never a
+    broadcast self-join that would re-run the corpus scan), and the
+    full-outer join carries O(categories) rows per key group.
+
+    Severity: drift if js > 0.1; high > 0.3, medium > 0.2, else low.
+    Returns (key_cols..., js:double, n_categories:bigint,
+    drift:boolean, severity:string).
+    """
+    key_cols = key_cols or []
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(*key_cols)
+
+    def _norm(df: DataFrame, p_name: str) -> DataFrame:
+        tot = F.sum(count_col).over(w)
+        return df.select(
+            *key_cols,
+            F.col(category_col).alias("category"),
+            (
+                F.col(count_col)
+                / F.when(tot > 0, tot).otherwise(F.lit(1.0))
+            ).alias(p_name),
+        )
+
+    j = _norm(base, "p_base").join(
+        _norm(cur, "p_cur"), key_cols + ["category"], "full_outer"
+    )
+    p = F.coalesce(F.col("p_base"), F.lit(0.0))
+    q = F.coalesce(F.col("p_cur"), F.lit(0.0))
+    m = (p + q) / 2
+    term = (
+        F.when(p > 0, 0.5 * p * F.log2(p / m)).otherwise(0.0)
+        + F.when(q > 0, 0.5 * q * F.log2(q / m)).otherwise(0.0)
+    )
+    agg = j.groupBy(*key_cols).agg(
+        F.sum(term).alias("js"),
+        F.count(F.lit(1)).alias("n_categories"),
+    )
+    return agg.select(
+        *key_cols,
+        "js",
+        "n_categories",
+        (F.col("js") > 0.1).alias("drift"),
+        F.when(F.col("js") > 0.3, "high")
+        .when(F.col("js") > 0.2, "medium")
+        .when(F.col("js") > 0.1, "low")
+        .otherwise("none")
+        .alias("severity"),
+    )

@@ -1,0 +1,121 @@
+"""Classifier evaluation sweeps for quality-filter calibration.
+
+The north-rule acceptance metric for a web-text quality filter is
+keep/drop F1 vs reference labels; this module is the evaluation
+harness that computes it — and the full threshold sweep used to
+CHOOSE the operating point — as one distributed pass. The reference
+repo has no evaluation surface (its scoring stops at the composite
+quality score, ``/root/reference/baselinr/scoring/``), so this is
+additive coverage; the per-label parity test in
+``tests/test_pipeline_e2e.py`` asserts the F1=1.0 case, this operator
+generalizes it to arbitrary score columns.
+
+Scale design (10^12 docs, T thresholds): each row fans out to T
+(threshold, outcome) pairs via an exploded literal array — T is a
+handful, the fan-out is map-local, and the single groupBy(threshold)
+aggregation map-side-combines to T rows per partition before the
+shuffle. Total shuffled volume: T rows per map partition, independent
+of corpus size. No UDFs, no collect.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def confusion_sweep(
+    df: DataFrame,
+    label_col: str,
+    score_col: str,
+    thresholds: Sequence[float],
+) -> DataFrame:
+    """Confusion counts + precision/recall/F1/accuracy at each score
+    threshold (predict positive when ``score >= threshold``).
+
+    Returns one row per threshold: (threshold, tp, fp, fn, tn,
+    precision, recall, f1, accuracy); zero-denominator metrics emit
+    0.0. Null labels/scores are excluded (counted in none of the
+    cells)."""
+    e = (
+        df.select(
+            F.col(label_col).cast("boolean").alias("__y"),
+            F.col(score_col).cast("double").alias("__s"),
+        )
+        .filter(F.col("__y").isNotNull() & F.col("__s").isNotNull())
+        .select(
+            "__y",
+            "__s",
+            F.explode(
+                F.array(*[F.lit(float(t)) for t in thresholds])
+            ).alias("threshold"),
+        )
+    )
+    pred = F.col("__s") >= F.col("threshold")
+    y = F.col("__y")
+    agg = e.groupBy("threshold").agg(
+        F.sum((pred & y).cast("long")).alias("tp"),
+        F.sum((pred & ~y).cast("long")).alias("fp"),
+        F.sum((~pred & y).cast("long")).alias("fn"),
+        F.sum((~pred & ~y).cast("long")).alias("tn"),
+    )
+    tp, fp, fn, tn = (F.col(c) for c in ("tp", "fp", "fn", "tn"))
+    precision = F.when(tp + fp > 0, tp / (tp + fp)).otherwise(0.0)
+    recall = F.when(tp + fn > 0, tp / (tp + fn)).otherwise(0.0)
+    f1 = F.when(2 * tp + fp + fn > 0, 2 * tp / (2 * tp + fp + fn)).otherwise(0.0)
+    acc = F.when(
+        tp + fp + fn + tn > 0, (tp + tn) / (tp + fp + fn + tn)
+    ).otherwise(0.0)
+    return agg.select(
+        "threshold",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        precision.alias("precision"),
+        recall.alias("recall"),
+        f1.alias("f1"),
+        acc.alias("accuracy"),
+    )
+
+
+def oracle_confusion_sweep_sql(
+    rows_sql: str,
+    label_col: str,
+    score_col: str,
+    thresholds: Sequence[float],
+) -> str:
+    """DuckDB twin of :func:`confusion_sweep` over ``rows_sql``."""
+    th_list = ", ".join(repr(float(t)) for t in thresholds)
+    return f"""
+WITH rows_in AS ({rows_sql}),
+th AS (SELECT unnest([{th_list}]::double[]) AS threshold),
+e AS (
+  SELECT th.threshold,
+         ({label_col})::boolean AS y,
+         ({score_col})::double AS s
+  FROM rows_in, th
+  WHERE ({label_col}) IS NOT NULL AND ({score_col}) IS NOT NULL
+),
+agg AS (
+  SELECT threshold,
+         sum((s >= threshold AND y)::int)::bigint AS tp,
+         sum((s >= threshold AND NOT y)::int)::bigint AS fp,
+         sum((s < threshold AND y)::int)::bigint AS fn,
+         sum((s < threshold AND NOT y)::int)::bigint AS tn
+  FROM e GROUP BY threshold
+)
+SELECT threshold, tp, fp, fn, tn,
+       CASE WHEN tp + fp > 0 THEN tp::double / (tp + fp) ELSE 0.0 END
+         AS precision,
+       CASE WHEN tp + fn > 0 THEN tp::double / (tp + fn) ELSE 0.0 END
+         AS recall,
+       CASE WHEN 2 * tp + fp + fn > 0
+            THEN 2 * tp::double / (2 * tp + fp + fn) ELSE 0.0 END AS f1,
+       CASE WHEN tp + fp + fn + tn > 0
+            THEN (tp + tn)::double / (tp + fp + fn + tn)
+            ELSE 0.0 END AS accuracy
+FROM agg
+"""

@@ -229,8 +229,9 @@ def main() -> int:
     }
     print(json.dumps(out))
 
-    with open(os.path.join(REPO, "BENCH_SCALING.md"), "w") as f:
-        f.write(
+    # build the full report string BEFORE opening the file so a
+    # formatting error cannot truncate an existing report
+    md = (
             "# BENCH_SCALING — two-parallelism throughput evidence\n\n"
             "North rule requires docs/sec scaling efficiency >= 0.8 from N to 4N\n"
             "executors. No real cluster exists in this sandbox, so the evidence is\n"
@@ -278,13 +279,23 @@ def main() -> int:
             f"(target >= 0.8: {'PASS' if eff >= 0.8 else 'FAIL'}; "
             f"best-of-levels {eff_best:.3f})\n\n"
             "Per-pair runs:\n\n"
-            "| pair | N wall s | N docs/s | 4N wall s | 4N docs/s | eff |\n"
-            "|---|---|---|---|---|---|\n"
-            + "".join(
-                f"| {p['pair']} | {p['N']['wall_s']} | "
-                f"{p['N']['docs_per_sec']} | {p['4N']['wall_s']} | "
-                f"{p['4N']['docs_per_sec']} | {p['eff']} |\n"
-                for p in pairs)
+            + ("| pair | N-before docs/s | 4N wall s | 4N docs/s | "
+               "N-after docs/s | N interp docs/s | eff |\n"
+               "|---|---|---|---|---|---|---|\n"
+               + "".join(
+                   f"| {p['pair']} | {p['N_before']['docs_per_sec']} | "
+                   f"{p['4N']['wall_s']} | {p['4N']['docs_per_sec']} | "
+                   f"{p['N_after']['docs_per_sec']} | {p['N_dps_interp']} | "
+                   f"{p['eff']} |\n"
+                   for p in pairs)
+               if bracket else
+               "| pair | N wall s | N docs/s | 4N wall s | 4N docs/s | eff |\n"
+               "|---|---|---|---|---|---|\n"
+               + "".join(
+                   f"| {p['pair']} | {p['N']['wall_s']} | "
+                   f"{p['N']['docs_per_sec']} | {p['4N']['wall_s']} | "
+                   f"{p['4N']['docs_per_sec']} | {p['eff']} |\n"
+                   for p in pairs))
             + "\nHost calibration: the SAME fixed sha256 workload split over\n"
             f"{n_lo} vs {n_hi} plain OS processes (no Spark, no Python GIL\n"
             "sharing, nothing to coordinate), measured immediately before\n"
@@ -302,7 +313,9 @@ def main() -> int:
             f"normalized {'PASS' if out['pass_normalized'] else 'FAIL'} "
             f"=> overall {'PASS' if out['pass'] else 'FAIL'}.\n\n"
             "Reproduce: `python tools/bench_scaling.py " + str(n_docs) + "`\n"
-        )
+    )
+    with open(os.path.join(REPO, "BENCH_SCALING.md"), "w") as f:
+        f.write(md)
     return 0
 
 
