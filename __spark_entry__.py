@@ -6708,6 +6708,269 @@ def _sql_f1_sweep_docs() -> str:
     )
 
 
+def q_zipf_fit_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit over the corpus token-frequency table
+    (operators/corpusstats.py:zipf_fit): least squares of log(freq) on
+    log(rank) over the top-1000 terms — ONE explode+groupBy then a
+    top_k-bounded rank window and a single aggregate."""
+    from baselinr_spark.operators.corpusstats import zipf_fit
+
+    docs = _read(spark, sf_dir, "documents")
+    return _r6(zipf_fit(docs, "text", top_k=1000),
+               "slope", "intercept", "r2")
+
+
+def _sql_zipf_fit_docs() -> str:
+    from baselinr_spark.operators.corpusstats import oracle_zipf_sql
+
+    inner = oracle_zipf_sql("SELECT text FROM documents", "text", top_k=1000)
+    return (
+        "SELECT round(slope, 6) AS slope, round(intercept, 6) AS intercept, "
+        "round(r2, 6) AS r2, n_terms FROM (" + inner + ")"
+    )
+
+
+def q_heaps_fit_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fit V = K·N^beta over per-document (tokens, types)
+    points (operators/corpusstats.py:heaps_fit) — shuffle-free
+    projection + one aggregate."""
+    from baselinr_spark.operators.corpusstats import heaps_fit
+
+    docs = _read(spark, sf_dir, "documents")
+    return _r6(heaps_fit(docs, "doc_id", "text"), "k", "beta", "r2")
+
+
+def _sql_heaps_fit_docs() -> str:
+    from baselinr_spark.operators.corpusstats import oracle_heaps_sql
+
+    inner = oracle_heaps_sql("SELECT text FROM documents", "text")
+    return (
+        "SELECT round(k, 6) AS k, round(beta, 6) AS beta, "
+        "round(r2, 6) AS r2, n_docs FROM (" + inner + ")"
+    )
+
+
+def q_freq_spectrum_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-of-frequencies spectrum with hapax share
+    (operators/corpusstats.py:freq_spectrum): two aggregates, the
+    second over O(vocab) rows."""
+    from baselinr_spark.operators.corpusstats import freq_spectrum
+
+    docs = _read(spark, sf_dir, "documents")
+    return _r6(freq_spectrum(docs, "text", max_freq=10), "vocab_share")
+
+
+def _sql_freq_spectrum_docs() -> str:
+    from baselinr_spark.operators.corpusstats import oracle_freq_spectrum_sql
+
+    inner = oracle_freq_spectrum_sql(
+        "SELECT text FROM documents", "text", max_freq=10
+    )
+    return (
+        "SELECT freq, n_tokens, round(vocab_share, 6) AS vocab_share FROM ("
+        + inner + ")"
+    )
+
+
+def q_hits_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities over the derived domain link graph
+    (operators/linkgraph.py:hits): 4 L1-normalized power-iteration
+    rounds, O(|nodes|) state, normalizers as broadcast 1-row
+    aggregates — the seed-curation companion to domain_pagerank."""
+    from baselinr_spark.operators.linkgraph import hits
+
+    edges = _derived_domain_edges(spark, sf_dir)
+    return _r6(hits(edges, n_iter=4), "hub", "authority")
+
+
+def _sql_hits_domains() -> str:
+    from baselinr_spark.operators.linkgraph import oracle_hits_cte
+
+    return (
+        oracle_hits_cte(_SQL_DOMAIN_EDGES, n_iter=4)
+        + "\nSELECT node, round(hub, 6) AS hub, "
+        "round(authority, 6) AS authority FROM s4"
+    )
+
+
+def q_centroid_dims_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group embedding centroids (operators/embcurate.py:
+    group_centroids), exploded to (grp, pos, c, n_members) scalar rows
+    for exact comparison. ONE posexplode+groupBy; the shuffle carries
+    (group, pos) partial sums after map-side combine."""
+    from baselinr_spark.operators.embcurate import group_centroids
+
+    emb = _read(spark, sf_dir, "embeddings")
+    cents = group_centroids(emb, "label", "embedding")
+    out = cents.select(
+        F.col("group").alias("grp"),
+        F.posexplode("centroid").alias("pos", "c"),
+        F.col("n_members"),
+    )
+    return _r6(out, "c")
+
+
+_SQL_CENTROID_DIMS = """
+WITH ex AS (
+  SELECT label AS grp,
+         generate_subscripts(embedding, 1) - 1 AS pos,
+         unnest(embedding)::double AS v
+  FROM embeddings
+  WHERE embedding IS NOT NULL
+),
+per_dim AS (
+  SELECT grp, pos, avg(v) AS c, count(*) AS n
+  FROM ex GROUP BY grp, pos
+),
+nm AS (SELECT grp, max(n)::bigint AS n_members FROM per_dim GROUP BY grp)
+SELECT grp, pos::int AS pos, round(c, 6) AS c, n_members
+FROM per_dim JOIN nm USING (grp)
+"""
+
+
+def q_centroid_outliers_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-group centroid-distance outliers (operators/embcurate.py:
+    centroid_outliers): cosine of every vector to its OWN group's
+    centroid, bottom-5 per group flagged by rank (round-6 rank keys so
+    float noise cannot flip ranks between engines). Broadcast centroid
+    join — no second corpus shuffle."""
+    from baselinr_spark.operators.embcurate import centroid_outliers
+
+    emb = _read(spark, sf_dir, "embeddings")
+    out = centroid_outliers(emb, "vec_id", "label", "embedding", bottom_k=5)
+    return _r6(out.withColumnRenamed("group", "grp"), "cent_cosine")
+
+
+def _sql_centroid_outliers() -> str:
+    cos = _sql_fold_cos("v.embedding", "c.centroid")
+    return f"""
+WITH ex AS (
+  SELECT label AS grp,
+         generate_subscripts(embedding, 1) AS pos,
+         unnest(embedding)::double AS v
+  FROM embeddings
+  WHERE embedding IS NOT NULL
+),
+per_dim AS (
+  SELECT grp, pos, avg(v) AS c FROM ex GROUP BY grp, pos
+),
+cents AS (
+  SELECT grp, list(c ORDER BY pos) AS centroid FROM per_dim GROUP BY grp
+),
+scored AS (
+  SELECT v.vec_id, c.grp, {cos} AS cent_cosine
+  FROM embeddings v JOIN cents c ON v.label = c.grp
+  WHERE v.embedding IS NOT NULL
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY grp ORDER BY round(cent_cosine, 6) ASC, vec_id ASC
+  ) AS rn
+  FROM scored
+)
+SELECT vec_id, grp, round(cent_cosine, 6) AS cent_cosine,
+       CASE WHEN rn <= 5 THEN rn::int END AS outlier_rank,
+       rn <= 5 AS is_outlier
+FROM ranked
+"""
+
+
+def _derived_spam_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic URL synth with planted frontier-filter cases (the
+    documents table carries no url column — TESTDATA.md): one clean
+    shape plus deep-path / digit-host / binary-ext / param-flood /
+    spam-keyword / over-length variants, keyed off doc_id so the DuckDB
+    twin (_SQL_SPAM_URLS) builds the identical strings."""
+    docs = _read(spark, sf_dir, "documents")
+    g = (F.col("doc_id") % 37).cast("string")
+    gid = F.col("doc_id").cast("string")
+    base = F.concat(F.lit("example"), g, F.lit(".com"))
+    v = F.col("doc_id") % 8
+    url = (
+        F.when(v == 0, F.concat(F.lit("https://"), base,
+                                F.lit("/articles/"), gid))
+        .when(v == 1, F.concat(F.lit("https://"), base,
+                               F.lit("/a/b/c/d/e/f/g/h/i/"), gid))
+        .when(v == 2, F.concat(F.lit("https://d"), gid,
+                               F.lit("12345.biz/p/"), gid))
+        .when(v == 3, F.concat(F.lit("https://"), base,
+                               F.lit("/files/setup-"), gid, F.lit(".exe")))
+        .when(v == 4, F.concat(F.lit("https://"), base,
+                               F.lit("/p?a=1&b=2&c=3&d=4&e=5&f=6&g=7")))
+        .when(v == 5, F.concat(F.lit("https://best-casino-"), g,
+                               F.lit(".example/p/"), gid))
+        .when(v == 6, F.concat(F.lit("https://"), base, F.lit("/p/"),
+                               F.repeat(F.lit("x"), 2100)))
+        .otherwise(F.concat(F.lit("https://"), base, F.lit("/p/"), gid,
+                            F.lit("?id="), g))
+    )
+    return docs.select("doc_id", url.alias("url"))
+
+
+_SQL_SPAM_URLS = """
+SELECT doc_id,
+  CASE doc_id % 8
+    WHEN 0 THEN 'https://' || base || '/articles/' || gid
+    WHEN 1 THEN 'https://' || base || '/a/b/c/d/e/f/g/h/i/' || gid
+    WHEN 2 THEN 'https://d' || gid || '12345.biz/p/' || gid
+    WHEN 3 THEN 'https://' || base || '/files/setup-' || gid || '.exe'
+    WHEN 4 THEN 'https://' || base || '/p?a=1&b=2&c=3&d=4&e=5&f=6&g=7'
+    WHEN 5 THEN 'https://best-casino-' || g || '.example/p/' || gid
+    WHEN 6 THEN 'https://' || base || '/p/' || repeat('x', 2100)
+    ELSE 'https://' || base || '/p/' || gid || '?id=' || g
+  END AS url
+FROM (SELECT doc_id, (doc_id % 37)::varchar AS g, doc_id::varchar AS gid,
+             'example' || (doc_id % 37)::varchar || '.com' AS base
+      FROM documents)
+"""
+
+
+def q_url_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-fetch URL frontier filter (functions/urltools.py:
+    url_quality_features): typed flags for binary extensions, spam
+    keywords, digit-stuffed hosts, path/param explosions, over-length —
+    all row-local regexp/split exprs, zero shuffle."""
+    from baselinr_spark.functions.urltools import url_quality_features
+
+    out = url_quality_features(_derived_spam_urls(spark, sf_dir))
+    return _r6(out, "host_digit_ratio")
+
+
+def _sql_url_quality_filter() -> str:
+    from baselinr_spark.functions.urltools import oracle_url_quality_sql
+
+    inner = oracle_url_quality_sql(_SQL_SPAM_URLS)
+    return (
+        "SELECT doc_id, url, url_len, path_depth, n_params, "
+        "round(host_digit_ratio, 6) AS host_digit_ratio, "
+        "bad_ext, spam_kw, url_keep FROM (" + inner + ")"
+    )
+
+
+_PCTL_COLS = ("l_quantity", "l_extendedprice", "l_discount")
+
+
+def q_percentile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous percentiles p25/p50/p75/p95/p99 for three
+    lineitem measures in ONE aggregate (operators/profiling.py:
+    numeric_percentiles) — the tail metrics the 10-bin histogram can't
+    resolve; extends reference profiling/metrics.py numeric stats."""
+    from baselinr_spark.operators.profiling import numeric_percentiles
+
+    li = _read(spark, sf_dir, "lineitem")
+    return _r6(numeric_percentiles(li, _PCTL_COLS), "value")
+
+
+def _sql_percentile_profile() -> str:
+    from baselinr_spark.operators.profiling import oracle_percentiles_sql
+
+    inner = oracle_percentiles_sql("lineitem", _PCTL_COLS)
+    return (
+        "SELECT column_name, p, round(value, 6) AS value FROM ("
+        + inner + ")"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: keep/drop quality filter over sf0.001 documents."""
     return q_keep_drop_docs(spark, "/root/testdata/sf0.001")
@@ -6731,7 +6994,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # lsh_verified_pairs, connected_components, simhash_near_pairs,
     # knn_cosine, ivf_assign, lineage_upstream, lineage_path,
     # doc_stats, token_counts, lang_id_heuristic, quality_score_docs,
-    # fingerprint_docs.
+    # fingerprint_docs, hash_sample_orders, stratified_sample_orders,
+    # active_drift_summary, query_runs_paginated.
     return {
         # --- r05 front block = the driver gate's 50-sample window ---
         "asof_events": q_asof_events,
@@ -6767,6 +7031,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_top_terms_domains": q_anchor_top_terms_domains,
         "js_divergence_events": q_js_divergence_events,
         "f1_sweep_docs": q_f1_sweep_docs,
+        "zipf_fit_docs": q_zipf_fit_docs,
+        "heaps_fit_docs": q_heaps_fit_docs,
+        "freq_spectrum_docs": q_freq_spectrum_docs,
+        "hits_domains": q_hits_domains,
+        "centroid_dims_emb": q_centroid_dims_emb,
+        "centroid_outliers_emb": q_centroid_outliers_emb,
+        "url_quality_filter": q_url_quality_filter,
+        "percentile_profile": q_percentile_profile,
         "seasonal_residual_days": q_seasonal_residual_days,
         "schema_diff_orders": q_schema_diff_orders,
         "schema_rename_candidates": q_schema_rename_candidates,
@@ -6921,6 +7193,14 @@ def oracle_sql() -> dict[str, str]:
         "anchor_top_terms_domains": _sql_anchor_top_terms_domains(),
         "js_divergence_events": _SQL_JS_DIVERGENCE_EVENTS,
         "f1_sweep_docs": _sql_f1_sweep_docs(),
+        "zipf_fit_docs": _sql_zipf_fit_docs(),
+        "heaps_fit_docs": _sql_heaps_fit_docs(),
+        "freq_spectrum_docs": _sql_freq_spectrum_docs(),
+        "hits_domains": _sql_hits_domains(),
+        "centroid_dims_emb": _SQL_CENTROID_DIMS,
+        "centroid_outliers_emb": _sql_centroid_outliers(),
+        "url_quality_filter": _sql_url_quality_filter(),
+        "percentile_profile": _sql_percentile_profile(),
         "bpe_token_counts": _sql_bpe_token_counts(),
         "domain_pagerank": _sql_domain_pagerank(),
         "authority_weights": _sql_authority_weights(),

@@ -68,6 +68,113 @@ def canonicalize_urls(
     return df.withColumn(out_col, canonical_url_expr(F.col(url_col)))
 
 
+# host/path/url heuristics used by crawl-side URL filtering (the
+# UT1-blocklist + RefinedWeb-style "filter by URL before fetching the
+# body" pass). Lexicon kept tiny and neutral; real deployments swap in
+# their blocklist.
+SPAM_KEYWORD_RE = r"(casino|poker|viagra|torrent|warez)"
+BAD_EXT_RE = (
+    r"\.(exe|msi|apk|dmg|iso|zip|rar|7z|jpg|jpeg|png|gif|webp|svg|"
+    r"mp3|mp4|avi|mkv|css|js|woff2?)$"
+)
+
+
+def url_quality_features(
+    df: DataFrame,
+    url_col: str = "url",
+    max_path_depth: int = 8,
+    max_params: int = 6,
+    max_len: int = 2048,
+    max_host_digit_ratio: float = 0.4,
+) -> DataFrame:
+    """URL-level quality features + keep/drop — the pre-fetch filter a
+    crawler runs on the frontier (and a pipeline re-runs on WARC URLs)
+    BEFORE paying for body processing: binary/media extensions, spam
+    keywords, digit-stuffed hosts, path/query-string explosions, and
+    absurd lengths each get a typed flag; ``url_keep`` is their
+    conjunction. All row-local Catalyst regexp/split/filter exprs —
+    zero shuffle, and every regex is RE2-safe so the DuckDB oracle
+    replays the chain exactly.
+
+    Returns the input plus (url_len, path_depth, n_params,
+    host_digit_ratio, bad_ext, spam_kw, url_keep)."""
+    u = F.trim(F.col(url_col))
+    host = F.lower(F.regexp_extract(u, _URL_RE, 2))
+    path = F.regexp_extract(u, _URL_RE, 3)
+    qs = F.regexp_replace(F.regexp_extract(u, _URL_RE, 4), r"^\?", "")
+    host_len = F.length(host)
+    digit_ratio = F.when(
+        host_len > 0,
+        (host_len - F.length(F.regexp_replace(host, r"[0-9]", "")))
+        / host_len.cast("double"),
+    ).otherwise(F.lit(0.0))
+    path_depth = F.size(F.filter(F.split(path, "/"), lambda s: s != ""))
+    n_params = F.size(F.filter(F.split(qs, "&"), lambda p: p != ""))
+    bad_ext = F.lower(path).rlike(BAD_EXT_RE)
+    spam_kw = F.lower(u).rlike(SPAM_KEYWORD_RE)
+    out = (
+        df.withColumn("url_len", F.length(u))
+        .withColumn("path_depth", path_depth)
+        .withColumn("n_params", n_params)
+        .withColumn("host_digit_ratio", digit_ratio)
+        .withColumn("bad_ext", bad_ext)
+        .withColumn("spam_kw", spam_kw)
+    )
+    return out.withColumn(
+        "url_keep",
+        (~F.col("bad_ext"))
+        & (~F.col("spam_kw"))
+        & (F.col("url_len") <= max_len)
+        & (F.col("path_depth") <= max_path_depth)
+        & (F.col("n_params") <= max_params)
+        & (F.col("host_digit_ratio") <= max_host_digit_ratio),
+    )
+
+
+def oracle_url_quality_sql(
+    urls_sql: str,
+    url_col: str = "url",
+    max_path_depth: int = 8,
+    max_params: int = 6,
+    max_len: int = 2048,
+    max_host_digit_ratio: float = 0.4,
+) -> str:
+    """DuckDB replay of `url_quality_features` (same _URL_RE groups,
+    same split/filter semantics; Spark's split drops nothing — empties
+    are filtered explicitly in both engines)."""
+    ure = _URL_RE
+    return f"""
+WITH u0 AS (SELECT *, trim({url_col}) AS __u FROM ({urls_sql})),
+p AS (
+  SELECT *,
+         lower(regexp_extract(__u, '{ure}', 2)) AS __host,
+         regexp_extract(__u, '{ure}', 3) AS __path,
+         regexp_replace(regexp_extract(__u, '{ure}', 4), '^\\?', '') AS __qs
+  FROM u0
+),
+f AS (
+  SELECT *,
+         length(__u)::int AS url_len,
+         len(list_filter(string_split(__path, '/'), s -> s != ''))::int
+           AS path_depth,
+         len(list_filter(string_split(__qs, '&'), s -> s != ''))::int
+           AS n_params,
+         CASE WHEN length(__host) > 0 THEN
+           (length(__host) - length(regexp_replace(__host, '[0-9]', '', 'g')))
+           / length(__host)::double
+         ELSE 0.0 END AS host_digit_ratio,
+         regexp_matches(lower(__path), '{BAD_EXT_RE}') AS bad_ext,
+         regexp_matches(lower(__u), '{SPAM_KEYWORD_RE}') AS spam_kw
+  FROM p
+)
+SELECT * EXCLUDE (__u, __host, __path, __qs),
+       (NOT bad_ext AND NOT spam_kw AND url_len <= {max_len}
+        AND path_depth <= {max_path_depth} AND n_params <= {max_params}
+        AND host_digit_ratio <= {max_host_digit_ratio}) AS url_keep
+FROM f
+"""
+
+
 def url_dedup(
     df: DataFrame,
     url_col: str = "url",

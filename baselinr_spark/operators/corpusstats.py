@@ -1,0 +1,267 @@
+"""Corpus-level token-frequency diagnostics — Zipf-law fit, Heaps-law
+fit, and the frequency-of-frequencies spectrum. These are the standard
+"is this crawl shaped like natural language?" health checks a web-text
+pipeline runs next to quality filtering: a Zipf slope far from -1 or a
+hapax ratio far from ~0.4-0.6 flags boilerplate floods, spam bursts, or
+encoding damage that per-document rules miss.
+
+Additive vs the reference (its profiling stops at per-column stats,
+profiling/profiler.py); no reference file computes corpus-level token
+laws. All operators are pure Catalyst expressions with exact DuckDB
+oracles.
+
+Scale notes (10^12 docs): everything funnels through ONE
+explode+groupBy over tokens (the same shuffle shape as tf-idf /
+vocabulary); the fitted regressions run over the aggregated term table
+(O(vocab) rows) or per-document stat rows, never over raw tokens twice.
+The least-squares fits are single aggregates — no window over the
+corpus, no collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .textanalysis import words_expr
+
+
+def term_counts(df: DataFrame, text_col: str) -> DataFrame:
+    """(token, cnt) — lowercased whitespace tokens, one explode +
+    map-side-combining groupBy."""
+    return (
+        df.select(F.explode(words_expr(F.lower(F.col(text_col)))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def zipf_fit(df: DataFrame, text_col: str, top_k: int = 1000) -> DataFrame:
+    """Least-squares fit of log(freq) = intercept + slope·log(rank) over
+    the ``top_k`` most frequent tokens (rank ties broken token-asc so
+    the fit is deterministic). Natural-language corpora give slope ≈ -1
+    (Zipf); returns ONE row (slope, intercept, r2, n_terms).
+
+    Scale: the rank window runs over the top_k rows surviving a
+    TakeOrderedAndProject-style limit of the aggregated term table —
+    O(top_k), not O(vocab); the fit itself is one aggregate.
+    """
+    tc = term_counts(df, text_col)
+    top = tc.orderBy(F.desc("cnt"), F.asc("token")).limit(top_k)
+    from pyspark.sql import Window as W
+
+    # rank AFTER the limit: the window sees top_k rows, not the vocab
+    r = top.select(
+        F.log(F.col("cnt").cast("double")).alias("y"),
+        F.log(
+            F.row_number()
+            .over(W.orderBy(F.desc("cnt"), F.asc("token")))
+            .cast("double")
+        ).alias("x"),
+    )
+    agg = r.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    cov = n * sxy - sx * sy
+    varx = n * sxx - sx * sx
+    vary = n * syy - sy * sy
+    # degenerate guards (ANSI-safe): <2 distinct x → slope NULL,
+    # intercept = mean(y) (the constant fit); empty input → all NULL
+    slope = F.when(varx > 0, cov / varx)
+    return agg.select(
+        slope.alias("slope"),
+        F.when(n > 0, (sy - F.coalesce(slope, F.lit(0.0)) * sx) / n).alias(
+            "intercept"
+        ),
+        F.when((varx > 0) & (vary > 0), cov * cov / (varx * vary))
+        .when(n > 0, 1.0)
+        .alias("r2"),
+        n.cast("bigint").alias("n_terms"),
+    )
+
+
+def heaps_fit(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Heaps'-law fit V = K·N^beta over per-DOCUMENT (tokens N, distinct
+    types V) points: least squares of log V on log N across documents
+    with ≥ 2 tokens and ≥ 2 types (log-log regression needs positive
+    nonconstant points). English text gives beta ≈ 0.4-0.6; beta → 1
+    means no vocabulary reuse (random strings / IDs), beta → 0 means
+    extreme repetition. Returns ONE row (k, beta, r2, n_docs).
+
+    The per-document variant (vs. cumulative-corpus Heaps) is the
+    embarrassingly parallel form: one shuffle-free projection then one
+    aggregate — no token-order dependence, so it is reproducible under
+    any partitioning.
+    """
+    words = words_expr(F.lower(F.col(text_col)))
+    pts = df.select(
+        F.size(words).cast("double").alias("nn"),
+        F.size(F.array_distinct(words)).cast("double").alias("vv"),
+    ).filter((F.col("nn") >= 2) & (F.col("vv") >= 2))
+    r = pts.select(F.log("nn").alias("x"), F.log("vv").alias("y"))
+    agg = r.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    cov = n * sxy - sx * sy
+    varx = n * sxx - sx * sx
+    vary = n * syy - sy * sy
+    # same degenerate guards as zipf_fit: one point → beta NULL,
+    # k = exp(mean log V) (the constant fit), r2 fallback 1.0
+    beta = F.when(varx > 0, cov / varx)
+    return agg.select(
+        F.when(
+            n > 0, F.exp((sy - F.coalesce(beta, F.lit(0.0)) * sx) / n)
+        ).alias("k"),
+        beta.alias("beta"),
+        F.when((varx > 0) & (vary > 0), cov * cov / (varx * vary))
+        .when(n > 0, 1.0)
+        .alias("r2"),
+        n.cast("bigint").alias("n_docs"),
+    )
+
+
+def freq_spectrum(df: DataFrame, text_col: str, max_freq: int = 10) -> DataFrame:
+    """Frequency-of-frequencies: for f = 1..max_freq, how many distinct
+    tokens occur exactly f times (plus one '>max' bucket), with each
+    bucket's share of the vocabulary. freq=1 is the hapax count — the
+    single most-watched corpus health number (collapsing hapax share
+    means boilerplate flooding; exploding means tokenizer damage).
+
+    Two aggregates total: token counts, then counts-of-counts — the
+    second runs over O(vocab) rows.
+    """
+    tc = term_counts(df, text_col)
+    bucket = (
+        F.when(F.col("cnt") <= max_freq, F.col("cnt")).otherwise(
+            F.lit(max_freq + 1)
+        )
+    ).alias("freq")
+    spec = tc.select(bucket).groupBy("freq").agg(
+        F.count(F.lit(1)).alias("n_tokens")
+    )
+    from pyspark.sql import Window as W
+
+    # O(max_freq+1) rows — the single-partition window is on a tiny frame
+    tot = F.sum("n_tokens").over(W.partitionBy())
+    return spec.select(
+        "freq",
+        "n_tokens",
+        (F.col("n_tokens") / tot).alias("vocab_share"),
+    )
+
+
+def _fit_sql(pts_sql: str, out: str) -> str:
+    """Shared least-squares CTE tail: ``pts_sql`` must yield (x, y)."""
+    return f"""
+WITH pts AS ({pts_sql}),
+agg AS (
+  SELECT count(*)::double AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+  FROM pts
+)
+SELECT {out}
+FROM agg
+"""
+
+
+# Guarded least-squares output (mirrors the Spark degenerate rules:
+# varx=0 → slope NULL + intercept=mean(y); n=0 → all NULL; r2 fallback 1.0)
+_FIT_OUT = """CASE WHEN (n * sxx - sx * sx) > 0
+            THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END AS {slope},
+       CASE WHEN n > 0 THEN
+         (sy - coalesce(CASE WHEN (n * sxx - sx * sx) > 0
+              THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END, 0.0) * sx) / n
+       END AS {icept},
+       CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0 THEN
+         (n * sxy - sx * sy) * (n * sxy - sx * sy)
+         / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+       WHEN n > 0 THEN 1.0 END AS r2,
+       n::bigint AS {n_out}"""
+
+
+def oracle_zipf_sql(docs_sql: str, text_col: str, top_k: int = 1000) -> str:
+    pts = f"""
+  SELECT ln(cnt::double) AS y,
+         ln(row_number() OVER (ORDER BY cnt DESC, token ASC)::double) AS x
+  FROM (
+    SELECT token, count(*) AS cnt
+    FROM (
+      SELECT unnest(list_filter(string_split_regex(trim(lower({text_col})), '\\s+'),
+                                w -> length(w) > 0)) AS token
+      FROM ({docs_sql})
+    )
+    GROUP BY token
+    ORDER BY cnt DESC, token ASC
+    LIMIT {top_k}
+  )
+"""
+    return _fit_sql(
+        pts,
+        _FIT_OUT.replace("{slope}", "slope")
+        .replace("{icept}", "intercept")
+        .replace("{n_out}", "n_terms"),
+    )
+
+
+def oracle_heaps_sql(docs_sql: str, text_col: str) -> str:
+    pts = f"""
+  SELECT ln(nn) AS x, ln(vv) AS y
+  FROM (
+    SELECT length(w)::double AS nn,
+           length(list_distinct(w))::double AS vv
+    FROM (
+      SELECT list_filter(string_split_regex(trim(lower({text_col})), '\\s+'),
+                         x -> length(x) > 0) AS w
+      FROM ({docs_sql})
+    )
+  )
+  WHERE nn >= 2 AND vv >= 2
+"""
+    out = (
+        _FIT_OUT.replace("{slope}", "beta")
+        .replace("{icept}", "__icept")
+        .replace("{n_out}", "n_docs")
+    )
+    inner = _fit_sql(pts, out)
+    return (
+        "SELECT exp(__icept) AS k, beta, r2, n_docs FROM (" + inner + ")"
+    )
+
+
+def oracle_freq_spectrum_sql(
+    docs_sql: str, text_col: str, max_freq: int = 10
+) -> str:
+    return f"""
+WITH tc AS (
+  SELECT token, count(*) AS cnt
+  FROM (
+    SELECT unnest(list_filter(string_split_regex(trim(lower({text_col})), '\\s+'),
+                              w -> length(w) > 0)) AS token
+    FROM ({docs_sql})
+  )
+  GROUP BY token
+),
+spec AS (
+  SELECT CASE WHEN cnt <= {max_freq} THEN cnt
+              ELSE {max_freq + 1} END AS freq,
+         count(*)::bigint AS n_tokens
+  FROM tc GROUP BY 1
+)
+SELECT freq, n_tokens,
+       n_tokens / (sum(n_tokens) OVER ())::double AS vocab_share
+FROM spec
+"""

@@ -1,0 +1,156 @@
+"""Embedding-space corpus curation: per-group centroid construction and
+within-group outlier scoring — the "does this document belong to the
+cluster it claims?" check an embedding-aware web pipeline runs after
+clustering (SemDeDup keeps near-duplicates out; THIS flags the opposite
+tail, members far from their group's semantic center: mislabeled pages,
+spam injected under a good domain, or encoding-mangled text whose
+embedding drifted).
+
+Additive vs the reference (its engine has no embedding surface at all);
+companions: `semdedup` (within-cluster near-dups), `kmeans` (iterative
+refinement), `cluster_balanced_sample` (quota sampling).
+
+Scale shape (10^12 docs × d dims):
+- Centroids: ONE posexplode + groupBy(group, pos). The shuffle carries
+  (group, pos) partial sums after map-side combine — O(groups·d) rows
+  per map task, not O(corpus·d); the reassembled centroid table is
+  O(groups) rows and broadcasts.
+- Scoring: map-side broadcast join + a zip_with/aggregate fold — no
+  second corpus shuffle. The bottom-k window is per group and runs
+  over the corpus ONCE (same shape as cluster_balanced_sample's
+  quota rank).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .similarity import cosine_expr
+
+
+def group_centroids(
+    df: DataFrame,
+    group_col: str,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(group, centroid: array<double>, n_members) — element-wise mean
+    vector per group. Missing/NULL vectors are excluded; all vectors in
+    a group must share one dimensionality (true by construction for
+    model-emitted embeddings)."""
+    ex = df.filter(F.col(vec_col).isNotNull()).select(
+        F.col(group_col).alias("group"),
+        F.col(vec_col).alias("__v"),
+    ).select(
+        "group", F.posexplode("__v").alias("pos", "v")
+    )
+    per_dim = ex.groupBy("group", "pos").agg(
+        F.avg(F.col("v").cast("double")).alias("c"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return per_dim.groupBy("group").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))),
+            lambda s: s["c"],
+        ).alias("centroid"),
+        F.max("n").alias("n_members"),
+    )
+
+
+def centroid_outliers(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    vec_col: str = "embedding",
+    bottom_k: int = 5,
+) -> DataFrame:
+    """Score every vector by cosine to its OWN group's centroid and flag
+    each group's ``bottom_k`` least-central members (rank-based, not
+    threshold-based, so the flag is exact and engine-reproducible — a
+    fixed cosine cut would need corpus-specific tuning). Ties break
+    (cosine asc, id asc). Returns
+    (id, group, cent_cosine, outlier_rank, is_outlier) where
+    outlier_rank is 1-based for flagged rows and NULL otherwise."""
+    from pyspark.sql import Window as W
+
+    cents = group_centroids(df, group_col, vec_col)
+    scored = (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col), F.col(group_col).alias("group"), F.col(vec_col).alias("__v"))
+        .join(F.broadcast(cents), "group")
+        .select(
+            id_col,
+            "group",
+            cosine_expr(F.col("__v"), F.col("centroid")).alias("cent_cosine"),
+        )
+    )
+    # rank on the ROUNDED cosine (same stability rule as semdedup's
+    # keeper choice) so float noise in the last bits cannot flip ranks
+    # between engines
+    w = W.partitionBy("group").orderBy(
+        F.round(F.col("cent_cosine"), 6).asc(), F.col(id_col).asc()
+    )
+    rn = F.row_number().over(w)
+    return scored.select(
+        id_col,
+        "group",
+        "cent_cosine",
+        F.when(rn <= bottom_k, rn).alias("outlier_rank"),
+        (rn <= bottom_k).alias("is_outlier"),
+    )
+
+
+def oracle_group_centroids_sql(
+    vecs_sql: str, group_col: str, vec_col: str = "embedding"
+) -> str:
+    """DuckDB replay: unnest by position, avg per (group, pos),
+    reassemble with list(... ORDER BY pos)."""
+    return f"""
+WITH ex AS (
+  SELECT {group_col} AS grp,
+         generate_subscripts({vec_col}, 1) AS pos,
+         unnest({vec_col})::double AS v
+  FROM ({vecs_sql})
+  WHERE {vec_col} IS NOT NULL
+),
+per_dim AS (
+  SELECT grp, pos, avg(v) AS c, count(*) AS n
+  FROM ex GROUP BY grp, pos
+)
+SELECT grp AS "group",
+       list(c ORDER BY pos) AS centroid,
+       max(n)::bigint AS n_members
+FROM per_dim
+GROUP BY grp
+"""
+
+
+def oracle_centroid_outliers_sql(
+    vecs_sql: str,
+    id_col: str,
+    group_col: str,
+    vec_col: str = "embedding",
+    bottom_k: int = 5,
+) -> str:
+    cents = oracle_group_centroids_sql(vecs_sql, group_col, vec_col)
+    return f"""
+WITH cents AS ({cents}),
+scored AS (
+  SELECT v.{id_col}, c."group",
+         list_cosine_similarity(v.{vec_col}::double[], c.centroid) AS cent_cosine
+  FROM ({vecs_sql}) v
+  JOIN cents c ON v.{group_col} = c."group"
+  WHERE v.{vec_col} IS NOT NULL
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY "group"
+    ORDER BY round(cent_cosine, 6) ASC, {id_col} ASC
+  ) AS rn
+  FROM scored
+)
+SELECT {id_col}, "group", cent_cosine,
+       CASE WHEN rn <= {bottom_k} THEN rn END AS outlier_rank,
+       rn <= {bottom_k} AS is_outlier
+FROM ranked
+"""

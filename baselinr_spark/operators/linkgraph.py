@@ -157,3 +157,146 @@ r{i} AS (
 )"""
         )
     return "WITH " + ",\n".join(parts)
+
+
+def hits(
+    edges: DataFrame,
+    n_iter: int = 5,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg) by power iteration over the
+    normalized edge set, L1-normalized each half-step so both score
+    vectors sum to 1 (the L1 variant keeps every step a sum-aggregate —
+    same fixed point direction as the textbook L2 form, and exactly
+    replayable in SQL). Per round: auth'(v) = Σ_{u→v} hub(u), normalize;
+    hub'(u) = Σ_{u→v} auth'(v), normalize. Nodes outside the edge set's
+    reach keep score 0. Returns (node, hub, authority).
+
+    Additive vs the reference (no reference graph-analysis surface
+    beyond lineage traversal, visualization/graph_builder.py); the
+    webtext use is seed-quality curation: high-authority domains anchor
+    crawl frontier scoring alongside `pagerank` / `authority_weights`.
+
+    Scale: state is O(nodes) with outdeg-style join shape identical to
+    `pagerank` (one equi-join + one groupBy per half-step); the
+    normalizer is a 1-row broadcast crossJoin (house rule,
+    see module docstring).
+    """
+    e = normalize_edges(edges, src_col, dst_col).localCheckpoint()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n_nodes = F.broadcast(nodes.agg(F.count(F.lit(1)).alias("__n")))
+    state = nodes.crossJoin(n_nodes).select(
+        "node",
+        (F.lit(1.0) / F.col("__n")).alias("hub"),
+        (F.lit(1.0) / F.col("__n")).alias("authority"),
+    )
+    for _ in range(n_iter):
+        auth_raw = (
+            state.join(e, state["node"] == e["src"])
+            .select(F.col("dst").alias("node"), F.col("hub").alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("a_raw"))
+        )
+        a_tot = F.broadcast(auth_raw.agg(F.sum("a_raw").alias("__at")))
+        auth = (
+            nodes.join(auth_raw, "node", "left")
+            .crossJoin(a_tot)
+            .select(
+                "node",
+                F.when(
+                    F.col("__at") > 0,
+                    F.coalesce(F.col("a_raw"), F.lit(0.0)) / F.col("__at"),
+                )
+                .otherwise(0.0)
+                .alias("authority"),
+            )
+        )
+        hub_raw = (
+            auth.join(e, auth["node"] == e["dst"])
+            .select(F.col("src").alias("node"), F.col("authority").alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("h_raw"))
+        )
+        h_tot = F.broadcast(hub_raw.agg(F.sum("h_raw").alias("__ht")))
+        hub = (
+            nodes.join(hub_raw, "node", "left")
+            .crossJoin(h_tot)
+            .select(
+                "node",
+                F.when(
+                    F.col("__ht") > 0,
+                    F.coalesce(F.col("h_raw"), F.lit(0.0)) / F.col("__ht"),
+                )
+                .otherwise(0.0)
+                .alias("hub"),
+            )
+        )
+        state = (
+            nodes.join(hub, "node")
+            .join(auth, "node")
+            .select("node", "hub", "authority")
+            .localCheckpoint()
+        )
+    return state
+
+
+def oracle_hits_cte(edges_cte: str, n_iter: int = 5) -> str:
+    """CTE chain replaying `hits` exactly; callers append a final SELECT
+    over s{n_iter} (node, hub, authority).
+
+    Every CTE is AS MATERIALIZED: each level references its
+    predecessor through several paths (s{i} → hr{i} ×2 → a{i} ×3 →
+    ar{i} ×2 → s{i-1}), so inlined CTEs re-evaluate the whole prefix
+    ~6× per level — exponential in n_iter. Materialization makes the
+    replay linear (measured: >10 min inlined vs <1 s materialized at
+    n_iter=4 on the 37-node sf0.01 domain graph)."""
+    parts = [
+        f"rawe AS MATERIALIZED ({edges_cte})",
+        "e AS MATERIALIZED "
+        "(SELECT DISTINCT src, dst FROM rawe WHERE src != dst)",
+        "nodes AS MATERIALIZED "
+        "(SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        "nn AS MATERIALIZED (SELECT count(*)::double AS n FROM nodes)",
+        "s0 AS MATERIALIZED "
+        "(SELECT node, 1.0 / nn.n AS hub, 1.0 / nn.n AS authority "
+        "FROM nodes, nn)",
+    ]
+    for i in range(1, n_iter + 1):
+        parts.append(
+            f"""ar{i} AS MATERIALIZED (
+  SELECT e.dst AS node, sum(s.hub) AS a_raw
+  FROM s{i-1} s JOIN e ON s.node = e.src
+  GROUP BY 1
+),
+at{i} AS MATERIALIZED (SELECT sum(a_raw) AS t FROM ar{i}),
+a{i} AS MATERIALIZED (
+  SELECT n.node,
+         CASE WHEN at{i}.t > 0
+              THEN coalesce(ar{i}.a_raw, 0.0) / at{i}.t
+              ELSE 0.0 END AS authority
+  FROM nodes n LEFT JOIN ar{i} USING (node), at{i}
+),
+hr{i} AS MATERIALIZED (
+  SELECT e.src AS node, sum(a.authority) AS h_raw
+  FROM a{i} a JOIN e ON a.node = e.dst
+  GROUP BY 1
+),
+ht{i} AS MATERIALIZED (SELECT sum(h_raw) AS t FROM hr{i}),
+s{i} AS MATERIALIZED (
+  SELECT n.node,
+         CASE WHEN ht{i}.t > 0
+              THEN coalesce(hr{i}.h_raw, 0.0) / ht{i}.t
+              ELSE 0.0 END AS hub,
+         a{i}.authority
+  FROM nodes n
+  LEFT JOIN hr{i} USING (node)
+  JOIN a{i} USING (node), ht{i}
+)"""
+        )
+    return "WITH " + ",\n".join(parts)

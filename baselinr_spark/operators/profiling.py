@@ -159,6 +159,70 @@ def profile(
     return out
 
 
+def numeric_percentiles(
+    df: DataFrame,
+    columns: tuple[str, ...],
+    ps: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95, 0.99),
+) -> DataFrame:
+    """EXACT percentiles (continuous / linearly-interpolated, the
+    quantile_cont definition: rank = p·(n-1)) for every column × p in
+    ONE aggregate pass, long format (column_name, p, value). NULLs are
+    excluded per column, matching the reference's per-metric null
+    handling (profiling/metrics.py's count/null split).
+
+    Extends the reference's numeric profile (mean/stddev/min/max,
+    reference baselinr/profiling/metrics.py) with the distribution
+    tails the histogram's fixed 10 bins can't resolve — p99 of a
+    doc-length or price column is the standard SLA/quality cut.
+
+    Scale: Spark's exact `percentile` buffers per-column values on the
+    agg side — at true corpus scale swap in approx_percentile (same
+    call shape); the profile engine gates it the same way it gates
+    approx_distinct. One shuffle (the aggregate), no window, no join.
+    """
+    cells = [(c, p, f"q_{i}") for i, (c, p) in enumerate(
+        (c, p) for c in columns for p in ps)]
+    agg = df.agg(
+        *[
+            F.percentile(F.col(c).cast("double"), F.lit(p)).alias(a)
+            for c, p, a in cells
+        ]
+    )
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.lit(p).alias("p"),
+                F.col(a).alias("value"),
+            )
+            for c, p, a in cells
+        ]
+    )
+    return agg.select(F.explode(structs).alias("kv")).select(
+        "kv.column_name", "kv.p", "kv.value"
+    )
+
+
+def oracle_percentiles_sql(
+    table: str,
+    columns: tuple[str, ...],
+    ps: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95, 0.99),
+) -> str:
+    """DuckDB replay: quantile_cont is the same continuous-quantile
+    definition as Spark's exact `percentile` (ONE aggregate, then the
+    wide row unpivoted to long via UNION ALL of literals)."""
+    cells = [(c, p, f"q_{i}") for i, (c, p) in enumerate(
+        (c, p) for c in columns for p in ps)]
+    aggs = ",\n         ".join(
+        f"quantile_cont({c}::double, {p}) AS {a}" for c, p, a in cells
+    )
+    arms = "\nUNION ALL\n".join(
+        f"SELECT '{c}' AS column_name, {p}::double AS p, {a} AS value FROM a"
+        for c, p, a in cells
+    )
+    return f"WITH a AS (\n  SELECT {aggs}\n  FROM {table}\n)\n{arms}"
+
+
 def histogram(
     df: DataFrame,
     column: str,
