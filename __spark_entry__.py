@@ -6971,6 +6971,81 @@ def _sql_percentile_profile() -> str:
     )
 
 
+# ---------------------------------------------------------------------------
+# deterministic training-shard export (operators/sharding.py — the last
+# mile of the training-data pipeline: reproducible shards + manifests +
+# weighted source interleave; the reference has no shard writer, its
+# per-partition metrics rows motivate the manifest shape)
+# ---------------------------------------------------------------------------
+
+_N_SHARDS = 16
+
+
+def q_shard_manifest_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shard accounting for a 16-shard export of the documents
+    corpus (operators/sharding.py:shard_manifest): docs, whitespace
+    tokens, bytes, and the first document in the stable within-shard
+    order. Assignment is row-local md5; the manifest is one map-side
+    partial groupBy with O(n_shards) result rows."""
+    from baselinr_spark.operators.sharding import assign_shards, shard_manifest
+
+    docs = _read(spark, sf_dir, "documents")
+    return shard_manifest(assign_shards(docs, n_shards=_N_SHARDS))
+
+
+def _sql_shard_manifest_docs() -> str:
+    from baselinr_spark.operators.sharding import oracle_manifest_sql
+
+    return oracle_manifest_sql(n_shards=_N_SHARDS)
+
+
+def q_shard_positions_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable 0-based within-shard positions (operators/sharding.py:
+    shard_positions) — the exact order a loader streams each shard.
+    ONE shuffle keyed by shard_id; parallelism = shard count (real
+    exports use thousands of shards)."""
+    from baselinr_spark.operators.sharding import assign_shards, shard_positions
+
+    docs = _read(spark, sf_dir, "documents")
+    out = shard_positions(assign_shards(docs, n_shards=_N_SHARDS))
+    return out.select("doc_id", "shard_id", "shard_pos")
+
+
+def _sql_shard_positions_docs() -> str:
+    from baselinr_spark.operators.sharding import oracle_positions_sql
+
+    return oracle_positions_sql(n_shards=_N_SHARDS)
+
+
+def q_mixture_interleave_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted deterministic interleave key (operators/sharding.py:
+    mixture_interleave): ordering by the key realizes the per-source
+    mixture in every prefix WITHOUT a per-source window (which would cap
+    parallelism at |sources|). Weights derived from the source id
+    (1 + src_number % 4) so the query is scale-factor-independent."""
+    from baselinr_spark.operators.sharding import mixture_interleave
+
+    docs = _read(spark, sf_dir, "documents")
+    w = (
+        F.lit(1.0)
+        + (F.substring(F.col("source"), 4, 10).cast("int") % 4).cast("double")
+    )
+    out = mixture_interleave(docs, weight=w, salt="mix")
+    return _r6(out.select("doc_id", "source", "interleave_key"), "interleave_key")
+
+
+def _sql_mixture_interleave_docs() -> str:
+    from baselinr_spark.operators.sharding import oracle_interleave_sql
+
+    inner = oracle_interleave_sql(
+        weight_expr="1.0 + (substring(source, 4)::int % 4)"
+    )
+    return (
+        "SELECT d.doc_id, d.source, i.interleave_key FROM documents d "
+        "JOIN (" + inner + ") i USING (doc_id) ORDER BY d.doc_id"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: keep/drop quality filter over sf0.001 documents."""
     return q_keep_drop_docs(spark, "/root/testdata/sf0.001")
@@ -6980,6 +7055,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is deliberate: the driver's correctness gate samples the
     # first 50 entries, so the window rotates each round toward the
     # entries with the OLDEST driver CORRECTNESS row. Round-5 window:
+    # 3 shard-export entries (new this session) +
     # 25 never-driver-checked (asof/nb/incremental-dedup/range-join/
     # overlap-join/rollup/sessionize/bloom/zorder/encoding-quality/
     # boilerplate/tfidf/chunking/kmeans×2/char-entropy + bm25/rake/
@@ -6998,6 +7074,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # active_drift_summary, query_runs_paginated.
     return {
         # --- r05 front block = the driver gate's 50-sample window ---
+        "shard_manifest_docs": q_shard_manifest_docs,
+        "shard_positions_docs": q_shard_positions_docs,
+        "mixture_interleave_docs": q_mixture_interleave_docs,
         "asof_events": q_asof_events,
         "nb_classifier": q_nb_classifier,
         "incremental_dedup": q_incremental_dedup,
@@ -7157,6 +7236,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "shard_manifest_docs": _sql_shard_manifest_docs(),
+        "shard_positions_docs": _sql_shard_positions_docs(),
+        "mixture_interleave_docs": _sql_mixture_interleave_docs(),
         "asof_events": _SQL_ASOF_EVENTS,
         "nb_classifier": _sql_nb_classifier(),
         "incremental_dedup": _SQL_INCREMENTAL_DEDUP,

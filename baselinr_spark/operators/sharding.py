@@ -1,0 +1,250 @@
+"""Deterministic training-shard export: hash-shard assignment, stable
+within-shard ordering, shard manifests, and a weighted mixture-interleave
+key — the last mile of a web-scale training-data pipeline (write the kept,
+scrubbed corpus as S reproducible shards that a data loader streams in a
+fixed order, mixing sources in target proportions).
+
+Additive coverage: the reference (baselinrhq/baselinr) has no shard
+writer — its closest surface is partition-granular profiling
+(`/root/reference/baselinr/profiling/partition.py`) which motivates the
+manifest shape (per-shard row/byte/token accounting, like the reference's
+per-partition metrics rows).
+
+Scale design (the part that matters at 100 TB):
+* `assign_shards` is ROW-LOCAL — shard id and order key are md5-derived
+  from the document id, so the assignment is reproducible regardless of
+  input partitioning, task scheduling, or cluster size, and costs zero
+  shuffle.
+* `shard_positions` / `write_shards` do ONE shuffle keyed by shard_id.
+  Parallelism equals the shard count, so size S to the cluster — real
+  exports use thousands of shards (file-size targets, loader fan-out),
+  which is exactly what keeps every core busy here too.
+* `shard_manifest` is one partial-aggregating groupBy (map-side combine;
+  O(S) result rows).
+* `mixture_interleave` is ROW-LOCAL: ordering the output by the returned
+  key realizes the requested source mixture in every prefix without a
+  per-source window (a window partitioned by the handful of sources
+  would bottleneck parallelism at |sources| — the md5-uniform order key
+  avoids that shuffle entirely).
+
+All randomness is md5-derived (the repo-wide '0x'-hex idiom), so DuckDB
+replays every decision exactly — see the paired oracle SQL builders.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _md5_long(col: Column, salt: str, nhex: int = 8) -> Column:
+    """Deterministic non-negative integer from md5(col|salt): first
+    `nhex` hex chars as a bigint (8 hex = 32 bits for bucketing, 15 hex
+    = 60 bits where collisions must be negligible)."""
+    return F.conv(
+        F.substring(
+            F.md5(F.concat(col.cast("string"), F.lit("|" + salt))), 1, nhex
+        ),
+        16,
+        10,
+    ).cast("long")
+
+
+def assign_shards(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_shards: int = 8,
+    salt: str = "shard",
+) -> DataFrame:
+    """Add (shard_id, order_key) to every row.
+
+    shard_id   = md5(id|salt)    % n_shards          (32-bit bucket)
+    order_key  = md5(id|salt#o)  as a 60-bit bigint  (within-shard order)
+
+    The 60-bit order key makes ties vanishingly unlikely (birthday bound
+    ~1e-9 at 50k docs/shard); consumers still break ties by id for a
+    total order. Row-local, zero shuffle.
+    """
+    h = _md5_long(F.col(id_col), salt)
+    ok = _md5_long(F.col(id_col), salt + "#o", nhex=15)
+    return df.withColumn(
+        "shard_id", (h % F.lit(n_shards)).cast("int")
+    ).withColumn("order_key", ok)
+
+
+def shard_positions(sharded: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """0-based stable position of each document within its shard
+    (order_key ascending, ties by id). ONE shuffle keyed by shard_id;
+    parallelism = shard count, so size n_shards to the cluster."""
+    w = Window.partitionBy("shard_id").orderBy("order_key", id_col)
+    return sharded.withColumn(
+        "shard_pos", (F.row_number().over(w) - F.lit(1)).cast("long")
+    )
+
+
+def _ws_token_count(text: Column) -> Column:
+    # whitespace tokens, empty strings dropped (split("") -> [""])
+    return F.size(F.filter(F.split(F.trim(text), r"\s+"), lambda x: F.length(x) > 0))
+
+
+def shard_manifest(
+    sharded: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-shard accounting a loader (or a resume/verify pass) consumes:
+    (shard_id, n_docs, total_tokens, total_bytes, first_doc). first_doc
+    is the id at shard_pos 0 — min_by over the 60-bit order key (ties
+    impossible at export scale, see assign_shards). One groupBy with
+    map-side partial aggregation; O(n_shards) result rows."""
+    return (
+        sharded.groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(_ws_token_count(F.col(text_col)).cast("long")).alias(
+                "total_tokens"
+            ),
+            F.sum(F.octet_length(F.col(text_col)).cast("long")).alias(
+                "total_bytes"
+            ),
+            F.min_by(F.col(id_col), F.col("order_key")).alias("first_doc"),
+        )
+        .orderBy("shard_id")
+    )
+
+
+def write_shards(
+    sharded: DataFrame, path: str, id_col: str = "doc_id"
+) -> None:
+    """Materialize the export: one shuffle keyed by shard_id, each task
+    sorts its shard by (order_key, id) and writes exactly one
+    shard_id=N directory — reproducible bytes for a fixed input."""
+    (
+        sharded.repartition("shard_id")
+        .sortWithinPartitions("shard_id", "order_key", id_col)
+        .write.mode("overwrite")
+        .partitionBy("shard_id")
+        .parquet(path)
+    )
+
+
+def mixture_interleave(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    weights: Mapping[str, float] | None = None,
+    weight: Column | None = None,
+    salt: str = "mix",
+) -> DataFrame:
+    """Weighted deterministic interleave key: reading the corpus in
+    ascending `interleave_key` order realizes the requested source
+    mixture in every prefix.
+
+    key = u / w(source), with u = md5-uniform(id|salt) in [0,1). For any
+    cut t <= 1/max(w), the expected count of source s in the prefix is
+    |s| * w_s * t — i.e. prefix composition is proportional to
+    (weight x source size); to hit target proportions p_s, pass
+    w_s ∝ p_s / |s|.
+
+    Row-local (zero shuffle; no per-source window — a window partitioned
+    by a handful of sources would cap parallelism at |sources| at 100 TB).
+    Pass either a `weights` mapping (becomes a literal map lookup, O(1)
+    per row, missing sources get weight 1.0) or a `weight` Column
+    expression for formula-derived weights.
+    """
+    if weight is None:
+        if weights is None:
+            weight = F.lit(1.0)
+        else:
+            pairs: list[Column] = []
+            for k, v in weights.items():
+                pairs.append(F.lit(k))
+                pairs.append(F.lit(float(v)))
+            weight = F.coalesce(
+                F.create_map(*pairs)[F.col(source_col)], F.lit(1.0)
+            )
+    u = _md5_long(F.col(id_col), salt) / F.lit(float(16**8))
+    return df.withColumn("interleave_key", u / weight)
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle builders (exact replay of the md5-derived decisions)
+# ---------------------------------------------------------------------------
+
+_DUCK_TOKENS = (
+    "len(list_filter(string_split_regex(trim({t}), '\\s+'), "
+    "x -> length(x) > 0))::bigint"
+)
+
+
+def _duck_md5_long(expr: str, salt: str, nhex: int = 8) -> str:
+    return (
+        f"('0x' || substring(md5({expr}::varchar || '|{salt}'), 1, {nhex}))::bigint"
+    )
+
+
+def oracle_sharded_cte(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    n_shards: int = 8,
+    salt: str = "shard",
+) -> str:
+    """CTE `sharded` = the table plus (shard_id, order_key)."""
+    return f"""WITH sharded AS (
+  SELECT *,
+         ({_duck_md5_long(id_col, salt)} % {n_shards})::int AS shard_id,
+         {_duck_md5_long(id_col, salt + '#o', 15)} AS order_key
+  FROM {table}
+)"""
+
+
+def oracle_positions_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    n_shards: int = 8,
+    salt: str = "shard",
+) -> str:
+    return (
+        oracle_sharded_cte(table, id_col, n_shards, salt)
+        + f"""
+SELECT {id_col}, shard_id,
+       (row_number() OVER (PARTITION BY shard_id
+                           ORDER BY order_key, {id_col}) - 1)::bigint
+         AS shard_pos
+FROM sharded ORDER BY shard_id, shard_pos"""
+    )
+
+
+def oracle_manifest_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_shards: int = 8,
+    salt: str = "shard",
+) -> str:
+    toks = _DUCK_TOKENS.format(t=text_col)
+    return (
+        oracle_sharded_cte(table, id_col, n_shards, salt)
+        + f"""
+SELECT shard_id,
+       count(*)::bigint AS n_docs,
+       sum({toks})::bigint AS total_tokens,
+       sum(strlen({text_col}))::bigint AS total_bytes,
+       arg_min({id_col}, order_key) AS first_doc
+FROM sharded GROUP BY shard_id ORDER BY shard_id"""
+    )
+
+
+def oracle_interleave_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    weight_expr: str = "1.0",
+    salt: str = "mix",
+) -> str:
+    """weight_expr is a DuckDB scalar expression over the table's columns
+    mirroring the Spark-side weight Column."""
+    u = _duck_md5_long(id_col, salt)
+    return f"""SELECT {id_col},
+       round(({u} / {float(16**8)}) / ({weight_expr}), 6) AS interleave_key
+FROM {table} ORDER BY {id_col}"""
