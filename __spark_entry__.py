@@ -7046,6 +7046,85 @@ def _sql_mixture_interleave_docs() -> str:
     )
 
 
+def q_rule_ablation_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out rule ablation (operators/evalmetrics.py:
+    rule_ablation) over the same heuristic bank as rule_fire_rates_docs:
+    per rule, what it fires on, what it ALONE catches, and the keep-rate
+    the corpus would recover without it — ONE 2R+2-counter aggregate
+    (map-side combined to a single row) + a row-local explode."""
+    from baselinr_spark.operators.evalmetrics import rule_ablation
+    from baselinr_spark.operators.textanalysis import doc_stats
+
+    docs = _read(spark, sf_dir, "documents")
+    s = doc_stats(docs, "doc_id", "text")
+    rules = {
+        "too_short": F.col("n_words") < 20,
+        "word_length": (F.col("mean_word_length") < 3.0)
+        | (F.col("mean_word_length") > 10.0),
+        "low_distinct": F.col("distinct_word_ratio") < 0.2,
+        "no_stopwords": F.col("stopword_fraction") <= 0.0,
+    }
+    flagged = s.select(
+        *[p.alias(n) for n, p in rules.items()]
+    )
+    return rule_ablation(flagged, list(rules))
+
+
+_SQL_RULE_ABLATION = """
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'), x -> length(x) > 0) AS words
+  FROM documents
+), f AS (
+  SELECT len(words) AS n_words,
+         CASE WHEN len(words) > 0
+              THEN list_sum(list_transform(words, x -> length(x)))::double / len(words)
+              ELSE 0.0 END AS mwl,
+         CASE WHEN len(words) > 0
+              THEN len(list_distinct(words))::double / len(words) ELSE 0.0 END AS dwr,
+         CASE WHEN len(words) > 0
+              THEN len(list_filter(words, x -> lower(x) IN
+                   ('the','a','and','of','to','in','is','it','that','for')))::double / len(words)
+              ELSE 0.0 END AS sf
+  FROM w
+), r AS (
+  SELECT (n_words < 20) AS too_short,
+         (mwl < 3.0 OR mwl > 10.0) AS word_length,
+         (dwr < 0.2) AS low_distinct,
+         (sf <= 0.0) AS no_stopwords
+  FROM f
+), agg AS (
+  SELECT count(*) AS n,
+         sum((NOT too_short AND NOT word_length AND NOT low_distinct
+              AND NOT no_stopwords)::int)::bigint AS kept,
+         sum(too_short::int)::bigint AS fire_too_short,
+         sum((too_short AND NOT word_length AND NOT low_distinct
+              AND NOT no_stopwords)::int)::bigint AS sole_too_short,
+         sum(word_length::int)::bigint AS fire_word_length,
+         sum((word_length AND NOT too_short AND NOT low_distinct
+              AND NOT no_stopwords)::int)::bigint AS sole_word_length,
+         sum(low_distinct::int)::bigint AS fire_low_distinct,
+         sum((low_distinct AND NOT too_short AND NOT word_length
+              AND NOT no_stopwords)::int)::bigint AS sole_low_distinct,
+         sum(no_stopwords::int)::bigint AS fire_no_stopwords,
+         sum((no_stopwords AND NOT too_short AND NOT word_length
+              AND NOT low_distinct)::int)::bigint AS sole_no_stopwords
+  FROM r
+)
+SELECT m.rule_name, m.fire_count, m.sole_drop_count,
+       round(agg.kept::double / agg.n, 6) AS keep_rate_base,
+       round((agg.kept + m.sole_drop_count)::double / agg.n, 6)
+         AS keep_rate_without,
+       round(m.sole_drop_count::double / agg.n, 6) AS marginal_keep_gain
+FROM agg, LATERAL (VALUES
+  ('too_short', fire_too_short, sole_too_short),
+  ('word_length', fire_word_length, sole_word_length),
+  ('low_distinct', fire_low_distinct, sole_low_distinct),
+  ('no_stopwords', fire_no_stopwords, sole_no_stopwords)
+) AS m(rule_name, fire_count, sole_drop_count)
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: keep/drop quality filter over sf0.001 documents."""
     return q_keep_drop_docs(spark, "/root/testdata/sf0.001")
@@ -7075,6 +7154,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- r05 front block = the driver gate's 50-sample window ---
         "shard_manifest_docs": q_shard_manifest_docs,
+        "rule_ablation_docs": q_rule_ablation_docs,
         "shard_positions_docs": q_shard_positions_docs,
         "mixture_interleave_docs": q_mixture_interleave_docs,
         "asof_events": q_asof_events,
@@ -7237,6 +7317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "shard_manifest_docs": _sql_shard_manifest_docs(),
+        "rule_ablation_docs": _SQL_RULE_ABLATION,
         "shard_positions_docs": _sql_shard_positions_docs(),
         "mixture_interleave_docs": _sql_mixture_interleave_docs(),
         "asof_events": _SQL_ASOF_EVENTS,

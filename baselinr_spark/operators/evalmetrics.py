@@ -119,3 +119,63 @@ SELECT threshold, tp, fp, fn, tn,
             ELSE 0.0 END AS accuracy
 FROM agg
 """
+
+
+def rule_ablation(df: DataFrame, rule_cols: Sequence[str]) -> DataFrame:
+    """Leave-one-out ablation over boolean fail-rule columns — the
+    standard filter-tuning diagnostic: what does each rule cost the
+    corpus, and what does it catch that nothing else catches?
+
+    For each rule r over documents carrying ``rule_cols`` booleans
+    (True = rule fires = drop), emit one row:
+      (rule_name, fire_count, sole_drop_count, keep_rate_base,
+       keep_rate_without, marginal_keep_gain)
+    where ``keep_rate_without`` is the keep rate with r deleted from
+    the bank, ``sole_drop_count`` the documents dropped ONLY by r
+    (so marginal_keep_gain = sole_drop_count / n_docs), and
+    ``keep_rate_base`` the all-rules keep rate (repeated per row for
+    context).
+
+    Scale shape: ONE aggregate over the corpus (2R+2 partial-agg
+    counters, map-side combined to a single row) followed by a
+    row-local explode to R output rows — no per-rule corpus re-scan,
+    no shuffle beyond the one-row aggregate. Null rule values count
+    as not-fired (the with_verdict coalesce convention).
+    """
+    fires = {r: F.coalesce(F.col(r), F.lit(False)) for r in rule_cols}
+    none_fire = None
+    for c in fires.values():
+        none_fire = ~c if none_fire is None else (none_fire & ~c)
+    aggs = [
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(none_fire.cast("long")).alias("__kept"),
+    ]
+    for r, c in fires.items():
+        others_quiet = None
+        for r2, c2 in fires.items():
+            if r2 == r:
+                continue
+            others_quiet = ~c2 if others_quiet is None else (others_quiet & ~c2)
+        if others_quiet is None:  # single-rule bank
+            others_quiet = F.lit(True)
+        aggs.append(F.sum(c.cast("long")).alias(f"__fire_{r}"))
+        aggs.append(
+            F.sum((c & others_quiet).cast("long")).alias(f"__sole_{r}")
+        )
+    one = df.agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(r).alias("rule_name"),
+            F.col(f"__fire_{r}").alias("fire_count"),
+            F.col(f"__sole_{r}").alias("sole_drop_count"),
+            F.round(F.col("__kept") / F.col("__n"), 6).alias("keep_rate_base"),
+            F.round(
+                (F.col("__kept") + F.col(f"__sole_{r}")) / F.col("__n"), 6
+            ).alias("keep_rate_without"),
+            F.round(F.col(f"__sole_{r}") / F.col("__n"), 6).alias(
+                "marginal_keep_gain"
+            ),
+        )
+        for r in rule_cols
+    ]
+    return one.select(F.explode(F.array(*structs)).alias("kv")).select("kv.*")

@@ -77,3 +77,39 @@ def test_confusion_sweep_zero_denominators(spark):
     assert (row["tp"], row["fp"], row["fn"], row["tn"]) == (0, 0, 0, 1)
     assert row["precision"] == 0.0 and row["recall"] == 0.0
     assert row["f1"] == 0.0 and row["accuracy"] == 1.0
+
+
+def test_rule_ablation_hand_computed(spark):
+    from baselinr_spark.operators.evalmetrics import rule_ablation
+
+    df = spark.createDataFrame(
+        [
+            Row(r1=True, r2=False),
+            Row(r1=False, r2=False),
+            Row(r1=True, r2=True),
+            Row(r1=False, r2=True),
+            Row(r1=False, r2=False),
+            Row(r1=None, r2=False),  # null counts as not-fired
+        ]
+    )
+    rows = {r["rule_name"]: r for r in rule_ablation(df, ["r1", "r2"]).collect()}
+    assert set(rows) == {"r1", "r2"}
+    for r in rows.values():
+        assert r["keep_rate_base"] == pytest.approx(0.5)  # 3 of 6 clean
+    assert rows["r1"]["fire_count"] == 2
+    assert rows["r1"]["sole_drop_count"] == 1  # row 1: only r1 fires
+    assert rows["r1"]["keep_rate_without"] == pytest.approx(4 / 6, abs=1e-6)
+    assert rows["r1"]["marginal_keep_gain"] == pytest.approx(1 / 6, abs=1e-6)
+    assert rows["r2"]["fire_count"] == 2
+    assert rows["r2"]["sole_drop_count"] == 1  # row 4: only r2 fires
+
+
+def test_rule_ablation_single_rule_bank(spark):
+    from baselinr_spark.operators.evalmetrics import rule_ablation
+
+    df = spark.createDataFrame([Row(r1=True), Row(r1=False), Row(r1=False)])
+    row = rule_ablation(df, ["r1"]).collect()[0]
+    # with one rule, every fire is a sole drop and removing it keeps all
+    assert row["fire_count"] == 1 and row["sole_drop_count"] == 1
+    assert row["keep_rate_base"] == pytest.approx(2 / 3, abs=1e-6)
+    assert row["keep_rate_without"] == pytest.approx(1.0)
