@@ -5787,6 +5787,110 @@ SELECT doc_id, lang FROM ranked WHERE rn = 1
 """
 
 
+def q_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-incremental NEAR-dup dedup (operators/dedup.py:
+    incremental_minhash_dedup): batch 1 = docs 0-39 (its kept band
+    index + signatures become the corpus state); batch 2 = docs 40-79
+    (new) ∪ docs 0-19 with one appended word at +10000 (cross-batch
+    near-dups — the probe must drop them without re-reading batch-1
+    text) ∪ docs 60-79 with one appended word at +30000 (intra-batch
+    near-dups — original id wins). Trigram shingles, k=8 md5 minhashes,
+    4 bands × 2 rows, threshold 0.5 — all deterministic, so the DuckDB
+    oracle replays the exact drop set."""
+    from baselinr_spark.operators.dedup import incremental_minhash_dedup
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text").filter(
+        F.col("doc_id") < 80
+    )
+    b1 = docs.filter(F.col("doc_id") < 40)
+    _, idx, sg = incremental_minhash_dedup(b1, None, None, "doc_id", "text")
+    b2 = (
+        docs.filter(F.col("doc_id") >= 40)
+        .unionByName(
+            docs.filter(F.col("doc_id") < 20).select(
+                (F.col("doc_id") + 10000).alias("doc_id"),
+                F.concat("text", F.lit(" zzzq")).alias("text"),
+            )
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") >= 60).select(
+                (F.col("doc_id") + 30000).alias("doc_id"),
+                F.concat("text", F.lit(" qqzz")).alias("text"),
+            )
+        )
+    )
+    kept, _, _ = incremental_minhash_dedup(b2, idx, sg, "doc_id", "text")
+    return kept.select("doc_id")
+
+
+def _sql_incremental_minhash() -> str:
+    sigs = ", ".join(f"min(md5('{i}|' || shingle)) AS sig_{i}" for i in range(8))
+    bands = ", ".join(
+        f"md5(concat_ws('|', sig_{2*b}, sig_{2*b+1})) AS key_{b}" for b in range(4)
+    )
+    band_union = " UNION ALL ".join(
+        f"SELECT doc_id, batch, {b} AS band, key_{b} AS key, "
+        + ", ".join(f"sig_{i}" for i in range(8))
+        + " FROM sigb"
+        for b in range(4)
+    )
+    matches = " + ".join(
+        f"(CASE WHEN a.sig_{i} = b.sig_{i} THEN 1 ELSE 0 END)" for i in range(8)
+    )
+    return f"""
+WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 80),
+d AS (
+  SELECT doc_id, text, 1 AS batch FROM base WHERE doc_id < 40
+  UNION ALL SELECT doc_id, text, 2 FROM base WHERE doc_id >= 40
+  UNION ALL SELECT doc_id + 10000, text || ' zzzq', 2 FROM base WHERE doc_id < 20
+  UNION ALL SELECT doc_id + 30000, text || ' qqzz', 2 FROM base WHERE doc_id >= 60
+),
+w AS (
+  SELECT doc_id, batch,
+         list_filter(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+                     x -> length(x) > 0) AS words
+  FROM d
+), sh AS (
+  SELECT doc_id, batch, unnest(list_distinct(
+           CASE WHEN len(words) - 2 > 0
+                THEN list_transform(range(0, len(words) - 2),
+                                    i -> array_to_string(words[i+1:i+3], ' '))
+                ELSE [array_to_string(words, ' ')] END)) AS shingle
+  FROM w
+), sig AS (
+  SELECT doc_id, batch, {sigs} FROM sh GROUP BY doc_id, batch
+), sigb AS (SELECT *, {bands} FROM sig),
+banded AS ({band_union}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS ia, a.batch AS ba, b.doc_id AS ib, b.batch AS bb,
+         ({matches})::double / 8.0 AS ej
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+),
+b1_drop AS (
+  SELECT DISTINCT ib AS id FROM cand WHERE ba = 1 AND bb = 1 AND ej >= 0.5
+),
+b1_kept AS (
+  SELECT doc_id FROM sig WHERE batch = 1
+  AND doc_id NOT IN (SELECT id FROM b1_drop)
+),
+corpus_drop AS (
+  SELECT DISTINCT c.ib AS id FROM cand c JOIN b1_kept k ON c.ia = k.doc_id
+  WHERE c.bb = 2 AND c.ej >= 0.5
+),
+surv AS (
+  SELECT doc_id FROM sig WHERE batch = 2
+  AND doc_id NOT IN (SELECT id FROM corpus_drop)
+),
+intra_drop AS (
+  SELECT DISTINCT c.ib AS id
+  FROM cand c JOIN surv sa ON c.ia = sa.doc_id JOIN surv sb ON c.ib = sb.doc_id
+  WHERE c.ej >= 0.5
+)
+SELECT doc_id FROM surv WHERE doc_id NOT IN (SELECT id FROM intra_drop)
+"""
+
+
 def q_range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketed range join (operators/temporal.py:interval_point_join):
     every click landing inside a same-user purchase attribution window
@@ -7160,6 +7264,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_events": q_asof_events,
         "nb_classifier": q_nb_classifier,
         "incremental_dedup": q_incremental_dedup,
+        "incremental_minhash": q_incremental_minhash,
         "range_join_events": q_range_join_events,
         "interval_overlap_events": q_interval_overlap_events,
         "time_rollup_events": q_time_rollup_events,
@@ -7323,6 +7428,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_events": _SQL_ASOF_EVENTS,
         "nb_classifier": _sql_nb_classifier(),
         "incremental_dedup": _SQL_INCREMENTAL_DEDUP,
+        "incremental_minhash": _sql_incremental_minhash(),
         "range_join_events": _SQL_RANGE_JOIN_EVENTS,
         "interval_overlap_events": _SQL_INTERVAL_OVERLAP_EVENTS,
         "time_rollup_events": _SQL_TIME_ROLLUP_EVENTS,

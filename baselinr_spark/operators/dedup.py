@@ -619,3 +619,177 @@ def incremental_exact_dedup(
         "text_hash", F.col(id_col).alias("first_id")
     )
     return kept.drop("text_hash"), delta
+
+
+def minhash_band_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = DEFAULT_MINHASH_K,
+    bands: int = DEFAULT_BANDS,
+    shingle_n: int = 3,
+) -> tuple[DataFrame, DataFrame]:
+    """Build the persistable LSH index state for a document set:
+    ``(bands_df, sigs_df)`` where bands_df = (id, band, key) — one row
+    per (doc, band), the probe table — and sigs_df = (id, sigs
+    array<string>) — the k minhash components, used only to estimate
+    Jaccard for candidates the probe surfaces.
+
+    Split into TWO tables on purpose: at 10^12 docs the band keys are
+    what every future batch equi-joins against (bands·16 bytes/doc),
+    while the k-component signatures (k·32 bytes/doc) are touched only
+    for the candidate ids — storing sigs denormalized per band row
+    would multiply that payload by `bands` for no query benefit."""
+    sig = minhash_signatures(df, id_col, text_col, k, shingle_n)
+    rows_per_band = k // bands
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)],
+                    )
+                ).alias("key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    bands_df = sig.select("id", F.explode(band_structs).alias("bk")).select(
+        "id", "bk.band", "bk.key"
+    )
+    sigs_df = sig.select(
+        "id", F.array(*[F.col(f"sig_{i}") for i in range(k)]).alias("sigs")
+    )
+    return bands_df, sigs_df
+
+
+def incremental_minhash_dedup(
+    new_docs: DataFrame,
+    index: DataFrame | None,
+    sigs: DataFrame | None,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = DEFAULT_MINHASH_K,
+    bands: int = DEFAULT_BANDS,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    max_bucket: int = 10_000,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Snapshot-incremental NEAR-dup dedup: filter a new crawl batch
+    against the LSH index of everything already accepted, without ever
+    re-reading (or re-hashing) the accepted corpus text — the MinHash
+    twin of `incremental_exact_dedup`, and the shape a rolling
+    CommonCrawl ingest actually runs (each dump deduped against the
+    union of all prior dumps' *state*, which is hashes, not text).
+
+    Returns ``(kept_new, index_delta, sigs_delta)`` — append the deltas
+    to the index/sigs tables for the next batch. With ``index=None``
+    (first dump) the probe is skipped and only intra-batch dedup runs.
+
+    Semantics (deterministic, oracle-replayable):
+
+    1. *Corpus probe*: a new doc is dropped iff it shares a band key
+       with an accepted doc AND the signature match fraction is
+       ≥ ``threshold``. The probe is an equi-join on (band, key) — the
+       candidate set, not the corpus, pays for signature comparison.
+    2. *Intra-batch*: among corpus-surviving docs, a doc is dropped iff
+       a SMALLER-id corpus-surviving doc is a near-dup of it (band
+       collision + est Jaccard ≥ threshold). Greedy pairwise min-id —
+       deliberately NOT connected components: each batch is bounded, a
+       transitive chain across a batch is rare, and the greedy rule is
+       one join instead of an iterative fixpoint. Whole-corpus CC
+       dedup remains available as `dedup_by_components`.
+
+    Scale notes: band buckets larger than ``max_bucket`` on either side
+    are excluded from candidate generation (same degenerate-boilerplate
+    rationale as `minhash_lsh_pairs`; such docs are caught by exact
+    dedup far cheaper). At production scale the index-side bucket
+    counts should be maintained incrementally with the index itself
+    rather than recomputed per batch — here it is one groupBy over the
+    (band, key) table, which never contains text."""
+    new_bands, new_sigs = minhash_band_index(
+        new_docs, id_col, text_col, k, bands, shingle_n
+    )
+    est = (
+        F.aggregate(
+            F.zip_with("sigs_a", "sigs_b", lambda a, b: (a == b).cast("int")),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        )
+        / float(k)
+    )
+
+    surviving_ids = new_sigs.select("id")
+    if index is not None:
+        idx_ok = (
+            index.groupBy("band", "key")
+            .agg(F.count(F.lit(1)).alias("__bn"))
+            .filter(F.col("__bn") <= max_bucket)
+            .select("band", "key")
+        )
+        cand = (
+            new_bands.join(index.join(idx_ok, ["band", "key"])
+                           .select("band", "key",
+                                   F.col("id").alias("old_id")),
+                           ["band", "key"])
+            .select(F.col("id"), "old_id")
+            .distinct()
+        )
+        scored = (
+            cand.join(new_sigs.select("id", F.col("sigs").alias("sigs_a")), "id")
+            .join(
+                sigs.select(F.col("id").alias("old_id"),
+                            F.col("sigs").alias("sigs_b")),
+                "old_id",
+            )
+            .withColumn("est_jaccard", est)
+        )
+        corpus_dups = (
+            scored.filter(F.col("est_jaccard") >= threshold)
+            .select("id")
+            .distinct()
+        )
+        surviving_ids = surviving_ids.join(corpus_dups, "id", "left_anti")
+
+    surv_bands = new_bands.join(surviving_ids, "id")
+    batch_ok = (
+        surv_bands.groupBy("band", "key")
+        .agg(F.count(F.lit(1)).alias("__bn"))
+        .filter(F.col("__bn") <= max_bucket)
+        .select("band", "key")
+    )
+    surv_bands = surv_bands.join(batch_ok, ["band", "key"])
+    pair = (
+        surv_bands.alias("l")
+        .join(
+            surv_bands.alias("r"),
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("old_id"), F.col("r.id").alias("id"))
+        .distinct()
+    )
+    intra_dups = (
+        pair.join(new_sigs.select("id", F.col("sigs").alias("sigs_a")), "id")
+        .join(
+            new_sigs.select(F.col("id").alias("old_id"),
+                            F.col("sigs").alias("sigs_b")),
+            "old_id",
+        )
+        .withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id")
+        .distinct()
+    )
+    kept_ids = surviving_ids.join(intra_dups, "id", "left_anti")
+
+    kept_new = new_docs.join(
+        kept_ids.withColumnRenamed("id", id_col), id_col
+    )
+    index_delta = new_bands.join(kept_ids, "id")
+    sigs_delta = new_sigs.join(kept_ids, "id")
+    return kept_new, index_delta, sigs_delta
