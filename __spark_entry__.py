@@ -1104,6 +1104,78 @@ FROM cand WHERE est_jaccard >= 0.5
 """
 
 
+def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-threshold tuning report (operators/dedup.py:
+    dedup_threshold_sweep): per candidate threshold, LSH near-dup pair
+    count and greedy min-id drop count — one LSH pass at the loosest
+    threshold, sweep read off per-doc maxima. Thresholds are exact
+    binary fractions and est_jaccard is a multiple of 1/8, so the
+    comparison needs no rounding."""
+    from baselinr_spark.operators.dedup import dedup_threshold_sweep
+
+    docs = _docs_with_planted_dups(spark, sf_dir).filter(
+        (F.col("doc_id") < 100) | (F.col("doc_id") >= 100000)
+    )
+    return dedup_threshold_sweep(
+        docs, "doc_id", "text", thresholds=(0.25, 0.5, 0.75, 1.0)
+    )
+
+
+def _sql_dedup_threshold_sweep() -> str:
+    sigs = ", ".join(f"min(md5('{i}|' || shingle)) AS sig_{i}" for i in range(8))
+    bands = ", ".join(
+        f"md5(concat_ws('|', sig_{2*b}, sig_{2*b+1})) AS key_{b}" for b in range(4)
+    )
+    band_union = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, key_{b} AS key, "
+        + ", ".join(f"sig_{i}" for i in range(8))
+        + " FROM sigb" for b in range(4)
+    )
+    matches = " + ".join(
+        f"(CASE WHEN a.sig_{i} = b.sig_{i} THEN 1 ELSE 0 END)" for i in range(8)
+    )
+    return f"""
+WITH {_SQL_DOCS_PLANTED},
+w AS (
+  SELECT doc_id,
+         list_filter(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+                     x -> length(x) > 0) AS words
+  FROM docs2 WHERE doc_id < 100 OR doc_id >= 100000
+), sh AS (
+  SELECT doc_id, unnest(list_distinct(
+           CASE WHEN len(words) - 2 > 0
+                THEN list_transform(range(0, len(words) - 2),
+                                    i -> array_to_string(words[i+1:i+3], ' '))
+                ELSE [array_to_string(words, ' ')] END)) AS shingle
+  FROM w
+), sig AS (
+  SELECT doc_id, {sigs} FROM sh GROUP BY doc_id
+), sigb AS (SELECT *, {bands} FROM sig),
+banded AS ({band_union}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         ({matches})::double / 8.0 AS est_jaccard
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+),
+cand2 AS (SELECT * FROM cand WHERE est_jaccard >= 0.25),
+grid AS (SELECT unnest([0.25, 0.5, 0.75, 1.0]) AS threshold),
+perdoc AS (SELECT id_b, max(est_jaccard) AS max_est FROM cand2 GROUP BY id_b),
+pair_side AS (
+  SELECT g.threshold,
+         sum(CASE WHEN c.est_jaccard >= g.threshold THEN 1 ELSE 0 END)::bigint AS n_pairs
+  FROM grid g CROSS JOIN cand2 c GROUP BY 1
+),
+doc_side AS (
+  SELECT g.threshold,
+         sum(CASE WHEN p.max_est >= g.threshold THEN 1 ELSE 0 END)::bigint AS n_dropped
+  FROM grid g CROSS JOIN perdoc p GROUP BY 1
+)
+SELECT threshold, n_pairs, n_dropped
+FROM pair_side JOIN doc_side USING (threshold)
+"""
+
+
 def q_lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production near-dup shape: MinHash-LSH candidates (recall knob
     est_jaccard >= 0.25) verified with EXACT shingle-set Jaccard
@@ -7265,6 +7337,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nb_classifier": q_nb_classifier,
         "incremental_dedup": q_incremental_dedup,
         "incremental_minhash": q_incremental_minhash,
+        "dedup_threshold_sweep": q_dedup_threshold_sweep,
         "range_join_events": q_range_join_events,
         "interval_overlap_events": q_interval_overlap_events,
         "time_rollup_events": q_time_rollup_events,
@@ -7429,6 +7502,7 @@ def oracle_sql() -> dict[str, str]:
         "nb_classifier": _sql_nb_classifier(),
         "incremental_dedup": _SQL_INCREMENTAL_DEDUP,
         "incremental_minhash": _sql_incremental_minhash(),
+        "dedup_threshold_sweep": _sql_dedup_threshold_sweep(),
         "range_join_events": _SQL_RANGE_JOIN_EVENTS,
         "interval_overlap_events": _SQL_INTERVAL_OVERLAP_EVENTS,
         "time_rollup_events": _SQL_TIME_ROLLUP_EVENTS,

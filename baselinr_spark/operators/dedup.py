@@ -793,3 +793,55 @@ def incremental_minhash_dedup(
     index_delta = new_bands.join(kept_ids, "id")
     sigs_delta = new_sigs.join(kept_ids, "id")
     return kept_new, index_delta, sigs_delta
+
+
+def dedup_threshold_sweep(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    thresholds: tuple[float, ...] = (0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9),
+    k: int = DEFAULT_MINHASH_K,
+    bands: int = DEFAULT_BANDS,
+    shingle_n: int = 3,
+    max_bucket: int = 10_000,
+) -> DataFrame:
+    """Dedup-threshold tuning report: for each candidate Jaccard
+    threshold, how many near-dup pairs fire and how many documents the
+    greedy min-id rule would drop — the one-pass diagnostic behind
+    choosing `threshold` for `incremental_minhash_dedup` /
+    `dedup_by_components` (the near-dup analogue of
+    `evalmetrics.rule_ablation` for row filters).
+
+    ONE LSH candidate pass at the loosest threshold, then per-doc
+    ``max_est`` = max estimated Jaccard against any SMALLER-id doc (a
+    doc is greedy-dropped at t iff max_est ≥ t — monotone in t, so the
+    whole sweep reads off one aggregate); the T thresholds explode from
+    a literal array against the O(docs)-sized per-doc maxima, never
+    against the corpus text. Returns (threshold, n_pairs, n_dropped)
+    with one row per threshold (0 rows only for an empty corpus)."""
+    t_min = min(thresholds)
+    pairs = minhash_lsh_pairs(
+        df, id_col, text_col, k=k, bands=bands, shingle_n=shingle_n,
+        threshold=t_min, max_bucket=max_bucket,
+    )
+    grid = F.array(*[F.lit(float(t)) for t in sorted(thresholds)])
+    per_doc = pairs.groupBy("id_b").agg(F.max("est_jaccard").alias("max_est"))
+    doc_side = (
+        per_doc.select(F.explode(grid).alias("threshold"), "max_est")
+        .groupBy("threshold")
+        .agg(
+            F.sum((F.col("max_est") >= F.col("threshold")).cast("long")).alias("n_dropped")
+        )
+    )
+    pair_side = (
+        pairs.select(F.explode(grid).alias("threshold"), "est_jaccard")
+        .groupBy("threshold")
+        .agg(
+            F.sum((F.col("est_jaccard") >= F.col("threshold")).cast("long")).alias("n_pairs")
+        )
+    )
+    return (
+        pair_side.join(doc_side, "threshold")
+        .select("threshold", "n_pairs", "n_dropped")
+    )

@@ -104,3 +104,39 @@ def test_idempotent_reprobe(spark):
     )
     assert kept.count() == 0
     assert idx2.count() == 0 and sg2.count() == 0
+
+
+def test_threshold_sweep_matches_pair_list(spark):
+    """Sweep counts equal the per-threshold counts derived directly
+    from the LSH pair list (the definition), and are monotone
+    non-increasing in t; the planted exact dup fires at t=1.0."""
+    from collections import defaultdict
+
+    from baselinr_spark.operators.dedup import dedup_threshold_sweep
+
+    rows = [(i, t) for i, t in enumerate(BASE)]
+    rows += [(10, BASE[0]), (11, BASE[1] + " tail")]
+    df = _df(spark, rows)
+    ts = (0.25, 0.5, 1.0)
+    out = dedup_threshold_sweep(
+        df, "id", "text", shingle_n=1, thresholds=ts
+    ).collect()
+    by_t = {r["threshold"]: (r["n_pairs"], r["n_dropped"]) for r in out}
+    assert set(by_t) == set(ts)
+
+    pairs = minhash_lsh_pairs(
+        df, "id", "text", shingle_n=1, threshold=min(ts)
+    ).collect()
+    max_est = defaultdict(float)
+    for p in pairs:
+        max_est[p["id_b"]] = max(max_est[p["id_b"]], p["est_jaccard"])
+    for t in ts:
+        exp_pairs = sum(1 for p in pairs if p["est_jaccard"] >= t)
+        exp_dropped = sum(1 for m in max_est.values() if m >= t)
+        assert by_t[t] == (exp_pairs, exp_dropped)
+    # planted exact dup (10 == doc 0) must fire even at t=1.0
+    assert by_t[1.0][1] >= 1
+    lo_hi = sorted(ts)
+    for lo, hi in zip(lo_hi, lo_hi[1:]):
+        assert by_t[lo][0] >= by_t[hi][0]
+        assert by_t[lo][1] >= by_t[hi][1]
