@@ -7301,6 +7301,156 @@ FROM agg, LATERAL (VALUES
 """
 
 
+# ---------------------------------------------------------------------------
+# data-mixing planners (operators/dedup.py:lsh_plan,
+# operators/selection.py:token_budget_mix / doremi_domain_weights)
+# ---------------------------------------------------------------------------
+
+_LSH_PLAN = dict(max_sig_len=64, s_hi=0.8, s_lo=0.4,
+                 recall_target=0.9, fp_budget=0.1)
+
+
+def q_lsh_plan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH (bands, rows) S-curve planner grid — corpus-free."""
+    from baselinr_spark.operators.dedup import lsh_plan
+
+    out = lsh_plan(spark, **_LSH_PLAN).withColumnRenamed(
+        "rows", "rows_per_band"
+    )
+    return _r6(out, "s50", "recall_hi", "fp_lo")
+
+
+_SQL_LSH_PLAN = f"""
+WITH g AS (
+  SELECT b.bands, r.rpb
+  FROM (SELECT unnest(range(1, {_LSH_PLAN['max_sig_len']} + 1)) AS bands) b,
+       (SELECT unnest(range(1, {_LSH_PLAN['max_sig_len']} + 1)) AS rpb) r
+  WHERE b.bands * r.rpb <= {_LSH_PLAN['max_sig_len']}
+)
+SELECT bands::bigint AS bands, rpb::bigint AS rows_per_band,
+       (bands * rpb)::bigint AS sig_len,
+       round(pow(1.0 / bands, 1.0 / rpb), 6) AS s50,
+       round(1 - pow(1 - pow({_LSH_PLAN['s_hi']}, rpb), bands), 6) AS recall_hi,
+       round(1 - pow(1 - pow({_LSH_PLAN['s_lo']}, rpb), bands), 6) AS fp_lo,
+       ((1 - pow(1 - pow({_LSH_PLAN['s_hi']}, rpb), bands))
+          >= {_LSH_PLAN['recall_target']}
+        AND (1 - pow(1 - pow({_LSH_PLAN['s_lo']}, rpb), bands))
+          <= {_LSH_PLAN['fp_budget']}) AS feasible
+FROM g
+"""
+
+_MIX_BUDGET = 1000000.0
+_MIX_EPOCHS = 2.0
+
+
+def _lang_token_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return docs.groupBy(F.col("lang").alias("domain")).agg(
+        F.sum(F.length("text")).cast("double").alias("n_tokens"),
+        F.pow(F.sum(F.length("text")), F.lit(0.5)).alias("weight"),
+    )
+
+
+def q_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-capped water-filling token allocation over per-lang
+    domains (weight ∝ sqrt(bytes) — a temperature-0.5 target mix)."""
+    from baselinr_spark.operators.selection import token_budget_mix
+
+    out = token_budget_mix(
+        _lang_token_domains(spark, sf_dir),
+        budget=_MIX_BUDGET, max_epochs=_MIX_EPOCHS,
+    )
+    return _r6(out, "weight", "alloc_tokens", "epochs")
+
+
+_SQL_TOKEN_BUDGET_MIX = f"""
+WITH d AS (
+  SELECT lang AS domain, sum(length(text))::double AS n_tokens,
+         pow(sum(length(text)), 0.5) AS weight
+  FROM documents GROUP BY 1
+),
+d2 AS (
+  SELECT domain, n_tokens, weight,
+         {_MIX_EPOCHS} * n_tokens AS cap_tokens,
+         {_MIX_EPOCHS} * n_tokens / weight AS ratio
+  FROM d
+),
+c AS (
+  SELECT *, sum(cap_tokens) OVER w AS cum_cap, sum(weight) OVER w AS cum_w,
+         lead(ratio) OVER w AS next_ratio
+  FROM d2 WINDOW w AS (ORDER BY ratio, domain)
+),
+tot AS (SELECT sum(weight) AS tot_w, sum(cap_tokens) AS tot_cap FROM d2),
+cand AS (
+  SELECT ({_MIX_BUDGET} - cum_cap) / (tot_w - cum_w) AS lam
+  FROM c, tot
+  WHERE tot_w > cum_w
+    AND ({_MIX_BUDGET} - cum_cap) / (tot_w - cum_w) >= ratio
+    AND (next_ratio IS NULL
+         OR ({_MIX_BUDGET} - cum_cap) / (tot_w - cum_w) < next_ratio)
+  UNION ALL
+  SELECT {_MIX_BUDGET} / tot_w FROM tot
+  WHERE {_MIX_BUDGET} / tot_w < (SELECT min(ratio) FROM d2)
+  UNION ALL
+  SELECT CAST('infinity' AS double)
+),
+lam AS (SELECT min(lam) AS lam FROM cand)
+SELECT domain, n_tokens, round(weight, 6) AS weight, cap_tokens,
+       round(least(lam * weight, cap_tokens), 6) AS alloc_tokens,
+       round(least(lam * weight, cap_tokens) / n_tokens, 6) AS epochs,
+       (lam * weight >= cap_tokens) AS capped,
+       ({_MIX_BUDGET} <= tot_cap) AS feasible
+FROM d2, lam, tot
+"""
+
+
+def q_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-style per-lang reweighting (unigram excess-loss proxy)."""
+    from baselinr_spark.operators.selection import doremi_domain_weights
+
+    docs = _read(spark, sf_dir, "documents")
+    out = doremi_domain_weights(
+        docs, domain_col="lang", text_col="text", eta=1.0, k=0.5
+    )
+    return _r6(out, "share", "h_global", "h_own", "excess", "weight")
+
+
+_SQL_DOREMI = """
+WITH dg AS (
+  SELECT lang AS domain, w AS gram, count(*) AS c_d
+  FROM (SELECT lang, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+        FROM documents)
+  GROUP BY 1, 2
+),
+g AS (SELECT gram, sum(c_d) AS c FROM dg GROUP BY 1),
+sc AS (SELECT count(*)::double AS v, sum(c)::double AS n FROM g),
+nd AS (SELECT domain, sum(c_d)::double AS n_d FROM dg GROUP BY 1),
+terms AS (
+  SELECT dg.domain,
+         any_value(nd.n_d) AS n_d,
+         -sum(dg.c_d * ln((g.c + 0.5) / (sc.n + 0.5 * sc.v)))
+            / any_value(nd.n_d) AS h_global,
+         -sum(dg.c_d * ln((dg.c_d + 0.5) / (nd.n_d + 0.5 * sc.v)))
+            / any_value(nd.n_d) AS h_own
+  FROM dg JOIN g USING (gram) JOIN nd USING (domain), sc
+  GROUP BY 1
+),
+tn AS (SELECT sum(n_d) AS tn FROM terms),
+scored AS (
+  SELECT domain, n_d::bigint AS n_tokens, n_d / tn AS share,
+         h_global, h_own,
+         greatest(0, h_global - h_own) AS excess,
+         (n_d / tn) * exp(1.0 * greatest(0, h_global - h_own)) AS uw
+  FROM terms, tn
+),
+z AS (SELECT sum(uw) AS z FROM scored)
+SELECT domain, n_tokens, round(share, 6) AS share,
+       round(h_global, 6) AS h_global, round(h_own, 6) AS h_own,
+       round(excess, 6) AS excess, round(uw / z, 6) AS weight
+FROM scored, z
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: keep/drop quality filter over sf0.001 documents."""
     return q_keep_drop_docs(spark, "/root/testdata/sf0.001")
@@ -7332,6 +7482,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_manifest_docs": q_shard_manifest_docs,
         "rule_ablation_docs": q_rule_ablation_docs,
         "shard_positions_docs": q_shard_positions_docs,
+        "lsh_plan_grid": q_lsh_plan_grid,
+        "token_budget_mix": q_token_budget_mix,
+        "doremi_weights": q_doremi_weights,
         "mixture_interleave_docs": q_mixture_interleave_docs,
         "asof_events": q_asof_events,
         "nb_classifier": q_nb_classifier,
@@ -7497,6 +7650,9 @@ def oracle_sql() -> dict[str, str]:
         "shard_manifest_docs": _sql_shard_manifest_docs(),
         "rule_ablation_docs": _SQL_RULE_ABLATION,
         "shard_positions_docs": _sql_shard_positions_docs(),
+        "lsh_plan_grid": _SQL_LSH_PLAN,
+        "token_budget_mix": _SQL_TOKEN_BUDGET_MIX,
+        "doremi_weights": _SQL_DOREMI,
         "mixture_interleave_docs": _sql_mixture_interleave_docs(),
         "asof_events": _SQL_ASOF_EVENTS,
         "nb_classifier": _sql_nb_classifier(),

@@ -845,3 +845,58 @@ def dedup_threshold_sweep(
         pair_side.join(doc_side, "threshold")
         .select("threshold", "n_pairs", "n_dropped")
     )
+
+
+def lsh_plan(
+    spark,
+    *,
+    max_sig_len: int = 128,
+    s_hi: float = 0.8,
+    s_lo: float = 0.4,
+    recall_target: float = 0.95,
+    fp_budget: float = 0.05,
+) -> DataFrame:
+    """MinHash-LSH parameter planner: the full (bands b, rows r) grid
+    with b·r ≤ ``max_sig_len`` scored by the S-curve
+    ``P(candidate | s) = 1 − (1 − s^r)^b`` (Leskovec/Rajaraman/Ullman,
+    Mining of Massive Datasets §3.4 — public formula).
+
+    For each (b, r): the 50%-candidate threshold ``s50 = (1/b)^(1/r)``,
+    ``recall_hi`` = P(candidate | s_hi) (near-dups we must catch),
+    ``fp_lo`` = P(candidate | s_lo) (far pairs we must not verify), and
+    ``feasible`` = recall_hi ≥ recall_target ∧ fp_lo ≤ fp_budget.
+
+    Why it exists: at 10^12 documents the band count b multiplies the
+    LSH shuffle volume (each doc emits b bucket keys) and r·b bounds
+    the signature bytes carried per doc, so (b, r) is a real cost knob
+    — this op turns the choice into a query instead of folklore. The
+    grid is O(max_sig_len·ln(max_sig_len)) rows — driver-trivial,
+    corpus-independent, zero data scan.
+
+    Returns (bands, rows, sig_len, s50, recall_hi, fp_lo, feasible)
+    sorted by (bands·rows, bands).
+    """
+    b = spark.range(1, max_sig_len + 1).select(F.col("id").alias("bands"))
+    r = spark.range(1, max_sig_len + 1).select(F.col("id").alias("rows"))
+    grid = (
+        b.crossJoin(F.broadcast(r))
+        .filter(F.col("bands") * F.col("rows") <= max_sig_len)
+    )
+    prob = lambda s: 1.0 - F.pow(  # noqa: E731
+        1.0 - F.pow(F.lit(float(s)), F.col("rows")), F.col("bands")
+    )
+    return (
+        grid.select(
+            "bands",
+            "rows",
+            (F.col("bands") * F.col("rows")).alias("sig_len"),
+            F.pow(1.0 / F.col("bands"), 1.0 / F.col("rows")).alias("s50"),
+            prob(s_hi).alias("recall_hi"),
+            prob(s_lo).alias("fp_lo"),
+            (
+                (prob(s_hi) >= F.lit(float(recall_target)))
+                & (prob(s_lo) <= F.lit(float(fp_budget)))
+            ).alias("feasible"),
+        )
+        .orderBy("sig_len", "bands")
+    )

@@ -428,3 +428,223 @@ def train_val_test_split(
         .otherwise("train")
     )
     return df.withColumn("split", split)
+
+
+def token_budget_mix(
+    domains: DataFrame,
+    *,
+    budget: float,
+    max_epochs: float = 4.0,
+    domain_col: str = "domain",
+    tokens_col: str = "n_tokens",
+    weight_col: str = "weight",
+) -> DataFrame:
+    """Epoch-capped token-budget allocation across domains by exact
+    water-filling (the mixing step behind Llama-style data recipes:
+    target mixture weights w_d, per-domain available tokens n_d, a
+    total training budget B, and a repeat cap E epochs per domain —
+    published setup, e.g. Touvron et al. 2023 §2.1 / Muennighoff et
+    al. 2023 "Scaling Data-Constrained LMs").
+
+    Solves Σ_d min(λ·w_d, E·n_d) = B for the single scaling factor λ
+    (allocation alloc_d = min(λ·w_d, E·n_d)) in CLOSED FORM: sort
+    domains by cap/weight ascending, prefix-sum caps and weights, and
+    the valid cutoff (first i domains capped) is the unique row where
+    the implied λ_i = (B − Σ_{j≤i} cap_j) / (W − Σ_{j≤i} w_j) sits in
+    [ratio_i, ratio_{i+1}). Everything is window functions over the
+    O(#domains) table — no iteration, no driver loop; at corpus scale
+    the domain table is the output of one groupBy over the corpus and
+    this op never rescans the corpus.
+
+    If even all-capped falls short (Σ E·n_d < B) every domain is
+    capped and ``feasible`` is false on every row. Requires positive
+    weights. Returns (domain, n_tokens, weight, cap_tokens,
+    alloc_tokens, epochs, capped, feasible).
+    """
+    from pyspark.sql import Window as W
+
+    d = domains.select(
+        F.col(domain_col).alias("domain"),
+        F.col(tokens_col).cast("double").alias("n_tokens"),
+        F.col(weight_col).cast("double").alias("weight"),
+    ).withColumn("cap_tokens", F.lit(float(max_epochs)) * F.col("n_tokens"))
+    d = d.withColumn("ratio", F.col("cap_tokens") / F.col("weight"))
+
+    win = W.orderBy("ratio", "domain")
+    c = (
+        d.withColumn("i", F.row_number().over(win))
+        .withColumn("cum_cap", F.sum("cap_tokens").over(win))
+        .withColumn("cum_w", F.sum("weight").over(win))
+        .withColumn("next_ratio", F.lead("ratio").over(win))
+    )
+    tot = F.broadcast(
+        d.agg(
+            F.sum("weight").alias("tot_w"),
+            F.sum("cap_tokens").alias("tot_cap"),
+        )
+    )
+    c = c.crossJoin(tot)
+    # candidate λ for "first i rows capped"; i=0 (nobody capped) is the
+    # virtual candidate lam0 = B / W, valid iff it undercuts the
+    # smallest ratio.
+    lam_i = (F.lit(float(budget)) - F.col("cum_cap")) / (
+        F.col("tot_w") - F.col("cum_w")
+    )
+    valid_i = (
+        (F.col("tot_w") > F.col("cum_w"))
+        & (lam_i >= F.col("ratio"))
+        & (F.col("next_ratio").isNull() | (lam_i < F.col("next_ratio")))
+    )
+    lam0 = (
+        d.agg(
+            (F.lit(float(budget)) / F.sum("weight")).alias("lam"),
+            F.min("ratio").alias("r1"),
+        )
+        .filter(F.col("lam") < F.col("r1"))
+        .select("lam")
+    )
+    # At most ONE candidate is valid (water-filling is monotone: with
+    # ties only the last row of a ratio-tie group can pass, and lam0
+    # excludes every lam_i — see test). An empty candidate set means
+    # budget ≥ Σ caps, where λ = +inf caps every domain; min() over the
+    # union with the sentinel selects the finite λ whenever one exists.
+    lam = F.broadcast(
+        c.filter(valid_i)
+        .select(lam_i.alias("lam"))
+        .unionByName(lam0)
+        .unionByName(d.limit(1).select(F.lit(float("inf")).alias("lam")))
+        .agg(F.min("lam").alias("lam"))
+    )
+    out = d.crossJoin(lam).crossJoin(tot).select(
+        "domain",
+        "n_tokens",
+        "weight",
+        "cap_tokens",
+        F.least(F.col("lam") * F.col("weight"), F.col("cap_tokens")).alias(
+            "alloc_tokens"
+        ),
+        (
+            F.least(F.col("lam") * F.col("weight"), F.col("cap_tokens"))
+            / F.col("n_tokens")
+        ).alias("epochs"),
+        (F.col("lam") * F.col("weight") >= F.col("cap_tokens")).alias("capped"),
+        (F.lit(float(budget)) <= F.col("tot_cap")).alias("feasible"),
+    )
+    return out
+
+
+def doremi_domain_weights(
+    df: DataFrame,
+    domain_col: str = "domain",
+    text_col: str = "text",
+    *,
+    eta: float = 1.0,
+    k: float = 0.5,
+) -> DataFrame:
+    """Single-round DoReMi-style domain reweighting (Xie et al. 2023,
+    "DoReMi: Optimizing Data Mixtures Speeds Up Language Model
+    Pretraining" — public method; exponentiated-gradient update
+    w_d ∝ share_d · exp(η · excess_d), one step from the corpus
+    shares). The excess loss here is the documented unigram proxy the
+    sandbox can compute exactly (no trained proxy nets): per-domain
+    cross-entropy under the GLOBAL add-k unigram LM minus under the
+    domain's OWN add-k unigram LM —
+
+      p(w)   = (c(w)  + k) / (N   + k·V)
+      p_d(w) = (c_d(w) + k) / (N_d + k·V)   (shared V)
+      H_d(·) = −Σ_w c_d(w)·ln p(·)(w) / N_d
+      excess_d = max(0, H_d(global) − H_d(own))
+
+    Domains whose tokens the corpus-wide model fits poorly relative to
+    a domain-fit model get upweighted — the DoReMi signal.
+
+    Scale: ONE corpus pass builds the (domain, gram) count table with
+    map-side combine; global gram counts and all scalars derive from
+    it (no second scan). The join back is on the gram key — AQE
+    skew-join splits Zipf-hot grams. Output is O(#domains).
+
+    Returns (domain, n_tokens, share, h_global, h_own, excess, weight)
+    with Σ weight = 1.
+    """
+    dg = (
+        df.select(
+            F.col(domain_col).alias("domain"),
+            F.explode(
+                F.regexp_extract_all(
+                    F.lower(F.col(text_col)), F.lit("[a-z]+"), 0
+                )
+            ).alias("gram"),
+        )
+        .groupBy("domain", "gram")
+        .agg(F.count(F.lit(1)).alias("c_d"))
+    ).localCheckpoint(eager=False)
+    g = dg.groupBy("gram").agg(F.sum("c_d").alias("c"))
+    scalars = F.broadcast(
+        g.agg(
+            F.count(F.lit(1)).cast("double").alias("__v"),
+            F.sum("c").cast("double").alias("__n"),
+        )
+    )
+    nd = dg.groupBy("domain").agg(F.sum("c_d").cast("double").alias("n_d"))
+    terms = (
+        dg.join(g, "gram")
+        .join(F.broadcast(nd), "domain")
+        .crossJoin(scalars)
+        .groupBy("domain")
+        .agg(
+            F.first("n_d").alias("n_d"),
+            (
+                -F.sum(
+                    F.col("c_d")
+                    * F.log(
+                        (F.col("c") + F.lit(k))
+                        / (F.col("__n") + F.lit(k) * F.col("__v"))
+                    )
+                )
+                / F.first("n_d")
+            ).alias("h_global"),
+            (
+                -F.sum(
+                    F.col("c_d")
+                    * F.log(
+                        (F.col("c_d") + F.lit(k))
+                        / (F.col("n_d") + F.lit(k) * F.col("__v"))
+                    )
+                )
+                / F.first("n_d")
+            ).alias("h_own"),
+        )
+    )
+    tot_n = F.broadcast(terms.agg(F.sum("n_d").alias("__tn")))
+    scored = (
+        terms.crossJoin(tot_n)
+        .select(
+            "domain",
+            F.col("n_d").cast("long").alias("n_tokens"),
+            (F.col("n_d") / F.col("__tn")).alias("share"),
+            "h_global",
+            "h_own",
+            F.greatest(
+                F.lit(0.0), F.col("h_global") - F.col("h_own")
+            ).alias("excess"),
+            (
+                (F.col("n_d") / F.col("__tn"))
+                * F.exp(
+                    F.lit(float(eta))
+                    * F.greatest(
+                        F.lit(0.0), F.col("h_global") - F.col("h_own")
+                    )
+                )
+            ).alias("__uw"),
+        )
+    )
+    z = F.broadcast(scored.agg(F.sum("__uw").alias("__z")))
+    return scored.crossJoin(z).select(
+        "domain",
+        "n_tokens",
+        "share",
+        "h_global",
+        "h_own",
+        "excess",
+        (F.col("__uw") / F.col("__z")).alias("weight"),
+    )
