@@ -7451,6 +7451,147 @@ FROM scored, z
 """
 
 
+# ---------------------------------------------------------------------------
+# GD logistic regression + calibration (operators/classifier.py:logreg_*,
+# operators/evalmetrics.py:calibration_bins)
+# ---------------------------------------------------------------------------
+
+_LR_BUCKETS = 64
+_LR_STEPS = 3
+_LR_RATE = 2.0
+
+
+def q_logreg_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-batch GD logistic regression train→score round trip
+    (label = lang='en', L1-normalized hashed features + bias, 3 fixed
+    steps). Oracle replays the unrolled iterations in SQL — the same
+    MATERIALIZED-CTE pattern as the PageRank/HITS oracles."""
+    from baselinr_spark.operators.classifier import logreg_score, logreg_train_gd
+
+    docs = _read(spark, sf_dir, "documents")
+    model = logreg_train_gd(
+        docs, "doc_id", "text", F.col("lang") == "en",
+        n_buckets=_LR_BUCKETS, steps=_LR_STEPS, lr=_LR_RATE,
+    )
+    out = logreg_score(docs, model, "doc_id", "text", n_buckets=_LR_BUCKETS)
+    return _r6(out, "prob")
+
+
+def _sql_logreg_classifier() -> str:
+    B, lr = _LR_BUCKETS, _LR_RATE
+    steps = []
+    for i in range(1, _LR_STEPS + 1):
+        p = i - 1
+        steps.append(f"""
+m{i} AS MATERIALIZED (
+  SELECT f.doc_id, sum(f.x * w{p}.w) AS m
+  FROM feats f JOIN w{p} USING (bucket) GROUP BY 1
+),
+r{i} AS (
+  SELECT yd.doc_id,
+         1.0 / (1.0 + exp(-coalesce(m{i}.m, 0.0)))
+           - (CASE WHEN yd.y THEN 1.0 ELSE 0.0 END) AS r
+  FROM yd LEFT JOIN m{i} USING (doc_id)
+),
+g{i} AS (
+  SELECT f.bucket, sum(f.x * r{i}.r) AS g
+  FROM feats f JOIN r{i} USING (doc_id) GROUP BY 1
+),
+w{i} AS MATERIALIZED (
+  SELECT w{p}.bucket, w{p}.w - {lr} * coalesce(g{i}.g, 0.0) / nn.n AS w
+  FROM w{p} LEFT JOIN g{i} USING (bucket), nn
+)""")
+    T = _LR_STEPS
+    return f"""
+WITH docs AS (SELECT doc_id, text, (lang = 'en') AS y FROM documents),
+words AS (
+  SELECT doc_id,
+         list_filter(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+                     x -> length(x) > 0) AS ws
+  FROM docs
+),
+grams AS (
+  SELECT doc_id, unnest(ws) AS gram FROM words
+  UNION ALL
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS gram
+  FROM words
+),
+bk AS (
+  SELECT doc_id, ('0x' || substring(md5(gram), 1, 8))::bigint % {B} AS bucket
+  FROM grams
+),
+per_doc AS (SELECT doc_id, bucket, count(*) AS cnt FROM bk GROUP BY 1, 2),
+feats AS MATERIALIZED (
+  SELECT doc_id, bucket,
+         cnt::double / sum(cnt) OVER (PARTITION BY doc_id) AS x
+  FROM per_doc
+  UNION ALL
+  SELECT doc_id, CAST(-1 AS bigint) AS bucket, 1.0 AS x FROM docs
+),
+yd AS (SELECT doc_id, y FROM docs),
+nn AS (SELECT count(*)::double AS n FROM docs),
+w0 AS (SELECT r.range - 1 AS bucket, 0.0 AS w FROM range({B} + 1) r),{','.join(steps)},
+mf AS (
+  SELECT f.doc_id, sum(f.x * w{T}.w) AS m
+  FROM feats f JOIN w{T} USING (bucket) GROUP BY 1
+)
+SELECT d.doc_id,
+       round(1.0 / (1.0 + exp(-coalesce(mf.m, 0.0))), 6) AS prob,
+       (1.0 / (1.0 + exp(-coalesce(mf.m, 0.0)))) > 0.5 AS pred
+FROM docs d LEFT JOIN mf USING (doc_id)
+"""
+
+
+def q_calibration_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram + ECE for the NB classifier's probabilities
+    (prob = σ(log_odds), log_odds pre-rounded to 6dp on BOTH engines so
+    bin membership is boundary-stable)."""
+    from baselinr_spark.operators.classifier import nb_train_score
+    from baselinr_spark.operators.evalmetrics import calibration_bins
+
+    docs = _read(spark, sf_dir, "documents")
+    scored = nb_train_score(
+        docs, "doc_id", "text", F.col("lang") == "en", n_buckets=_NB_BUCKETS
+    ).withColumn(
+        "prob",
+        F.lit(1.0)
+        / (F.lit(1.0) + F.exp(-F.round(F.col("log_odds"), 6))),
+    )
+    labeled = scored.join(
+        docs.select("doc_id", (F.col("lang") == "en").alias("y")), "doc_id"
+    )
+    out = calibration_bins(labeled, "prob", "y", n_bins=10)
+    return _r6(out, "bin_lo", "conf", "acc", "abs_gap", "ece")
+
+
+def _sql_calibration_nb() -> str:
+    return f"""
+WITH nb AS ({_sql_nb_classifier()}),
+lab AS (
+  SELECT nb.doc_id,
+         1.0 / (1.0 + exp(-nb.log_odds)) AS prob,
+         (d.lang = 'en') AS y
+  FROM nb JOIN documents d USING (doc_id)
+),
+per_bin AS (
+  SELECT least(floor(prob * 10), 9)::bigint AS bin,
+         count(*) AS n, avg(prob) AS conf,
+         avg(CASE WHEN y THEN 1.0 ELSE 0.0 END) AS acc
+  FROM lab GROUP BY 1
+),
+withgap AS (
+  SELECT bin, bin / 10.0 AS bin_lo, n, conf, acc, abs(conf - acc) AS abs_gap
+  FROM per_bin
+),
+e AS (SELECT sum(n * abs_gap) / sum(n) AS ece FROM withgap)
+SELECT bin, round(bin_lo, 6) AS bin_lo, n::bigint AS n,
+       round(conf, 6) AS conf, round(acc, 6) AS acc,
+       round(abs_gap, 6) AS abs_gap, round(e.ece, 6) AS ece
+FROM withgap, e
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: keep/drop quality filter over sf0.001 documents."""
     return q_keep_drop_docs(spark, "/root/testdata/sf0.001")
@@ -7485,6 +7626,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_plan_grid": q_lsh_plan_grid,
         "token_budget_mix": q_token_budget_mix,
         "doremi_weights": q_doremi_weights,
+        "logreg_classifier": q_logreg_classifier,
+        "calibration_nb": q_calibration_nb,
         "mixture_interleave_docs": q_mixture_interleave_docs,
         "asof_events": q_asof_events,
         "nb_classifier": q_nb_classifier,
@@ -7653,6 +7796,8 @@ def oracle_sql() -> dict[str, str]:
         "lsh_plan_grid": _SQL_LSH_PLAN,
         "token_budget_mix": _SQL_TOKEN_BUDGET_MIX,
         "doremi_weights": _SQL_DOREMI,
+        "logreg_classifier": _sql_logreg_classifier(),
+        "calibration_nb": _sql_calibration_nb(),
         "mixture_interleave_docs": _sql_mixture_interleave_docs(),
         "asof_events": _SQL_ASOF_EVENTS,
         "nb_classifier": _sql_nb_classifier(),

@@ -3,13 +3,20 @@ train-then-apply quality/language filter shape (CCNet's fastText
 quality scorer, the GPT-3/LLaMA "positive vs random CommonCrawl"
 classifier), recast as pure DataFrame aggregation.
 
-Why NB and not logistic regression: NB's MLE is a closed-form count
-aggregation — ONE groupBy over the exploded gram stream trains the
-model, no iterative driver loop, and every arithmetic step (add-k
-smoothed log-likelihoods, per-doc log-odds sums) has an exact DuckDB
-replay, so the gate can value-hash the whole train→score round trip.
-LR would need SGD epochs (driver-looped jobs) for a filter whose
-downstream use is a threshold keep/drop either way.
+Two trainers, one feature space:
+
+* NB (``nb_train``): the closed form — ONE groupBy over the exploded
+  gram stream trains the model, no iteration, and every arithmetic
+  step (add-k smoothed log-likelihoods, per-doc log-odds sums) has an
+  exact DuckDB replay, so the gate can value-hash the whole
+  train→score round trip. The default for a threshold keep/drop.
+* GD logistic regression (``logreg_train_gd``): the discriminative
+  counterpart when calibrated probabilities or a learned decision
+  boundary matter — FIXED-step full-batch gradient descent (no SGD
+  randomness), each iteration two bounded shuffles with the model
+  state broadcast, and the whole unrolled iteration sequence replayed
+  exactly by a MATERIALIZED-CTE DuckDB oracle (the same pattern the
+  PageRank/HITS oracles use, operators/linkgraph.py).
 
 Scale design (the 100 TB question):
 * model state is exactly ``n_buckets`` rows per class — broadcast to
@@ -138,3 +145,139 @@ def nb_train_score(
         df, id_col, text_col, label_col, n_buckets=n_buckets, add_k=add_k
     )
     return nb_score(df, model, id_col, text_col, n_buckets=n_buckets)
+
+
+def logreg_train_gd(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    label_col: Column | str,
+    *,
+    n_buckets: int = 256,
+    steps: int = 3,
+    lr: float = 2.0,
+) -> DataFrame:
+    """Full-batch gradient-descent logistic regression on the same
+    hashed n-gram features as ``nb_train`` — the iterative counterpart
+    to NB's closed form, for when the filter needs a discriminative
+    decision boundary (the fastText-classifier shape of the GPT-3 /
+    LLaMA CommonCrawl quality filters, trained entirely in DataFrame
+    ops — no MLlib, no driver-side math).
+
+    Documented spec (replayed exactly by the DuckDB oracle, same
+    unrolled-iteration pattern as the PageRank/HITS oracles in
+    operators/linkgraph.py):
+
+    * features: per-doc hashed bucket counts L1-normalized within the
+      document (x_b = cnt_b / Σ cnt), plus a constant bias feature at
+      bucket −1 — normalization bounds every margin by max|w|, so a
+      fixed step size is stable regardless of document length.
+    * w ← w − (lr/n)·Σ_i x_i(σ(w·x_i) − y_i), w₀ = 0, run a FIXED
+      ``steps`` full-batch iterations (deterministic — no shuffling,
+      no minibatch RNG; convergence is the caller's threshold choice,
+      exactness is the contract here).
+
+    Scale (10^12 docs): model state is n_buckets+1 rows, broadcast to
+    every join; each step costs two bounded shuffles — margins
+    (groupBy doc over the persisted feature table) and gradient
+    (groupBy bucket, map-side-combined to ≤ n_buckets+1 rows per map
+    partition). The feature table is built ONCE and persisted; the
+    per-step weight table is localCheckpointed so plans stay flat.
+    The residual join back to features is on the id key the features
+    already carry. Returns (bucket, w) with bucket −1 = bias.
+    """
+    lab = F.col(label_col) if isinstance(label_col, str) else label_col
+    docs = df.select(F.col(id_col), F.col(text_col), lab.cast("boolean").alias("__y"))
+    counts = hashed_gram_buckets(docs, id_col, text_col, n_buckets=n_buckets)
+    tot = counts.groupBy(id_col).agg(F.sum("cnt").alias("__tot"))
+    x = (
+        counts.join(tot, id_col)
+        .select(id_col, "bucket", (F.col("cnt") / F.col("__tot")).alias("x"))
+        .unionByName(
+            docs.select(
+                F.col(id_col), F.lit(-1).cast("long").alias("bucket"),
+                F.lit(1.0).alias("x"),
+            )
+        )
+        .persist()
+    )
+    y = docs.select(id_col, "__y")
+    n1 = F.broadcast(docs.agg(F.count(F.lit(1)).cast("double").alias("__n")))
+
+    spark = df.sparkSession
+    weights = (
+        spark.range(-1, n_buckets)
+        .select(F.col("id").alias("bucket"), F.lit(0.0).alias("w"))
+        .localCheckpoint()
+    )
+    for _ in range(int(steps)):
+        margins = (
+            x.join(F.broadcast(weights), "bucket")
+            .groupBy(id_col)
+            .agg(F.sum(F.col("x") * F.col("w")).alias("__m"))
+        )
+        resid = y.join(margins, id_col, "left").select(
+            id_col,
+            (
+                F.lit(1.0) / (F.lit(1.0) + F.exp(-F.coalesce(F.col("__m"), F.lit(0.0))))
+                - F.col("__y").cast("double")
+            ).alias("__r"),
+        )
+        grad = (
+            x.join(resid, id_col)
+            .groupBy("bucket")
+            .agg(F.sum(F.col("x") * F.col("__r")).alias("__g"))
+        )
+        weights = (
+            weights.join(grad, "bucket", "left")
+            .crossJoin(n1)
+            .select(
+                "bucket",
+                (
+                    F.col("w")
+                    - F.lit(float(lr))
+                    * F.coalesce(F.col("__g"), F.lit(0.0))
+                    / F.col("__n")
+                ).alias("w"),
+            )
+            .localCheckpoint()
+        )
+    x.unpersist()
+    return weights
+
+
+def logreg_score(
+    df: DataFrame,
+    weights: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Score under a trained GD model: (id, prob, pred). Features are
+    recomputed with the same md5 hashing + per-doc L1 normalization;
+    prob = σ(w·x); pred = prob > 0.5. Empty docs score the bias alone.
+    The weight join is broadcast (n_buckets+1 rows)."""
+    counts = hashed_gram_buckets(df, id_col, text_col, n_buckets=n_buckets)
+    tot = counts.groupBy(id_col).agg(F.sum("cnt").alias("__tot"))
+    x = (
+        counts.join(tot, id_col)
+        .select(id_col, "bucket", (F.col("cnt") / F.col("__tot")).alias("x"))
+        .unionByName(
+            df.select(
+                F.col(id_col), F.lit(-1).cast("long").alias("bucket"),
+                F.lit(1.0).alias("x"),
+            )
+        )
+    )
+    margins = (
+        x.join(F.broadcast(weights), "bucket")
+        .groupBy(id_col)
+        .agg(F.sum(F.col("x") * F.col("w")).alias("__m"))
+    )
+    return df.select(id_col).join(margins, id_col, "left").select(
+        id_col,
+        (
+            F.lit(1.0) / (F.lit(1.0) + F.exp(-F.coalesce(F.col("__m"), F.lit(0.0))))
+        ).alias("prob"),
+    ).withColumn("pred", F.col("prob") > 0.5)

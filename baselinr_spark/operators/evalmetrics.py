@@ -179,3 +179,58 @@ def rule_ablation(df: DataFrame, rule_cols: Sequence[str]) -> DataFrame:
         for r in rule_cols
     ]
     return one.select(F.explode(F.array(*structs)).alias("kv")).select("kv.*")
+
+
+def calibration_bins(
+    df: DataFrame,
+    prob_col: str,
+    label_col: str,
+    *,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability diagram + expected calibration error for a
+    probabilistic quality classifier (Guo et al. 2017, "On Calibration
+    of Modern Neural Networks" — public metric): equal-width bins over
+    predicted probability; per bin the count, mean predicted
+    probability (confidence) and empirical positive rate (accuracy);
+    ECE = Σ_b (n_b/N)·|conf_b − acc_b| replicated on every row so one
+    query returns the whole diagnostic.
+
+    A filter whose scores are used as sampling weights or thresholds
+    downstream (CCNet buckets, DSIR resampling) needs calibrated
+    probabilities, not just rank order — this is the check.
+
+    ONE groupBy over the scored frame (map-side-combined to ≤ n_bins
+    rows per partition) + a broadcast 1-row ECE join. Probabilities
+    exactly 1.0 land in the last bin. Returns (bin, bin_lo, n, conf,
+    acc, abs_gap, ece).
+    """
+    b = F.least(
+        F.floor(F.col(prob_col) * F.lit(n_bins)).cast("long"),
+        F.lit(n_bins - 1).cast("long"),
+    )
+    per_bin = (
+        df.select(
+            b.alias("bin"),
+            F.col(prob_col).alias("__p"),
+            F.col(label_col).cast("double").alias("__y"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("__p").alias("conf"),
+            F.avg("__y").alias("acc"),
+        )
+        .withColumn("abs_gap", F.abs(F.col("conf") - F.col("acc")))
+        .withColumn("bin_lo", F.col("bin").cast("double") / F.lit(n_bins))
+    )
+    ece = F.broadcast(
+        per_bin.agg(
+            (
+                F.sum(F.col("n") * F.col("abs_gap")) / F.sum("n")
+            ).alias("ece")
+        )
+    )
+    return per_bin.crossJoin(ece).select(
+        "bin", "bin_lo", "n", "conf", "acc", "abs_gap", "ece"
+    )
