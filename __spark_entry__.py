@@ -7592,6 +7592,64 @@ FROM withgap, e
 """
 
 
+# ---------------------------------------------------------------------------
+# Count-Min sketch heavy keys (operators/sketch.py:cms_*)
+# ---------------------------------------------------------------------------
+
+_CMS_W, _CMS_D, _CMS_MIN = 512, 4, 50
+
+
+def q_cms_heavy_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-token detection via Count-Min sketch over the exploded word
+    stream — the skew diagnostic behind salting-factor choices. md5
+    cell positions replay exactly in SQL (one-sided estimates)."""
+    from baselinr_spark.operators.sketch import cms_heavy_keys
+
+    docs = _read(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+        ).alias("token")
+    )
+    return cms_heavy_keys(
+        words, "token", width=_CMS_W, depth=_CMS_D, min_count=_CMS_MIN
+    )
+
+
+_SQL_CMS_HEAVY = f"""
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS token
+  FROM documents
+),
+cells AS (
+  SELECT d.range AS row,
+         ('0x' || substring(md5(d.range || '|' || token), 1, 8))::bigint
+           % {_CMS_W} AS col,
+         count(*) AS cnt
+  FROM toks, range({_CMS_D}) d
+  GROUP BY 1, 2
+),
+probes AS (
+  SELECT DISTINCT token FROM toks
+),
+probepos AS (
+  SELECT p.token, d.range AS row,
+         ('0x' || substring(md5(d.range || '|' || p.token), 1, 8))::bigint
+           % {_CMS_W} AS col
+  FROM probes p, range({_CMS_D}) d
+),
+est AS (
+  SELECT pp.token, min(coalesce(c.cnt, 0)) AS est
+  FROM probepos pp
+  LEFT JOIN cells c ON c.row = pp.row AND c.col = pp.col
+  GROUP BY 1
+)
+SELECT token, est::bigint AS est FROM est
+WHERE est >= {_CMS_MIN}
+ORDER BY est DESC, token
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: keep/drop quality filter over sf0.001 documents."""
     return q_keep_drop_docs(spark, "/root/testdata/sf0.001")
@@ -7633,6 +7691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doremi_weights": q_doremi_weights,
         "logreg_classifier": q_logreg_classifier,
         "calibration_nb": q_calibration_nb,
+        "cms_heavy_tokens": q_cms_heavy_tokens,
         "mixture_interleave_docs": q_mixture_interleave_docs,
         "asof_events": q_asof_events,
         "nb_classifier": q_nb_classifier,
@@ -7803,6 +7862,7 @@ def oracle_sql() -> dict[str, str]:
         "doremi_weights": _SQL_DOREMI,
         "logreg_classifier": _sql_logreg_classifier(),
         "calibration_nb": _sql_calibration_nb(),
+        "cms_heavy_tokens": _SQL_CMS_HEAVY,
         "mixture_interleave_docs": _sql_mixture_interleave_docs(),
         "asof_events": _SQL_ASOF_EVENTS,
         "nb_classifier": _sql_nb_classifier(),

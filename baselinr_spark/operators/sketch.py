@@ -44,6 +44,9 @@ __all__ = [
     "bloom_build",
     "bloom_probe",
     "zorder_key",
+    "cms_build",
+    "cms_query",
+    "cms_heavy_keys",
 ]
 
 
@@ -167,3 +170,101 @@ def zorder_key(
             ).bitwiseAND(F.lit(1))
             z = z + F.shiftleft(bit, b * n + j)
     return out.select(*df.columns, z.alias("zorder"))
+
+
+def _cms_col(key: Column, row: Column, width: int) -> Column:
+    """Deterministic CMS column for a key under hash row d:
+    md5(d || '|' || key) first 8 hex chars mod width — the same
+    engine-independent construction as bloom_positions."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(row.cast("string"), F.lit("|"), key.cast("string"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("long")
+        % F.lit(width)
+    )
+
+
+def cms_build(
+    df: DataFrame, key_col: str, *, width: int = 1024, depth: int = 4
+) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005 — public) of a
+    key column's frequencies, as a TABLE of (row, col, cnt) with
+    ≤ depth·width rows. Same design stance as the Bloom filter above:
+    a table, not a driver object — mergeable by union + re-sum,
+    persistable as parquet next to the manifest, incrementally
+    growable by appending a delta batch's sketch.
+
+    Why at 100 TB: the skew decisions this repo takes everywhere
+    (salting factors, AQE skew thresholds, `max_bucket` caps) need the
+    hot-key frequency profile of a corpus-sized column WITHOUT paying
+    a full groupBy over it per diagnostic run. The sketch costs one
+    map-side-combined shuffle bounded by depth·width rows per map
+    partition (keys collapse into cells long before the wire), and
+    answers point queries from a broadcastable table forever after.
+
+    Estimates NEVER undercount (one-sided error: est ≥ true, and
+    est ≤ true + εN with ε = e/width at the standard depth).
+    """
+    rows = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row")
+    cells = df.select(F.col(key_col).alias("__k")).select(
+        rows, F.col("__k")
+    )
+    return (
+        cells.select("row", _cms_col(F.col("__k"), F.col("row"), width).alias("col"))
+        .groupBy("row", "col")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_query(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    *,
+    width: int = 1024,
+    depth: int = 4,
+) -> DataFrame:
+    """Point-query frequency estimates for ``keys`` under a built
+    sketch: est(key) = min over hash rows of the cell count (0 when a
+    cell was never touched). The sketch join is broadcast (≤
+    depth·width rows); the key side only fans out ×depth row-locally —
+    zero corpus shuffle. Returns (key_col, est)."""
+    probes = keys.select(F.col(key_col)).distinct().select(
+        F.col(key_col),
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row"),
+    )
+    probes = probes.withColumn(
+        "col", _cms_col(F.col(key_col), F.col("row"), width)
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["row", "col"], "left")
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
+    )
+
+
+def cms_heavy_keys(
+    df: DataFrame,
+    key_col: str,
+    *,
+    width: int = 1024,
+    depth: int = 4,
+    min_count: int,
+) -> DataFrame:
+    """Keys whose CMS frequency estimate is ≥ ``min_count`` — the
+    skew-diagnostic shape (which urls/domains/grams are hot enough to
+    need salting). Because CMS never undercounts, every truly-heavy
+    key IS returned (no false negatives); false positives are bounded
+    by the εN overcount. Build + self-query in one plan; candidates
+    are the distinct keys of ``df`` (at corpus scale, pass a sampled
+    or pre-aggregated candidate frame through ``cms_query`` instead).
+    Returns (key_col, est) filtered and sorted for stable output."""
+    sketch = cms_build(df, key_col, width=width, depth=depth)
+    est = cms_query(sketch, df, key_col, width=width, depth=depth)
+    return est.filter(F.col("est") >= F.lit(int(min_count))).orderBy(
+        F.desc("est"), F.col(key_col)
+    )

@@ -122,3 +122,77 @@ def test_zorder_guard(spark):
     df = spark.createDataFrame([(1.0,)], "x double")
     with pytest.raises(ValueError, match="exceeds"):
         zorder_key(df, ["x"] * 8, bits=8)
+
+
+# --------------------------------------------------------------- count-min
+def _cms_ref_col(row: int, key: str, width: int) -> int:
+    h = hashlib.md5(f"{row}|{key}".encode()).hexdigest()[:8]
+    return int(h, 16) % width
+
+
+def test_cms_cells_match_reference_hash(spark):
+    from baselinr_spark.operators.sketch import cms_build
+
+    keys = ["a", "b", "a", "c", "a", "b"]
+    df = spark.createDataFrame([(k,) for k in keys], "k string")
+    cells = {(r["row"], r["col"]): r["cnt"]
+             for r in cms_build(df, "k", width=32, depth=3).collect()}
+    expect = {}
+    for k in keys:
+        for d in range(3):
+            cell = (d, _cms_ref_col(d, k, 32))
+            expect[cell] = expect.get(cell, 0) + 1
+    assert cells == expect
+
+
+def test_cms_never_undercounts_and_unique_keys_exact(spark):
+    from baselinr_spark.operators.sketch import cms_build, cms_query
+
+    rows = [(f"k{i % 7}",) for i in range(140)] + [("hot",)] * 60
+    df = spark.createDataFrame(rows, "k string")
+    true = {}
+    for (k,) in rows:
+        true[k] = true.get(k, 0) + 1
+    sketch = cms_build(df, "k", width=256, depth=4)
+    est = {r["k"]: r["est"] for r in cms_query(sketch, df, "k", width=256, depth=4).collect()}
+    assert set(est) == set(true)
+    for k, t in true.items():
+        assert est[k] >= t, k
+    # 8 distinct keys in 256*4 cells: collisions essentially impossible
+    assert est == true
+
+
+def test_cms_merge_is_union(spark):
+    from baselinr_spark.operators.sketch import cms_build, cms_query
+
+    a = spark.createDataFrame([("x",), ("y",), ("x",)], "k string")
+    b = spark.createDataFrame([("x",), ("z",)], "k string")
+    both = a.unionByName(b)
+    merged = (
+        cms_build(a, "k", width=64, depth=3)
+        .unionByName(cms_build(b, "k", width=64, depth=3))
+        .groupBy("row", "col").agg(F.sum("cnt").alias("cnt"))
+    )
+    direct = cms_build(both, "k", width=64, depth=3)
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, direct.collect()))
+    est = {r["k"]: r["est"]
+           for r in cms_query(merged, both, "k", width=64, depth=3).collect()}
+    assert est == {"x": 3, "y": 1, "z": 1}
+
+
+def test_cms_heavy_keys_threshold(spark):
+    from baselinr_spark.operators.sketch import cms_heavy_keys
+
+    rows = [("hot",)] * 50 + [("warm",)] * 10 + [(f"c{i}",) for i in range(20)]
+    df = spark.createDataFrame(rows, "k string")
+    got = cms_heavy_keys(df, "k", width=512, depth=4, min_count=10).collect()
+    assert [(r["k"], r["est"]) for r in got] == [("hot", 50), ("warm", 10)]
+
+
+def test_cms_query_plan_broadcasts_sketch(spark):
+    from baselinr_spark.operators.sketch import cms_build, cms_query
+
+    df = spark.createDataFrame([(f"k{i}",) for i in range(30)], "k string")
+    sketch = cms_build(df, "k", width=64, depth=3)
+    plan = cms_query(sketch, df, "k", width=64, depth=3)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan
