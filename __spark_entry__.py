@@ -1623,6 +1623,77 @@ FROM seg GROUP BY page_id, grp
 """
 
 
+def q_remove_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style duplicate-text surgery over the sliding-window
+    page corpus: first corpus occurrence (min id, then min pos) of each
+    duplicated shingle kept, all other coverage cut from the normalized
+    word stream (operators/dedup.py:remove_duplicate_spans)."""
+    from baselinr_spark.operators.dedup import remove_duplicate_spans
+
+    pages = _pages_with_shared_lines(spark, sf_dir)
+    return remove_duplicate_spans(pages, "page_id", "text", shingle_n=8, min_docs=2)
+
+
+_SQL_REMOVE_DUP_SPANS = f"""
+WITH {_SQL_PAGES_SHARED},
+words AS (
+  SELECT page_id,
+         list_filter(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+                     x -> length(x) > 0) AS ws
+  FROM pages
+),
+occ AS (
+  SELECT page_id, unnest(range(0, len(ws) - 7)) AS pos,
+         list_transform(range(0, len(ws) - 7),
+                        i -> md5(array_to_string(ws[i + 1: i + 8], ' '))) AS hs
+  FROM words WHERE len(ws) >= 8
+),
+o2 AS (SELECT page_id, pos, hs[pos + 1] AS h FROM occ),
+dup AS (SELECT h FROM o2 GROUP BY h HAVING count(DISTINCT page_id) >= 2),
+r0 AS (
+  SELECT page_id, pos,
+         row_number() OVER (PARTITION BY h ORDER BY page_id, pos) AS rn
+  FROM o2 JOIN dup USING (h)
+),
+removable AS (SELECT DISTINCT page_id, pos FROM r0 WHERE rn > 1),
+d AS (
+  SELECT page_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY page_id ORDER BY pos) >= 8
+              THEN 1 ELSE 0 END AS brk
+  FROM removable
+),
+seg AS (
+  SELECT page_id, pos,
+         sum(brk) OVER (PARTITION BY page_id ORDER BY pos) AS grp
+  FROM d
+),
+spans AS (
+  SELECT page_id, min(pos) AS s, max(pos) + 7 AS e
+  FROM seg GROUP BY page_id, grp
+),
+posw AS (
+  SELECT page_id, i AS p, ws[i + 1] AS w
+  FROM words, UNNEST(range(0, len(ws))) AS t(i)
+),
+kept AS (
+  SELECT pw.page_id, pw.p, pw.w
+  FROM posw pw
+  LEFT JOIN spans s
+    ON s.page_id = pw.page_id AND pw.p >= s.s AND pw.p <= s.e
+  WHERE s.s IS NULL
+),
+agg AS (
+  SELECT page_id, string_agg(w, ' ' ORDER BY p) AS clean_text,
+         count(*) AS n_kept
+  FROM kept GROUP BY 1
+)
+SELECT w.page_id AS id, coalesce(a.clean_text, '') AS clean_text,
+       len(w.ws)::bigint AS n_words,
+       (len(w.ws) - coalesce(a.n_kept, 0))::bigint AS n_removed_words
+FROM words w LEFT JOIN agg a USING (page_id)
+"""
+
+
 def q_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Diversity-aware per-cluster quota sample over the embeddings
     table — md5-seeded IVF centroids + deterministic md5 ranking, with
@@ -7692,6 +7763,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "logreg_classifier": q_logreg_classifier,
         "calibration_nb": q_calibration_nb,
         "cms_heavy_tokens": q_cms_heavy_tokens,
+        "remove_dup_spans": q_remove_duplicate_spans,
         "mixture_interleave_docs": q_mixture_interleave_docs,
         "asof_events": q_asof_events,
         "nb_classifier": q_nb_classifier,
@@ -7863,6 +7935,7 @@ def oracle_sql() -> dict[str, str]:
         "logreg_classifier": _sql_logreg_classifier(),
         "calibration_nb": _sql_calibration_nb(),
         "cms_heavy_tokens": _SQL_CMS_HEAVY,
+        "remove_dup_spans": _SQL_REMOVE_DUP_SPANS,
         "mixture_interleave_docs": _sql_mixture_interleave_docs(),
         "asof_events": _SQL_ASOF_EVENTS,
         "nb_classifier": _sql_nb_classifier(),

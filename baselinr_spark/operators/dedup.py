@@ -900,3 +900,97 @@ def lsh_plan(
         )
         .orderBy("sig_len", "bands")
     )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    shingle_n: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """ExactSubstr-style duplicate-text SURGERY (Lee et al. 2021): the
+    rewrite step that ``duplicate_spans`` only reports. Every
+    duplicated shingle keeps its FIRST corpus occurrence (min id, then
+    min position — deterministic) and every other occurrence is
+    removed from its document's text; removable positions are merged
+    into coverage-aware spans exactly like ``duplicate_spans`` so the
+    cut words are disjoint.
+
+    Returns (id, clean_text, n_words, n_removed_words). ``clean_text``
+    is rebuilt from the NORMALIZED word stream (the same
+    ``normalize_text`` space-joined words the shingles were computed
+    over) with covered positions dropped — the documented contract is
+    word-level surgery on normalized text, not byte-preserving
+    splicing of the raw string.
+
+    Scale shape: same as ``duplicate_spans`` — positional shingle
+    explode (linear in corpus words), ONE groupBy on the shingle hash
+    for the duplicated set + canonical occurrence (min struct — same
+    pass), equi-join back (AQE skew-split), per-document window for
+    island merge, and the surgery itself is a row-local higher-order
+    ``filter`` over the words array against the doc's own span list
+    (collected per id — bounded by spans-per-doc, never corpus-wide).
+    """
+    from pyspark.sql import Window as W
+
+    words_expr = F.filter(
+        F.split(normalize_text(F.col(text_col)), " "), lambda w: F.length(w) > 0
+    )
+    base = df.select(F.col(id_col).alias("id"), words_expr.alias("ws"))
+    k = F.size(F.col("ws")) - (shingle_n - 1)
+    shingles = F.when(
+        k > 0,
+        F.transform(
+            F.sequence(F.lit(0), k - 1),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("ws"), i + 1, shingle_n))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    occ = base.select("id", F.posexplode(shingles).alias("pos", "h"))
+    per_hash = occ.groupBy("h").agg(
+        F.count_distinct("id").alias("nd"),
+        F.min(F.struct("id", "pos")).alias("first_occ"),
+    )
+    dup = per_hash.filter(F.col("nd") >= min_docs).select("h", "first_occ")
+    removable = (
+        occ.join(dup, "h")
+        .filter(
+            (F.col("id") != F.col("first_occ.id"))
+            | (F.col("pos") != F.col("first_occ.pos"))
+        )
+        .select("id", "pos")
+        .distinct()
+    )
+    w = W.partitionBy("id").orderBy("pos")
+    seg = removable.select(
+        "id",
+        "pos",
+        F.sum(
+            F.when(F.col("pos") - F.lag("pos").over(w) >= shingle_n, 1).otherwise(0)
+        )
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("grp"),
+    )
+    spans = (
+        seg.groupBy("id", "grp")
+        .agg(
+            F.min("pos").cast("long").alias("s"),
+            (F.max("pos") + F.lit(shingle_n - 1)).cast("long").alias("e"),
+        )
+        .groupBy("id")
+        .agg(F.collect_list(F.struct("s", "e")).alias("spans"))
+    )
+    joined = base.join(spans, "id", "left").withColumn(
+        "spans", F.coalesce(F.col("spans"), F.array().cast("array<struct<s:long,e:long>>"))
+    )
+    covered = lambda i: F.exists(  # noqa: E731
+        F.col("spans"), lambda sp: (sp["s"] <= i) & (i <= sp["e"])
+    )
+    kept = F.filter(F.col("ws"), lambda x, i: ~covered(i.cast("long")))
+    return joined.select(
+        "id",
+        F.concat_ws(" ", kept).alias("clean_text"),
+        F.size("ws").cast("long").alias("n_words"),
+        (F.size("ws") - F.size(kept)).cast("long").alias("n_removed_words"),
+    )

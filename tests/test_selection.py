@@ -295,3 +295,70 @@ def test_train_val_test_split_stability_and_strata(spark):
     assert all(full[i] == s for i, s in small.items())
     with _pytest.raises(ValueError, match="sum < 1"):
         train_val_test_split(df, "id", val_frac=0.6, test_frac=0.5)
+
+
+def test_remove_duplicate_spans_keeps_first_occurrence(spark):
+    from baselinr_spark.operators.dedup import remove_duplicate_spans
+
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    rows = [
+        Row(doc_id=1, text="one two three " + shared + " four five six"),
+        Row(doc_id=2, text="seven eight " + shared + " nine ten"),
+        Row(doc_id=3, text="totally different words with no overlap at all here"),
+    ]
+    df = spark.createDataFrame(rows)
+    out = {
+        r["id"]: r
+        for r in remove_duplicate_spans(
+            df, "doc_id", "text", shingle_n=8, min_docs=2
+        ).collect()
+    }
+    # doc 1 holds the first occurrence (min id) -> untouched
+    assert out[1]["n_removed_words"] == 0
+    assert out[1]["clean_text"] == "one two three " + shared + " four five six"
+    # doc 2 loses the 10 shared words (positions 2..11)
+    assert out[2]["n_removed_words"] == 10
+    assert out[2]["clean_text"] == "seven eight nine ten"
+    # doc 3 untouched
+    assert out[3]["n_removed_words"] == 0
+    assert out[3]["n_words"] == 9
+
+
+def test_remove_duplicate_spans_within_doc_repeat(spark):
+    """A shingle repeated INSIDE one document: the first position is
+    canonical, later repeats are removed."""
+    from baselinr_spark.operators.dedup import remove_duplicate_spans
+
+    run = " ".join(f"r{i}" for i in range(8))
+    rows = [Row(doc_id=1, text=run + " middle words here " + run)]
+    df = spark.createDataFrame(rows)
+    out = remove_duplicate_spans(
+        df, "doc_id", "text", shingle_n=8, min_docs=1
+    ).collect()[0]
+    assert out["n_removed_words"] == 8
+    assert out["clean_text"] == run + " middle words here"
+
+
+def test_remove_duplicate_spans_footprint_matches_duplicate_spans(spark):
+    """On docs that are NOT canonical for any shared shingle, the words
+    removed equal the duplicate_spans footprint for that doc."""
+    from baselinr_spark.operators.dedup import duplicate_spans, remove_duplicate_spans
+
+    a = "w1 w2 w3 w4 w5 w6 w7 w8 w9"
+    rows = [
+        Row(doc_id=1, text=a + " tail1 tail2"),
+        Row(doc_id=2, text="head1 " + a + " tail3"),
+    ]
+    df = spark.createDataFrame(rows)
+    spans = {
+        r["id"]: (r["span_end"] - r["span_start"] + 1)
+        for r in duplicate_spans(df, "doc_id", "text", shingle_n=8, min_docs=2).collect()
+    }
+    removed = {
+        r["id"]: r["n_removed_words"]
+        for r in remove_duplicate_spans(
+            df, "doc_id", "text", shingle_n=8, min_docs=2
+        ).collect()
+    }
+    assert removed[2] == spans[2]
+    assert removed[1] == 0  # doc 1 is canonical (min id)
