@@ -7721,6 +7721,64 @@ ORDER BY est DESC, token
 """
 
 
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct-count sketch (operators/sketch.py:hll_*)
+# ---------------------------------------------------------------------------
+
+_HLL_P = 12
+_HLL_M = 1 << _HLL_P
+_HLL_ALPHA_M2 = (0.7213 / (1.0 + 1.079 / _HLL_M)) * _HLL_M * _HLL_M
+
+
+def q_hll_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-token estimate from the table-based HLL sketch —
+    register construction AND the bias-corrected estimate replay
+    exactly in SQL (bit_length via binary-string length, no libm)."""
+    from baselinr_spark.operators.sketch import hll_build, hll_estimate
+
+    docs = _read(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+        ).alias("token")
+    )
+    out = hll_estimate(hll_build(toks, "token", p=_HLL_P), p=_HLL_P)
+    return _r6(out, "estimate", "raw_estimate")
+
+
+_SQL_HLL_DISTINCT = f"""
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS token
+  FROM documents
+),
+hs AS (
+  SELECT ('0x' || substring(md5(token), 1, 15))::bigint AS h FROM toks
+),
+reg AS (
+  SELECT h % {_HLL_M} AS idx,
+         max(CASE WHEN (h >> {_HLL_P}) > 0
+                  THEN ({60 - _HLL_P} - length(bin(h >> {_HLL_P})) + 1)
+                  ELSE {60 - _HLL_P + 1} END) AS rank
+  FROM hs GROUP BY 1
+),
+agg AS (
+  SELECT sum(pow(2.0, -rank)) AS touched_sum, count(*) AS n_touched FROM reg
+),
+raw AS (
+  SELECT {_HLL_ALPHA_M2!r} / (touched_sum + ({_HLL_M} - n_touched))
+           AS raw_estimate,
+         ({_HLL_M} - n_touched) AS nz
+  FROM agg
+)
+SELECT round(CASE WHEN raw_estimate < {2.5 * _HLL_M} AND nz > 0
+                  THEN {_HLL_M}.0 * ln({_HLL_M}.0 / nz)
+                  ELSE raw_estimate END, 6) AS estimate,
+       round(raw_estimate, 6) AS raw_estimate,
+       nz::bigint AS n_zero_registers
+FROM raw
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: keep/drop quality filter over sf0.001 documents."""
     return q_keep_drop_docs(spark, "/root/testdata/sf0.001")
@@ -7764,6 +7822,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "calibration_nb": q_calibration_nb,
         "cms_heavy_tokens": q_cms_heavy_tokens,
         "remove_dup_spans": q_remove_duplicate_spans,
+        "hll_distinct_tokens": q_hll_distinct_tokens,
         "mixture_interleave_docs": q_mixture_interleave_docs,
         "asof_events": q_asof_events,
         "nb_classifier": q_nb_classifier,
@@ -7936,6 +7995,7 @@ def oracle_sql() -> dict[str, str]:
         "calibration_nb": _sql_calibration_nb(),
         "cms_heavy_tokens": _SQL_CMS_HEAVY,
         "remove_dup_spans": _SQL_REMOVE_DUP_SPANS,
+        "hll_distinct_tokens": _SQL_HLL_DISTINCT,
         "mixture_interleave_docs": _sql_mixture_interleave_docs(),
         "asof_events": _SQL_ASOF_EVENTS,
         "nb_classifier": _sql_nb_classifier(),

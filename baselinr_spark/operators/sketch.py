@@ -268,3 +268,79 @@ def cms_heavy_keys(
     return est.filter(F.col("est") >= F.lit(int(min_count))).orderBy(
         F.desc("est"), F.col(key_col)
     )
+
+
+def hll_build(df: DataFrame, key_col: str, *, p: int = 12) -> DataFrame:
+    """HyperLogLog sketch (Flajolet et al. 2007 — public) of a key
+    column's distinct count, as a TABLE of (idx, rank) registers —
+    ≤ 2^p rows. Same stance as the Bloom/CMS tables above: mergeable
+    (union + max per idx), persistable as parquet, incrementally
+    growable — unlike Spark's native `approx_count_distinct`, whose
+    HLL++ buffer lives inside an aggregation and can't be stored,
+    merged across snapshots, or replayed in another engine.
+
+    Documented hash spec (replayed exactly by the DuckDB oracle):
+    h = first 15 hex chars of md5(key) as a 60-bit integer;
+    idx = h mod 2^p; w = h div 2^p (a 60−p bit value);
+    rank = (60−p) − bit_length(w) + 1, with rank = 60−p+1 for w = 0.
+    bit_length is computed EXACTLY via the binary-string length
+    (`bin(w)`) in both engines — no float log2, no libm drift.
+
+    Build cost: one map-side-combined groupBy — keys collapse into at
+    most 2^p register rows per map partition before the shuffle.
+    """
+    m = 1 << p
+    h = F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
+    w = F.shiftright(h, p)  # exact integer div by 2^p (h is 60-bit)
+    rank = F.when(w > 0, F.lit(60 - p) - F.length(F.bin(w)) + 1).otherwise(
+        F.lit(60 - p + 1)
+    )
+    return (
+        df.select((h % F.lit(m)).alias("idx"), rank.alias("rank"))
+        .groupBy("idx")
+        .agg(F.max("rank").alias("rank"))
+    )
+
+
+def hll_merge(*sketches: DataFrame) -> DataFrame:
+    """Union registers and keep the max rank per idx — HLL's lossless
+    merge (the property that lets each crawl snapshot sketch its keys
+    independently and the union answer corpus-wide distincts)."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("idx").agg(F.max("rank").alias("rank"))
+
+
+def hll_estimate(sketch: DataFrame, *, p: int = 12) -> DataFrame:
+    """One-row distinct-count estimate from a register table:
+    raw = alpha_m·m² / Σ 2^(−M_j) over ALL m registers (absent rows
+    count as rank 0), with the standard small-range correction
+    E = m·ln(m/V) when raw < 2.5m and V (zero registers) > 0.
+    Returns (estimate, raw_estimate, n_zero_registers). Relative error
+    ≈ 1.04/√m (~1.6% at p=12)."""
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    agg = sketch.agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("rank"))).alias("touched_sum"),
+        F.count(F.lit(1)).alias("n_touched"),
+    )
+    return agg.select(
+        (
+            F.lit(alpha * m * m)
+            / (F.col("touched_sum") + (F.lit(m) - F.col("n_touched")))
+        ).alias("raw_estimate"),
+        (F.lit(m) - F.col("n_touched")).alias("n_zero_registers"),
+    ).select(
+        F.when(
+            (F.col("raw_estimate") < F.lit(2.5 * m))
+            & (F.col("n_zero_registers") > 0),
+            F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("n_zero_registers")),
+        )
+        .otherwise(F.col("raw_estimate"))
+        .alias("estimate"),
+        "raw_estimate",
+        "n_zero_registers",
+    )

@@ -196,3 +196,58 @@ def test_cms_query_plan_broadcasts_sketch(spark):
     sketch = cms_build(df, "k", width=64, depth=3)
     plan = cms_query(sketch, df, "k", width=64, depth=3)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan
+
+
+# ------------------------------------------------------------- hyperloglog
+def _hll_ref_register(key: str, p: int = 12):
+    h = int(hashlib.md5(str(key).encode()).hexdigest()[:15], 16)
+    m = 1 << p
+    idx, w = h % m, h >> p
+    rank = (60 - p) - w.bit_length() + 1 if w > 0 else (60 - p) + 1
+    return idx, rank
+
+
+def test_hll_registers_match_reference_hash(spark):
+    from baselinr_spark.operators.sketch import hll_build
+
+    keys = [f"key-{i}" for i in range(200)]
+    df = spark.createDataFrame([(k,) for k in keys], "k string")
+    got = {r["idx"]: r["rank"] for r in hll_build(df, "k").collect()}
+    expect = {}
+    for k in keys:
+        idx, rank = _hll_ref_register(k)
+        expect[idx] = max(expect.get(idx, 0), rank)
+    assert got == expect
+
+
+def test_hll_estimate_within_tolerance(spark):
+    from baselinr_spark.operators.sketch import hll_build, hll_estimate
+
+    n = 5000
+    rows = [(f"u{i % n}",) for i in range(2 * n)]  # duplicates don't count
+    df = spark.createDataFrame(rows, "k string")
+    est = hll_estimate(hll_build(df, "k")).collect()[0]["estimate"]
+    assert abs(est - n) / n < 0.05  # 3 sigma at p=12 is ~4.9%
+
+
+def test_hll_merge_equals_union_build(spark):
+    from baselinr_spark.operators.sketch import hll_build, hll_estimate, hll_merge
+
+    a = spark.createDataFrame([(f"a{i}",) for i in range(300)], "k string")
+    b = spark.createDataFrame([(f"b{i}",) for i in range(300)] + [("a0",)], "k string")
+    merged = hll_merge(hll_build(a, "k"), hll_build(b, "k"))
+    direct = hll_build(a.unionByName(b), "k")
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, direct.collect()))
+    e_m = hll_estimate(merged).collect()[0]["estimate"]
+    e_d = hll_estimate(direct).collect()[0]["estimate"]
+    assert e_m == e_d
+
+
+def test_hll_small_range_correction_exactish(spark):
+    from baselinr_spark.operators.sketch import hll_build, hll_estimate
+
+    df = spark.createDataFrame([(f"x{i}",) for i in range(20)], "k string")
+    got = hll_estimate(hll_build(df, "k")).collect()[0]
+    # linear counting regime: m ln(m/V) is near-exact for tiny n
+    assert got["n_zero_registers"] >= 4076
+    assert abs(got["estimate"] - 20) < 1.0
