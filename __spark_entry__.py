@@ -1694,6 +1694,48 @@ FROM words w LEFT JOIN agg a USING (page_id)
 """
 
 
+def q_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-page duplicated-content fraction (novelty = 1 − dup/total
+    shingles) over the sliding-window page corpus — the tuning signal
+    behind dedup thresholds (operators/dedup.py:shingle_novelty)."""
+    from baselinr_spark.operators.dedup import shingle_novelty
+
+    pages = _pages_with_shared_lines(spark, sf_dir)
+    out = shingle_novelty(pages, "page_id", "text", shingle_n=8, min_docs=2)
+    return _r6(out, "novelty")
+
+
+_SQL_SHINGLE_NOVELTY = f"""
+WITH {_SQL_PAGES_SHARED},
+words AS (
+  SELECT page_id,
+         list_filter(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+                     x -> length(x) > 0) AS ws
+  FROM pages
+),
+occ AS (
+  SELECT page_id, unnest(range(0, len(ws) - 7)) AS pos,
+         list_transform(range(0, len(ws) - 7),
+                        i -> md5(array_to_string(ws[i + 1: i + 8], ' '))) AS hs
+  FROM words WHERE len(ws) >= 8
+),
+o2 AS (SELECT page_id, pos, hs[pos + 1] AS h FROM occ),
+dup AS (SELECT h FROM o2 GROUP BY h HAVING count(DISTINCT page_id) >= 2),
+per_doc AS (
+  SELECT o2.page_id, count(*) AS n_shingles,
+         sum(CASE WHEN dup.h IS NOT NULL THEN 1 ELSE 0 END) AS n_dup
+  FROM o2 LEFT JOIN dup USING (h)
+  GROUP BY 1
+)
+SELECT w.page_id AS id,
+       coalesce(p.n_shingles, 0)::bigint AS n_shingles,
+       coalesce(p.n_dup, 0)::bigint AS n_dup_shingles,
+       CASE WHEN coalesce(p.n_shingles, 0) > 0
+            THEN round(1.0 - p.n_dup::double / p.n_shingles, 6) END AS novelty
+FROM words w LEFT JOIN per_doc p USING (page_id)
+"""
+
+
 def q_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Diversity-aware per-cluster quota sample over the embeddings
     table — md5-seeded IVF centroids + deterministic md5 ranking, with
@@ -7823,6 +7865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_heavy_tokens": q_cms_heavy_tokens,
         "remove_dup_spans": q_remove_duplicate_spans,
         "hll_distinct_tokens": q_hll_distinct_tokens,
+        "shingle_novelty": q_shingle_novelty,
         "mixture_interleave_docs": q_mixture_interleave_docs,
         "asof_events": q_asof_events,
         "nb_classifier": q_nb_classifier,
@@ -7996,6 +8039,7 @@ def oracle_sql() -> dict[str, str]:
         "cms_heavy_tokens": _SQL_CMS_HEAVY,
         "remove_dup_spans": _SQL_REMOVE_DUP_SPANS,
         "hll_distinct_tokens": _SQL_HLL_DISTINCT,
+        "shingle_novelty": _SQL_SHINGLE_NOVELTY,
         "mixture_interleave_docs": _sql_mixture_interleave_docs(),
         "asof_events": _SQL_ASOF_EVENTS,
         "nb_classifier": _sql_nb_classifier(),

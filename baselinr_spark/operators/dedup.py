@@ -994,3 +994,63 @@ def remove_duplicate_spans(
         F.size("ws").cast("long").alias("n_words"),
         (F.size("ws") - F.size(kept)).cast("long").alias("n_removed_words"),
     )
+
+
+def shingle_novelty(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    shingle_n: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Per-document novelty score: the fraction of a document's
+    positional shingles NOT shared with ≥ ``min_docs`` documents —
+    the continuous-signal companion to ``duplicate_spans`` (RefinedWeb
+    reports this as the duplicated-content fraction used to TUNE the
+    dedup thresholds rather than as a hard filter).
+
+    Returns (id, n_shingles, n_dup_shingles, novelty) with
+    novelty = 1 − n_dup/n (NULL when the doc is shorter than one
+    shingle). Same scale shape as ``duplicate_spans`` minus the span
+    window: positional explode, ONE hash groupBy for the duplicated
+    set, equi-join back, one per-doc count agg.
+    """
+    words = F.filter(
+        F.split(normalize_text(F.col(text_col)), " "), lambda w: F.length(w) > 0
+    )
+    k = F.size(words) - (shingle_n - 1)
+    shingles = F.when(
+        k > 0,
+        F.transform(
+            F.sequence(F.lit(0), k - 1),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(words, i + 1, shingle_n))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    occ = df.select(
+        F.col(id_col).alias("id"), F.explode(shingles).alias("h")
+    )
+    dup_keys = (
+        occ.groupBy("h")
+        .agg(F.count_distinct("id").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("h", F.lit(True).alias("__dup"))
+    )
+    per_doc = (
+        occ.join(dup_keys, "h", "left")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum(F.col("__dup").isNotNull().cast("long")).alias("n_dup_shingles"),
+        )
+    )
+    ids = df.select(F.col(id_col).alias("id"))
+    return ids.join(per_doc, "id", "left").select(
+        "id",
+        F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),
+        F.coalesce("n_dup_shingles", F.lit(0)).alias("n_dup_shingles"),
+        F.when(
+            F.coalesce("n_shingles", F.lit(0)) > 0,
+            1.0 - F.col("n_dup_shingles") / F.col("n_shingles"),
+        ).alias("novelty"),
+    )

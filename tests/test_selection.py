@@ -362,3 +362,29 @@ def test_remove_duplicate_spans_footprint_matches_duplicate_spans(spark):
     }
     assert removed[2] == spans[2]
     assert removed[1] == 0  # doc 1 is canonical (min id)
+
+
+def test_shingle_novelty_planted_overlap(spark):
+    from baselinr_spark.operators.dedup import shingle_novelty
+
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    rows = [
+        Row(doc_id=1, text="one two three " + shared + " four five six"),
+        Row(doc_id=2, text="seven eight " + shared + " nine ten"),
+        Row(doc_id=3, text="totally different words with no overlap at all here"),
+        Row(doc_id=4, text="short text"),
+    ]
+    df = spark.createDataFrame(rows)
+    out = {
+        r["id"]: r
+        for r in shingle_novelty(df, "doc_id", "text", shingle_n=8, min_docs=2).collect()
+    }
+    # doc 1: 16 words -> 9 shingles; the 10 shared words contribute 3
+    # shingles present in both docs
+    assert out[1]["n_shingles"] == 9 and out[1]["n_dup_shingles"] == 3
+    assert out[1]["novelty"] == pytest.approx(1 - 3 / 9)
+    assert out[2]["n_shingles"] == 7 and out[2]["n_dup_shingles"] == 3
+    # doc 3: all novel
+    assert out[3]["n_dup_shingles"] == 0 and out[3]["novelty"] == 1.0
+    # doc 4: too short for one shingle -> NULL novelty, zero counts
+    assert out[4]["n_shingles"] == 0 and out[4]["novelty"] is None
