@@ -7821,6 +7821,65 @@ FROM raw
 """
 
 
+# ---------------------------------------------------------------------------
+# Luhn payment-card detection (functions/scrub.py:cc_scan_exprs)
+# ---------------------------------------------------------------------------
+
+
+def q_cc_luhn_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Payment-card PII detection with Luhn validation over documents
+    with deterministically planted cards (doc_id%7==0 gets a VALID
+    Visa test number, doc_id%11==0 an invalid one) — counts per doc."""
+    from baselinr_spark.functions.scrub import cc_scan_exprs
+
+    docs = _read(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(" card 4111 1111 1111 1111 end"))
+            .when(F.col("doc_id") % 11 == 0, F.lit(" card 4111-1111-1111-1112 end"))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    n_cand, n_valid = cc_scan_exprs(F.col("text"))
+    return planted.select(
+        "doc_id", n_cand.alias("n_candidates"), n_valid.alias("n_luhn_valid")
+    )
+
+
+_SQL_CC_LUHN = """
+WITH planted AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 7 = 0 THEN ' card 4111 1111 1111 1111 end'
+                      WHEN doc_id % 11 = 0 THEN ' card 4111-1111-1111-1112 end'
+                      ELSE '' END AS text
+  FROM documents
+),
+runs AS (
+  SELECT doc_id,
+         list_filter(
+           list_transform(
+             regexp_extract_all(text, '[0-9][0-9 -]{11,22}[0-9]'),
+             r -> regexp_replace(r, '[^0-9]', '', 'g')),
+           d -> length(d) BETWEEN 13 AND 19) AS digit_runs
+  FROM planted
+)
+SELECT doc_id,
+       len(digit_runs)::bigint AS n_candidates,
+       len(list_filter(digit_runs, d ->
+         list_sum(
+           list_transform(string_split(d, ''), (c, i) ->
+             CASE WHEN (len(d) - (i - 1)) % 2 = 0
+                  THEN CASE WHEN c::int * 2 > 9 THEN c::int * 2 - 9
+                            ELSE c::int * 2 END
+                  ELSE c::int END)
+         ) % 10 = 0
+       ))::bigint AS n_luhn_valid
+FROM runs
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: keep/drop quality filter over sf0.001 documents."""
     return q_keep_drop_docs(spark, "/root/testdata/sf0.001")
@@ -7866,6 +7925,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "remove_dup_spans": q_remove_duplicate_spans,
         "hll_distinct_tokens": q_hll_distinct_tokens,
         "shingle_novelty": q_shingle_novelty,
+        "cc_luhn_scan": q_cc_luhn_scan,
         "mixture_interleave_docs": q_mixture_interleave_docs,
         "asof_events": q_asof_events,
         "nb_classifier": q_nb_classifier,
@@ -8040,6 +8100,7 @@ def oracle_sql() -> dict[str, str]:
         "remove_dup_spans": _SQL_REMOVE_DUP_SPANS,
         "hll_distinct_tokens": _SQL_HLL_DISTINCT,
         "shingle_novelty": _SQL_SHINGLE_NOVELTY,
+        "cc_luhn_scan": _SQL_CC_LUHN,
         "mixture_interleave_docs": _sql_mixture_interleave_docs(),
         "asof_events": _SQL_ASOF_EVENTS,
         "nb_classifier": _sql_nb_classifier(),

@@ -65,3 +65,47 @@ def scrub_expr(col: Column) -> Column:
 def scrub_pandas_udf(texts: pd.Series) -> pd.Series:
     """Arrow-batched scrub with the exact oracle patterns."""
     return texts.map(scrub_python)
+
+
+#: candidate payment-card runs: 13-19 digits allowing single space/dash
+#: separators (the PCI-DSS detection shape); validation is Luhn.
+CC_CANDIDATE_RE = r"[0-9][0-9 -]{11,22}[0-9]"
+
+
+def luhn_valid_expr(digits: Column) -> Column:
+    """Luhn checksum (ISO/IEC 7812 — public) over a digit-only string
+    column, as pure higher-order expressions: from the RIGHT, double
+    every second digit, subtract 9 when the double exceeds 9, and the
+    total must be ≡ 0 (mod 10). No UDF — `split('')` + transform +
+    aggregate stay inside codegen; the identical lambda replays in
+    DuckDB (string_split + list_transform with index)."""
+    chars = F.split(digits, "")
+    n = F.size(chars)
+    contrib = F.transform(
+        chars,
+        lambda c, i: F.when(
+            (n - i) % 2 == 0,
+            F.when(c.cast("int") * 2 > 9, c.cast("int") * 2 - 9).otherwise(
+                c.cast("int") * 2
+            ),
+        ).otherwise(c.cast("int")),
+    )
+    total = F.aggregate(contrib, F.lit(0), lambda acc, x: acc + x)
+    return (n > 0) & (total % 10 == 0)
+
+
+def cc_scan_exprs(text: Column) -> tuple[Column, Column]:
+    """(n_candidates, n_luhn_valid) for payment-card detection over a
+    text column. A candidate is a CC_CANDIDATE_RE match whose digit
+    count (separators stripped) is 13-19; valid = Luhn passes. Both are
+    row-local expressions — at corpus scale this adds zero shuffle to
+    whatever pass computes it (the fused scoring stage or a standalone
+    select)."""
+    runs = F.regexp_extract_all(text, F.lit(CC_CANDIDATE_RE), 0)
+    digit_runs = F.filter(
+        F.transform(runs, lambda r: F.regexp_replace(r, "[^0-9]", "")),
+        lambda d: (F.length(d) >= 13) & (F.length(d) <= 19),
+    )
+    n_cand = F.size(digit_runs)
+    n_valid = F.size(F.filter(digit_runs, luhn_valid_expr))
+    return n_cand.cast("long"), n_valid.cast("long")

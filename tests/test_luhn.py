@@ -1,0 +1,48 @@
+"""Tests for Luhn payment-card detection (functions/scrub.py:
+luhn_valid_expr / cc_scan_exprs)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from baselinr_spark.functions.scrub import cc_scan_exprs, luhn_valid_expr
+
+# classic public test numbers
+VALID = [
+    "4111111111111111",   # Visa 16
+    "378282246310005",    # Amex 15
+    "6011111111111117",   # Discover 16
+    "4222222222222",      # Visa 13
+]
+INVALID = ["4111111111111112", "1234567890123456", "378282246310006"]
+
+
+def test_luhn_validates_known_numbers(spark):
+    rows = [(d, True) for d in VALID] + [(d, False) for d in INVALID]
+    df = spark.createDataFrame(rows, "digits string, expect boolean")
+    got = df.select("digits", "expect", luhn_valid_expr(F.col("digits")).alias("ok")).collect()
+    for r in got:
+        assert r["ok"] == r["expect"], r["digits"]
+
+
+def test_cc_scan_counts_and_separators(spark):
+    rows = [
+        ("pay with 4111 1111 1111 1111 today", 1, 1),
+        ("fake 4111-1111-1111-1112 number", 1, 0),
+        ("two cards 378282246310005 and 6011111111111117 listed", 2, 2),
+        ("short digits 12345 and a year 2026", 0, 0),
+        ("no digits at all", 0, 0),
+    ]
+    df = spark.createDataFrame(rows, "text string, want_cand int, want_valid int")
+    n_cand, n_valid = cc_scan_exprs(F.col("text"))
+    got = df.select("want_cand", "want_valid", n_cand.alias("c"), n_valid.alias("v")).collect()
+    for r in got:
+        assert r["c"] == r["want_cand"]
+        assert r["v"] == r["want_valid"]
+
+
+def test_cc_scan_digit_length_bounds(spark):
+    # 12 digits (too short) and 20 digits (too long) are not candidates
+    rows = [("card 411111111111 x", ), ("card 41111111111111111110 x",)]
+    df = spark.createDataFrame(rows, "text string")
+    n_cand, _ = cc_scan_exprs(F.col("text"))
+    assert [r["c"] for r in df.select(n_cand.alias("c")).collect()] == [0, 0]
