@@ -39,6 +39,11 @@ class FilterConfig:
     max_bullet_line_fraction: float = 0.90
     max_ellipsis_line_fraction: float = 0.30
     min_alpha_word_fraction: float = 0.80
+    # Luhn payment-card rule — opt-in, same reason (functions/scrub.py:
+    # cc_scan_exprs; fail when the doc carries more than max_cc_numbers
+    # Luhn-valid 13-19-digit runs)
+    cc_rule: bool = False
+    max_cc_numbers: int = 0
     # model-based rules
     min_lang_confidence: float = 0.65
     allowed_langs: tuple[str, ...] = ("aa", "bb", "cc")
@@ -77,6 +82,8 @@ RULE_NAMES: tuple[str, ...] = (
     "alpha_words",
     "lorem_ipsum",
     "curly_brace",
+    # Luhn card family (active only when cc_rule=True)
+    "cc_numbers",
     "langid",
     "perplexity",
 )

@@ -352,3 +352,22 @@ def line_rule_columns(cfg: FilterConfig) -> dict[str, Column]:
         "lorem_ipsum": F.col("has_lorem_ipsum"),
         "curly_brace": F.col("has_curly_brace"),
     }
+
+
+def with_cc_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append Luhn payment-card detection counts (n_cc_candidates,
+    n_luhn_valid) — row-local codegen expressions from
+    functions/scrub.py:cc_scan_exprs, zero shuffle."""
+    from .scrub import cc_scan_exprs
+
+    n_cand, n_valid = cc_scan_exprs(F.col(text_col))
+    return df.withColumn("n_cc_candidates", n_cand).withColumn(
+        "n_luhn_valid", n_valid
+    )
+
+
+def cc_rule_columns(cfg: FilterConfig) -> dict[str, Column]:
+    """Luhn card fail-predicate (opt-in via cfg.cc_rule)."""
+    return {
+        "cc_numbers": F.col("n_luhn_valid") > F.lit(int(cfg.max_cc_numbers))
+    }

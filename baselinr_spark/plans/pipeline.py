@@ -95,6 +95,8 @@ def transform_pages(
         )
     if cfg.line_rules:
         df = textfeat.with_line_features(df)
+    if cfg.cc_rule:
+        df = textfeat.with_cc_features(df)
     score_cols = ["lang_pred", "lang_conf", "perplexity"] + (
         ["scrubbed_text"] if include_scrub else []
     )
@@ -107,6 +109,8 @@ def transform_pages(
         rules.update(textfeat.repetition_rule_columns(cfg))
     if cfg.line_rules:
         rules.update(textfeat.line_rule_columns(cfg))
+    if cfg.cc_rule:
+        rules.update(textfeat.cc_rule_columns(cfg))
     df = textfeat.with_verdict(df, rules)
 
     if scrub_mode == "native":

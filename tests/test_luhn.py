@@ -46,3 +46,42 @@ def test_cc_scan_digit_length_bounds(spark):
     df = spark.createDataFrame(rows, "text string")
     n_cand, _ = cc_scan_exprs(F.col("text"))
     assert [r["c"] for r in df.select(n_cand.alias("c")).collect()] == [0, 0]
+
+
+def test_cc_rule_optin_pipeline(spark):
+    """cc_rule=True drops a doc carrying a Luhn-valid card; the default
+    config neither computes the columns nor changes keep/drop."""
+    from baselinr_spark.config import FilterConfig
+    from baselinr_spark.plans.pipeline import transform_pages
+    from baselinr_spark.sources.pages import generate_pages_pandas
+
+    pdf = generate_pages_pandas(40, seed=7)
+    # plant a valid card into one otherwise-kept doc's text
+    base = spark.createDataFrame(pdf)
+    planted = base.withColumn(
+        "text",
+        F.when(
+            F.col("url") == pdf.url.iloc[0],
+            F.concat(F.col("text"), F.lit(" pay 4111 1111 1111 1111 now")),
+        ).otherwise(F.col("text")),
+    )
+
+    default_df = transform_pages(spark, planted)
+    assert "rule_cc_numbers" not in default_df.columns
+    default_out = default_df.select("url", "keep", "drop_reasons")
+
+    cc_out = transform_pages(
+        spark, planted, cfg=FilterConfig(cc_rule=True)
+    ).select("url", "keep", "drop_reasons", "rule_cc_numbers")
+
+    d = {r["url"]: r for r in default_out.collect()}
+    c = {r["url"]: r for r in cc_out.collect()}
+    u0 = pdf.url.iloc[0]
+    assert c[u0]["rule_cc_numbers"]
+    assert "cc_numbers" in c[u0]["drop_reasons"] and not c[u0]["keep"]
+    # every other doc's verdict is untouched by the opt-in rule
+    for u in d:
+        if u == u0:
+            continue
+        assert c[u]["keep"] == d[u]["keep"]
+        assert not c[u]["rule_cc_numbers"]
