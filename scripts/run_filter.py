@@ -27,6 +27,13 @@ def main() -> int:
     ap.add_argument("--checkpoint-every", type=int, default=None)
     ap.add_argument("--run-id", default=None)
     ap.add_argument("--scrub-mode", choices=["pandas", "native"], default="pandas")
+    ap.add_argument("--repetition-rules", action="store_true",
+                    help="enable the Gopher repetition rule family "
+                         "(opt-in; changes keep/drop)")
+    ap.add_argument("--line-rules", action="store_true",
+                    help="enable the C4/Gopher line-shape rule family")
+    ap.add_argument("--cc-rule", action="store_true",
+                    help="enable the Luhn payment-card drop rule")
     ap.add_argument("--reprocess-changed", action="store_true",
                     help="also re-run done partitions whose input "
                          "fingerprint changed (upstream backfill)")
@@ -78,7 +85,17 @@ def main() -> int:
         print(f"error: input path does not exist: {args.input}", file=sys.stderr)
         return 2
 
+    from baselinr_spark.config import DEFAULT_CONFIG, FilterConfig
     from baselinr_spark.plans.pipeline import run_pipeline
+
+    if args.repetition_rules or args.line_rules or args.cc_rule:
+        cfg = FilterConfig(
+            repetition_rules=args.repetition_rules,
+            line_rules=args.line_rules,
+            cc_rule=args.cc_rule,
+        )
+    else:
+        cfg = DEFAULT_CONFIG
 
     import time
 
@@ -125,6 +142,7 @@ def main() -> int:
         spark,
         args.input,
         args.output,
+        cfg=cfg,
         run_id=args.run_id,
         checkpoint_every=args.checkpoint_every,
         scrub_mode=args.scrub_mode,
