@@ -7880,6 +7880,33 @@ FROM runs
 """
 
 
+def q_domain_rate_shrunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes shrinkage of the per-source english rate (s=50
+    pseudo-counts toward the corpus mean) — the small-n fix for
+    rate-driven domain blocklists (selection.py:domain_rate_shrunk)."""
+    from baselinr_spark.operators.selection import domain_rate_shrunk
+
+    docs = _read(spark, sf_dir, "documents")
+    flagged = docs.select("source", (F.col("lang") == "en").alias("is_en"))
+    out = domain_rate_shrunk(flagged, "source", "is_en", prior_strength=50.0)
+    return _r6(out.withColumnRenamed("domain", "source"), "rate", "shrunk_rate")
+
+
+_SQL_DOMAIN_SHRUNK = """
+WITH f AS (
+  SELECT source, (lang = 'en')::int::double AS flag FROM documents
+),
+per AS (
+  SELECT source, count(*)::bigint AS n_docs, sum(flag) AS k FROM f GROUP BY 1
+),
+g AS (SELECT avg(flag) AS p FROM f)
+SELECT source, n_docs,
+       round(k / n_docs, 6) AS rate,
+       round((k + 50.0 * g.p) / (n_docs + 50.0), 6) AS shrunk_rate
+FROM per, g
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: keep/drop quality filter over sf0.001 documents."""
     return q_keep_drop_docs(spark, "/root/testdata/sf0.001")
@@ -7926,6 +7953,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct_tokens": q_hll_distinct_tokens,
         "shingle_novelty": q_shingle_novelty,
         "cc_luhn_scan": q_cc_luhn_scan,
+        "domain_rate_shrunk": q_domain_rate_shrunk,
         "mixture_interleave_docs": q_mixture_interleave_docs,
         "asof_events": q_asof_events,
         "nb_classifier": q_nb_classifier,
@@ -8101,6 +8129,7 @@ def oracle_sql() -> dict[str, str]:
         "hll_distinct_tokens": _SQL_HLL_DISTINCT,
         "shingle_novelty": _SQL_SHINGLE_NOVELTY,
         "cc_luhn_scan": _SQL_CC_LUHN,
+        "domain_rate_shrunk": _SQL_DOMAIN_SHRUNK,
         "mixture_interleave_docs": _sql_mixture_interleave_docs(),
         "asof_events": _SQL_ASOF_EVENTS,
         "nb_classifier": _sql_nb_classifier(),

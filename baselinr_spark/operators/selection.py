@@ -648,3 +648,44 @@ def doremi_domain_weights(
         "excess",
         (F.col("__uw") / F.col("__z")).alias("weight"),
     )
+
+
+def domain_rate_shrunk(
+    df: DataFrame,
+    domain_col: str,
+    flag_col: str,
+    *,
+    prior_strength: float = 50.0,
+) -> DataFrame:
+    """Empirical-Bayes shrinkage of a per-domain rate (keep rate, rule
+    fire rate, dup rate …): posterior mean under a Beta prior centered
+    on the corpus-wide rate with ``prior_strength`` pseudo-counts —
+    shrunk = (k_d + s·p̄) / (n_d + s).
+
+    Why: blocklisting or boosting domains by RAW rate flags tiny
+    domains on noise (a 2-doc domain with 0 keeps looks maximally bad);
+    shrinkage makes small-n domains revert to the corpus mean so only
+    domains with real evidence move — the standard fix wherever
+    per-key rates feed thresholds at web scale.
+
+    ONE map-side-combined groupBy to O(#domains) rows + a broadcast
+    1-row global-rate join. Returns (domain, n_docs, rate, shrunk_rate)
+    sorted nowhere (callers rank as they like)."""
+    flags = df.select(
+        F.col(domain_col).alias("domain"),
+        F.col(flag_col).cast("double").alias("__f"),
+    )
+    per = flags.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("__f").alias("__k")
+    )
+    glob = F.broadcast(flags.agg(F.avg("__f").alias("__p")))
+    s = float(prior_strength)
+    return per.crossJoin(glob).select(
+        "domain",
+        "n_docs",
+        (F.col("__k") / F.col("n_docs")).alias("rate"),
+        (
+            (F.col("__k") + F.lit(s) * F.col("__p"))
+            / (F.col("n_docs") + F.lit(s))
+        ).alias("shrunk_rate"),
+    )

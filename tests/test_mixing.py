@@ -202,3 +202,34 @@ def test_doremi_upweights_poorly_fit_domain(spark):
     boost_rare = out["rare"]["weight"] / out["rare"]["share"]
     boost_bulk = out["bulk"]["weight"] / out["bulk"]["share"]
     assert boost_rare > boost_bulk
+
+
+# ------------------------------------------------- domain_rate_shrunk
+def test_domain_rate_shrunk_hand_case(spark):
+    from baselinr_spark.operators.selection import domain_rate_shrunk
+
+    rows = (
+        [("big", True)] * 80 + [("big", False)] * 20      # rate .8, n=100
+        + [("tiny", False)] * 2                            # rate 0, n=2
+    )
+    df = spark.createDataFrame(rows, "domain string, keep boolean")
+    out = {r["domain"]: r for r in
+           domain_rate_shrunk(df, "domain", "keep", prior_strength=50).collect()}
+    p = 80 / 102  # corpus rate
+    assert out["big"]["rate"] == pytest.approx(0.8)
+    assert out["big"]["shrunk_rate"] == pytest.approx((80 + 50 * p) / 150)
+    assert out["tiny"]["rate"] == 0.0
+    # tiny domain reverts most of the way to the corpus mean
+    assert out["tiny"]["shrunk_rate"] == pytest.approx((0 + 50 * p) / 52)
+    assert out["tiny"]["shrunk_rate"] > 0.7
+
+
+def test_domain_rate_shrunk_order_preserved_at_equal_n(spark):
+    from baselinr_spark.operators.selection import domain_rate_shrunk
+
+    rows = [("a", True)] * 30 + [("a", False)] * 10 + \
+           [("b", True)] * 10 + [("b", False)] * 30
+    df = spark.createDataFrame(rows, "domain string, keep boolean")
+    out = {r["domain"]: r["shrunk_rate"] for r in
+           domain_rate_shrunk(df, "domain", "keep").collect()}
+    assert out["a"] > out["b"]  # shrinkage never reorders equal-n domains
