@@ -7917,11 +7917,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # first 50 entries, so the window rotates each round toward the
     # entries with the OLDEST driver CORRECTNESS row. Round-5 window:
     # 3 shard-export entries (new this session) +
-    # 5 mixing/classifier entries newest this round (lsh_plan_grid,
-    # token_budget_mix, doremi_weights, logreg_classifier,
-    # calibration_nb — never driver-checked, placed in-window so the
-    # final round attests them; they displace the 5 oldest-r03 tail
-    # entries, which stay green in the local full-gate replay) +
+    # 11 entries newest this session (lsh_plan_grid, token_budget_mix,
+    # doremi_weights, logreg_classifier, calibration_nb,
+    # cms_heavy_tokens, remove_dup_spans, hll_distinct_tokens,
+    # shingle_novelty, cc_luhn_scan, domain_rate_shrunk — never
+    # driver-checked, placed in-window so the final round attests
+    # them; they displace the oldest-r03 tail entries, which stay
+    # green in the local full-gate replay) +
     # 25 never-driver-checked (asof/nb/incremental-dedup/range-join/
     # overlap-join/rollup/sessionize/bloom/zorder/encoding-quality/
     # boilerplate/tfidf/chunking/kmeans×2/char-entropy + bm25/rake/
