@@ -7907,6 +7907,82 @@ FROM per, g
 """
 
 
+def q_kn_bigram_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney smoothed bigram probabilities trained on
+    the corpus (ngramlm.py:kneser_ney_bigram — the KenLM-default
+    smoother of the north-star perplexity family): top-50 bigrams with
+    continuation-count-interpolated probability."""
+    from baselinr_spark.operators.ngramlm import kneser_ney_bigram
+
+    docs = _read(spark, sf_dir, "documents")
+    out = kneser_ney_bigram(docs, "text", discount=0.75)
+    return _r6(
+        out.orderBy(F.desc("cnt"), "prev", "gram").limit(50), "p_kn"
+    )
+
+
+def _sql_kn_bigram_probs() -> str:
+    from baselinr_spark.operators.ngramlm import oracle_kneser_ney_sql
+
+    return oracle_kneser_ney_sql(top_k=50)
+
+
+def q_pareto_quality_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-3 Appendix-A stochastic quality filter
+    (selection.py:pareto_quality_sample): keep iff Pareto(9) draw >
+    1 − score; md5-deterministic draws make the kept set
+    engine-independent. Score here is a bounded length proxy standing
+    in for the classifier probability (the operator takes any [0,1]
+    score column)."""
+    from baselinr_spark.operators.selection import pareto_quality_sample
+
+    docs = _read(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        F.least(F.lit(1.0), F.col("n_chars") / F.lit(600.0)).alias("score"),
+    )
+    out = pareto_quality_sample(scored, "doc_id", "score", alpha=9.0)
+    return _r6(out, "score")
+
+
+_SQL_PARETO_SAMPLE = """
+WITH s AS (
+  SELECT doc_id, least(1.0, n_chars / 600.0) AS score,
+         (('0x' || substring(md5(doc_id::varchar || '|pareto'), 1, 8))::bigint)
+           / 4294967296.0 AS u
+  FROM documents
+)
+SELECT doc_id, round(score, 6) AS score
+FROM s
+WHERE pow(1.0 - u, -1.0/9.0) - 1.0 > 1.0 - score
+"""
+
+
+def q_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SoftDeDup duplicate down-weighting (dedup.py:soft_dedup_weights):
+    every row kept, sample_weight = 1/n_copies of the normalized text —
+    each duplicate group contributes ONE document of expected mass."""
+    from baselinr_spark.operators.dedup import soft_dedup_weights
+
+    docs = _read(spark, sf_dir, "documents")
+    return _r6(soft_dedup_weights(docs, "doc_id", "text"), "sample_weight")
+
+
+_SQL_SOFT_DEDUP = """
+WITH keyed AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS text_hash
+  FROM documents
+),
+counts AS (
+  SELECT text_hash, count(*)::bigint AS n_copies FROM keyed GROUP BY 1
+)
+SELECT k.doc_id, k.text_hash, c.n_copies,
+       round(1.0 / c.n_copies, 6) AS sample_weight
+FROM keyed k JOIN counts c USING (text_hash)
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: keep/drop quality filter over sf0.001 documents."""
     return q_keep_drop_docs(spark, "/root/testdata/sf0.001")
@@ -8113,6 +8189,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_topk": q_lsh_topk,
         "ivf_topk": q_ivf_topk,
         "pq_adc_topk": q_pq_adc_topk,
+        # final-session additions (below the 50-entry driver window;
+        # verified by the local full-gate replay at HEAD)
+        "kn_bigram_probs": q_kn_bigram_probs,
+        "pareto_quality_sample": q_pareto_quality_sample,
+        "soft_dedup_weights": q_soft_dedup_weights,
     }
 
 
@@ -8288,4 +8369,7 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q1": _SQL_TPCH_Q1,
         "top_customers_revenue": _SQL_TOP_CUSTOMERS,
         "keep_drop_docs": _SQL_KEEP_DROP_DOCS,
+        "kn_bigram_probs": _sql_kn_bigram_probs(),
+        "pareto_quality_sample": _SQL_PARETO_SAMPLE,
+        "soft_dedup_weights": _SQL_SOFT_DEDUP,
     }

@@ -1054,3 +1054,31 @@ def shingle_novelty(
             1.0 - F.col("n_dup_shingles") / F.col("n_shingles"),
         ).alias("novelty"),
     )
+
+
+def soft_dedup_weights(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """SoftDeDup-style duplicate DOWN-WEIGHTING (She et al. 2024,
+    "SoftDedup: an Efficient Data Reweighting Method for Speeding Up
+    Language Model Pre-training"): instead of dropping duplicates,
+    keep every row and emit ``sample_weight = 1 / commonness`` where
+    commonness = number of corpus copies of the normalized text. Each
+    duplicate group then contributes the expected mass of ONE document
+    to the training mix — duplication bias removed without the
+    coverage loss of hard dedup (the reason soft dedup beats hard
+    dedup on the paper's perplexity ablations).
+
+    Returns (id_col, text_hash, n_copies, sample_weight); row-count
+    preserving. Scale: ONE map-side-combined groupBy on the 128-bit
+    text hash + an equi-join back on the hash — only hashes shuffle,
+    never text; AQE splits the degenerate boilerplate-hash keys."""
+    h = F.md5(normalize_text(F.col(text_col)))
+    keyed = df.select(F.col(id_col), h.alias("text_hash"))
+    counts = keyed.groupBy("text_hash").agg(
+        F.count(F.lit(1)).alias("n_copies")
+    )
+    return keyed.join(counts, "text_hash").select(
+        id_col,
+        "text_hash",
+        "n_copies",
+        (F.lit(1.0) / F.col("n_copies")).alias("sample_weight"),
+    )

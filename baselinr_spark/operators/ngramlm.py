@@ -257,3 +257,84 @@ SELECT prev, gram, count(*)::bigint AS cnt FROM (
   FROM docw, UNNEST(range(1, len(ws))) AS t(i)
 ) GROUP BY 1, 2
 ORDER BY cnt DESC, prev, gram LIMIT {top_k}"""
+
+
+def kneser_ney_bigram(df: DataFrame, text_col: str = "text",
+                      discount: float = 0.75) -> DataFrame:
+    """Interpolated Kneser-Ney smoothed bigram probabilities (Kneser &
+    Ney 1995; Chen & Goodman 1999 — the smoother KenLM defaults to,
+    i.e. the model family the north-star perplexity gate names)
+    learned from the corpus itself:
+
+        p_KN(w|v) = max(c(v,w) − d, 0) / c(v·)
+                  + d · N1+(v·)/c(v·) · N1+(·w)/N1+(··)
+
+    with c(v·) = Σ_w c(v,w), N1+(v·) = |{w : c(v,w)>0}| (distinct
+    successors of v), N1+(·w) = |{v : c(v,w)>0}| (distinct contexts w
+    completes — the continuation count that distinguishes KN from
+    plain absolute discounting), N1+(··) = distinct bigram types.
+
+    Returns (prev, gram, cnt, p_kn) — one row per observed bigram.
+
+    Scale design: everything derives from ONE bigram count table
+    (row-local adjacent pairs, map-side-combined groupBy — Zipf-hot
+    pairs collapse per map task before the shuffle); the context and
+    continuation tables are O(vocab) re-aggregations of it; the
+    type total rides as a broadcast 1-row aggregate. No corpus
+    re-scan, no vocabulary-wide window.
+    """
+    bi = bigram_counts(df, text_col)
+    ctx = bi.groupBy("prev").agg(
+        F.sum("cnt").alias("c_ctx"),
+        F.count(F.lit(1)).alias("n1p_succ"),
+    )
+    cont = bi.groupBy("gram").agg(F.count(F.lit(1)).alias("n1p_prec"))
+    tot = F.broadcast(
+        bi.agg(F.count(F.lit(1)).cast("double").alias("n_types"))
+    )
+    d = F.lit(discount)
+    return (
+        bi.join(ctx, "prev")
+        .join(cont, "gram")
+        .crossJoin(tot)
+        .select(
+            "prev",
+            "gram",
+            "cnt",
+            (
+                F.greatest(F.col("cnt") - d, F.lit(0.0)) / F.col("c_ctx")
+                + d * F.col("n1p_succ") / F.col("c_ctx")
+                * (F.col("n1p_prec") / F.col("n_types"))
+            ).alias("p_kn"),
+        )
+    )
+
+
+def oracle_kneser_ney_sql(top_k: int = 50, table: str = "documents",
+                          text_col: str = "text",
+                          discount: float = 0.75) -> str:
+    """DuckDB replay of kneser_ney_bigram (identical operation order, so
+    IEEE doubles agree bit-for-bit before rounding)."""
+    return f"""WITH docw AS (
+  SELECT regexp_extract_all(lower({text_col}), '{TOKEN_RE}') AS ws FROM {table}
+),
+bi AS (
+  SELECT prev, gram, count(*) AS cnt FROM (
+    SELECT ws[i] AS prev, ws[i+1] AS gram
+    FROM docw, UNNEST(range(1, len(ws))) AS t(i)
+    WHERE len(ws) >= 2
+  ) GROUP BY 1, 2
+),
+ctx AS (
+  SELECT prev, sum(cnt) AS c_ctx, count(*) AS n1p_succ FROM bi GROUP BY 1
+),
+cont AS (
+  SELECT gram, count(*) AS n1p_prec FROM bi GROUP BY 1
+),
+tot AS (SELECT count(*)::double AS n_types FROM bi)
+SELECT prev, gram, cnt::bigint AS cnt,
+       round(greatest(cnt - {discount}, 0.0) / c_ctx
+             + {discount} * n1p_succ / c_ctx * (n1p_prec / n_types),
+             6) AS p_kn
+FROM bi JOIN ctx USING (prev) JOIN cont USING (gram) CROSS JOIN tot
+ORDER BY cnt DESC, prev, gram LIMIT {top_k}"""

@@ -689,3 +689,29 @@ def domain_rate_shrunk(
             / (F.col("n_docs") + F.lit(s))
         ).alias("shrunk_rate"),
     )
+
+
+def pareto_quality_sample(
+    df: DataFrame,
+    id_col: str,
+    score_col: str,
+    *,
+    alpha: float = 9.0,
+    salt: str = "pareto",
+) -> DataFrame:
+    """GPT-3-style stochastic quality filtering (Brown et al. 2020,
+    Appendix A): keep a document iff a Pareto(alpha) draw exceeds
+    ``1 − score``, so high-scoring documents are almost always kept
+    while low scorers still enter the corpus with small probability —
+    avoiding the hard-threshold cliff and the topical bias of keeping
+    only classifier-confident pages. ``score_col`` is any in-[0,1]
+    quality signal (classifier probability, calibrated heuristic).
+
+    Deterministic replay: the draw is the inverse-CDF transform
+    ``(1−u)^(−1/α) − 1`` (numpy's Lomax convention) of the md5
+    uniform, so the kept set is engine- and partitioning-independent.
+    Row-local — zero shuffle, no model state, survives any corpus
+    scale unchanged."""
+    u = _md5_uniform(F.col(id_col), salt)
+    draw = F.pow(F.lit(1.0) - u, F.lit(-1.0 / alpha)) - F.lit(1.0)
+    return df.filter(draw > F.lit(1.0) - F.col(score_col))

@@ -490,3 +490,81 @@ def test_ngram_contamination_planted(spark):
     plan = ngram_contamination(train, bench, "doc_id", "text", n=8) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan
+
+
+# --- soft_dedup_weights (SoftDeDup duplicate down-weighting) ---
+
+def test_soft_dedup_weights_hand_case(spark):
+    from baselinr_spark.operators.dedup import soft_dedup_weights
+
+    df = spark.createDataFrame(
+        [
+            (1, "x y"),
+            (2, "X  y"),      # normalizes to "x y" -> dup of 1
+            (3, "z"),
+            (4, "w"),
+            (5, "w"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = soft_dedup_weights(df, "doc_id", "text").collect()
+    # row-count preserving: every document keeps a row
+    assert len(out) == 5
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[1]["n_copies"] == 2 and by_id[1]["sample_weight"] == 0.5
+    assert by_id[2]["text_hash"] == by_id[1]["text_hash"]
+    assert by_id[3]["n_copies"] == 1 and by_id[3]["sample_weight"] == 1.0
+    assert by_id[4]["sample_weight"] == 0.5 and by_id[5]["sample_weight"] == 0.5
+
+
+def test_soft_dedup_group_mass_is_one(spark):
+    """Each duplicate group contributes expected mass of exactly ONE
+    document — the SoftDeDup invariant."""
+    from pyspark.sql import functions as F
+
+    from baselinr_spark.operators.dedup import soft_dedup_weights
+
+    df = spark.createDataFrame(
+        [(i, "dup text" if i % 3 == 0 else f"unique {i}") for i in range(30)],
+        ["doc_id", "text"],
+    )
+    out = soft_dedup_weights(df, "doc_id", "text")
+    sums = out.groupBy("text_hash").agg(
+        F.round(F.sum("sample_weight"), 9).alias("mass")).collect()
+    assert all(r["mass"] == 1.0 for r in sums)
+
+
+# --- kneser_ney_bigram ---
+
+def test_kneser_ney_hand_computed(spark):
+    import pytest as _pt
+
+    from baselinr_spark.operators.ngramlm import kneser_ney_bigram
+
+    # tokens: doc1=[a,b,a], doc2=[b,a] -> bigrams (a,b):1, (b,a):2
+    df = spark.createDataFrame([(1, "a b a"), (2, "b a")], ["doc_id", "text"])
+    got = {(r["prev"], r["gram"]): r for r in
+           kneser_ney_bigram(df, "text").collect()}
+    # T=2 bigram types; ctx a: c=1, succ=1; ctx b: c=2, succ=1;
+    # cont a: 1, cont b: 1; d=0.75
+    assert got[("a", "b")]["cnt"] == 1
+    assert got[("a", "b")]["p_kn"] == _pt.approx(
+        max(1 - 0.75, 0) / 1 + 0.75 * 1 / 1 * (1 / 2))   # 0.625
+    assert got[("b", "a")]["p_kn"] == _pt.approx(
+        max(2 - 0.75, 0) / 2 + 0.75 * 1 / 2 * (1 / 2))   # 0.8125
+
+
+def test_kneser_ney_mass_conservation(spark):
+    """When every vocabulary gram is observed as a successor of v, the
+    smoothed distribution over v's successors sums to exactly 1."""
+    import pytest as _pt
+    from pyspark.sql import functions as F
+
+    from baselinr_spark.operators.ngramlm import kneser_ney_bigram
+
+    # 'a a a b': bigrams (a,a):2, (a,b):1 -> successors of 'a' = {a, b}
+    # = the whole vocab, and sum p_KN(.|a) must be 1
+    df = spark.createDataFrame([(1, "a a a b")], ["doc_id", "text"])
+    out = kneser_ney_bigram(df, "text")
+    s = out.filter(F.col("prev") == "a").agg(F.sum("p_kn")).collect()[0][0]
+    assert s == _pt.approx(1.0)

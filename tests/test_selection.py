@@ -388,3 +388,46 @@ def test_shingle_novelty_planted_overlap(spark):
     assert out[3]["n_dup_shingles"] == 0 and out[3]["novelty"] == 1.0
     # doc 4: too short for one shingle -> NULL novelty, zero counts
     assert out[4]["n_shingles"] == 0 and out[4]["novelty"] is None
+
+
+# --- pareto_quality_sample (GPT-3 Appendix A stochastic quality filter) ---
+
+def test_pareto_sample_score_one_always_kept(spark):
+    from baselinr_spark.operators.selection import pareto_quality_sample
+
+    df = spark.createDataFrame(
+        [(i, 1.0) for i in range(200)], ["doc_id", "score"]
+    )
+    out = pareto_quality_sample(df, "doc_id", "score")
+    # 1 - score = 0 and the Pareto draw is strictly positive for u>0
+    assert out.count() == 200
+
+
+def test_pareto_sample_monotone_in_score(spark):
+    """Same id (same draw): kept at score s => kept at every s' > s."""
+    from baselinr_spark.operators.selection import pareto_quality_sample
+
+    ids = list(range(500))
+    lo = spark.createDataFrame([(i, 0.3) for i in ids], ["doc_id", "score"])
+    hi = spark.createDataFrame([(i, 0.8) for i in ids], ["doc_id", "score"])
+    kept_lo = {r["doc_id"] for r in
+               pareto_quality_sample(lo, "doc_id", "score").collect()}
+    kept_hi = {r["doc_id"] for r in
+               pareto_quality_sample(hi, "doc_id", "score").collect()}
+    assert kept_lo <= kept_hi
+
+
+def test_pareto_sample_rate_and_determinism(spark):
+    from baselinr_spark.operators.selection import pareto_quality_sample
+
+    df = spark.createDataFrame(
+        [(i, 0.5) for i in range(2000)], ["doc_id", "score"]
+    )
+    kept = {r["doc_id"] for r in
+            pareto_quality_sample(df, "doc_id", "score").collect()}
+    # P(keep | score=.5, alpha=9) = (2 - 0.5)^-9 ~ 0.026 -> ~52 of 2000
+    assert 10 <= len(kept) <= 150
+    # partitioning-independent: same kept set on a repartitioned input
+    kept2 = {r["doc_id"] for r in pareto_quality_sample(
+        df.repartition(13), "doc_id", "score").collect()}
+    assert kept == kept2
