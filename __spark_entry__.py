@@ -7983,6 +7983,315 @@ FROM keyed k JOIN counts c USING (text_hash)
 """
 
 
+def q_iban_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bank-account PII detection — ISO 13616 IBAN candidates validated
+    with the ISO 7064 mod-97-10 check (scrub.py:iban_scan_exprs, the
+    account-number twin of cc_luhn_scan) over documents with
+    deterministically planted IBANs: doc_id%7==0 gets a VALID GB IBAN,
+    doc_id%11==0 an invalid DE one."""
+    from baselinr_spark.functions.scrub import iban_scan_exprs
+
+    docs = _read(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 7 == 0,
+                   F.lit(" acct GB82WEST12345698765432 ok"))
+            .when(F.col("doc_id") % 11 == 0,
+                  F.lit(" acct DE89370400440532013001 end"))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    n_cand, n_valid = iban_scan_exprs(F.col("text"))
+    return planted.select(
+        "doc_id", n_cand.alias("n_candidates"), n_valid.alias("n_iban_valid")
+    )
+
+
+_SQL_IBAN_SCAN = r"""
+WITH planted AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 7 = 0 THEN ' acct GB82WEST12345698765432 ok'
+                      WHEN doc_id % 11 = 0 THEN ' acct DE89370400440532013001 end'
+                      ELSE '' END AS text
+  FROM documents
+),
+runs AS (
+  SELECT doc_id,
+         regexp_extract_all(text, '\b[A-Z]{2}[0-9]{2}[A-Z0-9]{10,30}\b') AS cands
+  FROM planted
+)
+SELECT doc_id,
+       len(cands)::bigint AS n_candidates,
+       len(list_filter(cands, c ->
+         list_reduce(
+           list_transform(
+             string_split(substring(c, 5) || substring(c, 1, 4), ''),
+             ch -> CASE WHEN ch BETWEEN 'A' AND 'Z'
+                        THEN (ascii(ch) - 55)::varchar ELSE ch END),
+           (acc, x) -> ((acc::bigint * CASE WHEN len(x) = 2 THEN 100 ELSE 10 END
+                         + x::bigint) % 97)::varchar
+         )::bigint = 1))::bigint AS n_iban_valid
+FROM runs
+"""
+
+
+def q_script_profile_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode-script composition per document (textanalysis.py:
+    script_profile — the pre-langid routing signal; CCNet splits the
+    crawl by script before language ID) with planted multi-script text:
+    doc_id%5==0 appends Cyrillic, else doc_id%7==0 appends CJK."""
+    from baselinr_spark.operators.textanalysis import script_profile
+
+    docs = _read(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 5 == 0, F.lit(" Привет мир"))
+            .when(F.col("doc_id") % 7 == 0, F.lit(" 你好 世界"))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return _r6(script_profile(planted, "doc_id", "text"), "script_purity")
+
+
+_SQL_SCRIPT_PROFILE = r"""
+WITH planted AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 5 = 0 THEN ' Привет мир'
+                      WHEN doc_id % 7 = 0 THEN ' 你好 世界'
+                      ELSE '' END AS text
+  FROM documents
+),
+c AS (
+  SELECT doc_id,
+    length(regexp_replace(text, '[^A-Za-z\x{00C0}-\x{024F}]', '', 'g'))::bigint AS n_latin,
+    length(regexp_replace(text, '[^\x{0400}-\x{04FF}]', '', 'g'))::bigint AS n_cyrillic,
+    length(regexp_replace(text, '[^\x{0600}-\x{06FF}]', '', 'g'))::bigint AS n_arabic,
+    length(regexp_replace(text, '[^\x{0900}-\x{097F}]', '', 'g'))::bigint AS n_devanagari,
+    length(regexp_replace(text, '[^\x{4E00}-\x{9FFF}\x{3040}-\x{30FF}]', '', 'g'))::bigint AS n_cjk,
+    length(regexp_replace(text, '[^\x{AC00}-\x{D7AF}]', '', 'g'))::bigint AS n_hangul
+  FROM planted
+),
+t AS (
+  SELECT *,
+         n_latin+n_cyrillic+n_arabic+n_devanagari+n_cjk+n_hangul AS n_script_chars,
+         greatest(n_latin,n_cyrillic,n_arabic,n_devanagari,n_cjk,n_hangul) AS mx
+  FROM c
+)
+SELECT doc_id, n_latin, n_cyrillic, n_arabic, n_devanagari, n_cjk, n_hangul,
+       n_script_chars,
+       CASE WHEN n_script_chars = 0 THEN NULL
+            WHEN n_latin = mx THEN 'latin'
+            WHEN n_cyrillic = mx THEN 'cyrillic'
+            WHEN n_arabic = mx THEN 'arabic'
+            WHEN n_devanagari = mx THEN 'devanagari'
+            WHEN n_cjk = mx THEN 'cjk'
+            ELSE 'hangul' END AS dominant_script,
+       CASE WHEN n_script_chars > 0
+            THEN round(mx::double / n_script_chars, 6) END AS script_purity
+FROM t
+"""
+
+
+def q_vocab_growth_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cohort vocabulary novelty (corpusstats.py:vocab_growth):
+    cohort = doc_id//64 stands in for the crawl-snapshot partition;
+    new-type counts, cumulative vocabulary, and new_type_rate — the
+    'is the crawl re-fetching what it already has?' diagnostic."""
+    from baselinr_spark.operators.corpusstats import vocab_growth
+
+    docs = _read(spark, sf_dir, "documents")
+    cohorts = docs.select(
+        F.floor(F.col("doc_id") / 64).alias("cohort"), "text"
+    )
+    return _r6(vocab_growth(cohorts, "cohort", "text"), "new_type_rate")
+
+
+_SQL_VOCAB_GROWTH = r"""
+WITH toks AS (
+  SELECT doc_id // 64 AS cohort, t.w AS tok
+  FROM (
+    SELECT doc_id,
+           list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                       x -> length(x) > 0) AS ws
+    FROM documents
+  ), UNNEST(ws) AS t(w)
+),
+per AS (
+  SELECT cohort, count(*)::bigint AS n_tokens,
+         count(DISTINCT tok)::bigint AS n_types
+  FROM toks GROUP BY 1
+),
+firsts AS (
+  SELECT first_cohort AS cohort, count(*)::bigint AS n_new_types
+  FROM (SELECT tok, min(cohort) AS first_cohort FROM toks GROUP BY 1)
+  GROUP BY 1
+)
+SELECT p.cohort, p.n_tokens, p.n_types,
+       coalesce(f.n_new_types, 0)::bigint AS n_new_types,
+       (sum(coalesce(f.n_new_types, 0)) OVER (ORDER BY p.cohort))::bigint AS cum_vocab,
+       round(coalesce(f.n_new_types, 0)::double / p.n_tokens, 6) AS new_type_rate
+FROM per p LEFT JOIN firsts f USING (cohort)
+"""
+
+
+def q_winnow_summary_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS winnowing fingerprint stats per document (operators/
+    winnowing.py:winnow_summary — Schleimer et al. 2003): k=8 char
+    grams, window w=4; density should track the 2/(w+1) bound."""
+    from baselinr_spark.operators.winnowing import winnow_summary
+
+    docs = _read(spark, sf_dir, "documents")
+    return _r6(winnow_summary(docs, "doc_id", "text"), "density")
+
+
+_SQL_WINNOW_CTE = r"""
+WITH s AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+  FROM documents
+),
+h AS (
+  SELECT doc_id, (length(t) - 7)::bigint AS nh,
+         CASE WHEN length(t) >= 8 THEN
+           list_transform(range(1, length(t) - 8 + 2),
+             i -> ('0x' || substring(md5(substring(t, i, 8)), 1, 15))::bigint)
+         ELSE []::BIGINT[] END AS hs
+  FROM s
+),
+w AS (
+  SELECT doc_id, nh,
+         CASE WHEN nh <= 0 THEN []::BIGINT[]
+              WHEN nh < 4 THEN [list_min(hs)]
+              ELSE list_transform(range(1, nh - 4 + 2),
+                     j -> list_min(list_slice(hs, j, j + 3)))
+         END AS wins
+  FROM h
+)"""
+
+
+_SQL_WINNOW_SUMMARY = _SQL_WINNOW_CTE + r"""
+SELECT doc_id AS id, greatest(nh, 0)::bigint AS n_grams,
+       len(list_distinct(wins))::bigint AS n_fingerprints,
+       CASE WHEN nh > 0
+            THEN round(len(list_distinct(wins))::double / nh, 6) END AS density
+FROM w
+"""
+
+
+def q_winnow_matches_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document local-overlap pairs via shared winnowing
+    fingerprints (winnowing.py:winnow_matches): any shared run of
+    >= k+w-1 = 11 chars is guaranteed to share a fingerprint; pairs
+    need >= 2 shared after a max_df=50 boilerplate cut."""
+    from baselinr_spark.operators.winnowing import (
+        winnow_fingerprints,
+        winnow_matches,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    return winnow_matches(winnow_fingerprints(docs, "doc_id", "text"))
+
+
+_SQL_WINNOW_MATCHES = _SQL_WINNOW_CTE + r""",
+fp AS (
+  SELECT doc_id AS id, unnest(list_distinct(wins)) AS fp FROM w
+),
+dfc AS (
+  SELECT fp FROM fp GROUP BY fp HAVING count(*) <= 50
+),
+kept AS (
+  SELECT fp.id, fp.fp FROM fp JOIN dfc USING (fp)
+)
+SELECT a.id AS id_a, b.id AS id_b, count(*)::bigint AS n_shared
+FROM kept a JOIN kept b ON a.fp = b.fp AND a.id < b.id
+GROUP BY 1, 2 HAVING count(*) >= 2
+"""
+
+
+def q_ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed bigram-set containment |A∩B|/|A| >= 0.6 (dedup.py:
+    ngram_containment_pairs, Broder 1997) — the asymmetric complement
+    of ngram_jaccard_pairs: catches fragments quoted inside supersets
+    that Jaccard's union denominator hides."""
+    from baselinr_spark.operators.dedup import ngram_containment_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    out = ngram_containment_pairs(docs, "doc_id", "text", shingle_n=2,
+                                  threshold=0.6)
+    return _r6(out, "containment")
+
+
+_SQL_NGRAM_CONTAINMENT = r"""
+WITH wds AS (
+  SELECT doc_id,
+         list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+                     x -> length(x) > 0) AS words
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN len(words) - 1 > 0
+      THEN list_transform(range(len(words) - 1),
+             i -> array_to_string(list_slice(words, i + 1, i + 2), ' '))
+      ELSE [array_to_string(words, ' ')] END)) AS shingle
+  FROM wds
+),
+nd AS (SELECT count(*)::bigint AS n FROM documents),
+dfreq AS (
+  SELECT shingle FROM sh, nd GROUP BY shingle, n
+  HAVING count(*) <= greatest(1, floor(0.5 * any_value(n)))
+),
+kept AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN dfreq USING (shingle)),
+sizes AS (SELECT doc_id, count(*)::bigint AS n_sh FROM kept GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::bigint AS n_inter
+  FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+dir AS (
+  SELECT id_a, id_b, n_inter, sa.n_sh AS n_own
+  FROM inter JOIN sizes sa ON sa.doc_id = id_a
+  UNION ALL
+  SELECT id_b AS id_a, id_a AS id_b, n_inter, sb.n_sh AS n_own
+  FROM inter JOIN sizes sb ON sb.doc_id = id_b
+)
+SELECT id_a, id_b, round(n_inter::double / n_own, 6) AS containment
+FROM dir WHERE n_inter::double / n_own >= 0.6
+"""
+
+
+def q_token_fertility_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer fertility (textanalysis.py:
+    token_fertility): pre-tokens per word and chars per token — the
+    token-budget planner's per-language cost table."""
+    from baselinr_spark.operators.textanalysis import token_fertility
+
+    docs = _read(spark, sf_dir, "documents")
+    return _r6(token_fertility(docs, "lang", "text"),
+               "fertility", "chars_per_token")
+
+
+_SQL_TOKEN_FERTILITY = r"""
+WITH c AS (
+  SELECT lang,
+         len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                         w -> length(w) > 0))::bigint AS nw,
+         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))::bigint AS nt,
+         length(text)::bigint AS nc
+  FROM documents
+)
+SELECT lang, count(*)::bigint AS n_docs,
+       sum(nw)::bigint AS n_words, sum(nt)::bigint AS n_tokens,
+       sum(nc)::bigint AS n_chars,
+       round(sum(nt)::double / sum(nw), 6) AS fertility,
+       round(sum(nc)::double / sum(nt), 6) AS chars_per_token
+FROM c GROUP BY lang
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: keep/drop quality filter over sf0.001 documents."""
     return q_keep_drop_docs(spark, "/root/testdata/sf0.001")
@@ -8194,6 +8503,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kn_bigram_probs": q_kn_bigram_probs,
         "pareto_quality_sample": q_pareto_quality_sample,
         "soft_dedup_weights": q_soft_dedup_weights,
+        "iban_scan": q_iban_scan,
+        "script_profile_docs": q_script_profile_docs,
+        "vocab_growth_docs": q_vocab_growth_docs,
+        "winnow_summary_docs": q_winnow_summary_docs,
+        "winnow_matches_docs": q_winnow_matches_docs,
+        "ngram_containment_pairs": q_ngram_containment_pairs,
+        "token_fertility_langs": q_token_fertility_langs,
     }
 
 
@@ -8372,4 +8688,11 @@ def oracle_sql() -> dict[str, str]:
         "kn_bigram_probs": _sql_kn_bigram_probs(),
         "pareto_quality_sample": _SQL_PARETO_SAMPLE,
         "soft_dedup_weights": _SQL_SOFT_DEDUP,
+        "iban_scan": _SQL_IBAN_SCAN,
+        "script_profile_docs": _SQL_SCRIPT_PROFILE,
+        "vocab_growth_docs": _SQL_VOCAB_GROWTH,
+        "winnow_summary_docs": _SQL_WINNOW_SUMMARY,
+        "winnow_matches_docs": _SQL_WINNOW_MATCHES,
+        "ngram_containment_pairs": _SQL_NGRAM_CONTAINMENT,
+        "token_fertility_langs": _SQL_TOKEN_FERTILITY,
     }

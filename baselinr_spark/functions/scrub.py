@@ -109,3 +109,44 @@ def cc_scan_exprs(text: Column) -> tuple[Column, Column]:
     n_cand = F.size(digit_runs)
     n_valid = F.size(F.filter(digit_runs, luhn_valid_expr))
     return n_cand.cast("long"), n_valid.cast("long")
+
+
+#: ISO 13616 IBAN shape: country code + 2 check digits + 10-30 BBAN chars.
+#: Uppercase-only by design (real IBANs are upper; lowercase candidates
+#: are overwhelmingly prose).
+IBAN_CANDIDATE_RE = r"\b[A-Z]{2}[0-9]{2}[A-Z0-9]{10,30}\b"
+
+
+def iban_mod97_expr(cand: Column) -> Column:
+    """ISO 7064 mod-97-10 remainder of an IBAN candidate (ISO 13616 —
+    public): move the first 4 chars to the end, map A→10 … Z→35, and
+    take the big-integer remainder mod 97. The number has up to 68
+    digits, far past int64, so the remainder is folded incrementally —
+    acc = (acc·10^len(v) + v) mod 97 per character — with `split('')`
+    + `aggregate`, all inside codegen like `luhn_valid_expr`. The same
+    fold replays exactly in DuckDB via list_reduce."""
+    rearranged = F.concat(F.substring(cand, 5, 34), F.substring(cand, 1, 4))
+    chars = F.split(rearranged, "")
+    return F.aggregate(
+        chars,
+        F.lit(0),
+        lambda acc, c: F.when(
+            c.rlike("[A-Z]"), (acc * 100 + (F.ascii(c) - 55)) % 97
+        ).otherwise((acc * 10 + c.cast("int")) % 97),
+    )
+
+
+def iban_valid_expr(cand: Column) -> Column:
+    """True iff the candidate passes the IBAN check (mod-97 ≡ 1)."""
+    return iban_mod97_expr(cand) == 1
+
+
+def iban_scan_exprs(text: Column) -> tuple[Column, Column]:
+    """(n_candidates, n_iban_valid) for bank-account PII detection over
+    a text column — the IBAN twin of `cc_scan_exprs`. Row-local
+    expressions: zero shuffle at corpus scale; rides whatever pass
+    computes it (fused scoring stage or a standalone select)."""
+    runs = F.regexp_extract_all(text, F.lit(IBAN_CANDIDATE_RE), 0)
+    n_cand = F.size(runs)
+    n_valid = F.size(F.filter(runs, iban_valid_expr))
+    return n_cand.cast("long"), n_valid.cast("long")

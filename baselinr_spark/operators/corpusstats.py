@@ -265,3 +265,56 @@ SELECT freq, n_tokens,
        n_tokens / (sum(n_tokens) OVER ())::double AS vocab_share
 FROM spec
 """
+
+
+def vocab_growth(
+    df: DataFrame, cohort_col: str, text_col: str
+) -> DataFrame:
+    """Per-cohort vocabulary-novelty curve: for each ingestion cohort
+    (crawl snapshot, dt partition, shard batch) the token volume, the
+    number of vocabulary types seen for the FIRST time in that cohort,
+    the running cumulative vocabulary, and new_type_rate = new types /
+    cohort tokens. A healthy rolling crawl keeps a steady Heaps-like
+    novelty tail; a collapsing new_type_rate means the crawl is
+    re-fetching what it already has (dedup upstream is due), and a
+    spike flags an encoding break or spam flood minting fake types.
+
+    Scale: tokens collapse to (cohort, token) pairs map-side before
+    any shuffle; first-seen is a groupBy-min over the distinct-pair
+    table (O(vocab) output). The cumulative sum's global window runs
+    over O(#cohorts) rows — bounded by the partition calendar, never
+    by the corpus.
+    """
+    from pyspark.sql.window import Window
+
+    toks = df.select(
+        F.col(cohort_col).alias("cohort"),
+        F.explode(words_expr(F.lower(F.col(text_col)))).alias("tok"),
+    )
+    per = toks.groupBy("cohort").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.count_distinct("tok").alias("n_types"),
+    )
+    first = (
+        toks.groupBy("tok")
+        .agg(F.min("cohort").alias("cohort"))
+        .groupBy("cohort")
+        .agg(F.count(F.lit(1)).alias("n_new_types"))
+    )
+    w = Window.orderBy("cohort").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        per.join(first, "cohort", "left")
+        .withColumn("n_new_types", F.coalesce("n_new_types", F.lit(0)))
+        .select(
+            "cohort",
+            "n_tokens",
+            "n_types",
+            "n_new_types",
+            F.sum("n_new_types").over(w).alias("cum_vocab"),
+            (F.col("n_new_types") / F.col("n_tokens")).alias(
+                "new_type_rate"
+            ),
+        )
+    )

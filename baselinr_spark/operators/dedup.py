@@ -225,6 +225,91 @@ def ngram_jaccard_pairs(
     return out
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 2,
+    threshold: float = 0.6,
+    max_df_frac: float = 0.5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Directed n-gram-set CONTAINMENT: C(A→B) = |S_A ∩ S_B| / |S_A|.
+
+    Jaccard misses asymmetric duplication — a paragraph fully quoted
+    inside a 10× longer page has Jaccard ≈ 0.1 but containment ≈ 1.0.
+    Containment is the right score for superset/quote/wrapper dedup
+    (Broder 1997, "On the resemblance and containment of documents" —
+    public), and it's what you key "keep the superset, drop the
+    fragment" policies on.
+
+    Returns (id_a, id_b, containment) for ORDERED pairs with
+    containment(A→B) ≥ threshold, id_a ≠ id_b. Same skeleton and
+    document-frequency cut as `ngram_jaccard_pairs` (the DF cut applies
+    to both the join and the |S_A| denominator, so the score is
+    consistent over the pruned vocabulary); the intersection is
+    computed once per unordered pair and emitted in both directions —
+    no second join."""
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle"),
+    )
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+    if max_df is not None:
+        cap = F.lit(int(max_df))
+    else:
+        n_docs = df.agg(F.count(F.lit(1)).alias("__n"))
+        dfreq = dfreq.crossJoin(F.broadcast(n_docs))
+        cap = F.greatest(F.lit(1), F.floor(F.lit(float(max_df_frac)) * F.col("__n")))
+    kept = sh.join(dfreq.filter(F.col("__df") <= cap).select("shingle"), "shingle")
+    sizes = kept.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    inter = (
+        kept.alias("a")
+        .join(
+            kept.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    # join both set sizes once, then explode the two directions from the
+    # SAME intersection row — a union of two selects over `inter` would
+    # put the expensive shingle self-join in the plan twice.
+    return (
+        inter.join(
+            sizes.withColumnRenamed("id", "id_a").withColumnRenamed(
+                "n_shingles", "n_a"
+            ),
+            "id_a",
+        )
+        .join(
+            sizes.withColumnRenamed("id", "id_b").withColumnRenamed(
+                "n_shingles", "n_b"
+            ),
+            "id_b",
+        )
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("id_a"),
+                        F.col("id_b"),
+                        (F.col("n_inter") / F.col("n_a")).alias("containment"),
+                    ),
+                    F.struct(
+                        F.col("id_b").alias("id_a"),
+                        F.col("id_a").alias("id_b"),
+                        (F.col("n_inter") / F.col("n_b")).alias("containment"),
+                    ),
+                )
+            ).alias("r")
+        )
+        .select("r.*")
+        .filter(F.col("containment") >= threshold)
+    )
+
+
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 60) -> DataFrame:
     """60-bit SimHash: token hash = first 15 hex chars of md5 (60 bits,
     stays in signed int64); per bit position sum ±1 over tokens; sign →

@@ -145,3 +145,84 @@ def vocabulary(df: DataFrame, text_col: str, k: int | None = 20) -> DataFrame:
     if k is None:
         return counts
     return counts.orderBy(F.desc("n"), F.asc("word")).limit(k)
+
+
+def token_fertility(
+    df: DataFrame, lang_col: str, text_col: str
+) -> DataFrame:
+    """Per-language tokenizer-fertility stats — the numbers a token-
+    budget planner needs before allocating a multilingual mixture:
+    fertility = pre-tokens per whitespace word (BPE-ish pre-tokenizer
+    proxy: letter runs / digit runs / single other non-space chars —
+    the same TOKEN_RE as packing.py) and chars_per_token. High-fertility
+    languages consume more of a fixed token budget per word; budgeting
+    by raw document count over-weights them.
+
+    One map-side-combining groupBy over row-local regexp counts —
+    O(#languages) output, no second pass."""
+    words = words_expr(F.col(text_col))
+    n_tok = F.regexp_count(
+        F.col(text_col), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")
+    )
+    return (
+        df.select(
+            F.col(lang_col).alias("lang"),
+            F.size(words).cast("long").alias("__w"),
+            n_tok.cast("long").alias("__t"),
+            F.length(F.col(text_col)).cast("long").alias("__c"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__w").alias("n_words"),
+            F.sum("__t").alias("n_tokens"),
+            F.sum("__c").alias("n_chars"),
+            (F.sum("__t") / F.sum("__w")).alias("fertility"),
+            (F.sum("__c") / F.sum("__t")).alias("chars_per_token"),
+        )
+    )
+
+
+#: Unicode script ranges (BMP-only, so Java UTF-16 regex and DuckDB RE2
+#: count identical characters). Order fixes dominant-script tie-breaks.
+SCRIPT_RANGES: tuple[tuple[str, str], ...] = (
+    ("latin", "A-Za-zÀ-ɏ"),
+    ("cyrillic", "Ѐ-ӿ"),
+    ("arabic", "؀-ۿ"),
+    ("devanagari", "ऀ-ॿ"),
+    ("cjk", "一-鿿぀-ヿ"),
+    ("hangul", "가-힯"),
+)
+
+
+def script_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document Unicode-script composition — the pre-langid routing
+    signal every multilingual web pipeline computes first (CCNet splits
+    Common Crawl by script before language ID; a Cyrillic page should
+    never reach the Latin-script language models). Counts characters in
+    six major script ranges, the dominant script (ties broken by
+    SCRIPT_RANGES order), and script_purity = dominant/total (NULL when
+    no script character occurs).
+
+    Pure `regexp_replace`+`length` projections — row-local, zero
+    shuffle, whole-stage codegen; each range is BMP-only so Java
+    (UTF-16 code units) and RE2 (code points) count identically."""
+    t = F.col(text_col)
+    counts = {
+        name: F.length(F.regexp_replace(t, f"[^{rng}]", "")).cast("long")
+        for name, rng in SCRIPT_RANGES
+    }
+    total = None
+    for c in counts.values():
+        total = c if total is None else total + c
+    mx = F.greatest(*counts.values())
+    dom = F.lit(None).cast("string")
+    for name, _ in reversed(SCRIPT_RANGES):
+        dom = F.when(counts[name] == mx, name).otherwise(dom)
+    return df.select(
+        F.col(id_col),
+        *[counts[name].alias(f"n_{name}") for name, _ in SCRIPT_RANGES],
+        total.alias("n_script_chars"),
+        F.when(total > 0, dom).alias("dominant_script"),
+        F.when(total > 0, mx.cast("double") / total).alias("script_purity"),
+    )

@@ -85,3 +85,72 @@ def test_cc_rule_optin_pipeline(spark):
             continue
         assert c[u]["keep"] == d[u]["keep"]
         assert not c[u]["rule_cc_numbers"]
+
+
+# --- IBAN (ISO 13616 + ISO 7064 mod-97) ---
+
+# public example IBANs from the ISO 13616 registry
+IBAN_VALID = [
+    "GB82WEST12345698765432",
+    "DE89370400440532013000",
+    "FR1420041010050500013M02606",   # letters inside the BBAN
+    "MT84MALT011000012345MTLCAST001S",  # 31 chars (longest registry entry)
+]
+IBAN_INVALID = ["GB82WEST12345698765431", "DE89370400440532013001",
+                "GB00WEST12345698765432"]
+
+
+def _py_iban_mod97(iban: str) -> int:
+    s = iban[4:] + iban[:4]
+    return int("".join(str(int(ch, 36)) for ch in s)) % 97
+
+
+def test_iban_mod97_matches_bigint_reference(spark):
+    from baselinr_spark.functions.scrub import iban_mod97_expr
+
+    all_ibans = IBAN_VALID + IBAN_INVALID
+    df = spark.createDataFrame([(i,) for i in all_ibans], "iban string")
+    got = {r["iban"]: r["m"] for r in
+           df.select("iban", iban_mod97_expr(F.col("iban")).alias("m")).collect()}
+    for i in all_ibans:
+        assert got[i] == _py_iban_mod97(i), i
+
+
+def test_iban_valid_expr(spark):
+    from baselinr_spark.functions.scrub import iban_valid_expr
+
+    rows = [(i, True) for i in IBAN_VALID] + [(i, False) for i in IBAN_INVALID]
+    df = spark.createDataFrame(rows, "iban string, expect boolean")
+    for r in df.select("expect", iban_valid_expr(F.col("iban")).alias("ok")).collect():
+        assert r["ok"] == r["expect"]
+
+
+def test_iban_scan_counts(spark):
+    from baselinr_spark.functions.scrub import iban_scan_exprs
+
+    rows = [
+        ("send to GB82WEST12345698765432 please", 1, 1),
+        ("typo GB82WEST12345698765431 here", 1, 0),
+        ("two GB82WEST12345698765432 and DE89370400440532013000", 2, 2),
+        ("lowercase gb82west12345698765432 is prose", 0, 0),
+        ("no accounts here", 0, 0),
+        ("short GB82WEST1234 is not an iban", 0, 0),
+    ]
+    df = spark.createDataFrame(rows, "text string, e_cand int, e_valid int")
+    n_cand, n_valid = iban_scan_exprs(F.col("text"))
+    got = df.select("e_cand", "e_valid", n_cand.alias("c"), n_valid.alias("v")).collect()
+    for r in got:
+        assert (r["c"], r["v"]) == (r["e_cand"], r["e_valid"])
+
+
+def test_iban_scan_stays_codegen(spark):
+    """The scan must be pure expressions — no BatchEvalPython /
+    ArrowEvalPython node (row-Python in the PII hot path is the
+    north-rule anti-pattern)."""
+    from baselinr_spark.functions.scrub import iban_scan_exprs
+
+    df = spark.createDataFrame([("x GB82WEST12345698765432",)], "text string")
+    n_cand, n_valid = iban_scan_exprs(F.col("text"))
+    plan = df.select(n_cand.alias("c"), n_valid.alias("v")) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
