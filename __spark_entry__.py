@@ -8325,11 +8325,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # doc_stats, token_counts, lang_id_heuristic, quality_score_docs,
     # fingerprint_docs, hash_sample_orders, stratified_sample_orders,
     # active_drift_summary, query_runs_paginated.
+    #
+    # Late-r05 re-rotation: 9 entries added AFTER the rotation above
+    # (kn_bigram_probs, pareto_quality_sample, soft_dedup_weights,
+    # iban_scan, script_profile_docs, vocab_growth_docs,
+    # winnow_summary_docs, ngram_containment_pairs,
+    # token_fertility_langs — never driver-checked) moved into the
+    # window, displacing the second entry of families whose sibling
+    # stays in-window (kmeans_summary, anchor_top_terms_domains,
+    # incremental_minhash, shard_positions_docs,
+    # interval_overlap_events) and four single-op entries from
+    # families already driver-green many times over
+    # (js_divergence_events — drift family; f1_sweep_docs —
+    # calibration family, sibling calibration_nb stays; readability /
+    # char_entropy — textanalysis family); winnow_matches_docs stays
+    # out-of-window as the sibling of winnow_summary_docs, which
+    # rotates in. All displaced entries are
+    # green in the local full-gate replay at HEAD and dtype-audited
+    # (tools/check_dtypes.py) against driver-style lexical hashing.
     return {
         # --- r05 front block = the driver gate's 50-sample window ---
+        "kn_bigram_probs": q_kn_bigram_probs,
+        "pareto_quality_sample": q_pareto_quality_sample,
+        "soft_dedup_weights": q_soft_dedup_weights,
+        "iban_scan": q_iban_scan,
+        "script_profile_docs": q_script_profile_docs,
+        "vocab_growth_docs": q_vocab_growth_docs,
+        "winnow_summary_docs": q_winnow_summary_docs,
+        "ngram_containment_pairs": q_ngram_containment_pairs,
+        "token_fertility_langs": q_token_fertility_langs,
         "shard_manifest_docs": q_shard_manifest_docs,
         "rule_ablation_docs": q_rule_ablation_docs,
-        "shard_positions_docs": q_shard_positions_docs,
         "lsh_plan_grid": q_lsh_plan_grid,
         "token_budget_mix": q_token_budget_mix,
         "doremi_weights": q_doremi_weights,
@@ -8345,10 +8371,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_events": q_asof_events,
         "nb_classifier": q_nb_classifier,
         "incremental_dedup": q_incremental_dedup,
-        "incremental_minhash": q_incremental_minhash,
         "dedup_threshold_sweep": q_dedup_threshold_sweep,
         "range_join_events": q_range_join_events,
-        "interval_overlap_events": q_interval_overlap_events,
         "time_rollup_events": q_time_rollup_events,
         "sessionize_events": q_sessionize_events,
         "bloom_dedup_filter": q_bloom_dedup_filter,
@@ -8360,8 +8384,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topk_docs": q_tfidf_topk_docs,
         "doc_chunks_docs": q_doc_chunks_docs,
         "kmeans_assignments": q_kmeans_assignments,
-        "kmeans_summary": q_kmeans_summary,
-        "char_entropy_docs": q_char_entropy_docs,
         "lineage_graph_export": q_lineage_graph_export,
         "explainer_context": q_explainer_context,
         "approx_distinct_bound": q_approx_distinct_bound,
@@ -8372,11 +8394,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "keep_drop_docs": q_keep_drop_docs,
         "bm25_topk_docs": q_bm25_topk_docs,
         "rake_keywords_docs": q_rake_keywords_docs,
-        "readability_docs": q_readability_docs,
         "anchor_summary_domains": q_anchor_summary_domains,
-        "anchor_top_terms_domains": q_anchor_top_terms_domains,
-        "js_divergence_events": q_js_divergence_events,
-        "f1_sweep_docs": q_f1_sweep_docs,
         "zipf_fit_docs": q_zipf_fit_docs,
         "heaps_fit_docs": q_heaps_fit_docs,
         "freq_spectrum_docs": q_freq_spectrum_docs,
@@ -8500,16 +8518,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_adc_topk": q_pq_adc_topk,
         # final-session additions (below the 50-entry driver window;
         # verified by the local full-gate replay at HEAD)
-        "kn_bigram_probs": q_kn_bigram_probs,
-        "pareto_quality_sample": q_pareto_quality_sample,
-        "soft_dedup_weights": q_soft_dedup_weights,
-        "iban_scan": q_iban_scan,
-        "script_profile_docs": q_script_profile_docs,
-        "vocab_growth_docs": q_vocab_growth_docs,
-        "winnow_summary_docs": q_winnow_summary_docs,
         "winnow_matches_docs": q_winnow_matches_docs,
-        "ngram_containment_pairs": q_ngram_containment_pairs,
-        "token_fertility_langs": q_token_fertility_langs,
+        "shard_positions_docs": q_shard_positions_docs,
+        "incremental_minhash": q_incremental_minhash,
+        "interval_overlap_events": q_interval_overlap_events,
+        "kmeans_summary": q_kmeans_summary,
+        "char_entropy_docs": q_char_entropy_docs,
+        "readability_docs": q_readability_docs,
+        "anchor_top_terms_domains": q_anchor_top_terms_domains,
+        "js_divergence_events": q_js_divergence_events,
+        "f1_sweep_docs": q_f1_sweep_docs,
     }
 
 
