@@ -8292,6 +8292,114 @@ FROM c GROUP BY lang
 """
 
 
+# ---------------------------------------------------------------------------
+# resumed-session additions: embedding decontamination, text normalization,
+# data-driven stopword discovery
+
+
+def q_embedding_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space benchmark decontamination (operators/embcurate.py:
+    embedding_contamination): per corpus vector, max cosine to any
+    benchmark vector (benchmark = the deterministic vec_id%50==0 slice,
+    broadcast), closest bench id ((rounded cos desc, id asc) argmax via
+    one struct-max agg — no corpus window), contaminated flag at 0.28.
+    The semantic twin of ngram_contamination: catches paraphrased eval
+    leakage that shares no n-gram surface with the benchmark."""
+    from baselinr_spark.operators.embcurate import embedding_contamination
+
+    emb = _read(spark, sf_dir, "embeddings")
+    bench = emb.filter(F.col("vec_id") % 50 == 0)
+    corpus = emb.filter(F.col("vec_id") % 50 != 0)
+    out = embedding_contamination(corpus, bench, "vec_id", "embedding",
+                                  threshold=0.28)
+    return _r6(out, "max_cosine")
+
+
+def _sql_embedding_decontam() -> str:
+    from baselinr_spark.operators.embcurate import (
+        oracle_embedding_contamination_sql,
+    )
+
+    inner = oracle_embedding_contamination_sql(
+        "SELECT * FROM embeddings WHERE vec_id % 50 != 0",
+        "SELECT * FROM embeddings WHERE vec_id % 50 = 0",
+        "vec_id", "embedding", threshold=0.28,
+    )
+    return (f"SELECT vec_id, round(max_cosine, 6) AS max_cosine, "
+            f"bench_id, contaminated FROM ({inner})")
+
+
+#: planted normalization mess appended to every doc: CRLF runs, a tab,
+#: curly quotes, an en dash, an ellipsis, a zero-width space, an NBSP,
+#: trailing spaces — exercises every normalize chain step on synthetic
+#: text that is otherwise already clean.
+_NORM_MESS = ("\r\n\r\n\r\n\tA’s “q” – x… "
+              "​end here  ")
+
+
+def q_normalize_text_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typography/whitespace normalization (functions/normalize.py):
+    per doc, md5 + length of the normalized text over an input with a
+    planted mess suffix (CRLF runs, curly quotes, dashes, ellipsis,
+    zero-width, NBSP, trailing blanks), plus the raw length — the
+    whole chain is WholeStageCodegen expressions, replayed verbatim by
+    the DuckDB twin."""
+    from baselinr_spark.functions.normalize import normalize_text_expr
+
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    mess = F.concat(F.col("text"), F.lit(_NORM_MESS))
+    norm = normalize_text_expr(mess)
+    return docs.select(
+        "doc_id",
+        F.md5(norm).alias("norm_md5"),
+        F.length(mess).cast("long").alias("raw_len"),
+        F.length(norm).cast("long").alias("norm_len"),
+    )
+
+
+def _sql_normalize_text_docs() -> str:
+    from baselinr_spark.functions.normalize import (
+        _sql_str,
+        oracle_normalize_expr_sql,
+    )
+
+    mess = f"(text || {_sql_str(_NORM_MESS)})"
+    norm = oracle_normalize_expr_sql(mess)
+    return f"""
+SELECT doc_id, md5({norm}) AS norm_md5,
+       length({mess})::bigint AS raw_len,
+       length({norm})::bigint AS norm_len
+FROM documents WHERE doc_id < 200
+"""
+
+
+def q_stopwords_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-driven per-language stopword discovery (operators/
+    textanalysis.py:discover_stopwords): top-10 terms by document
+    frequency per lang with df_ratio >= 0.25 — the learned-lexicon
+    generalization of the hand-curated EN stopword list that the
+    Gopher stop-word rule needs for non-English cohorts. Distinct
+    terms per doc BEFORE the explode, so the shuffle carries each
+    (doc, term) once."""
+    from baselinr_spark.operators.textanalysis import discover_stopwords
+
+    docs = _read(spark, sf_dir, "documents")
+    out = discover_stopwords(docs, "text", "lang", top_k=10,
+                             min_df_ratio=0.25)
+    return _r6(out, "df_ratio")
+
+
+def _sql_stopwords_lang() -> str:
+    from baselinr_spark.operators.textanalysis import (
+        oracle_discover_stopwords_sql,
+    )
+
+    inner = oracle_discover_stopwords_sql("documents", "text", "lang",
+                                          top_k=10, min_df_ratio=0.25)
+    return (f"SELECT lang, term, doc_freq, round(df_ratio, 6) AS df_ratio, "
+            f"rank FROM ({inner})")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: keep/drop quality filter over sf0.001 documents."""
     return q_keep_drop_docs(spark, "/root/testdata/sf0.001")
@@ -8519,6 +8627,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # final-session additions (below the 50-entry driver window;
         # verified by the local full-gate replay at HEAD)
         "winnow_matches_docs": q_winnow_matches_docs,
+        "embedding_decontam": q_embedding_decontam,
+        "normalize_text_docs": q_normalize_text_docs,
+        "stopwords_lang": q_stopwords_lang,
         "shard_positions_docs": q_shard_positions_docs,
         "incremental_minhash": q_incremental_minhash,
         "interval_overlap_events": q_interval_overlap_events,
@@ -8711,6 +8822,9 @@ def oracle_sql() -> dict[str, str]:
         "vocab_growth_docs": _SQL_VOCAB_GROWTH,
         "winnow_summary_docs": _SQL_WINNOW_SUMMARY,
         "winnow_matches_docs": _SQL_WINNOW_MATCHES,
+        "embedding_decontam": _sql_embedding_decontam(),
+        "normalize_text_docs": _sql_normalize_text_docs(),
+        "stopwords_lang": _sql_stopwords_lang(),
         "ngram_containment_pairs": _SQL_NGRAM_CONTAINMENT,
         "token_fertility_langs": _SQL_TOKEN_FERTILITY,
     }

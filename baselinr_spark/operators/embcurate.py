@@ -154,3 +154,95 @@ SELECT {id_col}, "group", cent_cosine,
        rn <= {bottom_k} AS is_outlier
 FROM ranked
 """
+
+
+def embedding_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.28,
+) -> DataFrame:
+    """Embedding-space benchmark decontamination: for every corpus
+    vector, the max cosine similarity against ANY benchmark/eval-set
+    vector, the closest benchmark id, and a contaminated flag at
+    ``threshold``. The semantic twin of the n-gram surface check
+    (dedup.py:ngram_contamination) — catches paraphrased eval leakage
+    that shares no 8-gram with the benchmark.
+
+    Scale shape (10^12 docs): the benchmark side is eval sets —
+    thousands-to-millions of rows — and is BROADCAST; the corpus
+    streams through one BroadcastNestedLoopJoin + groupBy(doc), so
+    there is no corpus-side shuffle of vectors, only of (doc_id,
+    scalar) partials after map-side combine. For very large benchmark
+    sets, pre-bucket both sides with the IVF cells in similarity.py
+    and union the per-cell hits — same output, bounded candidates.
+
+    Tie-break for the closest id: highest cosine first (rounded to 6
+    for cross-engine rank stability, same rule as centroid_outliers),
+    then lowest bench id. Returns
+    (id, max_cosine, bench_id, contaminated)."""
+    b = benchmark.select(
+        F.col(id_col).alias("bench_id"), F.col(vec_col).alias("__b")
+    )
+    c = corpus.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col), F.col(vec_col).alias("__v")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(b))
+        .filter(F.col(id_col) != F.col("bench_id"))
+        .select(
+            id_col,
+            "bench_id",
+            cosine_expr(F.col("__v"), F.col("__b")).alias("cos"),
+        )
+    )
+    best = scored.groupBy(id_col).agg(
+        F.max("cos").alias("max_cosine"),
+        # argmax on (rounded cosine desc, bench_id asc): max of a
+        # struct ordered (rounded cos, -bench_id) — one agg pass, no
+        # window over the corpus
+        F.max(
+            F.struct(
+                F.round(F.col("cos"), 6).alias("rc"),
+                (-F.col("bench_id")).alias("nb"),
+            )
+        ).alias("__m"),
+    )
+    return best.select(
+        id_col,
+        "max_cosine",
+        (-F.col("__m.nb")).alias("bench_id"),
+        (F.round(F.col("max_cosine"), 6) >= threshold).alias("contaminated"),
+    )
+
+
+def oracle_embedding_contamination_sql(
+    corpus_sql: str,
+    benchmark_sql: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.28,
+) -> str:
+    """DuckDB replay: same cross join, same (rounded cos desc, id asc)
+    argmax via row_number."""
+    return f"""
+WITH b AS (SELECT {id_col} AS bench_id, {vec_col} AS bv FROM ({benchmark_sql})),
+scored AS (
+  SELECT c.{id_col}, b.bench_id,
+         list_cosine_similarity(c.{vec_col}::double[], b.bv::double[]) AS cos
+  FROM ({corpus_sql}) c, b
+  WHERE c.{vec_col} IS NOT NULL AND c.{id_col} != b.bench_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY {id_col}
+    ORDER BY round(cos, 6) DESC, bench_id ASC
+  ) AS rn,
+  max(cos) OVER (PARTITION BY {id_col}) AS max_cosine
+  FROM scored
+)
+SELECT {id_col}, max_cosine, bench_id,
+       round(max_cosine, 6) >= {threshold} AS contaminated
+FROM ranked WHERE rn = 1
+"""

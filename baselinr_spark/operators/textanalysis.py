@@ -226,3 +226,101 @@ def script_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.when(total > 0, dom).alias("dominant_script"),
         F.when(total > 0, mx.cast("double") / total).alias("script_purity"),
     )
+
+
+def discover_stopwords(
+    df: DataFrame,
+    text_col: str = "text",
+    lang_col: str = "lang",
+    top_k: int = 10,
+    min_df_ratio: float = 0.25,
+) -> DataFrame:
+    """Data-driven stopword discovery: per language, the ``top_k`` terms
+    by DOCUMENT frequency (share of that language's docs containing the
+    term), filtered to df_ratio >= ``min_df_ratio``. Document frequency
+    — not raw term count — is the signal: a term that appears in most
+    documents carries no topical information, which is the actual
+    definition the Gopher stop-word rule needs. The hand-curated
+    EN_STOPWORDS list above bootstraps English; THIS generalizes the
+    rule to every language in the corpus without curation (the
+    reference's learned-expectation philosophy — learn the baseline
+    from the data — applied to lexicons; cf.
+    /root/reference/baselinr/learning/expectation_learner.py).
+
+    Scale shape (10^12 docs): explode is per-doc DISTINCT lowercased
+    terms (array_distinct BEFORE the explode, so the shuffle carries
+    each (doc, term) once, not per occurrence); the groupBy(lang, term)
+    agg combines map-side; per-lang doc totals are a tiny agg broadcast
+    back; the rank window runs over the (lang, term) aggregate — vocab-
+    scale, never corpus-scale. Ties break (df desc, term asc). Returns
+    (lang, term, doc_freq, df_ratio, rank)."""
+    from pyspark.sql import Window as W
+
+    terms = df.select(
+        F.col(lang_col).alias("lang"),
+        F.explode(
+            F.array_distinct(
+                F.transform(words_expr(F.col(text_col)), F.lower)
+            )
+        ).alias("term"),
+    )
+    doc_freq = terms.groupBy("lang", "term").agg(
+        F.count(F.lit(1)).alias("doc_freq")
+    )
+    totals = df.groupBy(F.col(lang_col).alias("lang")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    scored = doc_freq.join(F.broadcast(totals), "lang").select(
+        "lang",
+        "term",
+        "doc_freq",
+        (F.col("doc_freq").cast("double") / F.col("n_docs")).alias("df_ratio"),
+    )
+    w = W.partitionBy("lang").orderBy(
+        F.col("doc_freq").desc(), F.col("term").asc()
+    )
+    return (
+        scored.filter(F.col("df_ratio") >= min_df_ratio)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+    )
+
+
+def oracle_discover_stopwords_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    top_k: int = 10,
+    min_df_ratio: float = 0.25,
+) -> str:
+    """DuckDB replay: same distinct-terms explode, same tie-break."""
+    return f"""
+WITH terms AS (
+  SELECT {lang_col} AS lang,
+         unnest(list_distinct(list_transform(
+           list_filter(string_split_regex(trim({text_col}), '\\s+'),
+                       w -> len(w) > 0),
+           w -> lower(w)))) AS term
+  FROM {table}
+),
+doc_freq AS (
+  SELECT lang, term, count(*)::bigint AS doc_freq
+  FROM terms GROUP BY 1, 2
+),
+totals AS (
+  SELECT {lang_col} AS lang, count(*) AS n_docs FROM {table} GROUP BY 1
+),
+scored AS (
+  SELECT d.lang, d.term, d.doc_freq,
+         d.doc_freq::double / t.n_docs AS df_ratio
+  FROM doc_freq d JOIN totals t USING (lang)
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY lang ORDER BY doc_freq DESC, term ASC
+  ) AS rank
+  FROM scored WHERE df_ratio >= {min_df_ratio}
+)
+SELECT lang, term, doc_freq, df_ratio, rank::int AS rank
+FROM ranked WHERE rank <= {top_k}
+"""

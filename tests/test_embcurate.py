@@ -71,3 +71,36 @@ def test_outlier_tie_breaks_by_id(spark):
     ranks = {v["vec_id"]: v["outlier_rank"] for v in out.values()
              if v["outlier_rank"] is not None}
     assert sorted(ranks.values()) == [1, 2]
+
+
+def test_embedding_contamination_flags_planted(spark):
+    from baselinr_spark.operators.embcurate import embedding_contamination
+
+    # bench b10 = [1,0]; c1 aligned with it (cos 1.0), c2 orthogonal
+    # (cos 0.0), c3 at 45 deg (cos ~0.7071)
+    bench = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (11, [0.0, -1.0])], ["vec_id", "embedding"])
+    corpus = spark.createDataFrame(
+        [(1, [2.0, 0.0]), (2, [0.0, 3.0]), (3, [1.0, 1.0]), (4, None)],
+        ["vec_id", "embedding"])
+    rows = {r["vec_id"]: r for r in embedding_contamination(
+        corpus, bench, threshold=0.7).collect()}
+    assert set(rows) == {1, 2, 3}  # NULL vector excluded
+    assert abs(rows[1]["max_cosine"] - 1.0) < 1e-9
+    assert rows[1]["bench_id"] == 10 and rows[1]["contaminated"]
+    assert abs(rows[2]["max_cosine"] - 0.0) < 1e-9
+    assert rows[2]["bench_id"] == 10 and not rows[2]["contaminated"]
+    assert abs(rows[3]["max_cosine"] - 2 ** -0.5) < 1e-9
+    assert rows[3]["contaminated"]  # 0.7071 >= 0.7
+
+
+def test_embedding_contamination_tie_breaks_low_bench_id(spark):
+    from baselinr_spark.operators.embcurate import embedding_contamination
+
+    # both bench vectors identical -> equal cosine; argmax must pick
+    # the LOWER bench id
+    bench = spark.createDataFrame(
+        [(20, [1.0, 0.0]), (5, [1.0, 0.0])], ["vec_id", "embedding"])
+    corpus = spark.createDataFrame([(1, [1.0, 0.0])], ["vec_id", "embedding"])
+    (row,) = embedding_contamination(corpus, bench, threshold=0.5).collect()
+    assert row["bench_id"] == 5 and row["contaminated"]

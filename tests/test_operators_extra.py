@@ -568,3 +568,33 @@ def test_kneser_ney_mass_conservation(spark):
     out = kneser_ney_bigram(df, "text")
     s = out.filter(F.col("prev") == "a").agg(F.sum("p_kn")).collect()[0][0]
     assert s == _pt.approx(1.0)
+
+
+def test_discover_stopwords_hand_computed(spark):
+    """4 en docs: 'the' in 4/4 (df 1.0), 'cat' in 2/4 (0.5, in-doc
+    repeats counted once), 'dog' in 1/4 (0.25 — ON the threshold,
+    kept), 'rare' in 1/4 but top_k=3 cuts after the tie-break; one fr
+    doc ranks independently."""
+    from baselinr_spark.operators.textanalysis import discover_stopwords
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat cat sat", "en"),
+            (2, "the cat", "en"),
+            (3, "the dog", "en"),
+            (4, "the and and", "en"),
+            (5, "le chat", "fr"),
+        ],
+        ["doc_id", "text", "lang"],
+    )
+    rows = discover_stopwords(docs, "text", "lang", top_k=3,
+                              min_df_ratio=0.25).collect()
+    en = {r["term"]: r for r in rows if r["lang"] == "en"}
+    fr = {r["term"]: r for r in rows if r["lang"] == "fr"}
+    # en ranking: the (4), cat (2), then df=1 ties 'and'/'dog'/'sat'
+    # break alphabetically -> 'and' takes rank 3
+    assert list(sorted(en, key=lambda t: en[t]["rank"])) == ["the", "cat", "and"]
+    assert en["the"]["doc_freq"] == 4 and en["the"]["df_ratio"] == 1.0
+    assert en["cat"]["doc_freq"] == 2 and en["cat"]["df_ratio"] == 0.5
+    assert en["and"]["doc_freq"] == 1 and en["and"]["df_ratio"] == 0.25
+    assert fr["chat"]["df_ratio"] == 1.0 and len(fr) == 2
