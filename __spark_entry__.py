@@ -8400,6 +8400,89 @@ def _sql_stopwords_lang() -> str:
             f"rank FROM ({inner})")
 
 
+def q_mannwhitney_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U drift test (operators/drift.py:
+    mann_whitney_from_counts): return-flag R vs A cohorts of lineitem
+    quantity as (value, count) tables — rank-based location-shift
+    check complementing KS/PSI/z-score; midranks from the merged count
+    table so the window runs over O(distinct values), never the
+    corpus. Tie-corrected normal z, two-sided p via the shared erf
+    series, rank-biserial effect size."""
+    from baselinr_spark.operators.drift import mann_whitney_from_counts
+
+    li = _read(spark, sf_dir, "lineitem")
+    base = (li.filter(F.col("l_returnflag") == "R")
+            .groupBy(F.col("l_quantity").alias("value"))
+            .agg(F.count(F.lit(1)).alias("count")))
+    cur = (li.filter(F.col("l_returnflag") == "A")
+           .groupBy(F.col("l_quantity").alias("value"))
+           .agg(F.count(F.lit(1)).alias("count")))
+    out = mann_whitney_from_counts(base, cur)
+    return _r6(out, "u", "z", "p_value", "rank_biserial")
+
+
+def _sql_mannwhitney_quantity() -> str:
+    from baselinr_spark.operators.drift import oracle_mann_whitney_sql
+
+    inner = oracle_mann_whitney_sql(
+        "SELECT l_quantity AS value, count(*) AS count FROM lineitem "
+        "WHERE l_returnflag = 'R' GROUP BY 1",
+        "SELECT l_quantity AS value, count(*) AS count FROM lineitem "
+        "WHERE l_returnflag = 'A' GROUP BY 1",
+    )
+    return (f"SELECT round(u, 6) AS u, round(z, 6) AS z, "
+            f"round(p_value, 6) AS p_value, "
+            f"round(rank_biserial, 6) AS rank_biserial, "
+            f"n_base, n_cur, drift, severity FROM ({inner})")
+
+
+def q_ht_estimate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Horvitz-Thompson estimation over the deterministic stratified
+    sample (operators/profiling.py:ht_estimate): 10%-of-F / 2%-of-O
+    md5-bucket sample of orders, 1/p-weighted per-status estimates of
+    full-population count, totalprice total/mean, and the
+    Poisson-sampling SE — closing the loop the reference leaves open
+    (sampled profiles reported unweighted, query_builder.py:171-233):
+    a cost-capped cohort reports comparable metrics, not 20x-understated
+    raw sample aggregates."""
+    from baselinr_spark.operators.profiling import (
+        ht_estimate,
+        stratified_hash_sample,
+    )
+
+    orders = _read(spark, sf_dir, "orders")
+    s = stratified_hash_sample(
+        orders, "o_orderstatus", "o_orderkey", {"F": 0.10, "O": 0.02}
+    ).withColumn(
+        "p", F.when(F.col("o_orderstatus") == "F", 0.10).otherwise(0.02)
+    )
+    out = ht_estimate(s, "o_totalprice", "p", ["o_orderstatus"])
+    return _r6(out, "est_count", "est_total", "est_mean", "var_total",
+               "se_total")
+
+
+def _sql_ht_estimate_orders() -> str:
+    from baselinr_spark.operators.profiling import oracle_ht_estimate_sql
+
+    sample = """
+SELECT o_orderstatus, o_totalprice,
+       CASE WHEN o_orderstatus = 'F' THEN 0.10 ELSE 0.02 END AS p
+FROM orders
+WHERE (o_orderstatus = 'F'
+       AND ('0x' || substring(md5(o_orderkey::varchar), 1, 4))::int < 6553)
+   OR (o_orderstatus = 'O'
+       AND ('0x' || substring(md5(o_orderkey::varchar), 1, 4))::int < 1310)
+"""
+    inner = oracle_ht_estimate_sql(sample, "o_totalprice", "p",
+                                   ["o_orderstatus"])
+    return (f"SELECT o_orderstatus, n_sampled, "
+            f"round(est_count, 6) AS est_count, "
+            f"round(est_total, 6) AS est_total, "
+            f"round(est_mean, 6) AS est_mean, "
+            f"round(var_total, 6) AS var_total, "
+            f"round(se_total, 6) AS se_total FROM ({inner})")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: keep/drop quality filter over sf0.001 documents."""
     return q_keep_drop_docs(spark, "/root/testdata/sf0.001")
@@ -8630,6 +8713,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_decontam": q_embedding_decontam,
         "normalize_text_docs": q_normalize_text_docs,
         "stopwords_lang": q_stopwords_lang,
+        "mannwhitney_quantity": q_mannwhitney_quantity,
+        "ht_estimate_orders": q_ht_estimate_orders,
         "shard_positions_docs": q_shard_positions_docs,
         "incremental_minhash": q_incremental_minhash,
         "interval_overlap_events": q_interval_overlap_events,
@@ -8825,6 +8910,8 @@ def oracle_sql() -> dict[str, str]:
         "embedding_decontam": _sql_embedding_decontam(),
         "normalize_text_docs": _sql_normalize_text_docs(),
         "stopwords_lang": _sql_stopwords_lang(),
+        "mannwhitney_quantity": _sql_mannwhitney_quantity(),
+        "ht_estimate_orders": _sql_ht_estimate_orders(),
         "ngram_containment_pairs": _SQL_NGRAM_CONTAINMENT,
         "token_fertility_langs": _SQL_TOKEN_FERTILITY,
     }

@@ -790,3 +790,148 @@ def js_divergence(
         .otherwise("none")
         .alias("severity"),
     )
+
+
+def mann_whitney_from_counts(
+    base: DataFrame,
+    cur: DataFrame,
+    value_col: str = "value",
+    count_col: str = "count",
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """Two-sample Mann-Whitney U (Wilcoxon rank-sum) drift test from
+    per-value count tables — the nonparametric location-shift
+    complement to this registry's KS (shape), PSI (binned mass) and
+    z-score (parametric mean) tests: rank-based, so a median shift
+    under heavy tails that leaves the mean alone still fires.
+
+    Inputs are (value, count) aggregates per cohort — the same
+    pre-collapsed shape the KS/PSI paths consume — so the expensive
+    part (value grouping) is a map-side-combining groupBy done by the
+    caller and THIS op's window runs over O(distinct values) rows per
+    key, never over the corpus. Midranks (tie-average) come from the
+    merged table: midrank(v) = cum_before(v) + (t_v + 1)/2.
+
+    Statistic: U1 from base's rank sum; z uses the tie-corrected
+    normal approximation
+    sigma^2 = n1*n2/12 * ((n+1) - sum(t^3 - t)/(n*(n-1))), two-sided
+    p via erf. Effect size: rank-biserial r = 2*U1/(n1*n2) - 1
+    (sign: r > 0 means base stochastically larger). Drift if
+    p < 0.05; severity by |r|: > 0.5 high, > 0.3 medium, else low.
+    Returns (*key_cols, u, z, p_value, rank_biserial, n_base, n_cur,
+    drift, severity)."""
+    from pyspark.sql import Window as W
+
+    key_cols = key_cols or []
+    b = base.select(*key_cols, F.col(value_col).alias("v"),
+                    F.col(count_col).cast("double").alias("n_b"))
+    c = cur.select(*key_cols, F.col(value_col).alias("v"),
+                   F.col(count_col).cast("double").alias("n_c"))
+    j = (b.join(c, key_cols + ["v"], "full_outer")
+         .fillna(0.0, ["n_b", "n_c"])
+         .withColumn("t", F.col("n_b") + F.col("n_c")))
+    w = (W.partitionBy(*key_cols) if key_cols else W.partitionBy()).orderBy("v")
+    j = j.withColumn(
+        "midrank",
+        F.coalesce(F.sum("t").over(w.rowsBetween(W.unboundedPreceding, -1)),
+                   F.lit(0.0)) + (F.col("t") + 1) / 2,
+    )
+    agg = j.groupBy(*key_cols).agg(
+        F.sum(F.col("n_b") * F.col("midrank")).alias("r1"),
+        F.sum("n_b").alias("n1"),
+        F.sum("n_c").alias("n2"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias("tie3"),
+    )
+    n = F.col("n1") + F.col("n2")
+    u1 = F.col("r1") - F.col("n1") * (F.col("n1") + 1) / 2
+    mu = F.col("n1") * F.col("n2") / 2
+    tie_corr = (n + 1) - F.col("tie3") / (n * (n - 1))
+    sigma = F.sqrt(F.col("n1") * F.col("n2") / 12 * tie_corr)
+    z = F.when(sigma > 0, (u1 - mu) / sigma).otherwise(F.lit(0.0))
+    p = 1.0 - erf_expr(F.abs(z) / math.sqrt(2.0))
+    r_rb = F.when(
+        F.col("n1") * F.col("n2") > 0, 2 * u1 / (F.col("n1") * F.col("n2")) - 1
+    ).otherwise(F.lit(0.0))
+    out = agg.select(
+        *key_cols,
+        u1.alias("u"),
+        z.alias("z"),
+        p.alias("p_value"),
+        r_rb.alias("rank_biserial"),
+        F.col("n1").cast("long").alias("n_base"),
+        F.col("n2").cast("long").alias("n_cur"),
+    )
+    return out.select(
+        "*",
+        (F.col("p_value") < 0.05).alias("drift"),
+        F.when(~(F.col("p_value") < 0.05), "none")
+        .when(F.abs("rank_biserial") > 0.5, "high")
+        .when(F.abs("rank_biserial") > 0.3, "medium")
+        .otherwise("low")
+        .alias("severity"),
+    )
+
+
+def oracle_mann_whitney_sql(
+    base_sql: str,
+    cur_sql: str,
+    value_col: str = "value",
+    count_col: str = "count",
+) -> str:
+    """DuckDB replay of mann_whitney_from_counts (no key_cols — gate
+    entries pass one metric per call), including the erf approximation
+    (A&S 7.1.26) inline so p-values match bit-for-bit."""
+    return f"""
+WITH b AS (SELECT {value_col} AS v, {count_col}::double AS n_b FROM ({base_sql})),
+c AS (SELECT {value_col} AS v, {count_col}::double AS n_c FROM ({cur_sql})),
+j AS (
+  SELECT coalesce(b.v, c.v) AS v,
+         coalesce(n_b, 0) AS n_b, coalesce(n_c, 0) AS n_c,
+         coalesce(n_b, 0) + coalesce(n_c, 0) AS t
+  FROM b FULL OUTER JOIN c ON b.v = c.v
+),
+ranked AS (
+  SELECT *, coalesce(sum(t) OVER (ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            + (t + 1) / 2 AS midrank
+  FROM j
+),
+agg AS (
+  SELECT sum(n_b * midrank) AS r1, sum(n_b) AS n1, sum(n_c) AS n2,
+         sum(t*t*t - t) AS tie3
+  FROM ranked
+),
+stat AS (
+  SELECT r1 - n1*(n1+1)/2 AS u, n1, n2, tie3, n1 + n2 AS n,
+         sqrt(n1*n2/12.0 * ((n1+n2+1) - tie3/((n1+n2)*(n1+n2-1)))) AS sigma
+  FROM agg
+),
+zed AS (
+  SELECT u, n1, n2,
+         CASE WHEN sigma > 0 THEN (u - n1*n2/2) / sigma ELSE 0 END AS z,
+         CASE WHEN n1*n2 > 0 THEN 2*u/(n1*n2) - 1 ELSE 0 END AS rank_biserial
+  FROM stat
+),
+pv AS (
+  SELECT u, z, rank_biserial, n1, n2,
+         abs(z) / sqrt(2.0) AS ax
+  FROM zed
+),
+erf AS (
+  SELECT *, 1.0 / (1.0 + 0.3275911 * ax) AS tt FROM pv
+),
+pp AS (
+  SELECT u, z, rank_biserial, n1, n2,
+         1.0 - (1.0 - (((((1.061405429*tt - 1.453152027)*tt) + 1.421413741)*tt
+                - 0.284496736)*tt + 0.254829592)*tt * exp(-ax*ax)) AS p_value
+  FROM erf
+)
+SELECT u, z, p_value, rank_biserial,
+       n1::bigint AS n_base, n2::bigint AS n_cur,
+       p_value < 0.05 AS drift,
+       CASE WHEN NOT (p_value < 0.05) THEN 'none'
+            WHEN abs(rank_biserial) > 0.5 THEN 'high'
+            WHEN abs(rank_biserial) > 0.3 THEN 'medium'
+            ELSE 'low' END AS severity
+FROM pp
+"""

@@ -352,3 +352,73 @@ def stratified_hash_sample(
             F.lit(int(frac * 65536)),
         ).otherwise(thresh)
     return df.filter(bucket < thresh)
+
+
+def ht_estimate(
+    sample: DataFrame,
+    value_col: str,
+    prob_col: str,
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """Horvitz-Thompson estimation over an unequal-probability sample:
+    given sampled rows with their INCLUSION probability (e.g. the
+    per-stratum fractions of `stratified_hash_sample`, or the planner's
+    cost-cap sample fraction), estimate the FULL population's count,
+    total and mean per key, with the Poisson-sampling variance of the
+    total, Var = sum(v^2 * (1-p) / p^2), and its standard error.
+
+    This is what makes the planner's `sample` fallback honest at
+    100 TB: a cohort that was cost-capped to a p=0.05 scan still
+    reports comparable count/total metrics (1/p-weighted) instead of
+    raw sample aggregates that understate the cohort 20x. The
+    reference never closes this loop — its sampled profiles are
+    reported as-is (/root/reference/baselinr/profiling/
+    query_builder.py:171-233); weighting is the standard completion
+    (Horvitz & Thompson 1952).
+
+    One map-side-combining groupBy over the sample — no extra scan,
+    no shuffle beyond the key agg. NULL values contribute to est_count
+    (the row was observed) but not to est_total/mean."""
+    key_cols = key_cols or []
+    v = F.col(value_col).cast("double")
+    p = F.col(prob_col).cast("double")
+    return sample.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum(1.0 / p).alias("est_count"),
+        F.sum(F.when(v.isNotNull(), v / p).otherwise(0.0)).alias("est_total"),
+        (F.sum(F.when(v.isNotNull(), v / p).otherwise(0.0))
+         / F.sum(F.when(v.isNotNull(), 1.0 / p))).alias("est_mean"),
+        F.sum(
+            F.when(v.isNotNull(), v * v * (1.0 - p) / (p * p)).otherwise(0.0)
+        ).alias("var_total"),
+    ).withColumn("se_total", F.sqrt(F.col("var_total")))
+
+
+def oracle_ht_estimate_sql(
+    sample_sql: str,
+    value_col: str,
+    prob_col: str,
+    key_cols: list[str] | None = None,
+) -> str:
+    keys = ", ".join(key_cols or [])
+    sel = f"{keys}, " if keys else ""
+    grp = f"GROUP BY {keys}" if keys else ""
+    return f"""
+SELECT {sel}
+       count(*)::bigint AS n_sampled,
+       sum(1.0 / {prob_col}) AS est_count,
+       sum(CASE WHEN {value_col} IS NOT NULL
+                THEN {value_col} / {prob_col} ELSE 0 END) AS est_total,
+       sum(CASE WHEN {value_col} IS NOT NULL
+                THEN {value_col} / {prob_col} ELSE 0 END)
+         / sum(CASE WHEN {value_col} IS NOT NULL
+                    THEN 1.0 / {prob_col} END) AS est_mean,
+       sum(CASE WHEN {value_col} IS NOT NULL
+                THEN {value_col} * {value_col} * (1.0 - {prob_col})
+                     / ({prob_col} * {prob_col}) ELSE 0 END) AS var_total,
+       sqrt(sum(CASE WHEN {value_col} IS NOT NULL
+                THEN {value_col} * {value_col} * (1.0 - {prob_col})
+                     / ({prob_col} * {prob_col}) ELSE 0 END)) AS se_total
+FROM ({sample_sql})
+{grp}
+"""

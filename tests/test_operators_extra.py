@@ -598,3 +598,62 @@ def test_discover_stopwords_hand_computed(spark):
     assert en["cat"]["doc_freq"] == 2 and en["cat"]["df_ratio"] == 0.5
     assert en["and"]["doc_freq"] == 1 and en["and"]["df_ratio"] == 0.25
     assert fr["chat"]["df_ratio"] == 1.0 and len(fr) == 2
+
+
+def test_mann_whitney_hand_computed(spark):
+    """base {1,2,3} vs cur {2,3,4}: U1=2, tie-corrected z=-1.12367,
+    two-sided p~=0.2613, rank-biserial -5/9 (hand-worked midranks:
+    1, 2.5, 2.5, 4.5, 4.5, 6)."""
+    import math
+
+    from baselinr_spark.operators.drift import mann_whitney_from_counts
+
+    base = spark.createDataFrame([(1.0, 1), (2.0, 1), (3.0, 1)],
+                                 ["value", "count"])
+    cur = spark.createDataFrame([(2.0, 1), (3.0, 1), (4.0, 1)],
+                                ["value", "count"])
+    (row,) = mann_whitney_from_counts(base, cur).collect()
+    assert row["u"] == 2.0
+    assert row["n_base"] == 3 and row["n_cur"] == 3
+    sigma = math.sqrt(9 / 12 * (7 - 12 / 30))
+    assert abs(row["z"] - (2 - 4.5) / sigma) < 1e-9
+    assert abs(row["p_value"] - 0.2613) < 2e-3  # vs scipy two-sided
+    assert abs(row["rank_biserial"] - (-5 / 9)) < 1e-9
+    assert not row["drift"] and row["severity"] == "none"
+
+
+def test_mann_whitney_disjoint_shift_drifts(spark):
+    """Completely separated cohorts (all base < all cur), n=30 each:
+    U1=0, |rank-biserial|=1, p << 0.05 -> drift, severity high."""
+    from baselinr_spark.operators.drift import mann_whitney_from_counts
+
+    base = spark.createDataFrame([(float(v), 10) for v in (1, 2, 3)],
+                                 ["value", "count"])
+    cur = spark.createDataFrame([(float(v), 10) for v in (11, 12, 13)],
+                                ["value", "count"])
+    (row,) = mann_whitney_from_counts(base, cur).collect()
+    assert row["u"] == 0.0
+    assert row["rank_biserial"] == -1.0
+    assert row["p_value"] < 1e-6
+    assert row["drift"] and row["severity"] == "high"
+
+
+def test_ht_estimate_hand_computed(spark):
+    """(10, p=.5), (20, p=.5), (30, p=.25), (NULL, p=.5):
+    est_count = 2+2+4+2 = 10; est_total = 20+40+120 = 180;
+    est_mean = 180/8 (NULL row excluded from the value weights);
+    var_total = 200+800+10800 = 11800."""
+    import math
+
+    from baselinr_spark.operators.profiling import ht_estimate
+
+    s = spark.createDataFrame(
+        [(10.0, 0.5), (20.0, 0.5), (30.0, 0.25), (None, 0.5)],
+        "v double, p double")
+    (row,) = ht_estimate(s, "v", "p").collect()
+    assert row["n_sampled"] == 4
+    assert abs(row["est_count"] - 10.0) < 1e-9
+    assert abs(row["est_total"] - 180.0) < 1e-9
+    assert abs(row["est_mean"] - 180.0 / 8.0) < 1e-9
+    assert abs(row["var_total"] - 11800.0) < 1e-9
+    assert abs(row["se_total"] - math.sqrt(11800.0)) < 1e-9
