@@ -8483,6 +8483,51 @@ WHERE (o_orderstatus = 'F'
             f"round(se_total, 6) AS se_total FROM ({inner})")
 
 
+def q_vocab_richness_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Species-richness estimators (operators/corpusstats.py:
+    vocab_richness): Chao1 true-vocabulary estimate, Good-Turing
+    unseen mass and coverage from the token frequency spectrum — one
+    term-counts shuffle, one O(vocab) aggregate."""
+    from baselinr_spark.operators.corpusstats import vocab_richness
+
+    docs = _read(spark, sf_dir, "documents")
+    return _r6(vocab_richness(docs, "text"),
+               "chao1", "gt_unseen_mass", "coverage")
+
+
+def _sql_vocab_richness_docs() -> str:
+    from baselinr_spark.operators.corpusstats import oracle_vocab_richness_sql
+
+    inner = oracle_vocab_richness_sql("SELECT text FROM documents", "text")
+    return (f"SELECT vocab, n_tokens, f1, f2, round(chao1, 6) AS chao1, "
+            f"round(gt_unseen_mass, 6) AS gt_unseen_mass, "
+            f"round(coverage, 6) AS coverage FROM ({inner})")
+
+
+def q_source_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language source-concentration diagnostics (operators/
+    corpusstats.py:concentration): Gini, HHI, effective source count
+    and top-source share — the "is one domain eating this language's
+    crawl?" check run before per-domain caps; rank window over the
+    O(groups) aggregate only."""
+    from baselinr_spark.operators.corpusstats import concentration
+
+    docs = _read(spark, sf_dir, "documents")
+    return _r6(concentration(docs, "source", ["lang"]),
+               "gini", "hhi", "effective_groups", "top_share")
+
+
+def _sql_source_concentration() -> str:
+    from baselinr_spark.operators.corpusstats import oracle_concentration_sql
+
+    inner = oracle_concentration_sql(
+        "SELECT lang, source FROM documents", "source", ["lang"])
+    return (f"SELECT lang, n_groups, n_rows, round(gini, 6) AS gini, "
+            f"round(hhi, 6) AS hhi, "
+            f"round(effective_groups, 6) AS effective_groups, "
+            f"round(top_share, 6) AS top_share, top_group FROM ({inner})")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: keep/drop quality filter over sf0.001 documents."""
     return q_keep_drop_docs(spark, "/root/testdata/sf0.001")
@@ -8715,6 +8760,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stopwords_lang": q_stopwords_lang,
         "mannwhitney_quantity": q_mannwhitney_quantity,
         "ht_estimate_orders": q_ht_estimate_orders,
+        "vocab_richness_docs": q_vocab_richness_docs,
+        "source_concentration": q_source_concentration,
         "shard_positions_docs": q_shard_positions_docs,
         "incremental_minhash": q_incremental_minhash,
         "interval_overlap_events": q_interval_overlap_events,
@@ -8912,6 +8959,8 @@ def oracle_sql() -> dict[str, str]:
         "stopwords_lang": _sql_stopwords_lang(),
         "mannwhitney_quantity": _sql_mannwhitney_quantity(),
         "ht_estimate_orders": _sql_ht_estimate_orders(),
+        "vocab_richness_docs": _sql_vocab_richness_docs(),
+        "source_concentration": _sql_source_concentration(),
         "ngram_containment_pairs": _SQL_NGRAM_CONTAINMENT,
         "token_fertility_langs": _SQL_TOKEN_FERTILITY,
     }

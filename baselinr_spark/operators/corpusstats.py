@@ -318,3 +318,155 @@ def vocab_growth(
             ),
         )
     )
+
+
+def vocab_richness(df: DataFrame, text_col: str) -> DataFrame:
+    """Species-richness estimators over the token frequency spectrum:
+    how much vocabulary the corpus has NOT seen yet — the complement of
+    `freq_spectrum`'s raw counts and the quantitative answer to "will
+    more crawl buy more vocabulary?" that `vocab_growth` plots per
+    cohort.
+
+    - Chao1 (Chao 1984): est. true vocab = V + f1^2 / (2 f2), with the
+      bias-corrected form V + f1(f1-1)/(2(f2+1)) used when f2 = 0.
+    - Good-Turing unseen mass (Good 1953): P0 = f1 / N — probability
+      the next token is a NEW type; ALSO the leave-one-out duplicate
+      diagnostic (1 - P0 = mass already covered).
+    - Coverage C = 1 - f1/N (Good's estimator of sample coverage).
+
+    One explode+groupBy(token) (the shared term_counts shuffle) then
+    ONE aggregate over the O(vocab) term table. Returns a single row
+    (vocab, n_tokens, f1, f2, chao1, gt_unseen_mass, coverage)."""
+    tc = term_counts(df, text_col)
+    agg = tc.agg(
+        F.count(F.lit(1)).alias("vocab"),
+        F.sum("cnt").alias("n_tokens"),
+        F.sum((F.col("cnt") == 1).cast("long")).alias("f1"),
+        F.sum((F.col("cnt") == 2).cast("long")).alias("f2"),
+    )
+    f1 = F.col("f1").cast("double")
+    f2 = F.col("f2").cast("double")
+    v = F.col("vocab").cast("double")
+    n = F.col("n_tokens").cast("double")
+    chao1 = F.when(F.col("f2") > 0, v + f1 * f1 / (2.0 * f2)).otherwise(
+        v + f1 * (f1 - 1.0) / (2.0 * (f2 + 1.0))
+    )
+    return agg.select(
+        "vocab",
+        "n_tokens",
+        "f1",
+        "f2",
+        chao1.alias("chao1"),
+        (f1 / n).alias("gt_unseen_mass"),
+        (1.0 - f1 / n).alias("coverage"),
+    )
+
+
+def oracle_vocab_richness_sql(docs_sql: str, text_col: str) -> str:
+    return f"""
+WITH tc AS (
+  SELECT w AS token, count(*)::bigint AS cnt
+  FROM (SELECT unnest(list_filter(string_split_regex(trim(lower({text_col})), '\\s+'),
+                                  x -> len(x) > 0)) AS w
+        FROM ({docs_sql}))
+  GROUP BY 1
+),
+agg AS (
+  SELECT count(*)::bigint AS vocab, sum(cnt)::bigint AS n_tokens,
+         sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END)::bigint AS f1,
+         sum(CASE WHEN cnt = 2 THEN 1 ELSE 0 END)::bigint AS f2
+  FROM tc
+)
+SELECT vocab, n_tokens, f1, f2,
+       CASE WHEN f2 > 0 THEN vocab + f1::double * f1 / (2.0 * f2)
+            ELSE vocab + f1::double * (f1 - 1.0) / (2.0 * (f2 + 1.0))
+       END AS chao1,
+       f1::double / n_tokens AS gt_unseen_mass,
+       1.0 - f1::double / n_tokens AS coverage
+FROM agg
+"""
+
+
+def concentration(
+    df: DataFrame,
+    group_col: str,
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """Concentration of a corpus over a categorical dimension (domains,
+    sources, languages): Gini coefficient, Herfindahl-Hirschman index,
+    top-1 share, and the effective number of groups (1/HHI) — the
+    "is one domain eating the crawl?" diagnostic curation teams check
+    before the per-domain caps (selection.py:domain_blocklist) fire.
+
+    Gini over group sizes n_(1) <= ... <= n_(G) via the rank identity
+    G = (2 * sum(i * n_i) / (G * N)) - (G + 1) / G   (i = ascending
+    rank, ties broken by group name for determinism). The rank window
+    runs over the AGGREGATED group table (O(groups) rows per key),
+    never the corpus; the corpus contributes one map-side-combining
+    groupBy. Returns (*key_cols, n_groups, n_rows, gini, hhi,
+    effective_groups, top_share, top_group)."""
+    from pyspark.sql import Window as W
+
+    key_cols = key_cols or []
+    sizes = df.groupBy(*key_cols, F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = (W.partitionBy(*key_cols) if key_cols else W.partitionBy()).orderBy(
+        F.col("n").asc(), F.col("grp").asc()
+    )
+    ranked = sizes.withColumn("i", F.row_number().over(w))
+    agg = ranked.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum("n").alias("n_rows"),
+        F.sum(F.col("i").cast("double") * F.col("n")).alias("iw"),
+        F.sum(F.col("n").cast("double") * F.col("n")).alias("sq"),
+        F.max(F.struct(F.col("n"), F.col("grp"))).alias("__top"),
+    )
+    g = F.col("n_groups").cast("double")
+    n = F.col("n_rows").cast("double")
+    gini = 2.0 * F.col("iw") / (g * n) - (g + 1.0) / g
+    hhi = F.col("sq") / (n * n)
+    return agg.select(
+        *key_cols,
+        "n_groups",
+        "n_rows",
+        gini.alias("gini"),
+        hhi.alias("hhi"),
+        (1.0 / hhi).alias("effective_groups"),
+        (F.col("__top.n").cast("double") / n).alias("top_share"),
+        F.col("__top.grp").alias("top_group"),
+    )
+
+
+def oracle_concentration_sql(
+    rows_sql: str, group_col: str, key_cols: list[str] | None = None
+) -> str:
+    keys = ", ".join(key_cols or [])
+    sel = f"{keys}, " if keys else ""
+    part = f"PARTITION BY {keys} " if keys else ""
+    grp = f", {keys}" if keys else ""
+    return f"""
+WITH sizes AS (
+  SELECT {sel}{group_col} AS grp, count(*)::bigint AS n
+  FROM ({rows_sql}) GROUP BY grp{grp}
+),
+ranked AS (
+  SELECT *, row_number() OVER ({part}ORDER BY n ASC, grp ASC) AS i,
+         row_number() OVER ({part}ORDER BY n DESC, grp DESC) AS ri
+  FROM sizes
+),
+agg AS (
+  SELECT {sel}count(*)::bigint AS n_groups, sum(n)::bigint AS n_rows,
+         sum(i::double * n) AS iw, sum(n::double * n) AS sq,
+         max(CASE WHEN ri = 1 THEN n END) AS top_n,
+         max(CASE WHEN ri = 1 THEN grp END) AS top_group
+  FROM ranked {('GROUP BY ' + keys) if keys else ''}
+)
+SELECT {sel}n_groups, n_rows,
+       2.0 * iw / (n_groups * n_rows) - (n_groups + 1.0) / n_groups AS gini,
+       sq / (n_rows::double * n_rows) AS hhi,
+       (n_rows::double * n_rows) / sq AS effective_groups,
+       top_n::double / n_rows AS top_share,
+       top_group
+FROM agg
+"""

@@ -147,3 +147,52 @@ def test_hits_dedupes_parallel_edges_and_self_loops(spark):
     for node, (h, a) in exp.items():
         assert got[node][0] == pytest.approx(h, abs=1e-12)
         assert got[node][1] == pytest.approx(a, abs=1e-12)
+
+
+def test_vocab_richness_hand_computed(spark):
+    """corpus tokens: a a a b b c d -> V=4, N=7, f1=2 (c,d), f2=1 (b);
+    Chao1 = 4 + 4/2 = 6; P0 = 2/7; coverage = 5/7."""
+    from baselinr_spark.operators.corpusstats import vocab_richness
+
+    docs = spark.createDataFrame([("a a a b",), ("b c d",)], ["text"])
+    (row,) = vocab_richness(docs, "text").collect()
+    assert row["vocab"] == 4 and row["n_tokens"] == 7
+    assert row["f1"] == 2 and row["f2"] == 1
+    assert abs(row["chao1"] - 6.0) < 1e-9
+    assert abs(row["gt_unseen_mass"] - 2 / 7) < 1e-9
+    assert abs(row["coverage"] - 5 / 7) < 1e-9
+
+
+def test_vocab_richness_no_doubletons_bias_corrected(spark):
+    """f2 = 0 branch: tokens a b c (all hapax) -> V=3, f1=3, f2=0;
+    bias-corrected Chao1 = 3 + 3*2/2 = 6."""
+    from baselinr_spark.operators.corpusstats import vocab_richness
+
+    docs = spark.createDataFrame([("a b c",)], ["text"])
+    (row,) = vocab_richness(docs, "text").collect()
+    assert row["f2"] == 0 and abs(row["chao1"] - 6.0) < 1e-9
+
+
+def test_concentration_hand_computed(spark):
+    """groups x:1, y:1, z:2 (N=4, G=3): ascending sizes (1,1,2),
+    Gini = 2*(1*1+2*1+3*2)/(3*4) - 4/3 = 9/6 - 4/3 = 1/6;
+    HHI = (1+1+4)/16 = 0.375; top z share 0.5."""
+    from baselinr_spark.operators.corpusstats import concentration
+
+    df = spark.createDataFrame(
+        [("x",), ("y",), ("z",), ("z",)], ["g"])
+    (row,) = concentration(df, "g").collect()
+    assert row["n_groups"] == 3 and row["n_rows"] == 4
+    assert abs(row["gini"] - 1 / 6) < 1e-9
+    assert abs(row["hhi"] - 0.375) < 1e-9
+    assert abs(row["effective_groups"] - 1 / 0.375) < 1e-9
+    assert row["top_group"] == "z" and abs(row["top_share"] - 0.5) < 1e-9
+
+
+def test_concentration_uniform_is_zero_gini(spark):
+    from baselinr_spark.operators.corpusstats import concentration
+
+    df = spark.createDataFrame([("a",), ("b",), ("c",)], ["g"])
+    (row,) = concentration(df, "g").collect()
+    assert abs(row["gini"]) < 1e-9
+    assert abs(row["effective_groups"] - 3.0) < 1e-9
