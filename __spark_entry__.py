@@ -8528,6 +8528,34 @@ def _sql_source_concentration() -> str:
             f"round(top_share, 6) AS top_share, top_group FROM ({inner})")
 
 
+def q_bootstrap_mean_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Poisson-bootstrap CI (operators/bootstrap.py):
+    200 md5-seeded Poisson(1)-weighted resamples of o_totalprice per
+    order status -> percentile CI + bootstrap SE of the mean — the
+    assumption-free companion to the parametric drift p-values; the
+    whole bootstrap distribution replays exactly in SQL."""
+    from baselinr_spark.operators.bootstrap import bootstrap_mean_ci
+
+    orders = _read(spark, sf_dir, "orders")
+    out = bootstrap_mean_ci(orders, "o_orderkey", "o_totalprice",
+                            ["o_orderstatus"], b=200)
+    return _r6(out, "mean", "ci_lo", "ci_hi", "boot_se")
+
+
+def _sql_bootstrap_mean_orders() -> str:
+    from baselinr_spark.operators.bootstrap import (
+        oracle_bootstrap_mean_ci_sql,
+    )
+
+    inner = oracle_bootstrap_mean_ci_sql(
+        "SELECT o_orderstatus, o_orderkey, o_totalprice FROM orders",
+        "o_orderkey", "o_totalprice", ["o_orderstatus"], b=200)
+    return (f"SELECT o_orderstatus, round(mean, 6) AS mean, "
+            f"round(ci_lo, 6) AS ci_lo, round(ci_hi, 6) AS ci_hi, "
+            f"round(boot_se, 6) AS boot_se, b_effective, n "
+            f"FROM ({inner})")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: keep/drop quality filter over sf0.001 documents."""
     return q_keep_drop_docs(spark, "/root/testdata/sf0.001")
@@ -8762,6 +8790,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ht_estimate_orders": q_ht_estimate_orders,
         "vocab_richness_docs": q_vocab_richness_docs,
         "source_concentration": q_source_concentration,
+        "bootstrap_mean_orders": q_bootstrap_mean_orders,
         "shard_positions_docs": q_shard_positions_docs,
         "incremental_minhash": q_incremental_minhash,
         "interval_overlap_events": q_interval_overlap_events,
@@ -8961,6 +8990,7 @@ def oracle_sql() -> dict[str, str]:
         "ht_estimate_orders": _sql_ht_estimate_orders(),
         "vocab_richness_docs": _sql_vocab_richness_docs(),
         "source_concentration": _sql_source_concentration(),
+        "bootstrap_mean_orders": _sql_bootstrap_mean_orders(),
         "ngram_containment_pairs": _SQL_NGRAM_CONTAINMENT,
         "token_fertility_langs": _SQL_TOKEN_FERTILITY,
     }
