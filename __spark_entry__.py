@@ -8556,6 +8556,73 @@ def _sql_bootstrap_mean_orders() -> str:
             f"FROM ({inner})")
 
 
+def q_cusum_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided CUSUM control chart (operators/anomaly.py:
+    cusum_series) over the daily event-count series: baseline mu/sigma
+    from the oldest 5 days, k=0.5 sigma allowance, h=4 sigma decision
+    interval — the sequential detector for slow persistent shifts that
+    one-point Shewhart breaches and the recent-vs-rest t-test miss.
+    Ordered aggregate-HOF fold (ewma_series shape); recursive-CTE
+    oracle."""
+    from baselinr_spark.operators.anomaly import cusum_series
+
+    daily = _daily_counts(spark, sf_dir)
+    out = cusum_series(daily, ts_col="day", value_col="n", baseline_n=5)
+    return out.select(
+        F.col("day").cast("string").alias("day"),
+        F.col("n"),
+        F.round("s_pos", 6).alias("s_pos"),
+        F.round("s_neg", 6).alias("s_neg"),
+        "alarm",
+        F.round("mu0", 6).alias("mu0"),
+        F.round("sigma0", 6).alias("sigma0"),
+    )
+
+
+def _sql_cusum_daily() -> str:
+    from baselinr_spark.operators.anomaly import oracle_cusum_sql
+
+    inner = oracle_cusum_sql(_SQL_DAILY, ts_col="day", value_col="n",
+                             baseline_n=5)
+    return (f"SELECT day::varchar AS day, n::bigint AS n, "
+            f"round(s_pos, 6) AS s_pos, round(s_neg, 6) AS s_neg, alarm, "
+            f"round(mu0, 6) AS mu0, round(sigma0, 6) AS sigma0 "
+            f"FROM ({inner})")
+
+
+def q_bh_fdr_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR control (operators/drift.py:bh_fdr) over
+    a deterministic 80-test family (md5-uniform p-values, the house
+    determinism contract): step-up q-values + reject set at
+    alpha=0.05 — the multiple-comparison layer a run firing hundreds
+    of drift tests needs. Windows over the O(#tests) family only."""
+    from baselinr_spark.operators.drift import bh_fdr
+    from baselinr_spark.operators.selection import _md5_uniform
+
+    tests = spark.range(80).select(
+        F.col("id").alias("test_id"),
+        # square the uniform so small p-values exist and the reject
+        # set is non-trivial at alpha=0.05
+        F.pow(_md5_uniform(F.col("id"), "fdr"), 2).alias("p_value"),
+    )
+    out = bh_fdr(tests, alpha=0.05)
+    return _r6(out, "p_value", "q_value")
+
+
+def _sql_bh_fdr_tests() -> str:
+    from baselinr_spark.operators.drift import oracle_bh_fdr_sql
+
+    tests = """
+SELECT t.i AS test_id,
+       pow((('0x' || substring(md5(t.i::varchar || '|fdr'), 1, 8))::bigint
+            / 4294967296.0), 2) AS p_value
+FROM range(80) t(i)
+"""
+    inner = oracle_bh_fdr_sql(tests, alpha=0.05)
+    return (f"SELECT test_id, round(p_value, 6) AS p_value, rank, "
+            f"round(q_value, 6) AS q_value, reject FROM ({inner})")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: keep/drop quality filter over sf0.001 documents."""
     return q_keep_drop_docs(spark, "/root/testdata/sf0.001")
@@ -8791,6 +8858,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_richness_docs": q_vocab_richness_docs,
         "source_concentration": q_source_concentration,
         "bootstrap_mean_orders": q_bootstrap_mean_orders,
+        "cusum_daily": q_cusum_daily,
+        "bh_fdr_tests": q_bh_fdr_tests,
         "shard_positions_docs": q_shard_positions_docs,
         "incremental_minhash": q_incremental_minhash,
         "interval_overlap_events": q_interval_overlap_events,
@@ -8991,6 +9060,8 @@ def oracle_sql() -> dict[str, str]:
         "vocab_richness_docs": _sql_vocab_richness_docs(),
         "source_concentration": _sql_source_concentration(),
         "bootstrap_mean_orders": _sql_bootstrap_mean_orders(),
+        "cusum_daily": _sql_cusum_daily(),
+        "bh_fdr_tests": _sql_bh_fdr_tests(),
         "ngram_containment_pairs": _SQL_NGRAM_CONTAINMENT,
         "token_fertility_langs": _SQL_TOKEN_FERTILITY,
     }

@@ -212,3 +212,134 @@ def seasonal_residual_flags(
         & F.col("resid_stddev").isNotNull()
         & (dev > sigma_mult * F.col("resid_stddev")),
     ).drop("__n")
+
+
+def cusum_series(
+    history: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    key_cols: list[str] | None = None,
+    baseline_n: int = 5,
+    k_sigma: float = 0.5,
+    h_sigma: float = 4.0,
+) -> DataFrame:
+    """Two-sided CUSUM control chart (Page 1954) over a run history —
+    the sequential change-point detector that catches SLOW drifts the
+    Shewhart limits (one-point breaches) and the recent-vs-rest t-test
+    (`regime_shift`) both miss: a persistent 0.5σ shift accumulates in
+    S+ within a handful of runs.
+
+    Baseline mu0/sigma0 come from the OLDEST ``baseline_n`` points
+    (the in-control period); allowance k = k_sigma·sigma0, decision
+    interval h = h_sigma·sigma0 (0.5σ/4σ-5σ are the textbook
+    settings). Recursion: S+_i = max(0, S+_{i-1} + (x_i − mu0 − k)),
+    S-_i = max(0, S-_{i-1} − (x_i − mu0 + k)); alarm when either
+    exceeds h. A constant baseline (sigma0 = 0, or < 2 points) makes
+    any deviation alarm — the degenerate case is explicit, not NULL.
+
+    Run histories are O(runs) per metric, so the per-key collected
+    array + ordered `aggregate` fold (same shape as `ewma_series`) is
+    the right plan: one shuffle, no Python, no per-row recursion the
+    optimizer can't see. Returns one row per history point:
+    (*key_cols, ts, value, s_pos, s_neg, alarm, mu0, sigma0)."""
+    key_cols = key_cols or []
+    collected = history.groupBy(*key_cols).agg(
+        F.array_sort(
+            F.collect_list(F.struct(
+                F.col(ts_col).alias("ts"),
+                F.col(value_col).cast("double").alias("v"),
+            ))
+        ).alias("__series")
+    )
+    base = F.slice(F.col("__series"), 1, baseline_n)
+    n_b = F.size(base).cast("double")
+    mu0 = F.aggregate(base, F.lit(0.0), lambda a, x: a + x["v"]) / n_b
+    # population variance of the baseline window (the in-control spread
+    # estimate; n is tiny and fixed, bias is irrelevant to the chart)
+    var0 = (
+        F.aggregate(base, F.lit(0.0), lambda a, x: a + x["v"] * x["v"]) / n_b
+        - mu0 * mu0
+    )
+    sigma0 = F.sqrt(F.greatest(var0, F.lit(0.0)))
+    c = collected.withColumn("__mu0", mu0).withColumn("__sigma0", sigma0)
+    k = F.col("__sigma0") * k_sigma
+    h = F.col("__sigma0") * h_sigma
+    step_t = ("array<struct<ts:" + dict(history.dtypes)[ts_col]
+              + ",v:double,sp:double,sn:double>>")
+    folded = F.aggregate(
+        F.col("__series"),
+        F.lit(None).cast(step_t),
+        lambda acc, x: F.concat(
+            F.coalesce(acc, F.array()),
+            F.array(F.struct(
+                x["ts"].alias("ts"),
+                x["v"].alias("v"),
+                F.greatest(
+                    F.lit(0.0),
+                    F.coalesce(F.element_at(acc, -1)["sp"], F.lit(0.0))
+                    + (x["v"] - F.col("__mu0") - k),
+                ).alias("sp"),
+                F.greatest(
+                    F.lit(0.0),
+                    F.coalesce(F.element_at(acc, -1)["sn"], F.lit(0.0))
+                    - (x["v"] - F.col("__mu0") + k),
+                ).alias("sn"),
+            )),
+        ),
+    )
+    out = c.withColumn("__steps", folded).select(
+        *key_cols, "__mu0", "__sigma0", F.col("__sigma0") * h_sigma,
+        F.explode("__steps").alias("s"),
+    ).toDF(*key_cols, "__mu0", "__sigma0", "__h", "s")
+    return out.select(
+        *key_cols,
+        F.col("s.ts").alias(ts_col),
+        F.col("s.v").alias(value_col),
+        F.col("s.sp").alias("s_pos"),
+        F.col("s.sn").alias("s_neg"),
+        ((F.col("s.sp") > F.col("__h")) | (F.col("s.sn") > F.col("__h")))
+        .alias("alarm"),
+        F.col("__mu0").alias("mu0"),
+        F.col("__sigma0").alias("sigma0"),
+    )
+
+
+def oracle_cusum_sql(
+    history_sql: str,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    baseline_n: int = 5,
+    k_sigma: float = 0.5,
+    h_sigma: float = 4.0,
+) -> str:
+    """DuckDB replay via a recursive CTE (the fold is a true ordered
+    recursion — max(0, ...) — that window functions cannot express).
+    No key_cols: gate entries pass one series per call."""
+    return f"""
+WITH RECURSIVE ordered AS (
+  SELECT {ts_col} AS ts, {value_col}::double AS v,
+         row_number() OVER (ORDER BY {ts_col}) AS i
+  FROM ({history_sql})
+),
+base AS (
+  SELECT avg(v) AS mu0,
+         sqrt(greatest(avg(v * v) - avg(v) * avg(v), 0)) AS sigma0
+  FROM ordered WHERE i <= {baseline_n}
+),
+steps AS (
+  SELECT o.i, o.ts, o.v,
+         greatest(0, o.v - b.mu0 - {k_sigma} * b.sigma0) AS sp,
+         greatest(0, -(o.v - b.mu0 + {k_sigma} * b.sigma0)) AS sn
+  FROM ordered o, base b WHERE o.i = 1
+  UNION ALL
+  SELECT o.i, o.ts, o.v,
+         greatest(0, s.sp + (o.v - b.mu0 - {k_sigma} * b.sigma0)),
+         greatest(0, s.sn - (o.v - b.mu0 + {k_sigma} * b.sigma0))
+  FROM steps s JOIN ordered o ON o.i = s.i + 1
+  CROSS JOIN base b
+)
+SELECT s.ts AS {ts_col}, s.v AS {value_col}, s.sp AS s_pos, s.sn AS s_neg,
+       (s.sp > {h_sigma} * b.sigma0 OR s.sn > {h_sigma} * b.sigma0) AS alarm,
+       b.mu0 AS mu0, b.sigma0 AS sigma0
+FROM steps s CROSS JOIN base b
+"""

@@ -935,3 +935,78 @@ SELECT u, z, p_value, rank_biserial,
             ELSE 'low' END AS severity
 FROM pp
 """
+
+
+def bh_fdr(
+    tests: DataFrame,
+    test_col: str = "test_id",
+    p_col: str = "p_value",
+    alpha: float = 0.05,
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """Benjamini-Hochberg false-discovery-rate control over a family of
+    p-values — the multiple-comparison correction this registry's
+    per-metric drift tests need when a run fires hundreds of them: at
+    alpha=0.05 a 500-test run expects ~25 false drift events uncorrected;
+    BH caps the FALSE-DISCOVERY fraction at alpha instead (Benjamini &
+    Hochberg 1995). The reference emits raw per-test severities with no
+    family-wise view (events built test-by-test,
+    /root/reference/baselinr/events/builtin_hooks.py) — this is the
+    principled aggregation layer above them.
+
+    q-value = min_{j >= i} (m * p_(j) / j) (the monotone step-up
+    adjustment, capped at 1), computed with two windows over the
+    O(#tests) family — never corpus-scale. reject = q <= alpha,
+    equivalent to the classic max-i rule. Ties order by (p, test_id)
+    for engine determinism. Returns (*key_cols, test_id, p_value,
+    rank, q_value, reject)."""
+    from pyspark.sql import Window as W
+
+    key_cols = key_cols or []
+    base = (W.partitionBy(*key_cols) if key_cols else W.partitionBy())
+    w_rank = base.orderBy(F.col(p_col).asc(), F.col(test_col).asc())
+    w_suffix = base.orderBy(
+        F.col(p_col).desc(), F.col(test_col).desc()
+    ).rowsBetween(W.unboundedPreceding, W.currentRow)
+    t = tests.withColumn("rank", F.row_number().over(w_rank)).withColumn(
+        "__m", F.count(F.lit(1)).over(base.rowsBetween(
+            W.unboundedPreceding, W.unboundedFollowing))
+    )
+    raw_q = F.col("__m") * F.col(p_col) / F.col("rank")
+    t = t.withColumn(
+        "q_value", F.least(F.min(raw_q).over(w_suffix), F.lit(1.0))
+    )
+    return t.select(
+        *key_cols,
+        F.col(test_col),
+        F.col(p_col),
+        "rank",
+        "q_value",
+        (F.col("q_value") <= alpha).alias("reject"),
+    )
+
+
+def oracle_bh_fdr_sql(
+    tests_sql: str,
+    test_col: str = "test_id",
+    p_col: str = "p_value",
+    alpha: float = 0.05,
+) -> str:
+    """DuckDB replay (no key_cols — one family per gate call)."""
+    return f"""
+WITH t AS (
+  SELECT {test_col}, {p_col},
+         row_number() OVER (ORDER BY {p_col} ASC, {test_col} ASC) AS rank,
+         count(*) OVER () AS m
+  FROM ({tests_sql})
+),
+q AS (
+  SELECT *, least(min(m * {p_col} / rank) OVER (
+           ORDER BY {p_col} DESC, {test_col} DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 1.0) AS q_value
+  FROM t
+)
+SELECT {test_col}, {p_col}, rank::int AS rank, q_value,
+       q_value <= {alpha} AS reject
+FROM q
+"""

@@ -657,3 +657,76 @@ def test_ht_estimate_hand_computed(spark):
     assert abs(row["est_mean"] - 180.0 / 8.0) < 1e-9
     assert abs(row["var_total"] - 11800.0) < 1e-9
     assert abs(row["se_total"] - math.sqrt(11800.0)) < 1e-9
+
+
+def test_cusum_hand_computed(spark):
+    """baseline [10,12,11] -> mu0=11, sigma0=sqrt(2/3); planted
+    up-shift at t=5..6 accumulates in s_pos and alarms once it crosses
+    h = 4*sigma0."""
+    import math
+
+    from baselinr_spark.operators.anomaly import cusum_series
+
+    series = [(1, 10.0), (2, 12.0), (3, 11.0), (4, 11.0), (5, 15.0),
+              (6, 15.0)]
+    df = spark.createDataFrame(series, ["ts", "value"])
+    rows = {r["ts"]: r for r in cusum_series(df, baseline_n=3).collect()}
+    sigma0 = math.sqrt(2.0 / 3.0)
+    k = 0.5 * sigma0
+    h = 4.0 * sigma0
+    assert abs(rows[1]["mu0"] - 11.0) < 1e-9
+    assert abs(rows[1]["sigma0"] - sigma0) < 1e-9
+    # hand recursion
+    sp = 0.0
+    expect = {}
+    for t, v in series:
+        sp = max(0.0, sp + (v - 11.0 - k))
+        expect[t] = sp
+    for t, _ in series:
+        assert abs(rows[t]["s_pos"] - expect[t]) < 1e-9, t
+        assert rows[t]["alarm"] == (expect[t] > h)
+    assert not rows[4]["alarm"] and rows[5]["alarm"] and rows[6]["alarm"]
+
+
+def test_cusum_constant_baseline_degenerate(spark):
+    """sigma0 = 0 -> k = h = 0: ANY deviation alarms immediately
+    (explicit degenerate case, not NULL)."""
+    from baselinr_spark.operators.anomaly import cusum_series
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, 10.0), (3, 10.0), (4, 10.5)], ["ts", "value"])
+    rows = {r["ts"]: r for r in
+            cusum_series(df, baseline_n=3).collect()}
+    assert rows[1]["sigma0"] == 0.0
+    assert not rows[3]["alarm"] and rows[4]["alarm"]
+
+
+def test_bh_fdr_textbook(spark):
+    """p = {.005, .01, .03, .04}, m=4: raw m*p/i = .02 .02 .04 .04;
+    step-up q = .02 .02 .04 .04; alpha=.03 rejects exactly the two
+    smallest."""
+    from baselinr_spark.operators.drift import bh_fdr
+
+    tests = spark.createDataFrame(
+        [("a", 0.01), ("b", 0.04), ("c", 0.03), ("d", 0.005)],
+        ["test_id", "p_value"])
+    rows = {r["test_id"]: r for r in bh_fdr(tests, alpha=0.03).collect()}
+    assert abs(rows["d"]["q_value"] - 0.02) < 1e-12
+    assert abs(rows["a"]["q_value"] - 0.02) < 1e-12
+    assert abs(rows["c"]["q_value"] - 0.04) < 1e-12
+    assert abs(rows["b"]["q_value"] - 0.04) < 1e-12
+    assert rows["d"]["reject"] and rows["a"]["reject"]
+    assert not rows["c"]["reject"] and not rows["b"]["reject"]
+    assert [rows[t]["rank"] for t in ("d", "a", "c", "b")] == [1, 2, 3, 4]
+
+
+def test_bh_fdr_q_monotone_and_capped(spark):
+    from baselinr_spark.operators.drift import bh_fdr
+
+    tests = spark.createDataFrame(
+        [(str(i), p) for i, p in enumerate([0.001, 0.2, 0.5, 0.9, 0.99])],
+        ["test_id", "p_value"])
+    rows = sorted(bh_fdr(tests).collect(), key=lambda r: r["rank"])
+    qs = [r["q_value"] for r in rows]
+    assert qs == sorted(qs)          # step-up q is monotone in rank
+    assert all(q <= 1.0 for q in qs)  # capped
