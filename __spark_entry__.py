@@ -8623,6 +8623,68 @@ FROM range(80) t(i)
             f"round(q_value, 6) AS q_value, reject FROM ({inner})")
 
 
+def q_wasserstein_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wasserstein-1 drift distance (operators/drift.py:
+    wasserstein_from_counts): R-vs-A lineitem quantity cohorts as
+    (value, count) tables -> earth-mover distance in quantity units +
+    range-normalized severity — the magnitude counterpart of KS's max
+    |deltaECDF|; window over O(distinct values) only."""
+    from baselinr_spark.operators.drift import wasserstein_from_counts
+
+    li = _read(spark, sf_dir, "lineitem")
+    base = (li.filter(F.col("l_returnflag") == "R")
+            .groupBy(F.col("l_quantity").alias("value"))
+            .agg(F.count(F.lit(1)).alias("count")))
+    cur = (li.filter(F.col("l_returnflag") == "A")
+           .groupBy(F.col("l_quantity").alias("value"))
+           .agg(F.count(F.lit(1)).alias("count")))
+    out = wasserstein_from_counts(base, cur)
+    return _r6(out, "w1", "w1_normalized", "value_range")
+
+
+def _sql_wasserstein_quantity() -> str:
+    from baselinr_spark.operators.drift import oracle_wasserstein_sql
+
+    inner = oracle_wasserstein_sql(
+        "SELECT l_quantity AS value, count(*) AS count FROM lineitem "
+        "WHERE l_returnflag = 'R' GROUP BY 1",
+        "SELECT l_quantity AS value, count(*) AS count FROM lineitem "
+        "WHERE l_returnflag = 'A' GROUP BY 1",
+    )
+    return (f"SELECT round(w1, 6) AS w1, "
+            f"round(w1_normalized, 6) AS w1_normalized, "
+            f"round(value_range, 6) AS value_range, n_base, n_cur, "
+            f"severity FROM ({inner})")
+
+
+def q_neyman_allocation_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman optimal sample allocation (operators/profiling.py:
+    neyman_allocation): split a 200-row budget across order statuses
+    proportionally to N_h*sigma_h of o_totalprice — the
+    variance-minimizing plan the cost-capped sampler should follow,
+    whose output fractions feed stratified_hash_sample and whose
+    estimates ht_estimate re-weights."""
+    from baselinr_spark.operators.profiling import neyman_allocation
+
+    orders = _read(spark, sf_dir, "orders")
+    out = neyman_allocation(orders, "o_orderstatus", "o_totalprice",
+                            total_budget=200)
+    return _r6(out, "sigma", "weight", "fraction")
+
+
+def _sql_neyman_allocation_orders() -> str:
+    from baselinr_spark.operators.profiling import (
+        oracle_neyman_allocation_sql,
+    )
+
+    inner = oracle_neyman_allocation_sql(
+        "SELECT o_orderstatus, o_totalprice FROM orders",
+        "o_orderstatus", "o_totalprice", total_budget=200)
+    return (f"SELECT stratum, n_rows, round(sigma, 6) AS sigma, "
+            f"round(weight, 6) AS weight, n_alloc, "
+            f"round(fraction, 6) AS fraction FROM ({inner})")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: keep/drop quality filter over sf0.001 documents."""
     return q_keep_drop_docs(spark, "/root/testdata/sf0.001")
@@ -8860,6 +8922,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bootstrap_mean_orders": q_bootstrap_mean_orders,
         "cusum_daily": q_cusum_daily,
         "bh_fdr_tests": q_bh_fdr_tests,
+        "wasserstein_quantity": q_wasserstein_quantity,
+        "neyman_allocation_orders": q_neyman_allocation_orders,
         "shard_positions_docs": q_shard_positions_docs,
         "incremental_minhash": q_incremental_minhash,
         "interval_overlap_events": q_interval_overlap_events,
@@ -9062,6 +9126,8 @@ def oracle_sql() -> dict[str, str]:
         "bootstrap_mean_orders": _sql_bootstrap_mean_orders(),
         "cusum_daily": _sql_cusum_daily(),
         "bh_fdr_tests": _sql_bh_fdr_tests(),
+        "wasserstein_quantity": _sql_wasserstein_quantity(),
+        "neyman_allocation_orders": _sql_neyman_allocation_orders(),
         "ngram_containment_pairs": _SQL_NGRAM_CONTAINMENT,
         "token_fertility_langs": _SQL_TOKEN_FERTILITY,
     }

@@ -1010,3 +1010,110 @@ SELECT {test_col}, {p_col}, rank::int AS rank, q_value,
        q_value <= {alpha} AS reject
 FROM q
 """
+
+
+def wasserstein_from_counts(
+    base: DataFrame,
+    cur: DataFrame,
+    value_col: str = "value",
+    count_col: str = "count",
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """Wasserstein-1 (earth-mover) distance between two cohorts from
+    (value, count) aggregates: W1 = sum over adjacent distinct values
+    of |F_base - F_cur| * (v_next - v) — the integral counterpart of
+    KS's max |deltaECDF|, in the VALUE's units. KS answers "is there a
+    shift?"; W1 answers "how big is it?" (the drift-magnitude number
+    Evidently/production monitors report next to PSI). Also emitted
+    normalized by the pooled value range for a unit-free severity.
+
+    Same pre-collapsed input shape as mann_whitney_from_counts: the
+    caller's groupBy(value) is the only corpus shuffle; this op's
+    window runs over O(distinct values) rows per key. Severity bands
+    on the normalized distance: > 0.2 high, > 0.1 medium, > 0.02 low.
+    Returns (*key_cols, w1, w1_normalized, value_range, n_base, n_cur,
+    severity)."""
+    from pyspark.sql import Window as W
+
+    key_cols = key_cols or []
+    b = base.select(*key_cols, F.col(value_col).cast("double").alias("v"),
+                    F.col(count_col).cast("double").alias("n_b"))
+    c = cur.select(*key_cols, F.col(value_col).cast("double").alias("v"),
+                   F.col(count_col).cast("double").alias("n_c"))
+    j = (b.join(c, key_cols + ["v"], "full_outer")
+         .fillna(0.0, ["n_b", "n_c"]))
+    part = (W.partitionBy(*key_cols) if key_cols else W.partitionBy())
+    w_all = part.orderBy("v").rowsBetween(W.unboundedPreceding,
+                                          W.unboundedFollowing)
+    w_cum = part.orderBy("v").rowsBetween(W.unboundedPreceding,
+                                          W.currentRow)
+    j = (j.withColumn("__tb", F.sum("n_b").over(w_all))
+         .withColumn("__tc", F.sum("n_c").over(w_all))
+         .withColumn("__fb", F.sum("n_b").over(w_cum) / F.col("__tb"))
+         .withColumn("__fc", F.sum("n_c").over(w_cum) / F.col("__tc"))
+         .withColumn("__vnext", F.lead("v").over(part.orderBy("v"))))
+    seg = F.when(
+        F.col("__vnext").isNotNull(),
+        F.abs(F.col("__fb") - F.col("__fc")) * (F.col("__vnext") - F.col("v")),
+    ).otherwise(0.0)
+    agg = j.groupBy(*key_cols).agg(
+        F.sum(seg).alias("w1"),
+        (F.max("v") - F.min("v")).alias("value_range"),
+        F.max("__tb").alias("n_base"),
+        F.max("__tc").alias("n_cur"),
+    )
+    norm = F.when(F.col("value_range") > 0,
+                  F.col("w1") / F.col("value_range")).otherwise(0.0)
+    return agg.select(
+        *key_cols,
+        "w1",
+        norm.alias("w1_normalized"),
+        "value_range",
+        F.col("n_base").cast("long").alias("n_base"),
+        F.col("n_cur").cast("long").alias("n_cur"),
+        F.when(norm > 0.2, "high").when(norm > 0.1, "medium")
+        .when(norm > 0.02, "low").otherwise("none").alias("severity"),
+    )
+
+
+def oracle_wasserstein_sql(
+    base_sql: str,
+    cur_sql: str,
+    value_col: str = "value",
+    count_col: str = "count",
+) -> str:
+    return f"""
+WITH b AS (SELECT {value_col}::double AS v, {count_col}::double AS n_b
+           FROM ({base_sql})),
+c AS (SELECT {value_col}::double AS v, {count_col}::double AS n_c
+      FROM ({cur_sql})),
+j AS (
+  SELECT coalesce(b.v, c.v) AS v,
+         coalesce(n_b, 0) AS n_b, coalesce(n_c, 0) AS n_c
+  FROM b FULL OUTER JOIN c ON b.v = c.v
+),
+e AS (
+  SELECT v, n_b, n_c,
+         sum(n_b) OVER () AS tb, sum(n_c) OVER () AS tc,
+         sum(n_b) OVER (ORDER BY v) AS cb,
+         sum(n_c) OVER (ORDER BY v) AS cc,
+         lead(v) OVER (ORDER BY v) AS vnext
+  FROM j
+),
+agg AS (
+  SELECT sum(CASE WHEN vnext IS NOT NULL
+                  THEN abs(cb/tb - cc/tc) * (vnext - v) ELSE 0 END) AS w1,
+         max(v) - min(v) AS value_range,
+         max(tb)::bigint AS n_base, max(tc)::bigint AS n_cur
+  FROM e
+)
+SELECT w1,
+       CASE WHEN value_range > 0 THEN w1 / value_range ELSE 0 END
+         AS w1_normalized,
+       value_range, n_base, n_cur,
+       CASE WHEN value_range > 0 AND w1 / value_range > 0.2 THEN 'high'
+            WHEN value_range > 0 AND w1 / value_range > 0.1 THEN 'medium'
+            WHEN value_range > 0 AND w1 / value_range > 0.02 THEN 'low'
+            ELSE 'none' END AS severity
+FROM agg
+"""

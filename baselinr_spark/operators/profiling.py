@@ -422,3 +422,87 @@ SELECT {sel}
 FROM ({sample_sql})
 {grp}
 """
+
+
+def neyman_allocation(
+    df: DataFrame,
+    strata_col: str,
+    value_col: str,
+    total_budget: int,
+    min_per_stratum: int = 2,
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """Neyman optimal sample allocation (Neyman 1934): split a fixed
+    sampling budget across strata proportionally to N_h * sigma_h —
+    the variance-minimizing plan for estimating the population mean
+    under stratified sampling. This is the PLANNING prequel to
+    `ht_estimate`: the planner's cost cap fixes the budget, THIS says
+    which partition/stratum deserves how much of it, and HT weighting
+    makes the resulting sampled profile comparable.
+
+    One map-side-combining groupBy over the corpus for (N_h, sigma_h);
+    the allocation itself runs over O(strata) rows (share of the
+    broadcast total). Degenerate strata (sigma 0 or a single row) get
+    ``min_per_stratum`` so constant partitions are still observed.
+    Allocations are capped at N_h (can't sample more rows than exist)
+    and rounded down; fraction_h = n_h / N_h is the number
+    `stratified_hash_sample` consumes. Returns (*key_cols, stratum,
+    n_rows, sigma, weight, n_alloc, fraction)."""
+    key_cols = key_cols or []
+    stats = df.groupBy(*key_cols, F.col(strata_col).alias("stratum")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.coalesce(F.stddev_samp(F.col(value_col).cast("double")),
+                   F.lit(0.0)).alias("sigma"),
+    )
+    w = F.col("n_rows") * F.col("sigma")
+    stats = stats.withColumn("weight", w)
+    from pyspark.sql import Window as W
+
+    part = (W.partitionBy(*key_cols) if key_cols else W.partitionBy())
+    total_w = F.sum("weight").over(
+        part.rowsBetween(W.unboundedPreceding, W.unboundedFollowing))
+    raw = F.when(total_w > 0,
+                 F.floor(F.lit(float(total_budget)) * F.col("weight") / total_w)
+                 ).otherwise(F.lit(0))
+    alloc = F.least(
+        F.col("n_rows"),
+        F.greatest(raw.cast("long"), F.lit(min_per_stratum).cast("long")),
+    )
+    out = stats.withColumn("n_alloc", alloc)
+    return out.select(
+        *key_cols, "stratum", "n_rows", "sigma", "weight", "n_alloc",
+        (F.col("n_alloc").cast("double") / F.col("n_rows")).alias("fraction"),
+    )
+
+
+def oracle_neyman_allocation_sql(
+    rows_sql: str,
+    strata_col: str,
+    value_col: str,
+    total_budget: int,
+    min_per_stratum: int = 2,
+) -> str:
+    return f"""
+WITH stats AS (
+  SELECT {strata_col} AS stratum, count(*)::bigint AS n_rows,
+         coalesce(stddev_samp({value_col}::double), 0.0) AS sigma
+  FROM ({rows_sql}) GROUP BY 1
+),
+wtd AS (
+  SELECT *, n_rows * sigma AS weight,
+         sum(n_rows * sigma) OVER () AS total_w
+  FROM stats
+),
+alloc AS (
+  SELECT stratum, n_rows, sigma, weight,
+         least(n_rows,
+               greatest(CASE WHEN total_w > 0
+                             THEN floor({float(total_budget)!r} * weight / total_w)::bigint
+                             ELSE 0 END,
+                        {min_per_stratum})) AS n_alloc
+  FROM wtd
+)
+SELECT stratum, n_rows, sigma, weight, n_alloc,
+       n_alloc::double / n_rows AS fraction
+FROM alloc
+"""

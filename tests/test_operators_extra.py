@@ -730,3 +730,54 @@ def test_bh_fdr_q_monotone_and_capped(spark):
     qs = [r["q_value"] for r in rows]
     assert qs == sorted(qs)          # step-up q is monotone in rank
     assert all(q <= 1.0 for q in qs)  # capped
+
+
+def test_wasserstein_hand_computed(spark):
+    """base: value 0 (x3), 1 (x1); cur: value 0 (x1), 1 (x3).
+    F_base = .75 at v=0; F_cur = .25; |diff| * (1-0) = 0.5 = W1.
+    Range 1 -> normalized 0.5 -> severity high."""
+    from baselinr_spark.operators.drift import wasserstein_from_counts
+
+    base = spark.createDataFrame([(0.0, 3), (1.0, 1)], ["value", "count"])
+    cur = spark.createDataFrame([(0.0, 1), (1.0, 3)], ["value", "count"])
+    (row,) = wasserstein_from_counts(base, cur).collect()
+    assert abs(row["w1"] - 0.5) < 1e-12
+    assert abs(row["w1_normalized"] - 0.5) < 1e-12
+    assert row["severity"] == "high"
+    assert row["n_base"] == 4 and row["n_cur"] == 4
+
+
+def test_wasserstein_identical_is_zero(spark):
+    from baselinr_spark.operators.drift import wasserstein_from_counts
+
+    d = spark.createDataFrame([(1.0, 2), (5.0, 3)], ["value", "count"])
+    (row,) = wasserstein_from_counts(d, d).collect()
+    assert row["w1"] == 0.0 and row["severity"] == "none"
+
+
+def test_wasserstein_shift_equals_offset(spark):
+    """Pure location shift of a point mass: W1 = the shift size."""
+    from baselinr_spark.operators.drift import wasserstein_from_counts
+
+    base = spark.createDataFrame([(2.0, 5)], ["value", "count"])
+    cur = spark.createDataFrame([(7.0, 5)], ["value", "count"])
+    (row,) = wasserstein_from_counts(base, cur).collect()
+    assert abs(row["w1"] - 5.0) < 1e-12
+
+
+def test_neyman_allocation_hand_computed(spark):
+    """Stratum a: 4 rows of spread values (sigma 2.582); stratum b: 4
+    constant rows (sigma 0 -> min_per_stratum floor). Budget 10: all
+    weighted budget goes to a (capped at N_a = 4), b gets the floor 2."""
+    from baselinr_spark.operators.profiling import neyman_allocation
+
+    rows = [("a", 1.0), ("a", 3.0), ("a", 5.0), ("a", 7.0),
+            ("b", 2.0), ("b", 2.0), ("b", 2.0), ("b", 2.0)]
+    df = spark.createDataFrame(rows, ["s", "v"])
+    out = {r["stratum"]: r for r in
+           neyman_allocation(df, "s", "v", total_budget=10).collect()}
+    assert out["a"]["n_alloc"] == 4          # floor(10*1.0) capped at N=4
+    assert out["b"]["n_alloc"] == 2          # sigma 0 -> min_per_stratum
+    assert abs(out["a"]["fraction"] - 1.0) < 1e-12
+    assert abs(out["b"]["fraction"] - 0.5) < 1e-12
+    assert out["b"]["weight"] == 0.0
