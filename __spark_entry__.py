@@ -8685,6 +8685,35 @@ def _sql_neyman_allocation_orders() -> str:
             f"round(fraction, 6) AS fraction FROM ({inner})")
 
 
+def q_kruskal_wallis_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H (operators/drift.py:kruskal_wallis_from_counts)
+    over the three return-flag cohorts of lineitem quantity — the
+    k-sample "did ANY cohort shift?" gate asked once, before pairwise
+    Mann-Whitney + bh_fdr drill-down; tie-corrected H, Wilson-Hilferty
+    chi-square p shared with the chi-square test."""
+    from baselinr_spark.operators.drift import kruskal_wallis_from_counts
+
+    li = _read(spark, sf_dir, "lineitem")
+    groups = li.groupBy(
+        F.col("l_returnflag").alias("grp"),
+        F.col("l_quantity").alias("value"),
+    ).agg(F.count(F.lit(1)).alias("count"))
+    out = kruskal_wallis_from_counts(groups)
+    return _r6(out, "h", "h_corrected", "p_value")
+
+
+def _sql_kruskal_wallis_quantity() -> str:
+    from baselinr_spark.operators.drift import oracle_kruskal_wallis_sql
+
+    inner = oracle_kruskal_wallis_sql(
+        "SELECT l_returnflag AS grp, l_quantity AS value, "
+        "count(*) AS count FROM lineitem GROUP BY 1, 2")
+    return (f"SELECT round(h, 6) AS h, "
+            f"round(h_corrected, 6) AS h_corrected, dof, "
+            f"round(p_value, 6) AS p_value, n_total, n_groups, drift "
+            f"FROM ({inner})")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: keep/drop quality filter over sf0.001 documents."""
     return q_keep_drop_docs(spark, "/root/testdata/sf0.001")
@@ -8924,6 +8953,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bh_fdr_tests": q_bh_fdr_tests,
         "wasserstein_quantity": q_wasserstein_quantity,
         "neyman_allocation_orders": q_neyman_allocation_orders,
+        "kruskal_wallis_quantity": q_kruskal_wallis_quantity,
         "shard_positions_docs": q_shard_positions_docs,
         "incremental_minhash": q_incremental_minhash,
         "interval_overlap_events": q_interval_overlap_events,
@@ -9128,6 +9158,7 @@ def oracle_sql() -> dict[str, str]:
         "bh_fdr_tests": _sql_bh_fdr_tests(),
         "wasserstein_quantity": _sql_wasserstein_quantity(),
         "neyman_allocation_orders": _sql_neyman_allocation_orders(),
+        "kruskal_wallis_quantity": _sql_kruskal_wallis_quantity(),
         "ngram_containment_pairs": _SQL_NGRAM_CONTAINMENT,
         "token_fertility_langs": _SQL_TOKEN_FERTILITY,
     }

@@ -1117,3 +1117,144 @@ SELECT w1,
             ELSE 'none' END AS severity
 FROM agg
 """
+
+
+def kruskal_wallis_from_counts(
+    groups: DataFrame,
+    group_col: str = "grp",
+    value_col: str = "value",
+    count_col: str = "count",
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Kruskal-Wallis H test from per-(group, value) counts — the
+    k-sample extension of Mann-Whitney: "did ANY of these k cohorts
+    shift?", asked once with one p-value instead of k(k-1)/2 pairwise
+    tests that would then need FDR correction (`bh_fdr`). The natural
+    first gate over a partition-cohort family before drilling into
+    pairwise drift.
+
+    H = 12/(N(N+1)) * sum_g R_g^2/n_g - 3(N+1), midranks shared across
+    all groups, divided by the tie correction
+    1 - sum(t^3 - t)/(N^3 - N); p from the chi-square survival
+    (Wilson-Hilferty, the registry's shared `chi2_sf_expr`) with k-1
+    dof. Input is the same pre-collapsed (group, value, count) shape
+    as the other rank tests: one window over O(distinct values), one
+    groupBy(group), one final row. Returns a single row
+    (h, h_corrected, dof, p_value, n_total, n_groups, drift)."""
+    from pyspark.sql import Window as W
+
+    g = groups.select(
+        F.col(group_col).alias("g"),
+        F.col(value_col).alias("v"),
+        F.col(count_col).cast("double").alias("n"),
+    )
+    per_v = g.groupBy("v").agg(F.sum("n").alias("t"))
+    w = W.partitionBy().orderBy("v")
+    per_v = per_v.withColumn(
+        "midrank",
+        F.coalesce(F.sum("t").over(w.rowsBetween(W.unboundedPreceding, -1)),
+                   F.lit(0.0)) + (F.col("t") + 1) / 2,
+    )
+    ranked = g.join(per_v.select("v", "midrank"), "v")
+    per_g = ranked.groupBy("g").agg(
+        F.sum(F.col("n") * F.col("midrank")).alias("r_g"),
+        F.sum("n").alias("n_g"),
+    )
+    ties = per_v.agg(
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias("tie3")
+    )
+    agg = per_g.agg(
+        F.sum(F.col("r_g") * F.col("r_g") / F.col("n_g")).alias("rr"),
+        F.sum("n_g").alias("n_total"),
+        F.count(F.lit(1)).alias("n_groups"),
+    ).crossJoin(F.broadcast(ties))
+    n = F.col("n_total")
+    h = 12.0 / (n * (n + 1)) * F.col("rr") - 3.0 * (n + 1)
+    corr = 1.0 - F.col("tie3") / (n * n * n - n)
+    hc = F.when(corr > 0, h / corr).otherwise(h)
+    dof = (F.col("n_groups") - 1).cast("int")
+    p = chi2_sf_expr(hc, dof)
+    return agg.select(
+        h.alias("h"),
+        hc.alias("h_corrected"),
+        dof.alias("dof"),
+        p.alias("p_value"),
+        n.cast("long").alias("n_total"),
+        F.col("n_groups").cast("int").alias("n_groups"),
+        (p < alpha).alias("drift"),
+    )
+
+
+def oracle_kruskal_wallis_sql(
+    groups_sql: str,
+    group_col: str = "grp",
+    value_col: str = "value",
+    count_col: str = "count",
+    alpha: float = 0.05,
+) -> str:
+    """DuckDB replay incl. the Wilson-Hilferty chi-square survival +
+    the same erf series the Spark side uses (drift.py chi2_sf_expr)."""
+    return f"""
+WITH g AS (
+  SELECT {group_col} AS g, {value_col} AS v, {count_col}::double AS n
+  FROM ({groups_sql})
+),
+per_v AS (
+  SELECT v, sum(n) AS t FROM g GROUP BY 1
+),
+ranked_v AS (
+  SELECT v, t,
+         coalesce(sum(t) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         + (t + 1) / 2 AS midrank
+  FROM per_v
+),
+per_g AS (
+  SELECT g.g, sum(g.n * r.midrank) AS r_g, sum(g.n) AS n_g
+  FROM g JOIN ranked_v r USING (v) GROUP BY 1
+),
+ties AS (SELECT sum(t*t*t - t) AS tie3 FROM per_v),
+agg AS (
+  SELECT sum(r_g * r_g / n_g) AS rr, sum(n_g) AS n_total,
+         count(*)::int AS n_groups
+  FROM per_g
+),
+hstat AS (
+  SELECT 12.0 / (n_total * (n_total + 1)) * rr - 3.0 * (n_total + 1) AS h,
+         n_total, n_groups, t.tie3
+  FROM agg, ties t
+),
+hc AS (
+  SELECT h,
+         CASE WHEN 1.0 - tie3 / (n_total*n_total*n_total - n_total) > 0
+              THEN h / (1.0 - tie3 / (n_total*n_total*n_total - n_total))
+              ELSE h END AS h_corrected,
+         (n_groups - 1)::int AS dof, n_total, n_groups
+  FROM hstat
+),
+wh AS (
+  -- Wilson-Hilferty: z = ((h/k)^(1/3) - (1 - 2/(9k))) / sqrt(2/(9k))
+  SELECT *, (pow(h_corrected / dof, 1.0/3.0) - (1.0 - 2.0/(9.0*dof)))
+            / sqrt(2.0/(9.0*dof)) AS z
+  FROM hc
+),
+erf_in AS (SELECT *, abs(z) / sqrt(2.0) AS ax FROM wh),
+erf_t AS (SELECT *, 1.0 / (1.0 + 0.3275911 * ax) AS tt FROM erf_in),
+pv AS (
+  SELECT h, h_corrected, dof, n_total, n_groups, z,
+         (1.0 - (((((1.061405429*tt - 1.453152027)*tt) + 1.421413741)*tt
+            - 0.284496736)*tt + 0.254829592)*tt * exp(-ax*ax)) AS erf_ax
+  FROM erf_t
+),
+fin AS (
+  SELECT h, h_corrected, dof, n_total, n_groups,
+         CASE WHEN z >= 0 THEN (1.0 - erf_ax) / 2.0
+              ELSE (1.0 + erf_ax) / 2.0 END AS p_value
+  FROM pv
+)
+SELECT h, h_corrected, dof,
+       least(greatest(p_value, 0.0), 1.0) AS p_value,
+       n_total::bigint AS n_total, n_groups,
+       least(greatest(p_value, 0.0), 1.0) < {alpha} AS drift
+FROM fin
+"""

@@ -781,3 +781,40 @@ def test_neyman_allocation_hand_computed(spark):
     assert abs(out["a"]["fraction"] - 1.0) < 1e-12
     assert abs(out["b"]["fraction"] - 0.5) < 1e-12
     assert out["b"]["weight"] == 0.0
+
+
+def test_kruskal_wallis_hand_computed(spark):
+    """3 groups, no ties: a={1,2}, b={3,4}, c={5,6}. Ranks 1..6;
+    R_a=3, R_b=7, R_c=11. H = 12/(6*7) * (9/2+49/2+121/2) - 21
+    = 2/7 * 89.5 - 21 = 4.5714...; no ties -> correction 1."""
+    from baselinr_spark.operators.drift import kruskal_wallis_from_counts
+
+    rows = [("a", 1.0, 1), ("a", 2.0, 1), ("b", 3.0, 1), ("b", 4.0, 1),
+            ("c", 5.0, 1), ("c", 6.0, 1)]
+    df = spark.createDataFrame(rows, ["grp", "value", "count"])
+    (r,) = kruskal_wallis_from_counts(df).collect()
+    h = 12.0 / 42.0 * (9.0 / 2 + 49.0 / 2 + 121.0 / 2) - 21.0
+    assert abs(r["h"] - h) < 1e-9
+    assert abs(r["h_corrected"] - h) < 1e-9  # no ties
+    assert r["dof"] == 2 and r["n_total"] == 6 and r["n_groups"] == 3
+    assert 0.0 < r["p_value"] < 1.0
+
+
+def test_kruskal_wallis_identical_groups_no_drift(spark):
+    """All groups share one distribution -> H ~ 0, p ~ 1, no drift."""
+    from baselinr_spark.operators.drift import kruskal_wallis_from_counts
+
+    rows = [(g, v, 10) for g in ("a", "b", "c") for v in (1.0, 2.0, 3.0)]
+    df = spark.createDataFrame(rows, ["grp", "value", "count"])
+    (r,) = kruskal_wallis_from_counts(df).collect()
+    assert abs(r["h_corrected"]) < 1e-9
+    assert not r["drift"]
+
+
+def test_kruskal_wallis_separated_groups_drift(spark):
+    from baselinr_spark.operators.drift import kruskal_wallis_from_counts
+
+    rows = [("a", 1.0, 20), ("b", 10.0, 20), ("c", 20.0, 20)]
+    df = spark.createDataFrame(rows, ["grp", "value", "count"])
+    (r,) = kruskal_wallis_from_counts(df).collect()
+    assert r["p_value"] < 1e-6 and r["drift"]
