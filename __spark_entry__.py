@@ -8570,7 +8570,10 @@ def q_cusum_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = cusum_series(daily, ts_col="day", value_col="n", baseline_n=5)
     return out.select(
         F.col("day").cast("string").alias("day"),
-        F.col("n"),
+        # the operator carries values as double internally; this series
+        # is integer counts — cast back so the lexical value-hash agrees
+        # with the oracle's n::bigint ("61" vs "61.0")
+        F.col("n").cast("long").alias("n"),
         F.round("s_pos", 6).alias("s_pos"),
         F.round("s_neg", 6).alias("s_neg"),
         "alarm",
