@@ -7705,6 +7705,115 @@ FROM withgap, e
 """
 
 
+def q_isotonic_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (PAV via the minimax identity) recalibration of the NB
+    classifier's probabilities on 10 score bins
+    (operators/evalmetrics.py:isotonic_bins) — log_odds pre-rounded to
+    6dp on BOTH engines so bin membership is boundary-stable, same
+    convention as calibration_nb."""
+    from baselinr_spark.operators.classifier import nb_train_score
+    from baselinr_spark.operators.evalmetrics import isotonic_bins
+
+    docs = _read(spark, sf_dir, "documents")
+    scored = nb_train_score(
+        docs, "doc_id", "text", F.col("lang") == "en", n_buckets=_NB_BUCKETS
+    ).withColumn(
+        "prob",
+        F.lit(1.0) / (F.lit(1.0) + F.exp(-F.round(F.col("log_odds"), 6))),
+    )
+    labeled = scored.join(
+        docs.select("doc_id", (F.col("lang") == "en").alias("y")), "doc_id"
+    )
+    out = isotonic_bins(labeled, "prob", "y", n_bins=10)
+    return _r6(out, "bin_lo", "rate", "iso")
+
+
+def _sql_isotonic_nb() -> str:
+    from baselinr_spark.operators.evalmetrics import oracle_isotonic_bins_sql
+
+    rows = f"""
+WITH nb AS ({_sql_nb_classifier()})
+SELECT 1.0 / (1.0 + exp(-nb.log_odds)) AS prob, (d.lang = 'en') AS y
+FROM nb JOIN documents d USING (doc_id)
+"""
+    inner = oracle_isotonic_bins_sql(rows, "prob", "y", n_bins=10)
+    return (
+        f"SELECT bin, round(bin_lo, 6) AS bin_lo, n, "
+        f"round(rate, 6) AS rate, round(iso, 6) AS iso FROM ({inner})"
+    )
+
+
+def q_kappa_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's-κ agreement matrix between three cheap document raters
+    (is_en / has_the / long_doc) — the filter-ensemble redundancy
+    diagnostic (operators/evalmetrics.py:pairwise_kappa). All verdicts
+    are row-local Catalyst expressions; the whole query is one
+    aggregate."""
+    from baselinr_spark.operators.evalmetrics import pairwise_kappa
+
+    docs = _read(spark, sf_dir, "documents").select(
+        (F.col("lang") == "en").alias("is_en"),
+        F.lower(F.col("text")).contains(" the ").alias("has_the"),
+        (F.col("n_chars") >= 200).alias("long_doc"),
+    )
+    out = pairwise_kappa(docs, ["is_en", "has_the", "long_doc"])
+    return _r6(out, "po", "pe", "kappa")
+
+
+def _sql_kappa_filters() -> str:
+    from baselinr_spark.operators.evalmetrics import oracle_pairwise_kappa_sql
+
+    rows = (
+        "SELECT (lang = 'en') AS is_en, "
+        "contains(lower(text), ' the ') AS has_the, "
+        "(n_chars >= 200) AS long_doc FROM documents"
+    )
+    inner = oracle_pairwise_kappa_sql(rows, ["is_en", "has_the", "long_doc"])
+    return (
+        f"SELECT rater_a, rater_b, n, round(po, 6) AS po, "
+        f"round(pe, 6) AS pe, round(kappa, 6) AS kappa FROM ({inner})"
+    )
+
+
+def q_budget_threshold_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget quality cutoff (operators/selection.py:
+    token_budget_threshold): length-proxy score in [0,1], whitespace-
+    regex token counts, keep the highest-score bins carrying ≥ half of
+    all corpus tokens. One groupBy to 20 bins + tiny-table window."""
+    from baselinr_spark.operators.selection import token_budget_threshold
+
+    docs = _read(spark, sf_dir, "documents").select(
+        F.least(F.col("n_chars") / F.lit(2000.0), F.lit(1.0)).alias("score"),
+        F.size(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)
+        ).alias("n_tokens"),
+    )
+    out = token_budget_threshold(
+        docs, "score", "n_tokens", budget_frac=0.5, n_bins=20
+    )
+    return _r6(out, "bin_lo", "threshold")
+
+
+def _sql_budget_threshold_docs() -> str:
+    from baselinr_spark.operators.selection import (
+        oracle_token_budget_threshold_sql,
+    )
+
+    rows = (
+        "SELECT least(n_chars / 2000.0, 1.0) AS score, "
+        "len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens "
+        "FROM documents"
+    )
+    inner = oracle_token_budget_threshold_sql(
+        rows, "score", "n_tokens", budget_frac=0.5, n_bins=20
+    )
+    return (
+        f"SELECT bin, round(bin_lo, 6) AS bin_lo, n_docs, tokens, "
+        f"cum_docs, cum_tokens, selected, round(threshold, 6) AS threshold "
+        f"FROM ({inner})"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Count-Min sketch heavy keys (operators/sketch.py:cms_*)
 # ---------------------------------------------------------------------------
@@ -8770,6 +8879,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (tools/check_dtypes.py) against driver-style lexical hashing.
     return {
         # --- r05 front block = the driver gate's 50-sample window ---
+        # Final-session additions (isotonic PAV calibration, κ agreement
+        # matrix, token-budget threshold) lead the window: brand-new code
+        # with no prior driver row gains the most from r05 attestation.
+        # Displaced to below position 50: bm25_topk_docs,
+        # rake_keywords_docs, anchor_summary_domains (never-checked but
+        # green in the local full-gate replay + dtype audit, and each has
+        # an in-family sibling that HAS driver history).
+        "isotonic_nb": q_isotonic_nb,
+        "kappa_filters": q_kappa_filters,
+        "budget_threshold_docs": q_budget_threshold_docs,
         "kn_bigram_probs": q_kn_bigram_probs,
         "pareto_quality_sample": q_pareto_quality_sample,
         "soft_dedup_weights": q_soft_dedup_weights,
@@ -8971,6 +9090,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "isotonic_nb": _sql_isotonic_nb(),
+        "kappa_filters": _sql_kappa_filters(),
+        "budget_threshold_docs": _sql_budget_threshold_docs(),
         "shard_manifest_docs": _sql_shard_manifest_docs(),
         "rule_ablation_docs": _SQL_RULE_ABLATION,
         "shard_positions_docs": _sql_shard_positions_docs(),

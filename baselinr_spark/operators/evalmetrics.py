@@ -234,3 +234,227 @@ def calibration_bins(
     return per_bin.crossJoin(ece).select(
         "bin", "bin_lo", "n", "conf", "acc", "abs_gap", "ece"
     )
+
+
+def isotonic_bins(
+    df: DataFrame,
+    prob_col: str,
+    label_col: str,
+    *,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Isotonic (PAV) recalibration of a quality classifier's scores,
+    fit on equal-width score bins — the standard post-hoc calibration
+    map (Zadrozny & Elkan 2002, public method) that CCNet-style bucket
+    thresholds and DSIR-style sampling weights need when the raw
+    classifier is mis-calibrated but rank-faithful.
+
+    The corpus-side work is the same ONE groupBy as
+    :func:`calibration_bins` (map-side combined to ≤ n_bins rows per
+    partition). PAV itself runs on the O(n_bins) bin table via the
+    minimax identity — for bins indexed i in score order with weights
+    w (counts) and positive mass y:
+
+        iso_i = max_{j≤i} min_{k≥i} (Y[j..k]) / (W[j..k])
+
+    which equals the pool-adjacent-violators fit (Robertson, Wright &
+    Dykstra 1988, Thm 1.4.4) without the sequential merge loop, so it
+    is pure joins/aggregates over prefix sums and replays verbatim in
+    the DuckDB oracle: block sums are differences of exact integer
+    prefix sums, so both engines divide identical numerators by
+    identical denominators. Triple fan-out is O(n_bins³) rows — bins
+    are a constant (10-100), never corpus-scale.
+
+    Returns one row per non-empty bin: (bin, bin_lo, n, rate, iso)
+    with iso non-decreasing in bin.
+    """
+    from pyspark.sql import Window as W
+
+    b = F.least(
+        F.floor(F.col(prob_col) * F.lit(n_bins)).cast("long"),
+        F.lit(n_bins - 1).cast("long"),
+    )
+    per_bin = (
+        df.select(b.alias("bin"), F.col(label_col).cast("long").alias("__y"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("__y").alias("pos"))
+    )
+    # Prefix sums over the tiny bin table (single-partition window is
+    # deliberate: ≤ n_bins rows).
+    win = W.orderBy("bin").rowsBetween(W.unboundedPreceding, W.currentRow)
+    pre = per_bin.select(
+        "bin",
+        "n",
+        "pos",
+        F.sum("n").over(win).alias("cw"),
+        F.sum("pos").over(win).alias("cy"),
+    )
+    lo = pre.select(
+        F.col("bin").alias("j"),
+        (F.col("cw") - F.col("n")).alias("cw0"),
+        (F.col("cy") - F.col("pos")).alias("cy0"),
+    )
+    hi = pre.select(
+        F.col("bin").alias("k"), F.col("cw").alias("cw1"), F.col("cy").alias("cy1")
+    )
+    blocks = lo.join(hi, F.col("j") <= F.col("k")).select(
+        "j",
+        "k",
+        (
+            (F.col("cy1") - F.col("cy0")) / (F.col("cw1") - F.col("cw0"))
+        ).alias("blk_avg"),
+    )
+    anchors = pre.select(F.col("bin").alias("i"))
+    inner = (
+        anchors.join(
+            blocks, (F.col("j") <= F.col("i")) & (F.col("k") >= F.col("i"))
+        )
+        .groupBy("i", "j")
+        .agg(F.min("blk_avg").alias("min_avg"))
+    )
+    iso = inner.groupBy("i").agg(F.max("min_avg").alias("iso"))
+    return (
+        per_bin.join(iso, per_bin["bin"] == iso["i"])
+        .select(
+            "bin",
+            (F.col("bin").cast("double") / F.lit(n_bins)).alias("bin_lo"),
+            "n",
+            (F.col("pos").cast("double") / F.col("n")).alias("rate"),
+            "iso",
+        )
+    )
+
+
+def oracle_isotonic_bins_sql(
+    rows_sql: str, prob_col: str, label_col: str, *, n_bins: int = 10
+) -> str:
+    """DuckDB twin of :func:`isotonic_bins` over ``rows_sql``."""
+    return f"""
+WITH rows_in AS ({rows_sql}),
+per_bin AS (
+  SELECT least(floor(({prob_col}) * {n_bins}), {n_bins - 1})::bigint AS bin,
+         count(*)::bigint AS n,
+         sum(({label_col})::int)::bigint AS pos
+  FROM rows_in GROUP BY 1
+),
+pre AS (
+  SELECT bin, n, pos,
+         sum(n) OVER (ORDER BY bin) AS cw,
+         sum(pos) OVER (ORDER BY bin) AS cy
+  FROM per_bin
+),
+blocks AS (
+  SELECT l.bin AS j, h.bin AS k,
+         (h.cy - (l.cy - l.pos))::double
+           / (h.cw - (l.cw - l.n)) AS blk_avg
+  FROM pre l JOIN pre h ON l.bin <= h.bin
+),
+inner_min AS (
+  SELECT a.bin AS i, b.j, min(b.blk_avg) AS min_avg
+  FROM pre a JOIN blocks b ON b.j <= a.bin AND b.k >= a.bin
+  GROUP BY 1, 2
+),
+iso AS (SELECT i, max(min_avg) AS iso FROM inner_min GROUP BY 1)
+SELECT p.bin, p.bin / {float(n_bins)!r} AS bin_lo, p.n,
+       p.pos::double / p.n AS rate, iso.iso
+FROM per_bin p JOIN iso ON iso.i = p.bin
+"""
+
+
+def pairwise_kappa(df: DataFrame, verdict_cols: Sequence[str]) -> DataFrame:
+    """Cohen's κ between every pair of boolean verdict columns — the
+    inter-rater agreement matrix for a filter ensemble (heuristic
+    rules vs NB vs logreg classifiers): κ = (p_o − p_e)/(1 − p_e) with
+    p_o the observed agreement rate and p_e the chance rate from the
+    two raters' marginals (Cohen 1960, public metric). Ensembles whose
+    members agree at chance level add signal; near-κ=1 members are
+    redundant.
+
+    ONE aggregate over the corpus (4 counters per pair + a shared
+    total, map-side combined to a single row) then a row-local explode
+    to the O(P²) pair rows — no per-pair rescan. Rows where either
+    verdict is NULL are excluded from that pair's counts. κ is 0.0
+    when 1 − p_e = 0 (both raters constant). Returns (rater_a,
+    rater_b, n, po, pe, kappa).
+    """
+    pairs = [
+        (a, b)
+        for idx, a in enumerate(verdict_cols)
+        for b in list(verdict_cols)[idx + 1 :]
+    ]
+    aggs = []
+    for a, b in pairs:
+        ca, cb = F.col(a).cast("boolean"), F.col(b).cast("boolean")
+        ok = ca.isNotNull() & cb.isNotNull()
+        tag = f"{a}__{b}"
+        aggs += [
+            F.sum((ok & ca & cb).cast("long")).alias(f"__b11_{tag}"),
+            F.sum((ok & ca & ~cb).cast("long")).alias(f"__b10_{tag}"),
+            F.sum((ok & ~ca & cb).cast("long")).alias(f"__b01_{tag}"),
+            F.sum((ok & ~ca & ~cb).cast("long")).alias(f"__b00_{tag}"),
+        ]
+    one = df.agg(*aggs)
+    structs = []
+    for a, b in pairs:
+        tag = f"{a}__{b}"
+        n11, n10, n01, n00 = (
+            F.col(f"__b11_{tag}"),
+            F.col(f"__b10_{tag}"),
+            F.col(f"__b01_{tag}"),
+            F.col(f"__b00_{tag}"),
+        )
+        n = n11 + n10 + n01 + n00
+        po = (n11 + n00) / n
+        # marginal-rate form — (n11+n10)*(n11+n01) would overflow
+        # bigint near 10^12 rows; each factor here is a double in [0,1]
+        pe = ((n11 + n10) / n) * ((n11 + n01) / n) + ((n01 + n00) / n) * (
+            (n10 + n00) / n
+        )
+        kappa = F.when(
+            pe < F.lit(1.0), (po - pe) / (F.lit(1.0) - pe)
+        ).otherwise(F.lit(0.0))
+        structs.append(
+            F.struct(
+                F.lit(a).alias("rater_a"),
+                F.lit(b).alias("rater_b"),
+                n.alias("n"),
+                po.alias("po"),
+                pe.alias("pe"),
+                kappa.alias("kappa"),
+            )
+        )
+    return one.select(F.explode(F.array(*structs)).alias("kv")).select("kv.*")
+
+
+def oracle_pairwise_kappa_sql(
+    rows_sql: str, verdict_cols: Sequence[str]
+) -> str:
+    """DuckDB twin of :func:`pairwise_kappa` over ``rows_sql``."""
+    pairs = [
+        (a, b)
+        for idx, a in enumerate(verdict_cols)
+        for b in list(verdict_cols)[idx + 1 :]
+    ]
+    selects = []
+    for a, b in pairs:
+        selects.append(f"""
+SELECT '{a}' AS rater_a, '{b}' AS rater_b, n, po, pe,
+       CASE WHEN pe < 1.0 THEN (po - pe) / (1.0 - pe) ELSE 0.0 END AS kappa
+FROM (
+  SELECT n11 + n10 + n01 + n00 AS n,
+         (n11 + n00) / (n11 + n10 + n01 + n00) AS po,
+         ((n11 + n10) / (n11 + n10 + n01 + n00))
+           * ((n11 + n01) / (n11 + n10 + n01 + n00))
+         + ((n01 + n00) / (n11 + n10 + n01 + n00))
+           * ((n10 + n00) / (n11 + n10 + n01 + n00)) AS pe
+  FROM (
+    SELECT sum((a AND b)::int)::bigint AS n11,
+           sum((a AND NOT b)::int)::bigint AS n10,
+           sum((NOT a AND b)::int)::bigint AS n01,
+           sum((NOT a AND NOT b)::int)::bigint AS n00
+    FROM (SELECT ({a})::boolean AS a, ({b})::boolean AS b FROM rows_in)
+    WHERE a IS NOT NULL AND b IS NOT NULL
+  )
+)""")
+    union = "\nUNION ALL\n".join(f"({s})" for s in selects)
+    return f"WITH rows_in AS ({rows_sql})\n{union}"

@@ -715,3 +715,111 @@ def pareto_quality_sample(
     u = _md5_uniform(F.col(id_col), salt)
     draw = F.pow(F.lit(1.0) - u, F.lit(-1.0 / alpha)) - F.lit(1.0)
     return df.filter(draw > F.lit(1.0) - F.col(score_col))
+
+
+def token_budget_threshold(
+    df: DataFrame,
+    score_col: str,
+    tokens_col: str,
+    *,
+    budget_frac: float,
+    n_bins: int = 100,
+) -> DataFrame:
+    """Quality-score cutoff that fills a training-token budget: given
+    per-document quality scores in [0,1] and token counts, find the
+    highest score threshold whose kept set (score ≥ threshold) still
+    carries ≥ ``budget_frac`` of total corpus tokens — the "keep the
+    top X% by classifier, sized in tokens not documents" step of
+    LLaMA/phi-style data recipes (published setup: classifier-scored
+    CommonCrawl pruned to a fixed token budget).
+
+    Scale shape: ONE groupBy collapses the corpus to ≤ n_bins
+    equal-width score-bin rows (map-side combined); the cumulative
+    sweep is a window over that tiny table, descending from the best
+    bin; the chosen bin broadcasts back as a 1-row cross join. The
+    corpus is scanned once and never shuffled row-wise; the actual
+    keep step downstream is a row-local ``score >= threshold`` filter.
+    Threshold resolution is the bin width — callers wanting finer cuts
+    raise ``n_bins``, not the shuffle size.
+
+    Returns one row per non-empty bin, descending-cumulative:
+    (bin, bin_lo, n_docs, tokens, cum_docs, cum_tokens, selected,
+    threshold) where ``selected`` marks bins at/above the chosen
+    cutoff and ``threshold`` (replicated) is the chosen bin's lower
+    edge. ``budget_frac`` ≤ 1 guarantees a solution (the full corpus
+    meets any fraction of itself).
+    """
+    from pyspark.sql import Window as W
+
+    b = F.least(
+        F.floor(F.col(score_col) * F.lit(n_bins)).cast("long"),
+        F.lit(n_bins - 1).cast("long"),
+    )
+    per_bin = (
+        df.select(b.alias("bin"), F.col(tokens_col).cast("long").alias("__t"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("__t").alias("tokens"))
+    )
+    win = W.orderBy(F.desc("bin")).rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = per_bin.select(
+        "bin",
+        "n_docs",
+        "tokens",
+        F.sum("n_docs").over(win).alias("cum_docs"),
+        F.sum("tokens").over(win).alias("cum_tokens"),
+    )
+    chosen = F.broadcast(
+        cum.crossJoin(
+            F.broadcast(per_bin.agg(F.sum("tokens").alias("__tot")))
+        )
+        .filter(
+            F.col("cum_tokens").cast("double")
+            >= F.lit(float(budget_frac)) * F.col("__tot")
+        )
+        .agg(F.max("bin").alias("__chosen"))
+    )
+    return cum.crossJoin(chosen).select(
+        "bin",
+        (F.col("bin").cast("double") / F.lit(n_bins)).alias("bin_lo"),
+        "n_docs",
+        "tokens",
+        "cum_docs",
+        "cum_tokens",
+        (F.col("bin") >= F.col("__chosen")).alias("selected"),
+        (F.col("__chosen").cast("double") / F.lit(n_bins)).alias("threshold"),
+    )
+
+
+def oracle_token_budget_threshold_sql(
+    rows_sql: str,
+    score_col: str,
+    tokens_col: str,
+    *,
+    budget_frac: float,
+    n_bins: int = 100,
+) -> str:
+    """DuckDB twin of :func:`token_budget_threshold` over ``rows_sql``."""
+    return f"""
+WITH rows_in AS ({rows_sql}),
+per_bin AS (
+  SELECT least(floor(({score_col}) * {n_bins}), {n_bins - 1})::bigint AS bin,
+         count(*)::bigint AS n_docs,
+         sum(({tokens_col})::bigint)::bigint AS tokens
+  FROM rows_in GROUP BY 1
+),
+cum AS (
+  SELECT bin, n_docs, tokens,
+         sum(n_docs) OVER (ORDER BY bin DESC) AS cum_docs,
+         sum(tokens) OVER (ORDER BY bin DESC) AS cum_tokens
+  FROM per_bin
+),
+chosen AS (
+  SELECT max(bin) AS ch FROM cum
+  WHERE cum_tokens::double >= {float(budget_frac)!r} * (SELECT sum(tokens) FROM per_bin)
+)
+SELECT bin, bin / {float(n_bins)!r} AS bin_lo, n_docs, tokens,
+       cum_docs::bigint AS cum_docs, cum_tokens::bigint AS cum_tokens,
+       bin >= (SELECT ch FROM chosen) AS selected,
+       (SELECT ch FROM chosen) / {float(n_bins)!r} AS threshold
+FROM cum
+"""

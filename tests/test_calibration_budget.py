@@ -1,0 +1,109 @@
+"""Hand-computed expectations for the final-session calibration and
+budget operators: isotonic_bins (PAV via minimax), pairwise_kappa
+(Cohen's κ), token_budget_threshold (token-budget quality cutoff)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from baselinr_spark.operators.evalmetrics import isotonic_bins, pairwise_kappa
+from baselinr_spark.operators.selection import token_budget_threshold
+
+
+def test_isotonic_pav_merges_violating_bins(spark):
+    # bins 0/1/2 with weights 5/5/10 and rates 0.8/0.2/0.6.
+    # PAV: 0.8 > 0.2 -> pool bins 0+1 to (4+1)/10 = 0.5; 0.5 <= 0.6 stop.
+    rows = (
+        [(0.05, True)] * 4 + [(0.05, False)] * 1
+        + [(0.15, True)] * 1 + [(0.15, False)] * 4
+        + [(0.25, True)] * 6 + [(0.25, False)] * 4
+    )
+    df = spark.createDataFrame(rows, "prob double, y boolean")
+    out = {
+        r["bin"]: r
+        for r in isotonic_bins(df, "prob", "y", n_bins=10).collect()
+    }
+    assert set(out) == {0, 1, 2}
+    assert out[0]["rate"] == pytest.approx(0.8)
+    assert out[1]["rate"] == pytest.approx(0.2)
+    assert out[2]["rate"] == pytest.approx(0.6)
+    assert out[0]["iso"] == pytest.approx(0.5)
+    assert out[1]["iso"] == pytest.approx(0.5)
+    assert out[2]["iso"] == pytest.approx(0.6)
+    assert out[0]["n"] == 5 and out[1]["n"] == 5 and out[2]["n"] == 10
+    assert out[2]["bin_lo"] == pytest.approx(0.2)
+
+
+def test_isotonic_already_monotone_is_identity(spark):
+    rows = (
+        [(0.05, False)] * 4 + [(0.05, True)] * 1
+        + [(0.95, True)] * 4 + [(0.95, False)] * 1
+    )
+    df = spark.createDataFrame(rows, "prob double, y boolean")
+    out = {
+        r["bin"]: r
+        for r in isotonic_bins(df, "prob", "y", n_bins=10).collect()
+    }
+    assert out[0]["iso"] == pytest.approx(out[0]["rate"]) == pytest.approx(0.2)
+    assert out[9]["iso"] == pytest.approx(out[9]["rate"]) == pytest.approx(0.8)
+
+
+def test_pairwise_kappa_hand_case(spark):
+    # a,b: n11=4 n10=1 n01=1 n00=4 -> po=0.8, pe=0.5, kappa=0.6.
+    # c is constant True: pe=pa1 -> kappa=0 for (a,c); null c row is
+    # excluded from pairs involving c but counted for (a,b).
+    rows = (
+        [(True, True, True)] * 4
+        + [(True, False, True)] * 1
+        + [(False, True, True)] * 1
+        + [(False, False, True)] * 3
+        + [(False, False, None)] * 1
+    )
+    df = spark.createDataFrame(rows, "a boolean, b boolean, c boolean")
+    out = {
+        (r["rater_a"], r["rater_b"]): r
+        for r in pairwise_kappa(df, ["a", "b", "c"]).collect()
+    }
+    ab = out[("a", "b")]
+    assert ab["n"] == 10
+    assert ab["po"] == pytest.approx(0.8)
+    assert ab["pe"] == pytest.approx(0.5)
+    assert ab["kappa"] == pytest.approx(0.6)
+    ac = out[("a", "c")]
+    assert ac["n"] == 9  # null-c row excluded
+    assert ac["kappa"] == pytest.approx(0.0)  # constant rater
+    assert set(out) == {("a", "b"), ("a", "c"), ("b", "c")}
+
+
+def test_token_budget_threshold_picks_highest_covering_bin(spark):
+    # n_bins=10; bins 9/5/2 carry 30/50/20 tokens. budget=0.5*100=50:
+    # descending cums 30, 80 -> chosen bin 5, threshold 0.5.
+    rows = (
+        [(0.95, 10)] * 3          # bin 9: 30 tokens
+        + [(0.55, 25)] * 2        # bin 5: 50 tokens
+        + [(0.25, 20)] * 1        # bin 2: 20 tokens
+    )
+    df = spark.createDataFrame(rows, "score double, n_tokens int")
+    out = {
+        r["bin"]: r
+        for r in token_budget_threshold(
+            df, "score", "n_tokens", budget_frac=0.5, n_bins=10
+        ).collect()
+    }
+    assert set(out) == {9, 5, 2}
+    assert out[9]["cum_tokens"] == 30 and out[5]["cum_tokens"] == 80
+    assert out[2]["cum_tokens"] == 100
+    assert out[9]["selected"] and out[5]["selected"] and not out[2]["selected"]
+    for r in out.values():
+        assert r["threshold"] == pytest.approx(0.5)
+    assert out[5]["cum_docs"] == 5
+    assert out[9]["bin_lo"] == pytest.approx(0.9)
+
+
+def test_token_budget_threshold_full_budget_keeps_everything(spark):
+    rows = [(0.95, 10), (0.05, 10)]
+    df = spark.createDataFrame(rows, "score double, n_tokens int")
+    out = token_budget_threshold(
+        df, "score", "n_tokens", budget_frac=1.0, n_bins=10
+    ).collect()
+    assert all(r["selected"] for r in out)
+    assert all(r["threshold"] == pytest.approx(0.0) for r in out)
