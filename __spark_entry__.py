@@ -7814,6 +7814,111 @@ def _sql_budget_threshold_docs() -> str:
     )
 
 
+def q_pmi_collocations_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI / NPMI / word2phrase bigram collocation scores over the
+    documents corpus (operators/collocations.py:pmi_collocations) —
+    the phrase-mining pass run before tokenizer training. min_count
+    filters the bigram table BEFORE the unigram joins."""
+    from baselinr_spark.operators.collocations import pmi_collocations
+
+    docs = _read(spark, sf_dir, "documents")
+    out = pmi_collocations(docs, "text", min_count=25, delta=5.0)
+    return _r6(out, "pmi", "npmi", "phrase_score")
+
+
+def _sql_pmi_collocations_docs() -> str:
+    from baselinr_spark.operators.collocations import oracle_pmi_collocations_sql
+
+    inner = oracle_pmi_collocations_sql(min_count=25, delta=5.0)
+    return (
+        f"SELECT w1, w2, cnt, round(pmi, 6) AS pmi, round(npmi, 6) AS npmi, "
+        f"round(phrase_score, 6) AS phrase_score FROM ({inner})"
+    )
+
+
+def q_term_dispersion_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gries' deviation-of-proportions dispersion of the top-50 corpus
+    terms across sources (operators/collocations.py:term_dispersion) —
+    flags high-frequency terms confined to one shard (boilerplate /
+    spam-campaign signal frequency alone misses)."""
+    from baselinr_spark.operators.collocations import term_dispersion
+
+    docs = _read(spark, sf_dir, "documents")
+    out = term_dispersion(docs, "source", "text", top_k=50)
+    return _r6(out, "dp")
+
+
+def _sql_term_dispersion_docs() -> str:
+    from baselinr_spark.operators.collocations import oracle_term_dispersion_sql
+
+    inner = oracle_term_dispersion_sql(top_k=50)
+    return f"SELECT word, total, round(dp, 6) AS dp FROM ({inner})"
+
+
+def q_auc_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact tie-corrected ROC AUC of the NB quality classifier against
+    the lang='en' label (operators/evalmetrics.py:roc_auc) — the
+    threshold-free companion to f1_sweep_docs. Scores are log-odds
+    rounded to 6dp so the tie structure is identical on both engines;
+    AUC is invariant to the monotone prob transform."""
+    from baselinr_spark.operators.classifier import nb_train_score
+    from baselinr_spark.operators.evalmetrics import roc_auc
+
+    docs = _read(spark, sf_dir, "documents")
+    scored = nb_train_score(
+        docs, "doc_id", "text", F.col("lang") == "en", n_buckets=_NB_BUCKETS
+    ).select("doc_id", F.round(F.col("log_odds"), 6).alias("s"))
+    labeled = scored.join(
+        docs.select("doc_id", (F.col("lang") == "en").alias("y")), "doc_id"
+    )
+    return _r6(roc_auc(labeled, "s", "y"), "auc", "gini")
+
+
+def _sql_auc_nb() -> str:
+    from baselinr_spark.operators.evalmetrics import oracle_roc_auc_sql
+
+    rows = f"""
+WITH nb AS ({_sql_nb_classifier()})
+SELECT round(nb.log_odds, 6) AS s, (d.lang = 'en') AS y
+FROM nb JOIN documents d USING (doc_id)
+"""
+    inner = oracle_roc_auc_sql(rows, "s", "y")
+    return (
+        f"SELECT n_pos, n_neg, round(auc, 6) AS auc, round(gini, 6) AS gini "
+        f"FROM ({inner})"
+    )
+
+
+def q_langid_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class precision/recall/F1 of the heuristic language-ID stage
+    against the stored lang column
+    (operators/evalmetrics.py:multiclass_prf): which languages the
+    stopword heuristic confuses and in which direction. One
+    groupBy(label, pred) collapses the corpus to O(k^2) cells."""
+    from baselinr_spark.operators.evalmetrics import multiclass_prf
+    from baselinr_spark.operators.textanalysis import lang_id_heuristic
+
+    docs = _read(spark, sf_dir, "documents")
+    pred = lang_id_heuristic(docs, "doc_id", "text").select("doc_id", "lang_guess")
+    rows = pred.join(docs.select("doc_id", "lang"), "doc_id")
+    return _r6(multiclass_prf(rows, "lang", "lang_guess"), "precision", "recall", "f1")
+
+
+def _sql_langid_prf() -> str:
+    from baselinr_spark.operators.evalmetrics import oracle_multiclass_prf_sql
+
+    rows = f"""
+WITH g AS ({_SQL_LANG_ID})
+SELECT d.lang AS lbl, g.lang_guess AS prd
+FROM g JOIN documents d USING (doc_id)
+"""
+    inner = oracle_multiclass_prf_sql(rows, "lbl", "prd")
+    return (
+        f"SELECT cls, support, predicted, tp, round(precision, 6) AS precision, "
+        f"round(recall, 6) AS recall, round(f1, 6) AS f1 FROM ({inner})"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Count-Min sketch heavy keys (operators/sketch.py:cms_*)
 # ---------------------------------------------------------------------------
@@ -8879,16 +8984,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (tools/check_dtypes.py) against driver-style lexical hashing.
     return {
         # --- r05 front block = the driver gate's 50-sample window ---
-        # Final-session additions (isotonic PAV calibration, κ agreement
-        # matrix, token-budget threshold) lead the window: brand-new code
-        # with no prior driver row gains the most from r05 attestation.
-        # Displaced to below position 50: bm25_topk_docs,
+        # Round-5 session additions (isotonic PAV calibration, κ agreement
+        # matrix, token-budget threshold, PMI collocations, DP term
+        # dispersion, ROC AUC, multiclass PRF, ...) lead the window:
+        # brand-new code with no prior driver row gains the most from r05
+        # attestation. Displaced to below position 50: bm25_topk_docs,
         # rake_keywords_docs, anchor_summary_domains (never-checked but
         # green in the local full-gate replay + dtype audit, and each has
         # an in-family sibling that HAS driver history).
         "isotonic_nb": q_isotonic_nb,
         "kappa_filters": q_kappa_filters,
         "budget_threshold_docs": q_budget_threshold_docs,
+        "pmi_collocations_docs": q_pmi_collocations_docs,
+        "term_dispersion_docs": q_term_dispersion_docs,
+        "auc_nb": q_auc_nb,
+        "langid_prf": q_langid_prf,
         "kn_bigram_probs": q_kn_bigram_probs,
         "pareto_quality_sample": q_pareto_quality_sample,
         "soft_dedup_weights": q_soft_dedup_weights,
@@ -9093,6 +9203,10 @@ def oracle_sql() -> dict[str, str]:
         "isotonic_nb": _sql_isotonic_nb(),
         "kappa_filters": _sql_kappa_filters(),
         "budget_threshold_docs": _sql_budget_threshold_docs(),
+        "pmi_collocations_docs": _sql_pmi_collocations_docs(),
+        "term_dispersion_docs": _sql_term_dispersion_docs(),
+        "auc_nb": _sql_auc_nb(),
+        "langid_prf": _sql_langid_prf(),
         "shard_manifest_docs": _sql_shard_manifest_docs(),
         "rule_ablation_docs": _SQL_RULE_ABLATION,
         "shard_positions_docs": _sql_shard_positions_docs(),

@@ -458,3 +458,195 @@ FROM (
 )""")
     union = "\nUNION ALL\n".join(f"({s})" for s in selects)
     return f"WITH rows_in AS ({rows_sql})\n{union}"
+
+
+def roc_auc(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
+    """Exact tie-corrected ROC AUC via the rank-sum (Mann-Whitney)
+    identity — the threshold-free companion to :func:`confusion_sweep`
+    for choosing between candidate quality classifiers:
+
+        AUC = (R1 - N1(N1+1)/2) / (N1 * N0)
+
+    with R1 the sum of positive midranks over the pooled scores
+    (tied scores share the average rank, so AUC counts ties as 1/2 —
+    the probabilistic definition P(s+ > s-) + 0.5*P(s+ = s-)).
+
+    Returns ONE row: (n_pos, n_neg, auc, gini) with gini = 2*AUC - 1.
+
+    Scale design (10^12 docs): the corpus collapses in ONE
+    map-side-combined groupBy(score) to O(distinct scores) rows; the
+    midrank window runs over that collapsed table (same design as
+    drift.py:mannwhitney_from_counts — callers bucket/round the score
+    when its cardinality is corpus-like, exactly as the gate query
+    rounds log-odds to 6dp). Null labels/scores are excluded.
+    """
+    from pyspark.sql import Window as W
+
+    g = (
+        df.select(
+            F.col(score_col).cast("double").alias("s"),
+            F.col(label_col).cast("boolean").alias("y"),
+        )
+        .filter(F.col("s").isNotNull() & F.col("y").isNotNull())
+        .groupBy("s")
+        .agg(
+            F.sum(F.col("y").cast("long")).alias("n1"),
+            F.sum((~F.col("y")).cast("long")).alias("n0"),
+        )
+    )
+    win = W.orderBy("s").rowsBetween(W.unboundedPreceding, W.currentRow)
+    ranked = g.select(
+        "n1",
+        "n0",
+        (
+            (F.sum(F.col("n1") + F.col("n0")).over(win) - (F.col("n1") + F.col("n0")))
+            .cast("double")
+            + (F.col("n1") + F.col("n0") + 1).cast("double") / F.lit(2.0)
+        ).alias("midrank"),
+    )
+    tot = ranked.agg(
+        F.sum("n1").cast("bigint").alias("n_pos"),
+        F.sum("n0").cast("bigint").alias("n_neg"),
+        F.sum(F.col("n1").cast("double") * F.col("midrank")).alias("r1"),
+    )
+    auc = (
+        F.col("r1")
+        - F.col("n_pos").cast("double") * (F.col("n_pos") + 1).cast("double") / F.lit(2.0)
+    ) / (F.col("n_pos").cast("double") * F.col("n_neg").cast("double"))
+    return tot.select(
+        "n_pos",
+        "n_neg",
+        auc.alias("auc"),
+        (F.lit(2.0) * auc - F.lit(1.0)).alias("gini"),
+    )
+
+
+def oracle_roc_auc_sql(rows_sql: str, score_col: str, label_col: str) -> str:
+    """DuckDB twin of :func:`roc_auc` over ``rows_sql``."""
+    return f"""
+WITH rows_in AS ({rows_sql}),
+g AS (
+  SELECT ({score_col})::double AS s,
+         sum(({label_col})::int)::bigint AS n1,
+         sum((NOT ({label_col}))::int)::bigint AS n0
+  FROM rows_in
+  WHERE ({score_col}) IS NOT NULL AND ({label_col}) IS NOT NULL
+  GROUP BY 1
+),
+ranked AS (
+  SELECT n1, n0,
+         (sum(n1 + n0) OVER (ORDER BY s) - (n1 + n0))::double
+           + (n1 + n0 + 1)::double / 2.0 AS midrank
+  FROM g
+),
+tot AS (
+  SELECT sum(n1)::bigint AS n_pos, sum(n0)::bigint AS n_neg,
+         sum(n1::double * midrank) AS r1
+  FROM ranked
+)
+SELECT n_pos, n_neg,
+       (r1 - n_pos::double * (n_pos + 1)::double / 2.0)
+         / (n_pos::double * n_neg::double) AS auc,
+       2.0 * ((r1 - n_pos::double * (n_pos + 1)::double / 2.0)
+         / (n_pos::double * n_neg::double)) - 1.0 AS gini
+FROM tot"""
+
+
+def multiclass_prf(df: DataFrame, label_col: str, pred_col: str) -> DataFrame:
+    """Per-class precision / recall / F1 for a multiclass classifier —
+    the evaluation table for the language-ID stage (predicted lang vs
+    stored lang): which languages the heuristic confuses, and in which
+    direction.
+
+    Returns one row per class appearing in EITHER column:
+    (cls, support, predicted, tp, precision, recall, f1), with
+    zero-denominator metrics emitted as 0.0 and null labels/preds
+    excluded.
+
+    Scale design (10^12 docs): ONE groupBy(label, pred) map-side
+    combines the corpus to O(k^2) confusion cells; every per-class
+    number is a re-aggregation of that tiny table (full-outer join of
+    the label-total and pred-total views so one-sided classes keep a
+    row). No second corpus pass.
+    """
+    conf = (
+        df.select(
+            F.col(label_col).cast("string").alias("lbl"),
+            F.col(pred_col).cast("string").alias("prd"),
+        )
+        .filter(F.col("lbl").isNotNull() & F.col("prd").isNotNull())
+        .groupBy("lbl", "prd")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    by_label = conf.groupBy("lbl").agg(
+        F.sum("n").alias("support"),
+        F.sum(F.when(F.col("prd") == F.col("lbl"), F.col("n")).otherwise(F.lit(0))).alias(
+            "tp_l"
+        ),
+    )
+    by_pred = conf.groupBy("prd").agg(F.sum("n").alias("predicted"))
+    full = by_label.join(
+        by_pred, by_label["lbl"] == by_pred["prd"], "full_outer"
+    ).select(
+        F.coalesce(F.col("lbl"), F.col("prd")).alias("cls"),
+        F.coalesce(F.col("support"), F.lit(0)).cast("bigint").alias("support"),
+        F.coalesce(F.col("predicted"), F.lit(0)).cast("bigint").alias("predicted"),
+        F.coalesce(F.col("tp_l"), F.lit(0)).cast("bigint").alias("tp"),
+    )
+    precision = F.when(
+        F.col("predicted") > 0, F.col("tp").cast("double") / F.col("predicted")
+    ).otherwise(F.lit(0.0))
+    recall = F.when(
+        F.col("support") > 0, F.col("tp").cast("double") / F.col("support")
+    ).otherwise(F.lit(0.0))
+    return full.select(
+        "cls",
+        "support",
+        "predicted",
+        "tp",
+        precision.alias("precision"),
+        recall.alias("recall"),
+        F.when(
+            precision + recall > 0,
+            F.lit(2.0) * precision * recall / (precision + recall),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("f1"),
+    )
+
+
+def oracle_multiclass_prf_sql(rows_sql: str, label_col: str, pred_col: str) -> str:
+    """DuckDB twin of :func:`multiclass_prf` over ``rows_sql``."""
+    return f"""
+WITH rows_in AS ({rows_sql}),
+conf AS (
+  SELECT ({label_col})::varchar AS lbl, ({pred_col})::varchar AS prd,
+         count(*) AS n
+  FROM rows_in
+  WHERE ({label_col}) IS NOT NULL AND ({pred_col}) IS NOT NULL
+  GROUP BY 1, 2
+),
+by_label AS (
+  SELECT lbl, sum(n) AS support,
+         sum(CASE WHEN prd = lbl THEN n ELSE 0 END) AS tp_l
+  FROM conf GROUP BY 1
+),
+by_pred AS (SELECT prd, sum(n) AS predicted FROM conf GROUP BY 1),
+allcls AS (
+  SELECT coalesce(lbl, prd) AS cls,
+         coalesce(support, 0)::bigint AS support,
+         coalesce(predicted, 0)::bigint AS predicted,
+         coalesce(tp_l, 0)::bigint AS tp
+  FROM by_label FULL OUTER JOIN by_pred ON lbl = prd
+)
+SELECT cls, support, predicted, tp,
+       CASE WHEN predicted > 0 THEN tp::double / predicted ELSE 0.0 END AS precision,
+       CASE WHEN support > 0 THEN tp::double / support ELSE 0.0 END AS recall,
+       CASE WHEN (CASE WHEN predicted > 0 THEN tp::double / predicted ELSE 0.0 END)
+               + (CASE WHEN support > 0 THEN tp::double / support ELSE 0.0 END) > 0
+            THEN 2.0 * (CASE WHEN predicted > 0 THEN tp::double / predicted ELSE 0.0 END)
+                     * (CASE WHEN support > 0 THEN tp::double / support ELSE 0.0 END)
+                 / ((CASE WHEN predicted > 0 THEN tp::double / predicted ELSE 0.0 END)
+                    + (CASE WHEN support > 0 THEN tp::double / support ELSE 0.0 END))
+            ELSE 0.0 END AS f1
+FROM allcls"""
