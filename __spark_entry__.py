@@ -7919,6 +7919,61 @@ FROM g JOIN documents d USING (doc_id)
     )
 
 
+def q_triangle_stats_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain triangle count + local clustering coefficient over
+    the derived link graph (operators/linkgraph.py:triangle_stats) —
+    the link-farm/community-structure signal. Degree-oriented wedge
+    join (Suri & Vassilvitskii 2011), so no node fans out by its full
+    degree."""
+    from baselinr_spark.operators.linkgraph import triangle_stats
+
+    edges = _derived_domain_edges(spark, sf_dir)
+    return _r6(triangle_stats(edges), "clustering")
+
+
+def _sql_triangle_stats_domains() -> str:
+    from baselinr_spark.operators.linkgraph import oracle_triangle_stats_sql
+
+    inner = oracle_triangle_stats_sql(_SQL_DOMAIN_EDGES)
+    return (
+        f"SELECT node, degree, triangles, round(clustering, 6) AS clustering "
+        f"FROM ({inner})"
+    )
+
+
+def q_theil_sen_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend (median pairwise slope + median residual
+    intercept, operators/trend.py:theil_sen) of each event type's
+    daily mean value — the outlier-resistant drift DIRECTION/RATE
+    estimate next to the moving-average baselines. O(days^2) pairs per
+    type, local to one task per group."""
+    from baselinr_spark.operators.trend import theil_sen
+
+    ev = _read(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.avg("value").alias("y"))
+    pts = daily.select(
+        "event_type", F.unix_date(F.col("d")).alias("x"), "y"
+    )
+    return _r6(theil_sen(pts, ["event_type"], "x", "y"), "slope", "intercept")
+
+
+def _sql_theil_sen_daily() -> str:
+    from baselinr_spark.operators.trend import oracle_theil_sen_sql
+
+    rows = (
+        "SELECT event_type, "
+        "date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS x, "
+        "avg(value) AS y FROM events GROUP BY 1, 2"
+    )
+    inner = oracle_theil_sen_sql(rows, ["event_type"], "x", "y")
+    return (
+        f"SELECT event_type, n_points, round(slope, 6) AS slope, "
+        f"round(intercept, 6) AS intercept FROM ({inner})"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Count-Min sketch heavy keys (operators/sketch.py:cms_*)
 # ---------------------------------------------------------------------------
@@ -8999,6 +9054,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_dispersion_docs": q_term_dispersion_docs,
         "auc_nb": q_auc_nb,
         "langid_prf": q_langid_prf,
+        "triangle_stats_domains": q_triangle_stats_domains,
+        "theil_sen_daily": q_theil_sen_daily,
         "kn_bigram_probs": q_kn_bigram_probs,
         "pareto_quality_sample": q_pareto_quality_sample,
         "soft_dedup_weights": q_soft_dedup_weights,
@@ -9207,6 +9264,8 @@ def oracle_sql() -> dict[str, str]:
         "term_dispersion_docs": _sql_term_dispersion_docs(),
         "auc_nb": _sql_auc_nb(),
         "langid_prf": _sql_langid_prf(),
+        "triangle_stats_domains": _sql_triangle_stats_domains(),
+        "theil_sen_daily": _sql_theil_sen_daily(),
         "shard_manifest_docs": _sql_shard_manifest_docs(),
         "rule_ablation_docs": _SQL_RULE_ABLATION,
         "shard_positions_docs": _sql_shard_positions_docs(),
