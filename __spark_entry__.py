@@ -7941,6 +7941,56 @@ def _sql_triangle_stats_domains() -> str:
     )
 
 
+def q_sq_stats_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension int8 scalar-quantization profile of the embedding
+    corpus (operators/quantize.py:sq_stats) — FAISS-SQ8 range/scale per
+    dim + the reconstruction error each dim pays at 8 bits. Aggregate
+    state is O(dims), map-side combined."""
+    from baselinr_spark.operators.quantize import sq_stats
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return _r6(sq_stats(emb, "embedding"), "dmin", "dmax", "scale", "mse", "max_abs_err")
+
+
+def _sql_sq_stats_emb() -> str:
+    from baselinr_spark.operators.quantize import oracle_sq_stats_sql
+
+    inner = oracle_sq_stats_sql("embeddings", "embedding")
+    return (
+        f"SELECT dim, round(dmin, 6) AS dmin, round(dmax, 6) AS dmax, "
+        f"round(scale, 6) AS scale, round(mse, 6) AS mse, "
+        f"round(max_abs_err, 6) AS max_abs_err FROM ({inner})"
+    )
+
+
+def q_jl_distortion_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss sign-projection (Achlioptas 2003, md5-
+    derived +-1 matrix computed engine-side) distance distortion over
+    consecutive-id embedding pairs (operators/quantize.py:
+    jl_distortion): d_proj/d_orig per pair at k=16. The JL lemma bound
+    this operator measures is what licenses running SemDeDup/ANN on a
+    4x-smaller projection."""
+    from baselinr_spark.operators.quantize import jl_distortion
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return _r6(
+        jl_distortion(emb, "vec_id", "embedding", k=16),
+        "d_orig",
+        "d_proj",
+        "ratio",
+    )
+
+
+def _sql_jl_distortion_emb() -> str:
+    from baselinr_spark.operators.quantize import oracle_jl_distortion_sql
+
+    inner = oracle_jl_distortion_sql("embeddings", "vec_id", "embedding", k=16)
+    return (
+        f"SELECT id_a, id_b, round(d_orig, 6) AS d_orig, "
+        f"round(d_proj, 6) AS d_proj, round(ratio, 6) AS ratio FROM ({inner})"
+    )
+
+
 def q_theil_sen_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theil-Sen robust trend (median pairwise slope + median residual
     intercept, operators/trend.py:theil_sen) of each event type's
@@ -9056,6 +9106,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid_prf": q_langid_prf,
         "triangle_stats_domains": q_triangle_stats_domains,
         "theil_sen_daily": q_theil_sen_daily,
+        "sq_stats_emb": q_sq_stats_emb,
+        "jl_distortion_emb": q_jl_distortion_emb,
         "kn_bigram_probs": q_kn_bigram_probs,
         "pareto_quality_sample": q_pareto_quality_sample,
         "soft_dedup_weights": q_soft_dedup_weights,
@@ -9266,6 +9318,8 @@ def oracle_sql() -> dict[str, str]:
         "langid_prf": _sql_langid_prf(),
         "triangle_stats_domains": _sql_triangle_stats_domains(),
         "theil_sen_daily": _sql_theil_sen_daily(),
+        "sq_stats_emb": _sql_sq_stats_emb(),
+        "jl_distortion_emb": _sql_jl_distortion_emb(),
         "shard_manifest_docs": _sql_shard_manifest_docs(),
         "rule_ablation_docs": _SQL_RULE_ABLATION,
         "shard_positions_docs": _sql_shard_positions_docs(),
