@@ -7941,6 +7941,63 @@ def _sql_triangle_stats_domains() -> str:
     )
 
 
+def q_revisit_change_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain re-crawl change profile over the derived URL corpus
+    (operators/revisit.py:revisit_change_stats): the 5 URL variants of
+    each canonical page act as snapshots ordered by the derived warc
+    offset; content hash = md5(text). The only window is partitioned
+    by page key — per-partition work is the snapshot count."""
+    from baselinr_spark.operators.revisit import revisit_change_stats
+
+    docs = _read(spark, sf_dir, "documents")
+    g = F.expr("doc_id div 5")
+    rows = docs.select(
+        g.alias("page"),
+        F.concat(F.lit("example"), (g % 37).cast("string"), F.lit(".com")).alias(
+            "domain"
+        ),
+        ((F.col("doc_id") * 7) % 97).alias("t"),
+        F.md5(F.col("text")).alias("h"),
+    )
+    out = revisit_change_stats(rows, "page", "t", "h", "domain")
+    return _r6(out.withColumnRenamed("grp", "domain"), "change_rate")
+
+
+def _sql_revisit_change_rates() -> str:
+    from baselinr_spark.operators.revisit import oracle_revisit_change_stats_sql
+
+    rows = (
+        "SELECT doc_id // 5 AS page, "
+        "'example' || ((doc_id // 5) % 37)::varchar || '.com' AS domain, "
+        "(doc_id * 7) % 97 AS t, md5(text) AS h FROM documents"
+    )
+    inner = oracle_revisit_change_stats_sql(rows, "page", "t", "h", "domain")
+    return (
+        f"SELECT grp AS domain, n_pages, n_visits, n_revisits, n_changes, "
+        f"round(change_rate, 6) AS change_rate FROM ({inner})"
+    )
+
+
+def q_domain_kl_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source unigram KL divergence from the corpus distribution
+    (operators/collocations.py:domain_unigram_kl) — the domain-
+    representativeness number behind CCNet/DoReMi mixture decisions.
+    ONE (part, word) groupBy; corpus totals ride broadcast."""
+    from baselinr_spark.operators.collocations import domain_unigram_kl
+
+    docs = _read(spark, sf_dir, "documents")
+    return _r6(domain_unigram_kl(docs, "source", "text"), "kl")
+
+
+def _sql_domain_kl_docs() -> str:
+    from baselinr_spark.operators.collocations import oracle_domain_unigram_kl_sql
+
+    inner = oracle_domain_unigram_kl_sql("documents", "source", "text")
+    return (
+        f"SELECT part, n_tokens, n_types, round(kl, 6) AS kl FROM ({inner})"
+    )
+
+
 def q_sq_stats_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-dimension int8 scalar-quantization profile of the embedding
     corpus (operators/quantize.py:sq_stats) — FAISS-SQ8 range/scale per
@@ -9108,6 +9165,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "theil_sen_daily": q_theil_sen_daily,
         "sq_stats_emb": q_sq_stats_emb,
         "jl_distortion_emb": q_jl_distortion_emb,
+        "revisit_change_rates": q_revisit_change_rates,
+        "domain_kl_docs": q_domain_kl_docs,
         "kn_bigram_probs": q_kn_bigram_probs,
         "pareto_quality_sample": q_pareto_quality_sample,
         "soft_dedup_weights": q_soft_dedup_weights,
@@ -9320,6 +9379,8 @@ def oracle_sql() -> dict[str, str]:
         "theil_sen_daily": _sql_theil_sen_daily(),
         "sq_stats_emb": _sql_sq_stats_emb(),
         "jl_distortion_emb": _sql_jl_distortion_emb(),
+        "revisit_change_rates": _sql_revisit_change_rates(),
+        "domain_kl_docs": _sql_domain_kl_docs(),
         "shard_manifest_docs": _sql_shard_manifest_docs(),
         "rule_ablation_docs": _SQL_RULE_ABLATION,
         "shard_positions_docs": _sql_shard_positions_docs(),

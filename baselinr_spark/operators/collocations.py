@@ -213,3 +213,82 @@ cells AS (
   LEFT JOIN pw ON pw.word = t.word AND pw.part = p.part
 )
 SELECT word, total, sum(gap) * 0.5 AS dp FROM cells GROUP BY 1, 2"""
+
+
+def domain_unigram_kl(
+    df: DataFrame,
+    part_col: str,
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-part (source/domain) KL divergence of the part's unigram
+    distribution from the corpus distribution:
+
+        KL(p_d || p_c) = sum_w (c_dw/n_d) * ln( (c_dw/n_d) / (c_w/N) )
+
+    — the domain-representativeness number behind CCNet/DoReMi-style
+    mixture decisions: a domain with near-zero KL is redundant with the
+    corpus average; a high-KL domain carries distinct vocabulary (or
+    spam). Always finite: the sum runs over the part's OWN observed
+    words, and every part word is a corpus word (p_c > 0 wherever
+    p_d > 0); absent words contribute 0 by the 0*ln(0) = 0 convention.
+
+    Returns (part, n_tokens, n_types, kl).
+
+    Scale design: ONE (part, word) groupBy over the corpus (map-side
+    combined); corpus word counts re-aggregate that table; the corpus
+    total rides as a broadcast 1-row crossJoin. The join keyed on word
+    carries O(|parts| x vocab-overlap) rows, never the corpus.
+    """
+    w = df.select(
+        F.col(part_col).alias("part"),
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0)
+        ).alias("word"),
+    )
+    pw = w.groupBy("part", "word").agg(F.count(F.lit(1)).alias("c_dw"))
+    nd = pw.groupBy("part").agg(F.sum("c_dw").alias("n_d"))
+    cw = pw.groupBy("word").agg(F.sum("c_dw").alias("c_w"))
+    n_tot = F.broadcast(cw.agg(F.sum("c_w").cast("double").alias("n_corpus")))
+    terms = (
+        pw.join(cw, "word")
+        .join(nd, "part")
+        .crossJoin(n_tot)
+        .select(
+            "part",
+            "n_d",
+            (
+                (F.col("c_dw") / F.col("n_d"))
+                * F.log(
+                    (F.col("c_dw") / F.col("n_d"))
+                    / (F.col("c_w") / F.col("n_corpus"))
+                )
+            ).alias("term"),
+        )
+    )
+    return terms.groupBy("part").agg(
+        F.first("n_d").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        F.sum("term").alias("kl"),
+    )
+
+
+def oracle_domain_unigram_kl_sql(
+    table: str = "documents",
+    part_col: str = "source",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`domain_unigram_kl`."""
+    return f"""WITH w AS (
+  SELECT {part_col} AS part,
+         unnest(regexp_extract_all(lower({text_col}), '{TOKEN_RE}')) AS word
+  FROM {table}
+),
+pw AS (SELECT part, word, count(*) AS c_dw FROM w GROUP BY 1, 2),
+nd AS (SELECT part, sum(c_dw) AS n_d FROM pw GROUP BY 1),
+cw AS (SELECT word, sum(c_dw) AS c_w FROM pw GROUP BY 1),
+tot AS (SELECT sum(c_w)::double AS n_corpus FROM cw)
+SELECT pw.part, any_value(n_d)::bigint AS n_tokens,
+       count(*)::bigint AS n_types,
+       sum((c_dw / n_d) * ln((c_dw / n_d) / (c_w / n_corpus))) AS kl
+FROM pw JOIN cw USING (word) JOIN nd USING (part) CROSS JOIN tot
+GROUP BY 1"""

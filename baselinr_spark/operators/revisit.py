@@ -1,0 +1,126 @@
+"""Re-crawl version history and page-change-rate statistics.
+
+A Common-Crawl-style corpus carries many snapshots of the same page
+(same canonical URL, different ``warc_ts``). Two curation decisions
+hang on how often pages actually change:
+
+- crawl scheduling: domains whose pages never change are re-crawled
+  too often; fast-churn domains too rarely;
+- dedup policy: an unchanged re-visit is an exact duplicate the exact
+  dedup pass will drop, while a changed re-visit is a NEW document —
+  the change rate predicts the dedup savings per domain.
+
+:func:`page_versions` flags, per page, which snapshot changed content
+vs its predecessor (hash lag over the per-page time order);
+:func:`revisit_change_stats` rolls that up per domain.
+
+Scale design (10^12 snapshots): the only window runs PARTITIONED BY
+page key — per-partition work is the page's snapshot count (bounded by
+crawl frequency, never corpus-scale), and Spark shuffles on the page
+key exactly once; the domain rollup is a map-side-combined groupBy.
+No global window, no driver collect.
+
+Reference parity: the reference's change detection is table-level
+fingerprinting (`/root/reference/baselinr/profiling/change_detection
+.py`, recast in sources/change_detection.py); this operator is the
+row-grain analogue the web corpus needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _versioned(df: DataFrame, key_col: str, ts_col: str, hash_col: str):
+    """Adds visit_no + changed over the per-page time order (ties break
+    on the hash for determinism)."""
+    w = Window.partitionBy(key_col).orderBy(F.col(ts_col), F.col(hash_col))
+    prev = F.lag(F.col(hash_col)).over(w)
+    return df.withColumn("visit_no", F.row_number().over(w)).withColumn(
+        "changed",
+        F.when(prev.isNull(), F.lit(0))
+        .when(prev != F.col(hash_col), F.lit(1))
+        .otherwise(F.lit(0)),
+    )
+
+
+def page_versions(
+    df: DataFrame, key_col: str, ts_col: str, hash_col: str
+) -> DataFrame:
+    """Per-snapshot change flags: (key, ts, content_hash, visit_no,
+    changed) — changed = 1 when the content hash differs from the
+    previous snapshot of the same page (the first snapshot is NOT a
+    change)."""
+    return _versioned(df, key_col, ts_col, hash_col).select(
+        F.col(key_col).alias("key"),
+        F.col(ts_col).alias("ts"),
+        F.col(hash_col).alias("content_hash"),
+        "visit_no",
+        "changed",
+    )
+
+
+def revisit_change_stats(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    hash_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Per-group re-crawl profile: (grp, n_pages, n_visits, n_revisits,
+    n_changes, change_rate) where change_rate = n_changes / n_revisits
+    (0.0 for groups whose every page was seen once)."""
+    v = _versioned(df, key_col, ts_col, hash_col)
+    agg = v.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count_distinct(F.col(key_col)).cast("bigint").alias("n_pages"),
+        F.count(F.lit(1)).cast("bigint").alias("n_visits"),
+        F.sum((F.col("visit_no") > 1).cast("long")).cast("bigint").alias("n_revisits"),
+        F.sum("changed").cast("bigint").alias("n_changes"),
+    )
+    return agg.select(
+        "grp",
+        "n_pages",
+        "n_visits",
+        "n_revisits",
+        "n_changes",
+        F.when(
+            F.col("n_revisits") > 0,
+            F.col("n_changes").cast("double") / F.col("n_revisits").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("change_rate"),
+    )
+
+
+def oracle_revisit_change_stats_sql(
+    rows_sql: str,
+    key_col: str,
+    ts_col: str,
+    hash_col: str,
+    group_col: str,
+) -> str:
+    """DuckDB twin of :func:`revisit_change_stats` over ``rows_sql``."""
+    return f"""
+WITH rows_in AS ({rows_sql}),
+v AS (
+  SELECT {group_col} AS grp, {key_col} AS key,
+         row_number() OVER (PARTITION BY {key_col}
+                            ORDER BY {ts_col}, {hash_col}) AS visit_no,
+         CASE WHEN lag({hash_col}) OVER (PARTITION BY {key_col}
+                                         ORDER BY {ts_col}, {hash_col}) IS NULL
+              THEN 0
+              WHEN lag({hash_col}) OVER (PARTITION BY {key_col}
+                                         ORDER BY {ts_col}, {hash_col})
+                   <> {hash_col}
+              THEN 1 ELSE 0 END AS changed
+  FROM rows_in
+)
+SELECT grp, count(DISTINCT key)::bigint AS n_pages,
+       count(*)::bigint AS n_visits,
+       sum((visit_no > 1)::int)::bigint AS n_revisits,
+       sum(changed)::bigint AS n_changes,
+       CASE WHEN sum((visit_no > 1)::int) > 0
+            THEN sum(changed)::double / sum((visit_no > 1)::int)::double
+            ELSE 0.0 END AS change_rate
+FROM v GROUP BY 1"""
