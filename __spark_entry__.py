@@ -7941,6 +7941,61 @@ def _sql_triangle_stats_domains() -> str:
     )
 
 
+def q_textrank_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword scores (Mihalcea & Tarau 2004): PageRank over
+    the word co-occurrence graph (window 2, both directions —
+    operators/collocations.py:cooccurrence_edges) reusing the shared
+    power-iteration pagerank(); complements RAKE's degree/frequency
+    scoring with a global importance number."""
+    from baselinr_spark.operators.collocations import cooccurrence_edges
+    from baselinr_spark.operators.linkgraph import pagerank
+
+    docs = _read(spark, sf_dir, "documents")
+    edges = cooccurrence_edges(docs, "text", window=2)
+    return _r6(pagerank(edges, n_iter=5, damping=0.85), "rank")
+
+
+def _sql_textrank_words() -> str:
+    from baselinr_spark.operators.collocations import cooccurrence_edges_sql
+    from baselinr_spark.operators.linkgraph import oracle_pagerank_cte
+
+    edges = cooccurrence_edges_sql("documents", "text", window=2)
+    return (
+        oracle_pagerank_cte(edges, n_iter=5, damping=0.85)
+        + "\nSELECT node, round(rank, 6) AS rank FROM r5"
+    )
+
+
+def q_robust_stats_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10%-trimmed and winsorized robust stats for three lineitem
+    measures (operators/profiling.py:robust_stats) — the profile row
+    a single corrupt ingest batch cannot move. Two single aggregates
+    (quantiles, then conditional stats with the 1-row quantile result
+    broadcast)."""
+    from baselinr_spark.operators.profiling import robust_stats
+
+    li = _read(spark, sf_dir, "lineitem")
+    return _r6(
+        robust_stats(li, _PCTL_COLS, trim=0.1),
+        "q_lo",
+        "q_hi",
+        "trimmed_mean",
+        "winsor_mean",
+        "winsor_std",
+    )
+
+
+def _sql_robust_stats_lineitem() -> str:
+    from baselinr_spark.operators.profiling import oracle_robust_stats_sql
+
+    inner = oracle_robust_stats_sql("lineitem", _PCTL_COLS, trim=0.1)
+    return (
+        f"SELECT column_name, n, round(q_lo, 6) AS q_lo, round(q_hi, 6) AS q_hi, "
+        f"round(trimmed_mean, 6) AS trimmed_mean, round(winsor_mean, 6) AS winsor_mean, "
+        f"round(winsor_std, 6) AS winsor_std, n_trimmed FROM ({inner})"
+    )
+
+
 def q_revisit_change_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain re-crawl change profile over the derived URL corpus
     (operators/revisit.py:revisit_change_stats): the 5 URL variants of
@@ -9167,6 +9222,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jl_distortion_emb": q_jl_distortion_emb,
         "revisit_change_rates": q_revisit_change_rates,
         "domain_kl_docs": q_domain_kl_docs,
+        "textrank_words": q_textrank_words,
+        "robust_stats_lineitem": q_robust_stats_lineitem,
         "kn_bigram_probs": q_kn_bigram_probs,
         "pareto_quality_sample": q_pareto_quality_sample,
         "soft_dedup_weights": q_soft_dedup_weights,
@@ -9381,6 +9438,8 @@ def oracle_sql() -> dict[str, str]:
         "jl_distortion_emb": _sql_jl_distortion_emb(),
         "revisit_change_rates": _sql_revisit_change_rates(),
         "domain_kl_docs": _sql_domain_kl_docs(),
+        "textrank_words": _sql_textrank_words(),
+        "robust_stats_lineitem": _sql_robust_stats_lineitem(),
         "shard_manifest_docs": _sql_shard_manifest_docs(),
         "rule_ablation_docs": _SQL_RULE_ABLATION,
         "shard_positions_docs": _sql_shard_positions_docs(),

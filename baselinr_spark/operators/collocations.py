@@ -292,3 +292,59 @@ SELECT pw.part, any_value(n_d)::bigint AS n_tokens,
        sum((c_dw / n_d) * ln((c_dw / n_d) / (c_w / n_corpus))) AS kl
 FROM pw JOIN cw USING (word) JOIN nd USING (part) CROSS JOIN tot
 GROUP BY 1"""
+
+
+def cooccurrence_edges(
+    df: DataFrame, text_col: str = "text", *, window: int = 2
+) -> DataFrame:
+    """Word co-occurrence edge list for TextRank (Mihalcea & Tarau
+    2004): an undirected edge between every pair of tokens at distance
+    <= window, emitted in BOTH directions so the shared directed
+    pagerank() operator (which dedups and drops self-loops via
+    normalize_edges) sees a symmetric graph. Row-local fan-out —
+    each doc emits <= 2*window*len edges map-side."""
+    ws = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0)
+    w = df.select(ws.alias("ws"))
+
+    def _pair_at(gap):
+        # one-arg lambda: F.transform must NOT see a second (index) param
+        return lambda i: F.struct(
+            F.element_at(F.col("ws"), i).alias("src"),
+            F.element_at(F.col("ws"), i + F.lit(gap)).alias("dst"),
+        )
+
+    parts = []
+    for j in range(1, window + 1):
+        pj = (
+            w.filter(F.size("ws") >= j + 1)
+            .select(
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("ws") - j), _pair_at(j)
+                    )
+                ).alias("p")
+            )
+            .select("p.src", "p.dst")
+        )
+        parts.append(pj)
+    fwd = parts[0]
+    for p in parts[1:]:
+        fwd = fwd.unionByName(p)
+    return fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+
+
+def cooccurrence_edges_sql(
+    table: str = "documents", text_col: str = "text", *, window: int = 2
+) -> str:
+    """DuckDB edges CTE body matching :func:`cooccurrence_edges` —
+    feed to linkgraph.oracle_pagerank_cte."""
+    fwd = f"""
+  SELECT ws[i] AS src, ws[i+j] AS dst
+  FROM (SELECT regexp_extract_all(lower({text_col}), '{TOKEN_RE}') AS ws
+        FROM {table}) d,
+       UNNEST(range(1, len(ws))) AS t(i),
+       UNNEST(range(1, {window + 1})) AS u(j)
+  WHERE i + j <= len(ws)"""
+    return f"{fwd}\nUNION ALL\nSELECT dst AS src, src AS dst FROM ({fwd})"

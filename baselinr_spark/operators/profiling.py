@@ -506,3 +506,104 @@ SELECT stratum, n_rows, sigma, weight, n_alloc,
        n_alloc::double / n_rows AS fraction
 FROM alloc
 """
+
+
+def robust_stats(
+    df: DataFrame,
+    columns: tuple[str, ...],
+    trim: float = 0.1,
+) -> DataFrame:
+    """Trimmed + winsorized robust central tendency per column — the
+    outlier-resistant profile row (Tukey 1962 trimmed mean; winsorized
+    variance per Dixon & Tukey 1968, both public classics): the plain
+    mean in the standard profile (reference baselinr/profiling/
+    metrics.py numeric stats) moves arbitrarily under one corrupt
+    ingest batch, while the 10%-trimmed mean bounds any single batch's
+    influence.
+
+    Per column: (column_name, n, q_lo, q_hi, trimmed_mean,
+    winsor_mean, winsor_std, n_trimmed) where q_lo/q_hi are the
+    trim and 1-trim exact continuous quantiles, trimmed_mean averages
+    x in [q_lo, q_hi], winsorized values clamp to that range, and
+    n_trimmed counts rows outside it. NULLs excluded per column.
+
+    Scale: TWO single aggregates (quantiles, then the conditional
+    stats with the 1-row quantile result broadcast) — no window, no
+    join keyed on data. Swap percentile -> approx_percentile at true
+    corpus scale, same call shape (the profile engine's standard
+    sketch gate).
+    """
+    qaggs = []
+    for i, c in enumerate(columns):
+        x = F.col(c).cast("double")
+        qaggs.append(F.percentile(x, F.lit(trim)).alias(f"qlo_{i}"))
+        qaggs.append(F.percentile(x, F.lit(1.0 - trim)).alias(f"qhi_{i}"))
+    q = F.broadcast(df.agg(*qaggs))
+    j = df.crossJoin(q)
+    aggs = []
+    for i, c in enumerate(columns):
+        x = F.col(c).cast("double")
+        qlo, qhi = F.col(f"qlo_{i}"), F.col(f"qhi_{i}")
+        inside = (x >= qlo) & (x <= qhi)
+        wx = F.when(x.isNotNull(), F.least(F.greatest(x, qlo), qhi))
+        aggs += [
+            F.count(x).alias(f"n_{i}"),
+            F.first(qlo).alias(f"flo_{i}"),
+            F.first(qhi).alias(f"fhi_{i}"),
+            F.avg(F.when(inside, x)).alias(f"tm_{i}"),
+            F.avg(wx).alias(f"wm_{i}"),
+            F.stddev_samp(wx).alias(f"ws_{i}"),
+            F.sum((x.isNotNull() & ~inside).cast("long")).alias(f"nt_{i}"),
+        ]
+    one = j.agg(*aggs)
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col(f"n_{i}").cast("bigint").alias("n"),
+                F.col(f"flo_{i}").alias("q_lo"),
+                F.col(f"fhi_{i}").alias("q_hi"),
+                F.col(f"tm_{i}").alias("trimmed_mean"),
+                F.col(f"wm_{i}").alias("winsor_mean"),
+                F.col(f"ws_{i}").alias("winsor_std"),
+                F.col(f"nt_{i}").cast("bigint").alias("n_trimmed"),
+            )
+            for i, c in enumerate(columns)
+        ]
+    )
+    return one.select(F.explode(structs).alias("kv")).select("kv.*")
+
+
+def oracle_robust_stats_sql(
+    table: str,
+    columns: tuple[str, ...],
+    trim: float = 0.1,
+) -> str:
+    """DuckDB twin of :func:`robust_stats`."""
+    qaggs = ",\n         ".join(
+        f"quantile_cont({c}::double, {trim}) AS qlo_{i},\n"
+        f"         quantile_cont({c}::double, {1.0 - trim}) AS qhi_{i}"
+        for i, c in enumerate(columns)
+    )
+    arms = []
+    for i, c in enumerate(columns):
+        x = f"{c}::double"
+        wx = (f"CASE WHEN {c} IS NOT NULL THEN "
+              f"least(greatest({x}, qlo_{i}), qhi_{i}) END")
+        arms.append(f"""
+SELECT '{c}' AS column_name,
+       count({c})::bigint AS n,
+       any_value(qlo_{i}) AS q_lo,
+       any_value(qhi_{i}) AS q_hi,
+       avg(CASE WHEN {x} >= qlo_{i} AND {x} <= qhi_{i} THEN {x} END)
+         AS trimmed_mean,
+       avg({wx}) AS winsor_mean,
+       stddev_samp({wx}) AS winsor_std,
+       sum(({c} IS NOT NULL AND ({x} < qlo_{i} OR {x} > qhi_{i}))::int)::bigint
+         AS n_trimmed
+FROM j""")
+    body = "\nUNION ALL\n".join(f"({a})" for a in arms)
+    return (
+        f"WITH q AS (\n  SELECT {qaggs}\n  FROM {table}\n),\n"
+        f"j AS (SELECT * FROM {table} CROSS JOIN q)\n{body}"
+    )
