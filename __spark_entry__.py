@@ -7941,6 +7941,30 @@ def _sql_triangle_stats_domains() -> str:
     )
 
 
+def q_lpt_shard_plan_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy LPT bin packing of the 20 sources onto 4 export shards by
+    doc count (operators/sharding.py:lpt_shard_plan) — the straggler-
+    shard fix hash assignment can't give. Fold over the O(n_keys) size
+    table inside one aggregate; recursive-CTE oracle replays the
+    assignment exactly."""
+    from baselinr_spark.operators.sharding import lpt_shard_plan
+
+    docs = _read(spark, sf_dir, "documents")
+    sizes = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    return _r6(lpt_shard_plan(sizes, "source", "n", n_shards=4), "size", "load_after")
+
+
+def _sql_lpt_shard_plan_domains() -> str:
+    from baselinr_spark.operators.sharding import oracle_lpt_shard_plan_sql
+
+    sizes = "SELECT source, count(*) AS n FROM documents GROUP BY 1"
+    inner = oracle_lpt_shard_plan_sql(sizes, "source", "n", n_shards=4)
+    return (
+        f"SELECT key, round(size, 6) AS size, shard, "
+        f"round(load_after, 6) AS load_after FROM ({inner})"
+    )
+
+
 def q_textrank_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TextRank keyword scores (Mihalcea & Tarau 2004): PageRank over
     the word co-occurrence graph (window 2, both directions —
@@ -9224,6 +9248,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_kl_docs": q_domain_kl_docs,
         "textrank_words": q_textrank_words,
         "robust_stats_lineitem": q_robust_stats_lineitem,
+        "lpt_shard_plan_domains": q_lpt_shard_plan_domains,
         "kn_bigram_probs": q_kn_bigram_probs,
         "pareto_quality_sample": q_pareto_quality_sample,
         "soft_dedup_weights": q_soft_dedup_weights,
@@ -9440,6 +9465,7 @@ def oracle_sql() -> dict[str, str]:
         "domain_kl_docs": _sql_domain_kl_docs(),
         "textrank_words": _sql_textrank_words(),
         "robust_stats_lineitem": _sql_robust_stats_lineitem(),
+        "lpt_shard_plan_domains": _sql_lpt_shard_plan_domains(),
         "shard_manifest_docs": _sql_shard_manifest_docs(),
         "rule_ablation_docs": _SQL_RULE_ABLATION,
         "shard_positions_docs": _sql_shard_positions_docs(),

@@ -248,3 +248,113 @@ def oracle_interleave_sql(
     return f"""SELECT {id_col},
        round(({u} / {float(16**8)}) / ({weight_expr}), 6) AS interleave_key
 FROM {table} ORDER BY {id_col}"""
+
+
+def lpt_shard_plan(
+    sizes: DataFrame,
+    key_col: str,
+    size_col: str,
+    *,
+    n_shards: int,
+) -> DataFrame:
+    """Greedy LPT (longest-processing-time) bin packing of work keys
+    (domains / partitions) onto ``n_shards`` output shards: sort keys
+    by size descending, assign each to the currently-least-loaded
+    shard. Graham (1969) — the classic 4/3-approximate makespan
+    balancer, and the standard fix for the "one giant domain makes one
+    straggler shard" problem hash assignment (assign_shards) can't
+    avoid.
+
+    Input is the per-key SIZE TABLE (one row per key), NOT the corpus:
+    at 10^12 documents the caller aggregates doc counts/bytes per
+    domain first (one map-side-combined groupBy), and this planner
+    folds over the O(n_keys) result inside a single aggregate — the
+    fold state is (loads[n_shards], assignments) and never leaves the
+    executor. Bound: n_keys must fit one agg buffer (planning-scale,
+    documented contract — same bound as the reference's plan builder,
+    reference baselinr/profiling/planner.py, which loads all partition
+    metadata to plan).
+
+    Ties (equal loads / equal sizes) break on first-least-loaded shard
+    index and key order, so the DuckDB recursive-CTE oracle replays
+    the assignment exactly.
+
+    Returns (key, size, shard, load_after) — shard is 0-based.
+    """
+    items = sizes.agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    (-F.col(size_col).cast("double")).alias("negsize"),
+                    F.col(key_col).cast("string").alias("key"),
+                    F.col(size_col).cast("double").alias("size"),
+                )
+            )
+        ).alias("items")
+    )
+    out_t = "array<struct<key:string,size:double,shard:int,load_after:double>>"
+    init = F.struct(
+        F.array_repeat(F.lit(0.0), n_shards).alias("loads"),
+        F.lit(None).cast(out_t).alias("out"),
+    )
+
+    def step(st, it):
+        idx = F.array_position(st["loads"], F.array_min(st["loads"]))
+        new_load = F.element_at(st["loads"], idx.cast("int")) + it["size"]
+        loads2 = F.transform(
+            F.sequence(F.lit(1), F.lit(n_shards)),
+            lambda j: F.when(j == idx, new_load).otherwise(
+                F.element_at(st["loads"], j.cast("int"))
+            ),
+        )
+        rec = F.struct(
+            it["key"].alias("key"),
+            it["size"].alias("size"),
+            (idx - 1).cast("int").alias("shard"),
+            new_load.alias("load_after"),
+        )
+        return F.struct(
+            loads2.alias("loads"),
+            F.concat(
+                F.coalesce(st["out"], F.array().cast(out_t)), F.array(rec)
+            ).alias("out"),
+        )
+
+    folded = items.select(
+        F.aggregate(F.col("items"), init, step).alias("st")
+    )
+    return folded.select(F.explode("st.out").alias("r")).select("r.*")
+
+
+def oracle_lpt_shard_plan_sql(
+    sizes_sql: str,
+    key_col: str,
+    size_col: str,
+    *,
+    n_shards: int,
+) -> str:
+    """DuckDB recursive-CTE twin of :func:`lpt_shard_plan`."""
+    zeros = "[" + ", ".join(["0.0"] * n_shards) + "]::double[]"
+    return f"""
+WITH RECURSIVE ordered AS (
+  SELECT ({key_col})::varchar AS key, ({size_col})::double AS size,
+         row_number() OVER (ORDER BY ({size_col})::double DESC,
+                            ({key_col})::varchar) AS rn
+  FROM ({sizes_sql})
+),
+fold AS (
+  SELECT 0::bigint AS rn, {zeros} AS loads,
+         NULL::varchar AS key, NULL::double AS size,
+         NULL::int AS shard, NULL::double AS load_after
+  UNION ALL
+  SELECT o.rn,
+         list_transform(generate_series(1, {n_shards}),
+           j -> CASE WHEN j = list_position(f.loads, list_min(f.loads))
+                     THEN f.loads[list_position(f.loads, list_min(f.loads))] + o.size
+                     ELSE f.loads[j] END) AS loads,
+         o.key, o.size,
+         (list_position(f.loads, list_min(f.loads)) - 1)::int AS shard,
+         f.loads[list_position(f.loads, list_min(f.loads))] + o.size AS load_after
+  FROM fold f JOIN ordered o ON o.rn = f.rn + 1
+)
+SELECT key, size, shard, load_after FROM fold WHERE rn >= 1"""
