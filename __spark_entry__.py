@@ -7941,6 +7941,67 @@ def _sql_triangle_stats_domains() -> str:
     )
 
 
+def q_rule_mi_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-information matrix between the three cheap document
+    raters (operators/evalmetrics.py:pairwise_mi) — the information-
+    theoretic redundancy screen next to kappa_filters: κ misreads
+    systematic DISAGREEMENT (κ ≈ -1) as signal; MI counts it as the
+    redundancy it is. Same one-aggregate shape as kappa."""
+    from baselinr_spark.operators.evalmetrics import pairwise_mi
+
+    docs = _read(spark, sf_dir, "documents").select(
+        (F.col("lang") == "en").alias("is_en"),
+        F.lower(F.col("text")).contains(" the ").alias("has_the"),
+        (F.col("n_chars") >= 200).alias("long_doc"),
+    )
+    out = pairwise_mi(docs, ["is_en", "has_the", "long_doc"])
+    return _r6(out, "mi", "h_a", "h_b", "nmi")
+
+
+def _sql_rule_mi_filters() -> str:
+    from baselinr_spark.operators.evalmetrics import oracle_pairwise_mi_sql
+
+    rows = (
+        "SELECT (lang = 'en') AS is_en, "
+        "contains(lower(text), ' the ') AS has_the, "
+        "(n_chars >= 200) AS long_doc FROM documents"
+    )
+    inner = oracle_pairwise_mi_sql(rows, ["is_en", "has_the", "long_doc"])
+    return (
+        f"SELECT rater_a, rater_b, n, round(mi, 6) AS mi, "
+        f"round(h_a, 6) AS h_a, round(h_b, 6) AS h_b, round(nmi, 6) AS nmi "
+        f"FROM ({inner})"
+    )
+
+
+def q_score_ecdf_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language ECDF of the length-proxy quality score
+    (operators/selection.py:grouped_score_ecdf) — the cross-lingual
+    threshold equalizer ("top 20% PER LANGUAGE"). Score rounded to 2dp
+    so the cumulative window runs over bounded distinct values."""
+    from baselinr_spark.operators.selection import grouped_score_ecdf
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "lang",
+        (
+            F.floor(F.least(F.col("n_chars") / F.lit(2000.0), F.lit(1.0)) * 100)
+            / F.lit(100.0)
+        ).alias("score"),
+    )
+    return _r6(grouped_score_ecdf(docs, "lang", "score"), "ecdf")
+
+
+def _sql_score_ecdf_lang() -> str:
+    from baselinr_spark.operators.selection import oracle_grouped_score_ecdf_sql
+
+    rows = (
+        "SELECT lang, floor(least(n_chars / 2000.0, 1.0) * 100) / 100.0 AS score "
+        "FROM documents"
+    )
+    inner = oracle_grouped_score_ecdf_sql(rows, "lang", "score")
+    return f"SELECT grp, s, cnt, cum, round(ecdf, 6) AS ecdf FROM ({inner})"
+
+
 def q_lpt_shard_plan_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy LPT bin packing of the 20 sources onto 4 export shards by
     doc count (operators/sharding.py:lpt_shard_plan) — the straggler-
@@ -9253,6 +9314,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "textrank_words": q_textrank_words,
         "robust_stats_lineitem": q_robust_stats_lineitem,
         "lpt_shard_plan_domains": q_lpt_shard_plan_domains,
+        "rule_mi_filters": q_rule_mi_filters,
+        "score_ecdf_lang": q_score_ecdf_lang,
         "bpe_pair_counts": q_bpe_pair_counts,
         "bpe_merges": q_bpe_merges,
         "bpe_vocab": q_bpe_vocab,
@@ -9470,6 +9533,8 @@ def oracle_sql() -> dict[str, str]:
         "textrank_words": _sql_textrank_words(),
         "robust_stats_lineitem": _sql_robust_stats_lineitem(),
         "lpt_shard_plan_domains": _sql_lpt_shard_plan_domains(),
+        "rule_mi_filters": _sql_rule_mi_filters(),
+        "score_ecdf_lang": _sql_score_ecdf_lang(),
         "shard_manifest_docs": _sql_shard_manifest_docs(),
         "rule_ablation_docs": _SQL_RULE_ABLATION,
         "shard_positions_docs": _sql_shard_positions_docs(),

@@ -650,3 +650,132 @@ SELECT cls, support, predicted, tp,
                     + (CASE WHEN support > 0 THEN tp::double / support ELSE 0.0 END))
             ELSE 0.0 END AS f1
 FROM allcls"""
+
+
+def pairwise_mi(df: DataFrame, verdict_cols: Sequence[str]) -> DataFrame:
+    """Mutual information (nats) between every pair of boolean verdict
+    columns, plus marginal entropies and the geometric-mean-normalized
+    NMI — the information-theoretic companion to :func:`pairwise_kappa`:
+    κ measures agreement on the SAME polarity, MI also catches raters
+    that are informative because they systematically DISAGREE (κ near
+    -1, MI high), which a κ-only redundancy screen misreads as "adds
+    signal".
+
+    Same scale shape as pairwise_kappa: ONE aggregate (4 counters per
+    pair, map-side combined), row-local explode; marginal-rate (double)
+    arithmetic so nothing overflows at 10^12 rows. Zero cells follow
+    0·ln0 = 0; NMI is 0.0 when either marginal entropy is 0 (constant
+    rater). Returns (rater_a, rater_b, n, mi, h_a, h_b, nmi).
+    """
+    pairs = [
+        (a, b)
+        for idx, a in enumerate(verdict_cols)
+        for b in list(verdict_cols)[idx + 1 :]
+    ]
+    aggs = []
+    for a, b in pairs:
+        ca, cb = F.col(a).cast("boolean"), F.col(b).cast("boolean")
+        ok = ca.isNotNull() & cb.isNotNull()
+        tag = f"{a}__{b}"
+        aggs += [
+            F.sum((ok & ca & cb).cast("long")).alias(f"__m11_{tag}"),
+            F.sum((ok & ca & ~cb).cast("long")).alias(f"__m10_{tag}"),
+            F.sum((ok & ~ca & cb).cast("long")).alias(f"__m01_{tag}"),
+            F.sum((ok & ~ca & ~cb).cast("long")).alias(f"__m00_{tag}"),
+        ]
+    one = df.agg(*aggs)
+
+    def _plogp(p):
+        return F.when(p > 0, -p * F.log(p)).otherwise(F.lit(0.0))
+
+    def _term(pij, pi, pj):
+        return F.when(pij > 0, pij * F.log(pij / (pi * pj))).otherwise(F.lit(0.0))
+
+    structs = []
+    for a, b in pairs:
+        tag = f"{a}__{b}"
+        n11, n10, n01, n00 = (
+            F.col(f"__m11_{tag}"),
+            F.col(f"__m10_{tag}"),
+            F.col(f"__m01_{tag}"),
+            F.col(f"__m00_{tag}"),
+        )
+        n = n11 + n10 + n01 + n00
+        p11, p10, p01, p00 = (n11 / n, n10 / n, n01 / n, n00 / n)
+        pa, pb_ = (n11 + n10) / n, (n11 + n01) / n
+        mi = (
+            _term(p11, pa, pb_)
+            + _term(p10, pa, 1 - pb_)
+            + _term(p01, 1 - pa, pb_)
+            + _term(p00, 1 - pa, 1 - pb_)
+        )
+        h_a = _plogp(pa) + _plogp(1 - pa)
+        h_b = _plogp(pb_) + _plogp(1 - pb_)
+        nmi = F.when(
+            (h_a > 0) & (h_b > 0), mi / F.sqrt(h_a * h_b)
+        ).otherwise(F.lit(0.0))
+        structs.append(
+            F.struct(
+                F.lit(a).alias("rater_a"),
+                F.lit(b).alias("rater_b"),
+                n.alias("n"),
+                mi.alias("mi"),
+                h_a.alias("h_a"),
+                h_b.alias("h_b"),
+                nmi.alias("nmi"),
+            )
+        )
+    return one.select(F.explode(F.array(*structs)).alias("kv")).select("kv.*")
+
+
+def oracle_pairwise_mi_sql(rows_sql: str, verdict_cols: Sequence[str]) -> str:
+    """DuckDB twin of :func:`pairwise_mi` over ``rows_sql``."""
+    pairs = [
+        (a, b)
+        for idx, a in enumerate(verdict_cols)
+        for b in list(verdict_cols)[idx + 1 :]
+    ]
+
+    def term(pij, pi, pj):
+        return (f"CASE WHEN {pij} > 0 THEN {pij} * ln({pij} / (({pi}) * ({pj}))) "
+                f"ELSE 0.0 END")
+
+    def plogp(p):
+        return f"CASE WHEN {p} > 0 THEN -({p}) * ln({p}) ELSE 0.0 END"
+
+    selects = []
+    for a, b in pairs:
+        mi = " + ".join(
+            [
+                term("p11", "pa", "pb"),
+                term("p10", "pa", "1 - pb"),
+                term("p01", "1 - pa", "pb"),
+                term("p00", "1 - pa", "1 - pb"),
+            ]
+        )
+        h_a = f"{plogp('pa')} + {plogp('1 - pa')}"
+        h_b = f"{plogp('pb')} + {plogp('1 - pb')}"
+        selects.append(f"""
+SELECT '{a}' AS rater_a, '{b}' AS rater_b, n,
+       {mi} AS mi, {h_a} AS h_a, {h_b} AS h_b,
+       CASE WHEN ({h_a}) > 0 AND ({h_b}) > 0
+            THEN ({mi}) / sqrt(({h_a}) * ({h_b})) ELSE 0.0 END AS nmi
+FROM (
+  SELECT n11 + n10 + n01 + n00 AS n,
+         n11 / (n11 + n10 + n01 + n00) AS p11,
+         n10 / (n11 + n10 + n01 + n00) AS p10,
+         n01 / (n11 + n10 + n01 + n00) AS p01,
+         n00 / (n11 + n10 + n01 + n00) AS p00,
+         (n11 + n10) / (n11 + n10 + n01 + n00) AS pa,
+         (n11 + n01) / (n11 + n10 + n01 + n00) AS pb
+  FROM (
+    SELECT sum((a AND b)::int)::bigint AS n11,
+           sum((a AND NOT b)::int)::bigint AS n10,
+           sum((NOT a AND b)::int)::bigint AS n01,
+           sum((NOT a AND NOT b)::int)::bigint AS n00
+    FROM (SELECT ({a})::boolean AS a, ({b})::boolean AS b FROM rows_in)
+    WHERE a IS NOT NULL AND b IS NOT NULL
+  )
+)""")
+    union = "\nUNION ALL\n".join(f"({s})" for s in selects)
+    return f"WITH rows_in AS ({rows_sql})\n{union}"

@@ -823,3 +823,68 @@ SELECT bin, bin / {float(n_bins)!r} AS bin_lo, n_docs, tokens,
        (SELECT ch FROM chosen) / {float(n_bins)!r} AS threshold
 FROM cum
 """
+
+
+def grouped_score_ecdf(
+    df: DataFrame, group_col: str, score_col: str
+) -> DataFrame:
+    """Per-group empirical CDF of a (bounded-cardinality) score column
+    — the cross-lingual threshold equalizer: "keep the top 20% PER
+    LANGUAGE" needs each language's score ECDF, not the global one
+    (a global cutoff keeps 60% of English and 2% of Swahili when the
+    classifier's score scales differ by language).
+
+    Returns (grp, s, cnt, cum, ecdf) with ecdf = P(score <= s) within
+    the group. NULL scores are excluded.
+
+    Scale design: ONE groupBy (group, score) collapses the corpus
+    (map-side combined); the cumulative window runs over O(distinct
+    scores) rows per group — callers round/bucket corpus-cardinality
+    scores first (the same contract as roc_auc / mannwhitney). Group
+    totals come from an unordered window over the same partition key,
+    so there is no second shuffle.
+    """
+    from pyspark.sql import Window as W
+
+    g = (
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.col(score_col).cast("double").alias("s"),
+        )
+        .filter(F.col("s").isNotNull())
+        .groupBy("grp", "s")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    cum_w = W.partitionBy("grp").orderBy("s").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    tot_w = W.partitionBy("grp")
+    return g.select(
+        "grp",
+        "s",
+        F.col("cnt").cast("bigint").alias("cnt"),
+        F.sum("cnt").over(cum_w).cast("bigint").alias("cum"),
+        (
+            F.sum("cnt").over(cum_w).cast("double")
+            / F.sum("cnt").over(tot_w).cast("double")
+        ).alias("ecdf"),
+    )
+
+
+def oracle_grouped_score_ecdf_sql(
+    rows_sql: str, group_col: str, score_col: str
+) -> str:
+    """DuckDB twin of :func:`grouped_score_ecdf` over ``rows_sql``."""
+    return f"""
+WITH rows_in AS ({rows_sql}),
+g AS (
+  SELECT {group_col} AS grp, ({score_col})::double AS s,
+         count(*)::bigint AS cnt
+  FROM rows_in WHERE ({score_col}) IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT grp, s, cnt,
+       sum(cnt) OVER (PARTITION BY grp ORDER BY s)::bigint AS cum,
+       sum(cnt) OVER (PARTITION BY grp ORDER BY s)::double
+         / sum(cnt) OVER (PARTITION BY grp)::double AS ecdf
+FROM g"""
