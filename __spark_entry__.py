@@ -7941,6 +7941,98 @@ def _sql_triangle_stats_domains() -> str:
     )
 
 
+def q_pseudonymize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable PII pseudonymization (functions/scrub.py:
+    pseudonymize_expr): planted emails (doc_id%5==0 gets the same
+    address twice) replaced with per-value md5 tokens — linkage
+    preserved, raw identifier removed. Pure row-local codegen, byte-
+    identical DuckDB replay."""
+    from baselinr_spark.functions.scrub import (
+        pseudonymize_count_expr,
+        pseudonymize_expr,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    u = (F.col("doc_id") % 97).cast("string")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit(" reach u"), u, F.lit("@mail.example and u"), u,
+                    F.lit("@mail.example done"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return planted.select(
+        "doc_id",
+        pseudonymize_expr(F.col("text")).alias("pseudo_text"),
+        pseudonymize_count_expr(F.col("text")).alias("n_emails"),
+    )
+
+
+def _sql_pseudonymize_docs() -> str:
+    from baselinr_spark.functions.scrub import oracle_pseudonymize_sql
+
+    p = oracle_pseudonymize_sql("text")
+    n = ("CASE WHEN text IS NOT NULL THEN len(regexp_extract_all(text, "
+         "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))::int END")
+    return f"""
+WITH planted AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 5 = 0
+                      THEN ' reach u' || (doc_id % 97)::varchar
+                           || '@mail.example and u' || (doc_id % 97)::varchar
+                           || '@mail.example done'
+                      ELSE '' END AS text
+  FROM documents
+)
+SELECT doc_id, {p} AS pseudo_text, {n} AS n_emails FROM planted"""
+
+
+def q_best_keeper_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection per near-dup cluster
+    (operators/dedup.py:best_quality_keeper) over the doubling-chain
+    components: keep each component's highest-scoring member (tie ->
+    min id) via ONE max(struct) groupBy — no window over the cluster
+    table."""
+    from baselinr_spark.operators.dedup import (
+        best_quality_keeper,
+        connected_components,
+    )
+
+    ev = _read(spark, sf_dir, "events")
+    pairs = ev.where(F.col("event_id") < 400).select(
+        F.col("event_id").alias("id_a"),
+        (F.col("event_id") * 2).alias("id_b"),
+    )
+    comps = connected_components(pairs, max_iter=12)
+    scores = comps.select(
+        F.col("id").alias("doc_id"),
+        (((F.col("id") * 7919) % 1000) / F.lit(1000.0)).alias("q"),
+    )
+    return _r6(best_quality_keeper(comps, scores, "doc_id", "q"), "keeper_score")
+
+
+def _sql_best_keeper_events() -> str:
+    from baselinr_spark.operators.dedup import oracle_best_quality_keeper_sql
+
+    scores = (
+        f"SELECT id AS doc_id, ((id * 7919) % 1000) / 1000.0 AS q "
+        f"FROM ({_SQL_CONNECTED_COMPONENTS})"
+    )
+    inner = oracle_best_quality_keeper_sql(
+        _SQL_CONNECTED_COMPONENTS, scores, "doc_id", "q"
+    )
+    return (
+        f"SELECT component, keeper_id, round(keeper_score, 6) AS keeper_score, "
+        f"cluster_size FROM ({inner})"
+    )
+
+
 def q_rule_mi_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mutual-information matrix between the three cheap document
     raters (operators/evalmetrics.py:pairwise_mi) — the information-
@@ -9316,6 +9408,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lpt_shard_plan_domains": q_lpt_shard_plan_domains,
         "rule_mi_filters": q_rule_mi_filters,
         "score_ecdf_lang": q_score_ecdf_lang,
+        "pseudonymize_docs": q_pseudonymize_docs,
+        "best_keeper_events": q_best_keeper_events,
         "bpe_pair_counts": q_bpe_pair_counts,
         "bpe_merges": q_bpe_merges,
         "bpe_vocab": q_bpe_vocab,
@@ -9535,6 +9629,8 @@ def oracle_sql() -> dict[str, str]:
         "lpt_shard_plan_domains": _sql_lpt_shard_plan_domains(),
         "rule_mi_filters": _sql_rule_mi_filters(),
         "score_ecdf_lang": _sql_score_ecdf_lang(),
+        "pseudonymize_docs": _sql_pseudonymize_docs(),
+        "best_keeper_events": _sql_best_keeper_events(),
         "shard_manifest_docs": _sql_shard_manifest_docs(),
         "rule_ablation_docs": _SQL_RULE_ABLATION,
         "shard_positions_docs": _sql_shard_positions_docs(),

@@ -150,3 +150,64 @@ def iban_scan_exprs(text: Column) -> tuple[Column, Column]:
     n_cand = F.size(runs)
     n_valid = F.size(F.filter(runs, iban_valid_expr))
     return n_cand.cast("long"), n_valid.cast("long")
+
+
+def pseudonymize_expr(
+    col: Column,
+    pattern: str = SCRUB_PATTERNS[0][1],
+    label: str = "EMAIL",
+) -> Column:
+    """Consistent pseudonymization: replace every match of ``pattern``
+    with a STABLE per-value token ``<LABEL:xxxxxxxx>`` (first 8 hex of
+    the match's md5) instead of the information-destroying flat
+    ``<EMAIL>`` of `scrub_expr` — the linkage-preserving variant that
+    keeps "same author across documents" signals usable for dedup and
+    spam-campaign detection while removing the raw identifier
+    (standard tokenization/pseudonymization practice, e.g. HIPAA-style
+    de-identification; key-less md5 here — swap in an HMAC for real
+    deployments, same plan shape).
+
+    Pure row-local codegen: split on the pattern (Java split keeps
+    the n+1 segments), regexp_extract_all gives the n matches, each
+    hashed and re-interleaved with zip_with + array_join. No UDF, no
+    shuffle; DuckDB replays byte-identically (ASCII-only pattern, the
+    same cross-engine-safe subset as SCRUB_PATTERNS).
+    """
+    parts = F.split(col, pattern, -1)
+    matches = F.regexp_extract_all(col, F.lit(pattern), 0)
+    tokens = F.concat(
+        F.transform(
+            matches,
+            lambda m: F.concat(
+                F.lit(f"<{label}:"), F.substring(F.md5(m), 1, 8), F.lit(">")
+            ),
+        ),
+        F.array(F.lit("")),
+    )
+    merged = F.zip_with(parts, tokens, lambda p, t: F.concat(p, t))
+    return F.when(col.isNotNull(), F.array_join(merged, ""))
+
+
+def pseudonymize_count_expr(col: Column, pattern: str = SCRUB_PATTERNS[0][1]) -> Column:
+    """Number of pseudonymized matches (row-local)."""
+    return F.when(
+        col.isNotNull(), F.size(F.regexp_extract_all(col, F.lit(pattern), 0))
+    ).otherwise(F.lit(None).cast("int"))
+
+
+def oracle_pseudonymize_sql(
+    text_expr: str,
+    pattern: str = SCRUB_PATTERNS[0][1],
+    label: str = "EMAIL",
+) -> str:
+    """DuckDB scalar expression twin of :func:`pseudonymize_expr` over
+    ``text_expr`` (embed in a SELECT)."""
+    esc = pattern.replace("'", "''")
+    return (
+        f"CASE WHEN {text_expr} IS NOT NULL THEN array_to_string("
+        f"list_transform(string_split_regex({text_expr}, '{esc}'), "
+        f"(p, i) -> p || coalesce(list_transform("
+        f"regexp_extract_all({text_expr}, '{esc}'), "
+        f"m -> '<{label}:' || substring(md5(m), 1, 8) || '>')[i], '')"
+        f"), '') END"
+    )

@@ -1167,3 +1167,68 @@ def soft_dedup_weights(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         "n_copies",
         (F.lit(1.0) / F.col("n_copies")).alias("sample_weight"),
     )
+
+
+def best_quality_keeper(
+    components: DataFrame,
+    scores: DataFrame,
+    id_col: str,
+    score_col: str,
+) -> DataFrame:
+    """Quality-aware canonical selection for near-dup clusters: per
+    component keep the HIGHEST-scoring member (tie -> smallest id)
+    instead of the blind min-id rule of `dedup_by_components` — the
+    RefinedWeb/FineWeb-style refinement where a cluster's cleanest
+    extraction survives rather than its earliest crawl.
+
+    Inputs: ``components`` = (id, component) from
+    `connected_components`; ``scores`` = (id, score). Returns one row
+    per component: (component, keeper_id, keeper_score, cluster_size).
+
+    Scale shape: one equi-join on id, then ONE groupBy(component)
+    whose argmax rides as max(struct(score, -id)) — map-side combined,
+    deterministic under ties, no window over the cluster table.
+    """
+    j = components.join(
+        scores.select(
+            F.col(id_col).alias("id"), F.col(score_col).alias("__score")
+        ),
+        "id",
+    )
+    ranked = j.select(
+        "component",
+        F.struct(
+            F.col("__score").cast("double").alias("s"),
+            (-F.col("id")).alias("neg_id"),
+        ).alias("pick"),
+    )
+    agg = ranked.groupBy("component").agg(
+        F.max("pick").alias("best"), F.count(F.lit(1)).alias("cluster_size")
+    )
+    return agg.select(
+        "component",
+        (-F.col("best.neg_id")).alias("keeper_id"),
+        F.col("best.s").alias("keeper_score"),
+        F.col("cluster_size").cast("bigint").alias("cluster_size"),
+    )
+
+
+def oracle_best_quality_keeper_sql(
+    components_sql: str, scores_sql: str, id_col: str, score_col: str
+) -> str:
+    """DuckDB twin of :func:`best_quality_keeper`."""
+    return f"""
+WITH comp AS ({components_sql}),
+sc AS ({scores_sql}),
+j AS (
+  SELECT comp.component, comp.id, sc.{score_col}::double AS s
+  FROM comp JOIN sc ON sc.{id_col} = comp.id
+),
+agg AS (
+  SELECT component, max(struct_pack(s := s, neg_id := -id)) AS best,
+         count(*)::bigint AS cluster_size
+  FROM j GROUP BY 1
+)
+SELECT component, -(best.neg_id) AS keeper_id, best.s AS keeper_score,
+       cluster_size
+FROM agg"""
