@@ -8033,6 +8033,34 @@ def _sql_best_keeper_events() -> str:
     )
 
 
+def q_psi_source_attrib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drift ATTRIBUTION: per-source PSI of each source's language mix
+    against the REST of the corpus (operators/drift.py:
+    psi_source_vs_rest) — after a corpus-level PSI alarm, which
+    mixture component moved it? Reference PSI semantics (floor 1e-4,
+    0.2/0.3/0.5 ladder, statistical_tests.py:588-611); the operator's
+    own work is O(sources x buckets) on an already-aggregated count
+    table — ONE corpus groupBy upstream."""
+    from baselinr_spark.operators.drift import psi_source_vs_rest
+
+    docs = _read(spark, sf_dir, "documents")
+    counts = docs.groupBy(
+        F.col("source").alias("part"), F.col("lang").alias("bucket")
+    ).agg(F.count(F.lit(1)).cast("double").alias("count"))
+    return _r6(psi_source_vs_rest(counts, "part"), "psi")
+
+
+def _sql_psi_source_attrib() -> str:
+    from baselinr_spark.operators.drift import oracle_psi_source_vs_rest_sql
+
+    counts = (
+        "SELECT source AS part, lang AS bucket, count(*) AS cnt "
+        "FROM documents GROUP BY 1, 2"
+    )
+    inner = oracle_psi_source_vs_rest_sql(counts, "part", count_col="cnt")
+    return f"SELECT part, round(psi, 6) AS psi, drift, severity FROM ({inner})"
+
+
 def q_rule_mi_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mutual-information matrix between the three cheap document
     raters (operators/evalmetrics.py:pairwise_mi) — the information-
@@ -9367,7 +9395,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # window, displacing the second entry of families whose sibling
     # stays in-window (kmeans_summary, anchor_top_terms_domains,
     # incremental_minhash, shard_positions_docs,
-    # interval_overlap_events) and four single-op entries from
+    # interval_overlap_events, and — for the final-session
+    # psi_source_attrib addition — dedup_threshold_sweep, whose
+    # in-window sibling incremental_dedup plus the many-times-green
+    # dedup family cover it) and four single-op entries from
     # families already driver-green many times over
     # (js_divergence_events — drift family; f1_sweep_docs —
     # calibration family, sibling calibration_nb stays; readability /
@@ -9410,6 +9441,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "score_ecdf_lang": q_score_ecdf_lang,
         "pseudonymize_docs": q_pseudonymize_docs,
         "best_keeper_events": q_best_keeper_events,
+        "psi_source_attrib": q_psi_source_attrib,
         "bpe_pair_counts": q_bpe_pair_counts,
         "bpe_merges": q_bpe_merges,
         "bpe_vocab": q_bpe_vocab,
@@ -9631,6 +9663,7 @@ def oracle_sql() -> dict[str, str]:
         "score_ecdf_lang": _sql_score_ecdf_lang(),
         "pseudonymize_docs": _sql_pseudonymize_docs(),
         "best_keeper_events": _sql_best_keeper_events(),
+        "psi_source_attrib": _sql_psi_source_attrib(),
         "shard_manifest_docs": _sql_shard_manifest_docs(),
         "rule_ablation_docs": _SQL_RULE_ABLATION,
         "shard_positions_docs": _sql_shard_positions_docs(),

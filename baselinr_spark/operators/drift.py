@@ -1258,3 +1258,88 @@ SELECT h, h_corrected, dof,
        least(greatest(p_value, 0.0), 1.0) < {alpha} AS drift
 FROM fin
 """
+
+
+def psi_source_vs_rest(
+    counts: DataFrame,
+    part_col: str,
+    bucket_col: str = "bucket",
+    count_col: str = "count",
+) -> DataFrame:
+    """Drift ATTRIBUTION: for each part (source / mixture component),
+    the PSI between that part's bucket distribution and the REST of
+    the corpus — "which source moved the aggregate?" after a corpus-
+    level PSI alarm fires. Reference PSI semantics throughout (1e-4
+    floor, 0.2/0.3/0.5 severity ladder — statistical_tests.py:588-611).
+
+    Input is the pre-bucketed (part, bucket, count) table — ONE
+    map-side-combined corpus groupBy upstream. This operator's own
+    work is O(parts x buckets): bucket totals re-aggregate the counts
+    table, the part x bucket grid comes from two broadcast tiny
+    tables, and rest = total - part per cell. Intended for
+    mixture-component-scale part counts (dozens..thousands), the scale
+    at which attribution is read by a human; per-domain attribution at
+    10^8 domains should bucket domains first.
+
+    Returns one row per part: (part, psi, drift, severity).
+    """
+    c = counts.select(
+        F.col(part_col).alias("part"),
+        F.col(bucket_col).alias("bucket"),
+        F.col(count_col).cast("double").alias("n"),
+    )
+    tb = c.groupBy("bucket").agg(F.sum("n").alias("tot_b"))
+    parts = c.select("part").distinct()
+    grid = F.broadcast(parts).crossJoin(F.broadcast(tb))
+    cells = grid.join(c, ["part", "bucket"], "left").select(
+        "part",
+        "bucket",
+        F.coalesce(F.col("n"), F.lit(0.0)).alias("n"),
+        (F.col("tot_b") - F.coalesce(F.col("n"), F.lit(0.0))).alias("rest_n"),
+    )
+    cur = cells.select("part", "bucket", F.col("n").alias("count"))
+    base = cells.select("part", "bucket", F.col("rest_n").alias("count"))
+    out = psi(base, cur, key_cols=["part"])
+    return out
+
+
+def oracle_psi_source_vs_rest_sql(
+    counts_sql: str,
+    part_col: str,
+    bucket_col: str = "bucket",
+    count_col: str = "count",
+) -> str:
+    """DuckDB twin of :func:`psi_source_vs_rest` over ``counts_sql``."""
+    return f"""
+WITH c AS (
+  SELECT {part_col} AS part, {bucket_col} AS bucket,
+         ({count_col})::double AS n
+  FROM ({counts_sql})
+),
+tb AS (SELECT bucket, sum(n) AS tot_b FROM c GROUP BY 1),
+grid AS (
+  SELECT p.part, tb.bucket, tb.tot_b FROM (SELECT DISTINCT part FROM c) p
+  CROSS JOIN tb
+),
+cells AS (
+  SELECT g.part, g.bucket, coalesce(c.n, 0.0) AS n,
+         g.tot_b - coalesce(c.n, 0.0) AS rest_n
+  FROM grid g LEFT JOIN c ON c.part = g.part AND c.bucket = g.bucket
+),
+norm AS (
+  SELECT part, bucket,
+         CASE WHEN rest_n > 0
+              THEN rest_n / sum(rest_n) OVER (PARTITION BY part)
+              ELSE 0.0001 END AS pb,
+         CASE WHEN n > 0
+              THEN n / sum(n) OVER (PARTITION BY part)
+              ELSE 0.0001 END AS pc
+  FROM cells
+)
+SELECT part, sum((pc - pb) * ln(pc / pb)) AS psi,
+       sum((pc - pb) * ln(pc / pb)) > 0.2 AS drift,
+       CASE WHEN sum((pc - pb) * ln(pc / pb)) > 0.5 THEN 'high'
+            WHEN sum((pc - pb) * ln(pc / pb)) > 0.3 THEN 'medium'
+            WHEN sum((pc - pb) * ln(pc / pb)) > 0.2 THEN 'low'
+            ELSE 'none' END AS severity
+FROM norm GROUP BY 1"""

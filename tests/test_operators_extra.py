@@ -818,3 +818,45 @@ def test_kruskal_wallis_separated_groups_drift(spark):
     df = spark.createDataFrame(rows, ["grp", "value", "count"])
     (r,) = kruskal_wallis_from_counts(df).collect()
     assert r["p_value"] < 1e-6 and r["drift"]
+
+
+def test_psi_source_vs_rest_opposed_parts(spark):
+    """Two sources with mirrored bucket mixes: each part's PSI vs the
+    rest equals the closed-form two-bucket PSI, symmetric by design."""
+    import math
+
+    from baselinr_spark.operators.drift import psi_source_vs_rest
+
+    rows = [("A", "x", 90.0), ("A", "y", 10.0),
+            ("B", "x", 10.0), ("B", "y", 90.0)]
+    df = spark.createDataFrame(rows, ["part", "bucket", "count"])
+    out = {r["part"]: r for r in psi_source_vs_rest(df, "part").collect()}
+    expected = (0.9 - 0.1) * math.log(0.9 / 0.1) * 2
+    for p in ("A", "B"):
+        assert abs(out[p]["psi"] - expected) < 1e-9
+        assert out[p]["drift"] and out[p]["severity"] == "high"
+
+
+def test_psi_source_vs_rest_uniform_is_zero(spark):
+    from baselinr_spark.operators.drift import psi_source_vs_rest
+
+    rows = [(p, b, 50.0) for p in ("A", "B", "C") for b in ("x", "y")]
+    df = spark.createDataFrame(rows, ["part", "bucket", "count"])
+    for r in psi_source_vs_rest(df, "part").collect():
+        assert abs(r["psi"]) < 1e-12
+        assert not r["drift"] and r["severity"] == "none"
+
+
+def test_psi_source_vs_rest_missing_bucket_floored(spark):
+    """A part that never emits a bucket hits the 1e-4 prob floor, same
+    as the reference's missing-bucket handling."""
+    import math
+
+    from baselinr_spark.operators.drift import psi_source_vs_rest
+
+    rows = [("A", "x", 100.0), ("B", "x", 100.0), ("B", "y", 100.0)]
+    df = spark.createDataFrame(rows, ["part", "bucket", "count"])
+    out = {r["part"]: r for r in psi_source_vs_rest(df, "part").collect()}
+    exp_a = (1.0 - 0.5) * math.log(1.0 / 0.5) + (1e-4 - 0.5) * math.log(1e-4 / 0.5)
+    assert abs(out["A"]["psi"] - exp_a) < 1e-9
+    assert out["A"]["severity"] == "high"
