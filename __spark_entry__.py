@@ -8061,6 +8061,105 @@ def _sql_psi_source_attrib() -> str:
     return f"SELECT part, round(psi, 6) AS psi, drift, severity FROM ({inner})"
 
 
+def q_domain_token_cap_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain token-budget capping (operators/selection.py:
+    domain_token_cap) — RefinedWeb/FineWeb-style anti-domain-dominance:
+    keep each source's best documents (md5-derived quality proxy,
+    ties → min id) until its cumulative char budget is spent; the
+    best document always survives. ONE shuffle on the domain key,
+    per-domain bounded window, no global sort."""
+    from baselinr_spark.operators.selection import domain_token_cap
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        "n_chars",
+        (((F.col("doc_id") * 7919) % 1000) / F.lit(1000.0)).alias("q"),
+    )
+    out = domain_token_cap(
+        docs, "source", "doc_id", "q", "n_chars", cap_tokens=4000
+    )
+    return _r6(out, "score")
+
+
+def _sql_domain_token_cap_docs() -> str:
+    from baselinr_spark.operators.selection import oracle_domain_token_cap_sql
+
+    rows = (
+        "SELECT doc_id, source, n_chars, "
+        "((doc_id * 7919) % 1000) / 1000.0 AS q FROM documents"
+    )
+    inner = oracle_domain_token_cap_sql(
+        rows, "source", "doc_id", "q", "n_chars", cap_tokens=4000
+    )
+    return (
+        f"SELECT domain, id, round(score, 6) AS score, tokens, rank, "
+        f"cum_tokens, keep FROM ({inner})"
+    )
+
+
+def q_conformal_threshold_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal keep threshold (operators/evalmetrics.py:
+    conformal_keep_threshold): calibrate on the known-good English
+    cohort so a fresh good document passes with >= 90% probability,
+    finite-sample, distribution-free — the quantile the (n+1)
+    correction says, not the one eyeballed on the corpus. Calibration
+    order statistic via orderBy+limit (TakeOrderedAndProject);
+    corpus side is one row-local comparison + count."""
+    from baselinr_spark.operators.evalmetrics import conformal_keep_threshold
+
+    docs = _read(spark, sf_dir, "documents").select(
+        (F.least(F.col("n_chars"), F.lit(500)) / F.lit(500.0)).alias("s"),
+        (F.col("lang") == "en").alias("is_seed"),
+    )
+    out = conformal_keep_threshold(docs, "s", "is_seed", alpha=0.1)
+    return _r6(out, "threshold", "kept_frac")
+
+
+def _sql_conformal_threshold_docs() -> str:
+    from baselinr_spark.operators.evalmetrics import (
+        oracle_conformal_keep_threshold_sql,
+    )
+
+    rows = (
+        "SELECT least(n_chars, 500) / 500.0 AS s, "
+        "(lang = 'en') AS is_seed FROM documents"
+    )
+    inner = oracle_conformal_keep_threshold_sql(rows, "s", "is_seed", alpha=0.1)
+    return (
+        f"SELECT alpha, n_cal, k, round(threshold, 6) AS threshold, "
+        f"total_docs, kept_docs, round(kept_frac, 6) AS kept_frac "
+        f"FROM ({inner})"
+    )
+
+
+def q_feature_corr_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation between lineitem's numeric profile
+    features (operators/profiling.py:feature_corr_matrix) — the
+    quality-signal redundancy screen: ONE aggregate computes every
+    pair's corr + complete-pair count, O(k²) counters map-side
+    combined, single-row shuffle."""
+    from baselinr_spark.operators.profiling import feature_corr_matrix
+
+    li = _read(spark, sf_dir, "lineitem")
+    out = feature_corr_matrix(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    )
+    return _r6(out, "r")
+
+
+def _sql_feature_corr_lineitem() -> str:
+    from baselinr_spark.operators.profiling import oracle_feature_corr_sql
+
+    inner = oracle_feature_corr_sql(
+        "SELECT * FROM lineitem",
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    )
+    return (
+        f"SELECT col_a, col_b, n_both, round(r, 6) AS r FROM ({inner})"
+    )
+
+
 def q_rule_mi_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mutual-information matrix between the three cheap document
     raters (operators/evalmetrics.py:pairwise_mi) — the information-
@@ -9471,7 +9570,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_events": q_asof_events,
         "nb_classifier": q_nb_classifier,
         "incremental_dedup": q_incremental_dedup,
+        # Final-session additions below the 50-entry window (local
+        # full-gate + dtype-audit attested; first in line for any
+        # future rotation):
         "dedup_threshold_sweep": q_dedup_threshold_sweep,
+        "domain_token_cap_docs": q_domain_token_cap_docs,
+        "conformal_threshold_docs": q_conformal_threshold_docs,
+        "feature_corr_lineitem": q_feature_corr_lineitem,
         "range_join_events": q_range_join_events,
         "time_rollup_events": q_time_rollup_events,
         "sessionize_events": q_sessionize_events,
@@ -9664,6 +9769,9 @@ def oracle_sql() -> dict[str, str]:
         "pseudonymize_docs": _sql_pseudonymize_docs(),
         "best_keeper_events": _sql_best_keeper_events(),
         "psi_source_attrib": _sql_psi_source_attrib(),
+        "domain_token_cap_docs": _sql_domain_token_cap_docs(),
+        "conformal_threshold_docs": _sql_conformal_threshold_docs(),
+        "feature_corr_lineitem": _sql_feature_corr_lineitem(),
         "shard_manifest_docs": _sql_shard_manifest_docs(),
         "rule_ablation_docs": _SQL_RULE_ABLATION,
         "shard_positions_docs": _sql_shard_positions_docs(),

@@ -779,3 +779,101 @@ FROM (
 )""")
     union = "\nUNION ALL\n".join(f"({s})" for s in selects)
     return f"WITH rows_in AS ({rows_sql})\n{union}"
+
+
+def conformal_keep_threshold(
+    df: DataFrame,
+    score_col: str,
+    calib_col: str,
+    *,
+    alpha: float = 0.1,
+) -> DataFrame:
+    """Split-conformal quality-filter threshold: given a calibration
+    cohort of documents KNOWN to be good (``calib_col`` true — e.g. a
+    curated seed set riding along in the corpus), pick the keep
+    threshold t such that a fresh good document passes ``score >= t``
+    with probability >= 1 - alpha, distribution-free and with the
+    finite-sample (n+1) correction (Vovk's split conformal: t is the
+    k-th LARGEST calibration score, k = ceil((n+1)(1-alpha));
+    nonconformity = -score). Unlike a quantile eyeballed on the whole
+    corpus, the guarantee is about the GOOD docs you'd wrongly drop —
+    the quantity a filter recipe actually budgets.
+
+    Returns ONE row: (alpha, n_cal, k, threshold, total_docs,
+    kept_docs, kept_frac). threshold is NULL when k > n (calibration
+    set too small for the requested coverage) — then every document
+    is kept.
+
+    Scale design: the calibration cohort is seed-set-sized by
+    construction, so its count and its k-th order statistic
+    (TakeOrderedAndProject via orderBy+limit — no global window, no
+    warning) are cheap exact jobs; the corpus-side work is ONE
+    row-local comparison + count aggregate with the 1-row threshold
+    broadcast. The corpus is never sorted or shuffled.
+    """
+    import math
+
+    s = F.col(score_col).cast("double")
+    cal = df.filter(F.col(calib_col) & s.isNotNull()).select(s.alias("s"))
+    n = int(cal.count())
+    k = int(math.ceil((n + 1) * (1.0 - float(alpha))))
+    spark = df.sparkSession
+    if k > n:
+        thr = spark.range(1).select(
+            F.lit(None).cast("double").alias("threshold")
+        )
+    else:
+        thr = (
+            cal.orderBy(F.desc("s"))
+            .limit(k)
+            .agg(F.min("s").alias("threshold"))
+        )
+    body = df.select(s.alias("s")).crossJoin(F.broadcast(thr))
+    return body.agg(
+        F.lit(float(alpha)).alias("alpha"),
+        F.lit(n).cast("bigint").alias("n_cal"),
+        F.lit(k).cast("bigint").alias("k"),
+        F.first("threshold").alias("threshold"),
+        F.count(F.lit(1)).alias("total_docs"),
+        F.sum(
+            (F.col("s") >= F.coalesce(F.col("threshold"), F.lit(-1e308)))
+            .cast("int")
+        ).cast("bigint").alias("kept_docs"),
+        (
+            F.sum(
+                (F.col("s") >= F.coalesce(F.col("threshold"), F.lit(-1e308)))
+                .cast("int")
+            ).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("kept_frac"),
+    )
+
+
+def oracle_conformal_keep_threshold_sql(
+    rows_sql: str, score_col: str, calib_col: str, *, alpha: float = 0.1
+) -> str:
+    """DuckDB twin of :func:`conformal_keep_threshold`."""
+    a = float(alpha)
+    return f"""
+WITH rows_in AS ({rows_sql}),
+cal AS (
+  SELECT ({score_col})::double AS s FROM rows_in
+  WHERE {calib_col} AND ({score_col}) IS NOT NULL
+),
+nk AS (
+  SELECT count(*)::bigint AS n,
+         ceil((count(*) + 1) * (1.0 - {a!r}))::bigint AS k
+  FROM cal
+),
+ranked AS (SELECT s, row_number() OVER (ORDER BY s DESC) AS rn FROM cal),
+thr AS (
+  SELECT (SELECT r.s FROM ranked r, nk WHERE r.rn = nk.k) AS threshold
+)
+SELECT {a!r} AS alpha, nk.n AS n_cal, nk.k AS k, thr.threshold,
+       count(*)::bigint AS total_docs,
+       sum((({score_col})::double >= coalesce(thr.threshold, -1e308))::int)::bigint
+         AS kept_docs,
+       sum((({score_col})::double >= coalesce(thr.threshold, -1e308))::int)::double
+         / count(*)::double AS kept_frac
+FROM rows_in, nk, thr
+GROUP BY nk.n, nk.k, thr.threshold"""

@@ -607,3 +607,66 @@ FROM j""")
         f"WITH q AS (\n  SELECT {qaggs}\n  FROM {table}\n),\n"
         f"j AS (SELECT * FROM {table} CROSS JOIN q)\n{body}"
     )
+
+
+def feature_corr_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Pairwise Pearson correlation between numeric profile features
+    (quality-signal redundancy screen: when two of the filter's
+    features correlate at 0.98, one of them is paying UDF cost for no
+    information — the numeric sibling of pairwise_mi for boolean
+    raters). Reference profiling stops at per-column stats
+    (metrics/computation.py); the cross-column view is additive.
+
+    Returns the upper triangle, one row per pair: (col_a, col_b,
+    n_both, r) — n_both counts rows where BOTH sides are non-null
+    (the pairs corr actually used), r is the sample Pearson
+    correlation, NULL when undefined (either side constant or fewer
+    than 2 complete pairs), matching SQL corr semantics exactly.
+
+    Scale design: ONE aggregate over the corpus computes every
+    corr(a,b) and count — O(k²) counters per partition, map-side
+    combined, one shuffle of a single row. No pivot, no self-join,
+    no second scan per pair.
+    """
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
+    aggs = []
+    for a, b in pairs:
+        ca, cb = F.col(a).cast("double"), F.col(b).cast("double")
+        both = ca.isNotNull() & cb.isNotNull()
+        # Pearson r over COMPLETE pairs from guarded stable co-moments
+        # (not F.corr: under Spark 4 ANSI mode a zero-variance side
+        # raises DIVIDE_BY_ZERO instead of returning NaN; stddevs are
+        # conditioned on `both` so null-pair exclusion matches corr).
+        sa = F.stddev_samp(F.when(both, ca))
+        sb = F.stddev_samp(F.when(both, cb))
+        cov = F.covar_samp(ca, cb)
+        r = F.when((sa > 0) & (sb > 0), cov / (sa * sb))
+        aggs.append(r.alias(f"__r_{a}__{b}"))
+        aggs.append(F.count(F.when(both, 1)).alias(f"__n_{a}__{b}"))
+    wide = df.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(a).alias("col_a"),
+                F.lit(b).alias("col_b"),
+                F.col(f"__n_{a}__{b}").cast("bigint").alias("n_both"),
+                F.col(f"__r_{a}__{b}").alias("r"),
+            )
+            for a, b in pairs
+        ]
+    )
+    return wide.select(F.explode(rows).alias("p")).select("p.*")
+
+
+def oracle_feature_corr_sql(rows_sql: str, cols: list[str]) -> str:
+    """DuckDB twin of :func:`feature_corr_matrix` over ``rows_sql``."""
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
+    sel = " UNION ALL ".join(
+        f"""SELECT '{a}' AS col_a, '{b}' AS col_b,
+  count(CASE WHEN ({a}) IS NOT NULL AND ({b}) IS NOT NULL THEN 1 END)::bigint
+    AS n_both,
+  corr(({a})::double, ({b})::double) AS r
+FROM rows_in"""
+        for a, b in pairs
+    )
+    return f"WITH rows_in AS ({rows_sql})\n{sel}"

@@ -888,3 +888,85 @@ SELECT grp, s, cnt,
        sum(cnt) OVER (PARTITION BY grp ORDER BY s)::double
          / sum(cnt) OVER (PARTITION BY grp)::double AS ecdf
 FROM g"""
+
+
+def domain_token_cap(
+    df: DataFrame,
+    domain_col: str,
+    id_col: str,
+    score_col: str,
+    tokens_col: str,
+    *,
+    cap_tokens: int,
+) -> DataFrame:
+    """Per-domain token-budget capping — the anti-domain-dominance
+    lever of web-corpus recipes (RefinedWeb/FineWeb cap each domain's
+    contribution so a single content farm cannot own the mixture):
+    within every domain, rank documents by quality (desc, ties → min
+    id) and keep them while the domain's cumulative token count stays
+    within ``cap_tokens``; the domain's best document always survives
+    (a cap below one document's size degrades to top-1, never to
+    zero representation).
+
+    Returns one row per document: (domain, id, score, tokens, rank,
+    cum_tokens, keep).
+
+    Scale design: ONE shuffle on the domain key; the rank/running-sum
+    window is bounded per domain — sorting a domain's own documents is
+    inherent to "keep its best N tokens", not incidental cost. The
+    heavy tail is fine (most domains are small); for the handful of
+    mega-domains the window sort is the same work a groupBy-collect
+    would do, minus the memory blowup, and AQE skew-split handles the
+    partition imbalance. No global window anywhere.
+    """
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("domain").orderBy(F.desc("score"), F.asc("id"))
+    ws = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    ranked = df.select(
+        F.col(domain_col).alias("domain"),
+        F.col(id_col).alias("id"),
+        F.col(score_col).cast("double").alias("score"),
+        F.col(tokens_col).cast("bigint").alias("tokens"),
+    ).select(
+        "domain",
+        "id",
+        "score",
+        "tokens",
+        F.row_number().over(w).alias("rank"),
+        F.sum("tokens").over(ws).cast("bigint").alias("cum_tokens"),
+    )
+    return ranked.withColumn(
+        "keep",
+        (F.col("cum_tokens") <= F.lit(int(cap_tokens))) | (F.col("rank") == 1),
+    )
+
+
+def oracle_domain_token_cap_sql(
+    rows_sql: str,
+    domain_col: str,
+    id_col: str,
+    score_col: str,
+    tokens_col: str,
+    *,
+    cap_tokens: int,
+) -> str:
+    """DuckDB twin of :func:`domain_token_cap` over ``rows_sql``."""
+    return f"""
+WITH rows_in AS ({rows_sql}),
+ranked AS (
+  SELECT {domain_col} AS domain, {id_col} AS id,
+         ({score_col})::double AS score, ({tokens_col})::bigint AS tokens,
+         row_number() OVER w AS rank,
+         sum(({tokens_col})::bigint) OVER (
+           PARTITION BY {domain_col}
+           ORDER BY ({score_col})::double DESC, {id_col}
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         )::bigint AS cum_tokens
+  FROM rows_in
+  WINDOW w AS (PARTITION BY {domain_col}
+               ORDER BY ({score_col})::double DESC, {id_col})
+)
+SELECT domain, id, score, tokens, rank::int AS rank, cum_tokens,
+       (cum_tokens <= {int(cap_tokens)} OR rank = 1) AS keep
+FROM ranked"""

@@ -107,3 +107,31 @@ def test_token_budget_threshold_full_budget_keeps_everything(spark):
     ).collect()
     assert all(r["selected"] for r in out)
     assert all(r["threshold"] == pytest.approx(0.0) for r in out)
+
+
+def test_conformal_threshold_order_statistic(spark):
+    """n=9 calibration scores 0.1..0.9, alpha=0.2 -> k=ceil(10*0.8)=8,
+    threshold = 8th largest = 0.2; corpus keeps everything >= 0.2."""
+    from baselinr_spark.operators.evalmetrics import conformal_keep_threshold
+
+    cal = [(i / 10.0, True) for i in range(1, 10)]
+    extra = [(0.05, False), (0.15, False), (0.95, False)]
+    df = spark.createDataFrame(cal + extra, ["s", "is_cal"])
+    (r,) = conformal_keep_threshold(df, "s", "is_cal", alpha=0.2).collect()
+    assert r["n_cal"] == 9 and r["k"] == 8
+    assert abs(r["threshold"] - 0.2) < 1e-12
+    # kept: cal scores 0.2..0.9 (8 docs) + 0.95 -> 9 of 12
+    assert r["total_docs"] == 12 and r["kept_docs"] == 9
+
+
+def test_conformal_threshold_small_calibration_keeps_all(spark):
+    """k > n -> NULL threshold, every document kept."""
+    from baselinr_spark.operators.evalmetrics import conformal_keep_threshold
+
+    df = spark.createDataFrame(
+        [(0.5, True), (0.1, False), (0.9, False)], ["s", "is_cal"]
+    )
+    (r,) = conformal_keep_threshold(df, "s", "is_cal", alpha=0.1).collect()
+    assert r["n_cal"] == 1 and r["k"] == 2  # ceil(2*0.9)=2 > 1
+    assert r["threshold"] is None
+    assert r["kept_docs"] == 3 and abs(r["kept_frac"] - 1.0) < 1e-12

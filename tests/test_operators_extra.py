@@ -860,3 +860,27 @@ def test_psi_source_vs_rest_missing_bucket_floored(spark):
     exp_a = (1.0 - 0.5) * math.log(1.0 / 0.5) + (1e-4 - 0.5) * math.log(1e-4 / 0.5)
     assert abs(out["A"]["psi"] - exp_a) < 1e-9
     assert out["A"]["severity"] == "high"
+
+
+def test_feature_corr_matrix_exact_pairs(spark):
+    """y = 2x exactly -> r = 1; z anti-correlates x -> r = -1; NULLs
+    drop the pair from both n_both and the estimate."""
+    from baselinr_spark.operators.profiling import feature_corr_matrix
+
+    rows = [(1.0, 2.0, 3.0), (2.0, 4.0, 2.0), (3.0, 6.0, 1.0),
+            (4.0, None, 0.0)]
+    df = spark.createDataFrame(rows, ["x", "y", "z"])
+    out = {(r["col_a"], r["col_b"]): r
+           for r in feature_corr_matrix(df, ["x", "y", "z"]).collect()}
+    assert out[("x", "y")]["n_both"] == 3
+    assert abs(out[("x", "y")]["r"] - 1.0) < 1e-12
+    assert out[("x", "z")]["n_both"] == 4
+    assert abs(out[("x", "z")]["r"] + 1.0) < 1e-12
+
+
+def test_feature_corr_matrix_constant_is_null(spark):
+    from baselinr_spark.operators.profiling import feature_corr_matrix
+
+    df = spark.createDataFrame([(1.0, 5.0), (2.0, 5.0)], ["x", "c"])
+    (r,) = feature_corr_matrix(df, ["x", "c"]).collect()
+    assert r["r"] is None and r["n_both"] == 2

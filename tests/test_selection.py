@@ -431,3 +431,31 @@ def test_pareto_sample_rate_and_determinism(spark):
     kept2 = {r["doc_id"] for r in pareto_quality_sample(
         df.repartition(13), "doc_id", "score").collect()}
     assert kept == kept2
+
+
+def test_domain_token_cap_keeps_best_within_budget(spark):
+    from baselinr_spark.operators.selection import domain_token_cap
+
+    rows = [  # domain a: scores 0.9/0.5/0.1 with 30/30/30 tokens, cap 60
+        ("a", 1, 0.5, 30), ("a", 2, 0.9, 30), ("a", 3, 0.1, 30),
+        ("b", 4, 0.2, 100),  # single doc over cap -> still kept (rank 1)
+    ]
+    df = spark.createDataFrame(rows, ["dom", "id", "q", "tok"])
+    out = {r["id"]: r for r in domain_token_cap(
+        df, "dom", "id", "q", "tok", cap_tokens=60).collect()}
+    assert out[2]["rank"] == 1 and out[2]["keep"]          # best doc
+    assert out[1]["rank"] == 2 and out[1]["keep"]          # cum 60 <= 60
+    assert out[3]["rank"] == 3 and not out[3]["keep"]      # cum 90 > 60
+    assert out[4]["rank"] == 1 and out[4]["keep"]          # top-1 guarantee
+    assert out[4]["cum_tokens"] == 100
+
+
+def test_domain_token_cap_tie_breaks_min_id(spark):
+    from baselinr_spark.operators.selection import domain_token_cap
+
+    rows = [("a", 9, 0.5, 10), ("a", 2, 0.5, 10)]
+    df = spark.createDataFrame(rows, ["dom", "id", "q", "tok"])
+    out = {r["id"]: r for r in domain_token_cap(
+        df, "dom", "id", "q", "tok", cap_tokens=10).collect()}
+    assert out[2]["rank"] == 1 and out[2]["keep"]
+    assert out[9]["rank"] == 2 and not out[9]["keep"]
