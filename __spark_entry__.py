@@ -8160,6 +8160,31 @@ def _sql_feature_corr_lineitem() -> str:
     )
 
 
+def q_prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PPJoin-style prefix-filtered EXACT Jaccard join
+    (operators/dedup.py:prefix_jaccard_pairs): candidates only from
+    each document's RAREST-shingle prefix (pigeonhole guarantees no
+    recall loss at J >= tau) — the exact-result alternative to the
+    MinHash/LSH family, with the quadratic frequent-token collisions
+    never entering the self-join."""
+    from baselinr_spark.operators.dedup import prefix_jaccard_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    out = prefix_jaccard_pairs(docs, "doc_id", "text", threshold=0.9)
+    return _r6(out, "jaccard")
+
+
+def _sql_prefix_jaccard_pairs() -> str:
+    from baselinr_spark.operators.dedup import oracle_prefix_jaccard_sql
+
+    inner = oracle_prefix_jaccard_sql(
+        "SELECT * FROM documents", "doc_id", "text", threshold=0.9
+    )
+    return (
+        f"SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM ({inner})"
+    )
+
+
 def q_rule_mi_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mutual-information matrix between the three cheap document
     raters (operators/evalmetrics.py:pairwise_mi) — the information-
@@ -9577,6 +9602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_token_cap_docs": q_domain_token_cap_docs,
         "conformal_threshold_docs": q_conformal_threshold_docs,
         "feature_corr_lineitem": q_feature_corr_lineitem,
+        "prefix_jaccard_pairs": q_prefix_jaccard_pairs,
         "range_join_events": q_range_join_events,
         "time_rollup_events": q_time_rollup_events,
         "sessionize_events": q_sessionize_events,
@@ -9772,6 +9798,7 @@ def oracle_sql() -> dict[str, str]:
         "domain_token_cap_docs": _sql_domain_token_cap_docs(),
         "conformal_threshold_docs": _sql_conformal_threshold_docs(),
         "feature_corr_lineitem": _sql_feature_corr_lineitem(),
+        "prefix_jaccard_pairs": _sql_prefix_jaccard_pairs(),
         "shard_manifest_docs": _sql_shard_manifest_docs(),
         "rule_ablation_docs": _SQL_RULE_ABLATION,
         "shard_positions_docs": _sql_shard_positions_docs(),

@@ -1232,3 +1232,130 @@ agg AS (
 SELECT component, -(best.neg_id) AS keeper_id, best.s AS keeper_score,
        cluster_size
 FROM agg"""
+
+
+def prefix_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    threshold: float,
+    shingle_n: int = 1,
+) -> DataFrame:
+    """EXACT Jaccard similarity join with PPJoin-style prefix filtering
+    (Chaudhuri et al. 2006 / Xiao et al. 2008): order every document's
+    shingles by GLOBAL document frequency ascending (rarest first,
+    ties → lexicographic), keep only the first |d| − ⌈τ·|d|⌉ + 1 as
+    its "prefix", and generate candidates ONLY from prefix-token
+    collisions — the pigeonhole theorem guarantees every pair with
+    J ≥ τ shares at least one prefix token, so unlike the MinHash/LSH
+    family this join is exact with NO recall loss, and unlike
+    ngram_jaccard_pairs' DF cut it prunes nothing from the Jaccard
+    itself (full-vocabulary semantics).
+
+    Scale design: the self-join key is the prefix tokens, which by
+    construction are each document's RAREST shingles — the frequent
+    tokens that make a naive token self-join quadratic never enter the
+    join. dfreq join and candidate join share the shingle key; the
+    rank window is per-document (bounded by doc length); the final
+    Jaccard is row-local over per-doc collect_set arrays (doc-length
+    bounded). Returns (id_a, id_b, jaccard) for pairs with J ≥ τ.
+    """
+    from pyspark.sql import Window as W
+
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("tok"),
+    )
+    dfreq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("__df"))
+    w = W.partitionBy("id").orderBy("__df", "tok")
+    ranked = (
+        tok.join(dfreq, "tok")
+        .select(
+            "id",
+            "tok",
+            F.row_number().over(w).alias("pos"),
+            F.count(F.lit(1)).over(W.partitionBy("id")).alias("sz"),
+        )
+    )
+    prefix = ranked.filter(
+        F.col("pos")
+        <= F.col("sz") - F.ceil(F.lit(float(threshold)) * F.col("sz")) + 1
+    ).select("id", "tok")
+    cand = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            (F.col("a.tok") == F.col("b.tok")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    sets = tok.groupBy("id").agg(F.collect_set("tok").alias("toks"))
+    out = (
+        cand.join(
+            sets.select(F.col("id").alias("id_a"), F.col("toks").alias("ta")),
+            "id_a",
+        )
+        .join(
+            sets.select(F.col("id").alias("id_b"), F.col("toks").alias("tb")),
+            "id_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("ta", "tb")).cast("double")
+            / F.size(F.array_union("ta", "tb")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= F.lit(float(threshold)))
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+def oracle_prefix_jaccard_sql(
+    docs_sql: str,
+    id_col: str,
+    text_col: str,
+    *,
+    threshold: float,
+) -> str:
+    """DuckDB twin of :func:`prefix_jaccard_pairs` (shingle_n=1) —
+    identical tokenization, global-DF prefix ordering, pigeonhole
+    candidate join, and exact set Jaccard."""
+    t = float(threshold)
+    return f"""
+WITH docs_in AS ({docs_sql}),
+toks AS (
+  SELECT {id_col} AS id, unnest(list_distinct(
+           list_filter(string_split(trim(regexp_replace(lower({text_col}),
+                       '\\s+', ' ', 'g')), ' '), x -> length(x) > 0))) AS tok
+  FROM docs_in
+),
+dfreq AS (SELECT tok, count(*)::bigint AS df FROM toks GROUP BY 1),
+ranked AS (
+  SELECT t.id, t.tok,
+         row_number() OVER (PARTITION BY t.id ORDER BY d.df, t.tok) AS pos,
+         count(*) OVER (PARTITION BY t.id) AS sz
+  FROM toks t JOIN dfreq d USING (tok)
+),
+prefix AS (
+  SELECT id, tok FROM ranked WHERE pos <= sz - ceil({t!r} * sz) + 1
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM prefix a JOIN prefix b ON a.tok = b.tok AND a.id < b.id
+),
+sizes AS (SELECT id, count(*)::bigint AS n FROM toks GROUP BY 1),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*)::bigint AS n_i
+  FROM cand c
+  JOIN toks ta ON ta.id = c.id_a
+  JOIN toks tb ON tb.id = c.id_b AND tb.tok = ta.tok
+  GROUP BY 1, 2
+)
+SELECT i.id_a, i.id_b,
+       i.n_i::double / (sa.n + sb.n - i.n_i)::double AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.id = i.id_a
+JOIN sizes sb ON sb.id = i.id_b
+WHERE i.n_i::double / (sa.n + sb.n - i.n_i)::double >= {t!r}"""

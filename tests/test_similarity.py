@@ -213,3 +213,54 @@ def test_ivfpq_refined_recall_not_worse(spark, planted):
                              refine=20, n_centroids=16, n_probe=4).collect()
     assert _plant_recall(ref) >= _plant_recall(raw)
     assert _plant_recall(ref) >= 0.8
+
+
+def test_prefix_jaccard_equals_bruteforce(spark):
+    """Prefix filtering is EXACT: the result set equals the all-pairs
+    Jaccard >= tau computed by brute force over distinct word sets."""
+    from itertools import combinations
+
+    from baselinr_spark.operators.dedup import prefix_jaccard_pairs
+
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog",
+        2: "the quick brown fox jumps over a lazy cat",
+        3: "completely different text about spark engines",
+        4: "text about spark engines completely different",
+        5: "the quick brown fox",
+    }
+    tau = 0.5
+    sets = {k: set(v.split()) for k, v in texts.items()}
+    expected = {}
+    for a, b in combinations(sorted(texts), 2):
+        j = len(sets[a] & sets[b]) / len(sets[a] | sets[b])
+        if j >= tau:
+            expected[(a, b)] = j
+    df = spark.createDataFrame(list(texts.items()), ["doc_id", "text"])
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in prefix_jaccard_pairs(
+            df, "doc_id", "text", threshold=tau
+        ).collect()
+    }
+    assert set(got) == set(expected)
+    for k, v in expected.items():
+        assert abs(got[k] - v) < 1e-12
+
+
+def test_prefix_jaccard_prefix_excludes_frequent_tokens(spark):
+    """Docs overlapping ONLY in a corpus-frequent token below the
+    similarity bar produce no candidate pair (that's the point of
+    prefix ordering) — but true near-dups still surface."""
+    from baselinr_spark.operators.dedup import prefix_jaccard_pairs
+
+    rows = [
+        (1, "common alpha beta gamma"),
+        (2, "common delta epsilon zeta"),
+        (3, "common alpha beta gamma"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in prefix_jaccard_pairs(df, "doc_id", "text",
+                                         threshold=0.6).collect()}
+    assert out == {(1, 3): 1.0}
