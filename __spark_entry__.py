@@ -8185,6 +8185,106 @@ def _sql_prefix_jaccard_pairs() -> str:
     )
 
 
+def q_snis_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance-weight health check (operators/selection.py:
+    snis_diagnostics): ESS, weight concentration, and self-normalized
+    weighted vs unweighted feature means under an md5-style
+    deterministic weight (squared to create spread) — ONE aggregate,
+    single-row shuffle."""
+    from baselinr_spark.operators.selection import snis_diagnostics
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "n_chars",
+        F.pow(((F.col("doc_id") * 7919) % 1000) / F.lit(1000.0), 2).alias(
+            "w"
+        ),
+    )
+    out = snis_diagnostics(docs, "w", ["n_chars"])
+    return _r6(out, "sum_w", "ess", "ess_frac", "max_w_share",
+               "wmean_n_chars", "mean_n_chars")
+
+
+def _sql_snis_docs() -> str:
+    from baselinr_spark.operators.selection import oracle_snis_diagnostics_sql
+
+    rows = (
+        "SELECT n_chars, pow(((doc_id * 7919) % 1000) / 1000.0, 2) AS w "
+        "FROM documents"
+    )
+    inner = oracle_snis_diagnostics_sql(rows, "w", ["n_chars"])
+    return (
+        f"SELECT n, round(sum_w, 6) AS sum_w, round(ess, 6) AS ess, "
+        f"round(ess_frac, 6) AS ess_frac, "
+        f"round(max_w_share, 6) AS max_w_share, "
+        f"round(wmean_n_chars, 6) AS wmean_n_chars, "
+        f"round(mean_n_chars, 6) AS mean_n_chars FROM ({inner})"
+    )
+
+
+def q_epoch_plan_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLaMA-style epoch allocation table (operators/selection.py:
+    epoch_allocation_plan): per-source epochs a 100k-token budget
+    implies under doc-count-proportional mixture weights — joins two
+    O(sources) aggregates with the 1-row weight total broadcast."""
+    from baselinr_spark.operators.selection import epoch_allocation_plan
+
+    docs = _read(spark, sf_dir, "documents")
+    st = docs.groupBy("source").agg(F.sum("n_chars").alias("tokens"))
+    wt = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("double").alias("weight")
+    )
+    out = epoch_allocation_plan(st, wt, budget_tokens=100000)
+    return _r6(out, "weight", "target_frac", "target_tokens", "epochs")
+
+
+def _sql_epoch_plan_docs() -> str:
+    from baselinr_spark.operators.selection import oracle_epoch_allocation_sql
+
+    st = "SELECT source, sum(n_chars) AS tokens FROM documents GROUP BY 1"
+    wt = (
+        "SELECT source, count(*)::double AS weight FROM documents GROUP BY 1"
+    )
+    inner = oracle_epoch_allocation_sql(st, wt, budget_tokens=100000)
+    return (
+        f"SELECT source, avail_tokens, round(weight, 6) AS weight, "
+        f"round(target_frac, 6) AS target_frac, "
+        f"round(target_tokens, 6) AS target_tokens, "
+        f"round(epochs, 6) AS epochs, repeated FROM ({inner})"
+    )
+
+
+def q_filter_churn_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-swap churn audit (operators/evalmetrics.py:filter_churn):
+    per-source decision confusion between a length-150 filter (v1)
+    and a length-200 filter (v2) — both decisions ride the same row,
+    ONE aggregate, O(sources) output."""
+    from baselinr_spark.operators.evalmetrics import filter_churn
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "source",
+        (F.col("n_chars") >= 150).alias("keep_v1"),
+        (F.col("n_chars") >= 200).alias("keep_v2"),
+    )
+    out = filter_churn(docs, "keep_v1", "keep_v2", "source")
+    return _r6(out, "old_keep_rate", "new_keep_rate", "churn_frac")
+
+
+def _sql_filter_churn_docs() -> str:
+    from baselinr_spark.operators.evalmetrics import oracle_filter_churn_sql
+
+    rows = (
+        "SELECT source, (n_chars >= 150) AS keep_v1, "
+        "(n_chars >= 200) AS keep_v2 FROM documents"
+    )
+    inner = oracle_filter_churn_sql(rows, "keep_v1", "keep_v2", "source")
+    return (
+        f"SELECT source, n, both_keep, gained, lost, "
+        f"round(old_keep_rate, 6) AS old_keep_rate, "
+        f"round(new_keep_rate, 6) AS new_keep_rate, "
+        f"round(churn_frac, 6) AS churn_frac FROM ({inner})"
+    )
+
+
 def q_rule_mi_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mutual-information matrix between the three cheap document
     raters (operators/evalmetrics.py:pairwise_mi) — the information-
@@ -9603,6 +9703,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conformal_threshold_docs": q_conformal_threshold_docs,
         "feature_corr_lineitem": q_feature_corr_lineitem,
         "prefix_jaccard_pairs": q_prefix_jaccard_pairs,
+        "snis_docs": q_snis_docs,
+        "epoch_plan_docs": q_epoch_plan_docs,
+        "filter_churn_docs": q_filter_churn_docs,
         "range_join_events": q_range_join_events,
         "time_rollup_events": q_time_rollup_events,
         "sessionize_events": q_sessionize_events,
@@ -9799,6 +9902,9 @@ def oracle_sql() -> dict[str, str]:
         "conformal_threshold_docs": _sql_conformal_threshold_docs(),
         "feature_corr_lineitem": _sql_feature_corr_lineitem(),
         "prefix_jaccard_pairs": _sql_prefix_jaccard_pairs(),
+        "snis_docs": _sql_snis_docs(),
+        "epoch_plan_docs": _sql_epoch_plan_docs(),
+        "filter_churn_docs": _sql_filter_churn_docs(),
         "shard_manifest_docs": _sql_shard_manifest_docs(),
         "rule_ablation_docs": _SQL_RULE_ABLATION,
         "shard_positions_docs": _sql_shard_positions_docs(),

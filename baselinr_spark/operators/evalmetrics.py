@@ -877,3 +877,72 @@ SELECT {a!r} AS alpha, nk.n AS n_cal, nk.k AS k, thr.threshold,
          / count(*)::double AS kept_frac
 FROM rows_in, nk, thr
 GROUP BY nk.n, nk.k, thr.threshold"""
+
+
+def filter_churn(
+    df: DataFrame,
+    old_keep_col: str,
+    new_keep_col: str,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Filter-version migration audit: before swapping quality-filter
+    v1 for v2, quantify the DECISION churn — per group (source, lang,
+    ...): how many docs both keep, v2 newly admits, v2 newly drops —
+    plus keep rates and the churn fraction. A v2 with identical
+    aggregate keep-rate can still replace a third of the corpus; the
+    churn row is what catches that, per source, before the swap.
+
+    Returns one row per group (or one total row when ``group_col`` is
+    None): (group?, n, both_keep, gained, lost, old_keep_rate,
+    new_keep_rate, churn_frac) with churn = (gained+lost)/n. NULL
+    decisions count as drop (a filter that abstains does not keep).
+
+    Scale design: ONE aggregate (4 conditional counters), map-side
+    combined; output is O(groups). No join — both decisions ride on
+    the same row by construction (score the corpus once with both
+    filter versions, then call this).
+    """
+    o = F.coalesce(F.col(old_keep_col).cast("boolean"), F.lit(False))
+    n_ = F.coalesce(F.col(new_keep_col).cast("boolean"), F.lit(False))
+    keys = [group_col] if group_col else []
+    g = df.groupBy(*keys) if keys else df.groupBy()
+    out = g.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((o & n_).cast("int")).cast("bigint").alias("both_keep"),
+        F.sum((~o & n_).cast("int")).cast("bigint").alias("gained"),
+        F.sum((o & ~n_).cast("int")).cast("bigint").alias("lost"),
+        (F.sum(o.cast("int")) / F.count(F.lit(1))).alias("old_keep_rate"),
+        (F.sum(n_.cast("int")) / F.count(F.lit(1))).alias("new_keep_rate"),
+        (
+            (F.sum((~o & n_).cast("int")) + F.sum((o & ~n_).cast("int")))
+            / F.count(F.lit(1))
+        ).alias("churn_frac"),
+    )
+    return out
+
+
+def oracle_filter_churn_sql(
+    rows_sql: str,
+    old_keep_col: str,
+    new_keep_col: str,
+    group_col: str | None = None,
+) -> str:
+    """DuckDB twin of :func:`filter_churn` over ``rows_sql``."""
+    sel = f"{group_col}, " if group_col else ""
+    grp = f"GROUP BY {group_col}" if group_col else ""
+    return f"""
+WITH rows_in AS ({rows_sql}),
+d AS (
+  SELECT *, coalesce(({old_keep_col})::boolean, false) AS o,
+         coalesce(({new_keep_col})::boolean, false) AS nw
+  FROM rows_in
+)
+SELECT {sel}count(*)::bigint AS n,
+       sum((o AND nw)::int)::bigint AS both_keep,
+       sum((NOT o AND nw)::int)::bigint AS gained,
+       sum((o AND NOT nw)::int)::bigint AS lost,
+       sum(o::int)::double / count(*) AS old_keep_rate,
+       sum(nw::int)::double / count(*) AS new_keep_rate,
+       (sum((NOT o AND nw)::int) + sum((o AND NOT nw)::int))::double
+         / count(*) AS churn_frac
+FROM d {grp}"""

@@ -970,3 +970,146 @@ ranked AS (
 SELECT domain, id, score, tokens, rank::int AS rank, cum_tokens,
        (cum_tokens <= {int(cap_tokens)} OR rank = 1) AS keep
 FROM ranked"""
+
+
+def snis_diagnostics(
+    df: DataFrame,
+    weight_col: str,
+    feature_cols: list[str] | None = None,
+) -> DataFrame:
+    """Self-normalized importance-sampling diagnostics for a weighted
+    corpus (DSIR / SoftDeDup / classifier-weighted mixtures): effective
+    sample size ESS = (Σw)²/Σw² — the "my reweighting collapsed onto
+    200 documents" alarm — plus weight concentration (max share) and
+    self-normalized weighted means of the given features next to their
+    unweighted means. A resample whose ESS is 0.1% of n is noise no
+    matter how principled the weights were.
+
+    Returns ONE row: (n, sum_w, ess, ess_frac, max_w_share,
+    wmean_<f>, mean_<f> ...). NULL/negative weights are treated as 0
+    (excluded from every sum, consistent with a keep-probability
+    reading).
+
+    Scale design: ONE aggregate over the corpus — a handful of
+    counters per feature, map-side combined, single-row shuffle. No
+    sort, no second pass (max weight rides in the same aggregate).
+    """
+    w = F.col(weight_col).cast("double")
+    w = F.when(w > 0, w).otherwise(F.lit(0.0))
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum(w).alias("sum_w"),
+        (F.sum(w) * F.sum(w) / F.sum(w * w)).alias("ess"),
+        (F.sum(w) * F.sum(w) / F.sum(w * w) / F.count(F.lit(1))).alias(
+            "ess_frac"
+        ),
+        (F.max(w) / F.sum(w)).alias("max_w_share"),
+    ]
+    for f in feature_cols or []:
+        c = F.col(f).cast("double")
+        aggs.append((F.sum(w * c) / F.sum(w)).alias(f"wmean_{f}"))
+        aggs.append(F.avg(c).alias(f"mean_{f}"))
+    return df.agg(*aggs)
+
+
+def oracle_snis_diagnostics_sql(
+    rows_sql: str, weight_col: str, feature_cols: list[str] | None = None
+) -> str:
+    """DuckDB twin of :func:`snis_diagnostics` over ``rows_sql``."""
+    feats = "".join(
+        f""",
+       sum(w * ({f})::double) / sum(w) AS wmean_{f},
+       avg(({f})::double) AS mean_{f}"""
+        for f in feature_cols or []
+    )
+    return f"""
+WITH rows_in AS ({rows_sql}),
+ww AS (
+  SELECT *, CASE WHEN ({weight_col})::double > 0
+                 THEN ({weight_col})::double ELSE 0.0 END AS w
+  FROM rows_in
+)
+SELECT count(*)::bigint AS n, sum(w) AS sum_w,
+       sum(w) * sum(w) / sum(w * w) AS ess,
+       sum(w) * sum(w) / sum(w * w) / count(*) AS ess_frac,
+       max(w) / sum(w) AS max_w_share{feats}
+FROM ww"""
+
+
+def epoch_allocation_plan(
+    source_tokens: DataFrame,
+    weights: DataFrame,
+    *,
+    budget_tokens: int,
+    source_col: str = "source",
+    tokens_col: str = "tokens",
+    weight_col: str = "weight",
+) -> DataFrame:
+    """The data-recipe epoch table (LLaMA-style: "CommonCrawl 0.64
+    epochs, Wikipedia 2.45 epochs"): given each source's available
+    token count and a target mixture weight, how many passes over
+    each source does a ``budget_tokens`` training run make?
+    target_tokens = budget · weight/Σweight; epochs = target /
+    available. Epochs > 1 flags sources the run will repeat (memorize
+    risk), epochs ≪ 1 flags sources mostly left on the floor.
+
+    Returns one row per source: (source, avail_tokens, weight,
+    target_frac, target_tokens, epochs, repeated).
+
+    Scale design: inputs are per-SOURCE aggregates (already corpus-
+    collapsed upstream); this operator joins two O(sources) tables
+    with the 1-row weight total broadcast — driver-scale arithmetic
+    expressed as a plan so it composes with the rest of the registry.
+    """
+    st = source_tokens.select(
+        F.col(source_col).alias("source"),
+        F.col(tokens_col).cast("bigint").alias("avail_tokens"),
+    )
+    wt = weights.select(
+        F.col(source_col).alias("source"),
+        F.col(weight_col).cast("double").alias("weight"),
+    )
+    tot = wt.agg(F.sum("weight").alias("__tw"))
+    j = st.join(wt, "source").crossJoin(F.broadcast(tot))
+    target = F.col("weight") / F.col("__tw") * F.lit(float(budget_tokens))
+    return j.select(
+        "source",
+        "avail_tokens",
+        "weight",
+        (F.col("weight") / F.col("__tw")).alias("target_frac"),
+        target.alias("target_tokens"),
+        (target / F.col("avail_tokens").cast("double")).alias("epochs"),
+        (target / F.col("avail_tokens").cast("double") > 1.0).alias(
+            "repeated"
+        ),
+    )
+
+
+def oracle_epoch_allocation_sql(
+    source_tokens_sql: str,
+    weights_sql: str,
+    *,
+    budget_tokens: int,
+    source_col: str = "source",
+    tokens_col: str = "tokens",
+    weight_col: str = "weight",
+) -> str:
+    """DuckDB twin of :func:`epoch_allocation_plan`."""
+    b = float(budget_tokens)
+    return f"""
+WITH st AS (
+  SELECT {source_col} AS source, ({tokens_col})::bigint AS avail_tokens
+  FROM ({source_tokens_sql})
+),
+wt AS (
+  SELECT {source_col} AS source, ({weight_col})::double AS weight
+  FROM ({weights_sql})
+),
+tot AS (SELECT sum(weight) AS tw FROM wt)
+SELECT st.source, st.avail_tokens, wt.weight,
+       wt.weight / tot.tw AS target_frac,
+       wt.weight / tot.tw * {b!r} AS target_tokens,
+       wt.weight / tot.tw * {b!r} / st.avail_tokens::double AS epochs,
+       (wt.weight / tot.tw * {b!r} / st.avail_tokens::double > 1.0)
+         AS repeated
+FROM st JOIN wt USING (source), tot"""

@@ -135,3 +135,29 @@ def test_conformal_threshold_small_calibration_keeps_all(spark):
     assert r["n_cal"] == 1 and r["k"] == 2  # ceil(2*0.9)=2 > 1
     assert r["threshold"] is None
     assert r["kept_docs"] == 3 and abs(r["kept_frac"] - 1.0) < 1e-12
+
+
+def test_filter_churn_hand_computed(spark):
+    """4 docs in one group: both-keep, lost, gained, both-drop ->
+    churn 2/4; NULL new decision counts as drop."""
+    from baselinr_spark.operators.evalmetrics import filter_churn
+
+    rows = [("s", True, True), ("s", True, None), ("s", False, True),
+            ("s", False, False)]
+    df = spark.createDataFrame(rows, ["src", "v1", "v2"])
+    (r,) = filter_churn(df, "v1", "v2", "src").collect()
+    assert r["n"] == 4 and r["both_keep"] == 1
+    assert r["gained"] == 1 and r["lost"] == 1
+    assert abs(r["old_keep_rate"] - 0.5) < 1e-12
+    assert abs(r["new_keep_rate"] - 0.5) < 1e-12
+    assert abs(r["churn_frac"] - 0.5) < 1e-12
+
+
+def test_filter_churn_ungrouped_total(spark):
+    from baselinr_spark.operators.evalmetrics import filter_churn
+
+    rows = [("a", True, False), ("b", False, True)]
+    df = spark.createDataFrame(rows, ["src", "v1", "v2"])
+    (r,) = filter_churn(df, "v1", "v2").collect()
+    assert r["n"] == 2 and r["gained"] == 1 and r["lost"] == 1
+    assert abs(r["churn_frac"] - 1.0) < 1e-12

@@ -459,3 +459,37 @@ def test_domain_token_cap_tie_breaks_min_id(spark):
         df, "dom", "id", "q", "tok", cap_tokens=10).collect()}
     assert out[2]["rank"] == 1 and out[2]["keep"]
     assert out[9]["rank"] == 2 and not out[9]["keep"]
+
+
+def test_snis_diagnostics_hand_computed(spark):
+    """weights (1,1,2): ESS = 16/6; weighted mean of x=(10,20,30) is
+    (10+20+60)/4 = 22.5; negative/null weights zeroed."""
+    from baselinr_spark.operators.selection import snis_diagnostics
+
+    rows = [(1.0, 10.0), (1.0, 20.0), (2.0, 30.0), (-5.0, 40.0),
+            (None, 50.0)]
+    df = spark.createDataFrame(rows, ["w", "x"])
+    (r,) = snis_diagnostics(df, "w", ["x"]).collect()
+    assert r["n"] == 5
+    assert abs(r["sum_w"] - 4.0) < 1e-12
+    assert abs(r["ess"] - 16.0 / 6.0) < 1e-12
+    assert abs(r["ess_frac"] - 16.0 / 30.0) < 1e-12
+    assert abs(r["max_w_share"] - 0.5) < 1e-12
+    assert abs(r["wmean_x"] - 22.5) < 1e-12
+    assert abs(r["mean_x"] - 30.0) < 1e-12
+
+
+def test_epoch_allocation_plan_hand_computed(spark):
+    """Budget 100, weights 3:1 -> targets 75/25; source a has 50
+    tokens available -> 1.5 epochs (repeated), b has 100 -> 0.25."""
+    from baselinr_spark.operators.selection import epoch_allocation_plan
+
+    st = spark.createDataFrame([("a", 50), ("b", 100)],
+                               ["source", "tokens"])
+    wt = spark.createDataFrame([("a", 3.0), ("b", 1.0)],
+                               ["source", "weight"])
+    out = {r["source"]: r for r in epoch_allocation_plan(
+        st, wt, budget_tokens=100).collect()}
+    assert abs(out["a"]["target_tokens"] - 75.0) < 1e-12
+    assert abs(out["a"]["epochs"] - 1.5) < 1e-12 and out["a"]["repeated"]
+    assert abs(out["b"]["epochs"] - 0.25) < 1e-12 and not out["b"]["repeated"]
