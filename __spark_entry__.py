@@ -8285,6 +8285,38 @@ def _sql_filter_churn_docs() -> str:
     )
 
 
+def q_quantile_norm_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-language quantile normalization of the length-proxy score
+    (operators/selection.py:quantile_normalize_scores): rewrite each
+    language's scores onto the global scale by rank so one cutoff
+    keeps the same fraction of every language. Corpus collapses in
+    ONE (lang, score) groupBy; the range join runs on broadcast
+    vocabulary-sized ECDF tables."""
+    from baselinr_spark.operators.selection import quantile_normalize_scores
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "lang",
+        (F.floor(F.col("n_chars") / 50) * 50).cast("double").alias("sc"),
+    )
+    out = quantile_normalize_scores(docs, "lang", "sc")
+    return _r6(out, "p")
+
+
+def _sql_quantile_norm_lang() -> str:
+    from baselinr_spark.operators.selection import (
+        oracle_quantile_normalize_sql,
+    )
+
+    rows = (
+        "SELECT lang, (floor(n_chars / 50) * 50)::double AS sc "
+        "FROM documents"
+    )
+    inner = oracle_quantile_normalize_sql(rows, "lang", "sc")
+    return (
+        f"SELECT grp, s, round(p, 6) AS p, s_norm FROM ({inner})"
+    )
+
+
 def q_rule_mi_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mutual-information matrix between the three cheap document
     raters (operators/evalmetrics.py:pairwise_mi) — the information-
@@ -9706,6 +9738,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snis_docs": q_snis_docs,
         "epoch_plan_docs": q_epoch_plan_docs,
         "filter_churn_docs": q_filter_churn_docs,
+        "quantile_norm_lang": q_quantile_norm_lang,
         "range_join_events": q_range_join_events,
         "time_rollup_events": q_time_rollup_events,
         "sessionize_events": q_sessionize_events,
@@ -9905,6 +9938,7 @@ def oracle_sql() -> dict[str, str]:
         "snis_docs": _sql_snis_docs(),
         "epoch_plan_docs": _sql_epoch_plan_docs(),
         "filter_churn_docs": _sql_filter_churn_docs(),
+        "quantile_norm_lang": _sql_quantile_norm_lang(),
         "shard_manifest_docs": _sql_shard_manifest_docs(),
         "rule_ablation_docs": _SQL_RULE_ABLATION,
         "shard_positions_docs": _sql_shard_positions_docs(),

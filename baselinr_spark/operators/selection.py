@@ -1113,3 +1113,83 @@ SELECT st.source, st.avail_tokens, wt.weight,
        (wt.weight / tot.tw * {b!r} / st.avail_tokens::double > 1.0)
          AS repeated
 FROM st JOIN wt USING (source), tot"""
+
+
+def quantile_normalize_scores(
+    df: DataFrame, group_col: str, score_col: str
+) -> DataFrame:
+    """Cross-group quantile normalization (ECDF matching): map every
+    group's score onto the GLOBAL score scale by rank — the
+    cross-lingual score equalizer one step past grouped_score_ecdf:
+    instead of reading per-language thresholds off each ECDF, rewrite
+    each score s in group g as Q_global(F_g(s)), the smallest global
+    score whose global ECDF reaches s's within-group quantile. After
+    the rewrite one global cutoff keeps the same FRACTION of every
+    group (the standard fix when a quality classifier's score scale
+    drifts by language).
+
+    Returns the mapping table, one row per distinct (grp, s):
+    (grp, s, p, s_norm) — apply it to the corpus with one broadcast
+    join on (grp, s).
+
+    Scale design: the corpus collapses in grouped_score_ecdf's ONE
+    (grp, s) groupBy (same bounded-score-cardinality contract:
+    bucket corpus-cardinality scores first); everything after —
+    global ECDF window and the Fg >= p range join + min — runs on
+    distinct-score tables of vocabulary size, with the global table
+    broadcast. The global window is over that collapsed table, never
+    the corpus.
+    """
+    from pyspark.sql import Window as W
+
+    g = grouped_score_ecdf(df, group_col, score_col)
+    glob_w = W.orderBy("s").rowsBetween(W.unboundedPreceding, W.currentRow)
+    glob = (
+        g.groupBy("s")
+        .agg(F.sum("cnt").alias("c"))
+        .select(
+            F.col("s").alias("sg"),
+            (
+                F.sum("c").over(glob_w).cast("double")
+                / F.sum("c").over(
+                    W.rowsBetween(
+                        W.unboundedPreceding, W.unboundedFollowing
+                    )
+                ).cast("double")
+            ).alias("fg"),
+        )
+    )
+    return (
+        g.select("grp", "s", F.col("ecdf").alias("p"))
+        .join(F.broadcast(glob), F.col("fg") >= F.col("p"))
+        .groupBy("grp", "s", "p")
+        .agg(F.min("sg").alias("s_norm"))
+    )
+
+
+def oracle_quantile_normalize_sql(
+    rows_sql: str, group_col: str, score_col: str
+) -> str:
+    """DuckDB twin of :func:`quantile_normalize_scores`."""
+    return f"""
+WITH rows_in AS ({rows_sql}),
+g AS (
+  SELECT {group_col} AS grp, ({score_col})::double AS s,
+         count(*)::bigint AS cnt
+  FROM rows_in WHERE ({score_col}) IS NOT NULL GROUP BY 1, 2
+),
+ge AS (
+  SELECT grp, s,
+         sum(cnt) OVER (PARTITION BY grp ORDER BY s)::double
+           / sum(cnt) OVER (PARTITION BY grp)::double AS p
+  FROM g
+),
+gq AS (
+  SELECT s AS sg,
+         sum(c) OVER (ORDER BY s)::double
+           / sum(c) OVER ()::double AS fg
+  FROM (SELECT s, sum(cnt) AS c FROM g GROUP BY 1)
+)
+SELECT ge.grp, ge.s, ge.p, min(gq.sg) AS s_norm
+FROM ge JOIN gq ON gq.fg >= ge.p
+GROUP BY 1, 2, 3"""

@@ -493,3 +493,32 @@ def test_epoch_allocation_plan_hand_computed(spark):
     assert abs(out["a"]["target_tokens"] - 75.0) < 1e-12
     assert abs(out["a"]["epochs"] - 1.5) < 1e-12 and out["a"]["repeated"]
     assert abs(out["b"]["epochs"] - 0.25) < 1e-12 and not out["b"]["repeated"]
+
+
+def test_quantile_normalize_scores_maps_rank_to_global(spark):
+    """Group a scores (1,2), group b scores (10,20): after matching,
+    a's median-rank scores land on the global scores with the same
+    cumulative rank; one global cutoff then keeps equal fractions."""
+    from baselinr_spark.operators.selection import quantile_normalize_scores
+
+    rows = [("a", 1.0), ("a", 2.0), ("b", 10.0), ("b", 20.0)]
+    df = spark.createDataFrame(rows, ["g", "s"])
+    out = {(r["grp"], r["s"]): r for r in
+           quantile_normalize_scores(df, "g", "s").collect()}
+    # global ECDF: 1.0->.25, 2.0->.5, 10.0->.75, 20.0->1.0
+    # a: s=1 p=.5 -> min global with F>=.5 = 2.0 ; s=2 p=1 -> 20.0
+    assert out[("a", 1.0)]["s_norm"] == 2.0
+    assert out[("a", 2.0)]["s_norm"] == 20.0
+    # b: s=10 p=.5 -> 2.0 ; s=20 p=1 -> 20.0  (same ranks, same images)
+    assert out[("b", 10.0)]["s_norm"] == 2.0
+    assert out[("b", 20.0)]["s_norm"] == 20.0
+
+
+def test_quantile_normalize_identity_on_single_group(spark):
+    """With one group the map is the identity on distinct scores."""
+    from baselinr_spark.operators.selection import quantile_normalize_scores
+
+    rows = [("x", float(v)) for v in (5, 7, 7, 9)]
+    df = spark.createDataFrame(rows, ["g", "s"])
+    for r in quantile_normalize_scores(df, "g", "s").collect():
+        assert r["s_norm"] == r["s"]
