@@ -180,60 +180,82 @@ def lm_perplexity(
 # DuckDB oracle — the identical model spec
 # ---------------------------------------------------------------------------
 
+def _lm_ctes(table: str = "documents", text_col: str = "text",
+             id_col: str = "doc_id", k: float = 0.5,
+             train_table: str | None = None, prefix: str = "") -> str:
+    """CTE list (no leading WITH) for one add-k bigram LM, every CTE
+    name prefixed with ``prefix`` so two models (e.g. Moore-Lewis's
+    in-domain vs general) compose in one statement. ``train_table``
+    (a table name or parenthesized subquery) supplies the count
+    tables; scoring rows always come from ``table`` (default:
+    self-trained, the original behavior)."""
+    p = prefix
+    train_ws = (
+        f"SELECT regexp_extract_all(lower({text_col}), '{TOKEN_RE}') AS ws\n"
+        f"  FROM {train_table}"
+        if train_table is not None
+        else f"SELECT ws FROM {p}docw"
+    )
+    return f"""{p}docw AS (
+  SELECT {id_col}, regexp_extract_all(lower({text_col}), '{TOKEN_RE}') AS ws
+  FROM {table}
+),
+{p}trainw AS (
+  {train_ws}
+),
+{p}uni AS (
+  SELECT w AS gram, count(*) AS cnt
+  FROM (SELECT unnest(ws) AS w FROM {p}trainw) GROUP BY 1
+),
+{p}bi AS (
+  SELECT prev, gram, count(*) AS cnt FROM (
+    SELECT ws[i] AS prev, ws[i+1] AS gram
+    FROM {p}trainw, UNNEST(range(1, len(ws))) AS t(i)
+  ) GROUP BY 1, 2
+),
+{p}sc AS (
+  SELECT count(*)::double AS v, sum(cnt)::double AS n FROM {p}uni
+),
+{p}first_term AS (
+  SELECT d.{id_col},
+         ln((coalesce(u.cnt, 0) + {k}) / ({p}sc.n + {k} * {p}sc.v)) AS term
+  FROM {p}docw d
+  LEFT JOIN {p}uni u ON u.gram = d.ws[1], {p}sc
+  WHERE len(d.ws) >= 1
+),
+{p}doc_pairs AS (
+  SELECT {id_col}, prev, gram, count(*) AS m FROM (
+    SELECT {id_col}, ws[i] AS prev, ws[i+1] AS gram
+    FROM {p}docw, UNNEST(range(1, len(ws))) AS t(i)
+  ) GROUP BY 1, 2, 3
+),
+{p}bigram_terms AS (
+  SELECT p.{id_col},
+         p.m * ln((coalesce(b.cnt, 0) + {k})
+                  / (coalesce(u.cnt, 0) + {k} * {p}sc.v)) AS term
+  FROM {p}doc_pairs p
+  LEFT JOIN {p}bi b ON b.prev = p.prev AND b.gram = p.gram
+  LEFT JOIN {p}uni u ON u.gram = p.prev, {p}sc
+),
+{p}sums AS (
+  SELECT {id_col}, sum(term) AS log_prob
+  FROM (SELECT * FROM {p}first_term UNION ALL SELECT * FROM {p}bigram_terms)
+  GROUP BY 1
+),
+{p}ppl AS (
+  SELECT d.{id_col}, len(d.ws)::bigint AS n_tokens, s.log_prob,
+         CASE WHEN len(d.ws) > 0
+              THEN exp(-s.log_prob / len(d.ws)) END AS perplexity
+  FROM {p}docw d LEFT JOIN {p}sums s USING ({id_col})
+)"""
+
+
 def oracle_lm_cte(table: str = "documents", text_col: str = "text",
                   id_col: str = "doc_id", k: float = 0.5) -> str:
     """CTE prefix: uni / bi count tables, scalars, per-doc first +
     collapsed bigram terms, summed into ppl (…, n_tokens, log_prob,
     perplexity). Callers append a final SELECT over ``ppl``."""
-    return f"""WITH docw AS (
-  SELECT {id_col}, regexp_extract_all(lower({text_col}), '{TOKEN_RE}') AS ws
-  FROM {table}
-),
-uni AS (
-  SELECT w AS gram, count(*) AS cnt
-  FROM (SELECT unnest(ws) AS w FROM docw) GROUP BY 1
-),
-bi AS (
-  SELECT prev, gram, count(*) AS cnt FROM (
-    SELECT ws[i] AS prev, ws[i+1] AS gram
-    FROM docw, UNNEST(range(1, len(ws))) AS t(i)
-  ) GROUP BY 1, 2
-),
-sc AS (
-  SELECT count(*)::double AS v, sum(cnt)::double AS n FROM uni
-),
-first_term AS (
-  SELECT d.{id_col},
-         ln((coalesce(u.cnt, 0) + {k}) / (sc.n + {k} * sc.v)) AS term
-  FROM docw d
-  LEFT JOIN uni u ON u.gram = d.ws[1], sc
-  WHERE len(d.ws) >= 1
-),
-doc_pairs AS (
-  SELECT {id_col}, prev, gram, count(*) AS m FROM (
-    SELECT {id_col}, ws[i] AS prev, ws[i+1] AS gram
-    FROM docw, UNNEST(range(1, len(ws))) AS t(i)
-  ) GROUP BY 1, 2, 3
-),
-bigram_terms AS (
-  SELECT p.{id_col},
-         p.m * ln((coalesce(b.cnt, 0) + {k})
-                  / (coalesce(u.cnt, 0) + {k} * sc.v)) AS term
-  FROM doc_pairs p
-  LEFT JOIN bi b ON b.prev = p.prev AND b.gram = p.gram
-  LEFT JOIN uni u ON u.gram = p.prev, sc
-),
-sums AS (
-  SELECT {id_col}, sum(term) AS log_prob
-  FROM (SELECT * FROM first_term UNION ALL SELECT * FROM bigram_terms)
-  GROUP BY 1
-),
-ppl AS (
-  SELECT d.{id_col}, len(d.ws)::bigint AS n_tokens, s.log_prob,
-         CASE WHEN len(d.ws) > 0
-              THEN exp(-s.log_prob / len(d.ws)) END AS perplexity
-  FROM docw d LEFT JOIN sums s USING ({id_col})
-)"""
+    return "WITH " + _lm_ctes(table, text_col, id_col, k)
 
 
 def oracle_lm_perplexity_sql(table: str = "documents", text_col: str = "text",
@@ -338,3 +360,158 @@ SELECT prev, gram, cnt::bigint AS cnt,
              6) AS p_kn
 FROM bi JOIN ctx USING (prev) JOIN cont USING (gram) CROSS JOIN tot
 ORDER BY cnt DESC, prev, gram LIMIT {top_k}"""
+
+
+def moore_lewis_scores(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    in_domain: DataFrame,
+    k: float = 0.5,
+) -> DataFrame:
+    """Moore-Lewis cross-entropy difference data selection (Moore &
+    Lewis, ACL 2010 — the classic in-domain selector DSIR generalizes;
+    sits next to selection.py:dsir_log_weights as the LM-based
+    alternative): score(d) = H_in(d) − H_gen(d), the per-token
+    cross-entropy of d under an LM trained on the trusted ``in_domain``
+    cohort minus under one trained on the full corpus. Low scores =
+    looks like the target domain relative to the background; select by
+    ascending score. H(d) = −log_prob/T = ln(perplexity), so the score
+    is also ln(ppl_in/ppl_gen).
+
+    Returns (id_col, n_tokens, ce_in, ce_gen, ml_score) for docs with
+    ≥1 token (empty docs have no defined cross-entropy).
+
+    Scale design: two lm_perplexity passes (each ONE gram-key shuffle
+    against vocabulary-sized count tables — never a corpus×corpus
+    join) plus an id-key equi-join of two corpus-sized score tables;
+    the in-domain count tables are small (trusted cohorts are curated,
+    not crawled) and broadcast-eligible under AQE. The reference repo
+    has no LM surface (additive coverage, see module docstring).
+    """
+    ce = lambda col: (-F.col("log_prob") / F.col("n_tokens")).alias(col)
+    pin = (
+        lm_perplexity(docs, id_col, text_col, train=in_domain, k=k)
+        .filter(F.col("n_tokens") > 0)
+        .select(id_col, "n_tokens", ce("ce_in"))
+    )
+    pgen = (
+        lm_perplexity(docs, id_col, text_col, train=docs, k=k)
+        .filter(F.col("n_tokens") > 0)
+        .select(id_col, ce("ce_gen"))
+    )
+    return pin.join(pgen, id_col).select(
+        id_col,
+        "n_tokens",
+        "ce_in",
+        "ce_gen",
+        (F.col("ce_in") - F.col("ce_gen")).alias("ml_score"),
+    )
+
+
+def oracle_moore_lewis_sql(
+    in_domain_where: str,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: float = 0.5,
+) -> str:
+    """DuckDB twin of :func:`moore_lewis_scores` — two prefixed copies
+    of the LM CTE chain (in-domain trained on ``table`` filtered by
+    ``in_domain_where``; general self-trained) composed in ONE
+    statement, identical operation order per term."""
+    in_sub = f"(SELECT * FROM {table} WHERE {in_domain_where})"
+    return (
+        "WITH "
+        + _lm_ctes(table, text_col, id_col, k, train_table=in_sub,
+                   prefix="i_")
+        + ",\n"
+        + _lm_ctes(table, text_col, id_col, k, prefix="g_")
+        + f"""
+SELECT i.{id_col}, i.n_tokens,
+       round(-i.log_prob / i.n_tokens, 6) AS ce_in,
+       round(-g.log_prob / g.n_tokens, 6) AS ce_gen,
+       round((-i.log_prob / i.n_tokens) - (-g.log_prob / g.n_tokens), 6)
+         AS ml_score
+FROM i_ppl i JOIN g_ppl g USING ({id_col})
+WHERE i.n_tokens > 0"""
+    )
+
+
+def oov_rate(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    vocab_train: DataFrame,
+    min_count: int = 1,
+) -> DataFrame:
+    """Per-document out-of-vocabulary rate against a vocabulary learned
+    from ``vocab_train`` (tokens with count ≥ ``min_count``): the
+    classic n-gram-LM-pipeline drop rule — a doc whose token mass is
+    mostly unseen under the trusted cohort is noise, another script,
+    or lorem-style junk that perplexity alone can overrate.
+
+    Returns (id_col, n_tokens, n_oov, oov_rate) for docs with ≥1
+    token.
+
+    Scale design: per-doc tokens pre-collapse to (doc, gram,
+    multiplicity) before the vocab join — the shuffle carries distinct
+    grams per doc (≪ T); the vocabulary is O(|V|) and broadcast. One
+    corpus pass + one groupBy.
+    """
+    vocab = (
+        unigram_counts(vocab_train, text_col)
+        .filter(F.col("cnt") >= min_count)
+        .select("gram", F.lit(True).alias("__in_v"))
+    )
+    doc_grams = (
+        docs.select(F.col(id_col), F.explode(_words_expr(text_col)).alias("gram"))
+        .groupBy(id_col, "gram")
+        .agg(F.count(F.lit(1)).alias("m"))
+    )
+    return (
+        doc_grams.join(F.broadcast(vocab), "gram", "left")
+        .groupBy(id_col)
+        .agg(
+            F.sum("m").cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("__in_v").isNull(), F.col("m")).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "n_oov",
+            (F.col("n_oov").cast("double") / F.col("n_tokens").cast("double"))
+            .alias("oov_rate"),
+        )
+    )
+
+
+def oracle_oov_rate_sql(
+    vocab_where: str,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 1,
+) -> str:
+    """DuckDB twin of :func:`oov_rate`."""
+    return f"""WITH vocab AS (
+  SELECT w AS gram FROM (
+    SELECT unnest(regexp_extract_all(lower({text_col}), '{TOKEN_RE}')) AS w
+    FROM {table} WHERE {vocab_where}
+  ) GROUP BY 1 HAVING count(*) >= {min_count}
+),
+dg AS (
+  SELECT {id_col}, w AS gram, count(*) AS m FROM (
+    SELECT {id_col},
+           unnest(regexp_extract_all(lower({text_col}), '{TOKEN_RE}')) AS w
+    FROM {table}
+  ) GROUP BY 1, 2
+)
+SELECT dg.{id_col}, sum(dg.m)::bigint AS n_tokens,
+       sum(CASE WHEN v.gram IS NULL THEN dg.m ELSE 0 END)::bigint AS n_oov,
+       round(sum(CASE WHEN v.gram IS NULL THEN dg.m ELSE 0 END)::double
+             / sum(dg.m)::double, 6) AS oov_rate
+FROM dg LEFT JOIN vocab v USING (gram)
+GROUP BY 1"""

@@ -5,6 +5,7 @@ single-token docs), and the external-train path."""
 import math
 
 import pytest
+from pyspark.sql import functions as F
 
 from baselinr_spark.operators.ngramlm import (
     bigram_counts,
@@ -98,3 +99,71 @@ def test_lower_perplexity_for_in_distribution_text(spark):
     rows = {r["doc_id"]: r["perplexity"]
             for r in lm_perplexity(docs, "doc_id", "text").collect()}
     assert rows[100] < rows[101]
+
+
+def test_moore_lewis_hand_computed(spark):
+    """In-domain = docs 1-2 ("a b" pattern); doc 3 repeats the pattern,
+    doc 4 is background-only ("x y"). The in-domain-looking doc must
+    score lower (more negative CE difference) than the background doc,
+    and every component must equal the hand-computed add-k value."""
+    from baselinr_spark.operators.ngramlm import (
+        lm_perplexity,
+        moore_lewis_scores,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "a b"), (4, "x y")],
+        ["doc_id", "text"],
+    )
+    in_dom = docs.filter(F.col("doc_id") <= 2)
+    got = {r["doc_id"]: r
+           for r in moore_lewis_scores(docs, "doc_id", "text",
+                                       in_dom).collect()}
+    assert set(got) == {1, 2, 3, 4}
+    # components must agree with the two lm_perplexity passes
+    pin = {r["doc_id"]: r for r in
+           lm_perplexity(docs, "doc_id", "text", train=in_dom).collect()}
+    pgen = {r["doc_id"]: r for r in
+            lm_perplexity(docs, "doc_id", "text").collect()}
+    for d in (1, 2, 3, 4):
+        ce_in = -pin[d]["log_prob"] / pin[d]["n_tokens"]
+        ce_gen = -pgen[d]["log_prob"] / pgen[d]["n_tokens"]
+        assert got[d]["ce_in"] == pytest.approx(ce_in, rel=1e-12)
+        assert got[d]["ce_gen"] == pytest.approx(ce_gen, rel=1e-12)
+        assert got[d]["ml_score"] == pytest.approx(ce_in - ce_gen,
+                                                   rel=1e-12)
+    # the selection property: in-domain text ranks before background
+    assert got[3]["ml_score"] < got[4]["ml_score"]
+    # hand check one component: in-domain LM has V=2, N=4, c(a)=2,
+    # c(b)=2, c(a,b)=2; doc 3 = [a, b]
+    k = 0.5
+    lp = math.log((2 + k) / (4 + k * 2)) + math.log((2 + k) / (2 + k * 2))
+    assert got[3]["ce_in"] == pytest.approx(-lp / 2, rel=1e-12)
+
+
+def test_moore_lewis_drops_empty_docs(spark):
+    from baselinr_spark.operators.ngramlm import moore_lewis_scores
+
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "123 .")], ["doc_id", "text"]
+    )
+    out = moore_lewis_scores(docs, "doc_id", "text", docs).collect()
+    assert [r["doc_id"] for r in out] == [1]
+
+
+def test_oov_rate_hand_computed(spark):
+    """Vocab from docs 1-2 with min_count=2 keeps only 'a' (c=2; 'b'
+    has c=1): doc 3 = [a, b, z] → 2 of 3 tokens OOV."""
+    from baselinr_spark.operators.ngramlm import oov_rate
+
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a"), (3, "a b z")], ["doc_id", "text"]
+    )
+    vtrain = docs.filter(F.col("doc_id") <= 2)
+    got = {r["doc_id"]: r
+           for r in oov_rate(docs, "doc_id", "text", vtrain,
+                             min_count=2).collect()}
+    assert got[3]["n_tokens"] == 3 and got[3]["n_oov"] == 2
+    assert got[3]["oov_rate"] == pytest.approx(2 / 3, rel=1e-12)
+    assert got[1]["n_oov"] == 1  # 'b' fell under min_count
+    assert got[2]["n_oov"] == 0 and got[2]["oov_rate"] == 0.0
