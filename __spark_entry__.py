@@ -8330,6 +8330,39 @@ def _sql_filter_churn_docs() -> str:
     )
 
 
+def q_mcnemar_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar paired filter-swap significance
+    (operators/evalmetrics.py:mcnemar_filters): per-source continuity-
+    corrected chi2 over the discordant keep/drop cells between a
+    length-only v1 and a length+language v2 — does the churn have a
+    direction, or is it symmetric noise? ONE aggregate, no join."""
+    from baselinr_spark.operators.evalmetrics import mcnemar_filters
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "source",
+        (F.col("n_chars") >= 150).alias("keep_v1"),
+        ((F.col("n_chars") >= 120) & (F.col("lang") != "zh")).alias(
+            "keep_v2"
+        ),
+    )
+    out = mcnemar_filters(docs, "keep_v1", "keep_v2", "source")
+    return _r6(out, "chi2")
+
+
+def _sql_mcnemar_filters() -> str:
+    from baselinr_spark.operators.evalmetrics import oracle_mcnemar_sql
+
+    rows = (
+        "SELECT source, (n_chars >= 150) AS keep_v1, "
+        "(n_chars >= 120 AND lang <> 'zh') AS keep_v2 FROM documents"
+    )
+    inner = oracle_mcnemar_sql(rows, "keep_v1", "keep_v2", "source")
+    return (
+        f"SELECT source, n, b_lost, c_gained, round(chi2, 6) AS chi2 "
+        f"FROM ({inner})"
+    )
+
+
 def q_quantile_norm_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-language quantile normalization of the length-proxy score
     (operators/selection.py:quantile_normalize_scores): rewrite each
@@ -9807,6 +9840,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_norm_lang": q_quantile_norm_lang,
         "moore_lewis_docs": q_moore_lewis_docs,
         "oov_rate_docs": q_oov_rate_docs,
+        "mcnemar_filters": q_mcnemar_filters,
         "range_join_events": q_range_join_events,
         "time_rollup_events": q_time_rollup_events,
         "sessionize_events": q_sessionize_events,
@@ -10005,6 +10039,7 @@ def oracle_sql() -> dict[str, str]:
         "quantile_norm_lang": _sql_quantile_norm_lang(),
         "moore_lewis_docs": _sql_moore_lewis_docs(),
         "oov_rate_docs": _sql_oov_rate_docs(),
+        "mcnemar_filters": _sql_mcnemar_filters(),
         "shard_manifest_docs": _sql_shard_manifest_docs(),
         "rule_ablation_docs": _SQL_RULE_ABLATION,
         "shard_positions_docs": _sql_shard_positions_docs(),

@@ -946,3 +946,77 @@ SELECT {sel}count(*)::bigint AS n,
        (sum((NOT o AND nw)::int) + sum((o AND NOT nw)::int))::double
          / count(*) AS churn_frac
 FROM d {grp}"""
+
+
+def mcnemar_filters(
+    df: DataFrame,
+    old_keep_col: str,
+    new_keep_col: str,
+    group_col: str | None = None,
+) -> DataFrame:
+    """McNemar's paired significance test between two filter versions
+    (McNemar 1947; the paired counterpart of the chi-square drift
+    tests): on the SAME documents, is v2's keep/drop decision
+    systematically different from v1's, or is the churn symmetric
+    noise? Uses only the discordant cells — b = v1-keep/v2-drop,
+    c = v1-drop/v2-keep — with the Edwards continuity correction:
+
+        chi2 = (|b − c| − 1)² / (b + c)        (df = 1)
+
+    filter_churn quantifies HOW MUCH decision churn a swap causes;
+    this says whether the churn has a DIRECTION (chi2 ≳ 3.84 at
+    α=0.05 ⇒ v2 is systematically stricter or looser, not just
+    reshuffling). NULL decisions count as drop, matching
+    filter_churn. Returns one row per group (or one total row):
+    (group?, n, b_lost, c_gained, chi2) — chi2 NULL when b + c = 0
+    (no discordant pairs, test undefined).
+
+    Scale design: ONE aggregate (2 conditional counters), map-side
+    combined, O(groups) output; both decisions ride the same row —
+    no join.
+    """
+    o = F.coalesce(F.col(old_keep_col).cast("boolean"), F.lit(False))
+    n_ = F.coalesce(F.col(new_keep_col).cast("boolean"), F.lit(False))
+    keys = [group_col] if group_col else []
+    g = df.groupBy(*keys) if keys else df.groupBy()
+    b = F.sum((o & ~n_).cast("int")).cast("bigint")
+    c = F.sum((~o & n_).cast("int")).cast("bigint")
+    return g.agg(
+        F.count(F.lit(1)).alias("n"),
+        b.alias("b_lost"),
+        c.alias("c_gained"),
+        F.when(
+            (b + c) > 0,
+            F.pow(F.abs(b - c).cast("double") - 1.0, 2)
+            / (b + c).cast("double"),
+        ).alias("chi2"),
+    )
+
+
+def oracle_mcnemar_sql(
+    rows_sql: str,
+    old_keep_col: str,
+    new_keep_col: str,
+    group_col: str | None = None,
+) -> str:
+    """DuckDB twin of :func:`mcnemar_filters`."""
+    sel = f"{group_col}, " if group_col else ""
+    grp = f"GROUP BY {group_col}" if group_col else ""
+    return f"""
+WITH rows_in AS ({rows_sql}),
+d AS (
+  SELECT *, coalesce(({old_keep_col})::boolean, false) AS o,
+         coalesce(({new_keep_col})::boolean, false) AS nw
+  FROM rows_in
+),
+a AS (
+  SELECT {sel}count(*)::bigint AS n,
+         sum(CASE WHEN o AND NOT nw THEN 1 ELSE 0 END)::bigint AS b_lost,
+         sum(CASE WHEN NOT o AND nw THEN 1 ELSE 0 END)::bigint AS c_gained
+  FROM d {grp}
+)
+SELECT {sel}n, b_lost, c_gained,
+       CASE WHEN b_lost + c_gained > 0
+            THEN pow(abs(b_lost - c_gained)::double - 1.0, 2)
+                 / (b_lost + c_gained)::double END AS chi2
+FROM a"""

@@ -83,10 +83,14 @@ def lm_perplexity(
     text_col: str,
     train: DataFrame | None = None,
     k: float = 0.5,
+    _base: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document add-k bigram perplexity under counts trained on
     ``train`` (defaults to ``docs`` itself — self-trained). Returns
-    (id_col, n_tokens, log_prob, perplexity)."""
+    (id_col, n_tokens, log_prob, perplexity). ``_base`` lets callers
+    scoring the same corpus under several models (moore_lewis_scores)
+    share one tokenized-and-checkpointed (id, ws) frame instead of
+    re-tokenizing the corpus per model."""
     train = train if train is not None else docs
     uni = unigram_counts(train, text_col)
     bi = bigram_counts(train, text_col)
@@ -97,7 +101,7 @@ def lm_perplexity(
         )
     )
 
-    base = docs.select(
+    base = _base if _base is not None else docs.select(
         F.col(id_col), _words_expr(text_col).alias("ws")
     ).localCheckpoint(eager=False)
 
@@ -384,19 +388,26 @@ def moore_lewis_scores(
 
     Scale design: two lm_perplexity passes (each ONE gram-key shuffle
     against vocabulary-sized count tables — never a corpus×corpus
-    join) plus an id-key equi-join of two corpus-sized score tables;
-    the in-domain count tables are small (trusted cohorts are curated,
-    not crawled) and broadcast-eligible under AQE. The reference repo
-    has no LM surface (additive coverage, see module docstring).
+    join) sharing ONE tokenized-and-checkpointed (id, ws) frame — the
+    corpus text is regex-tokenized once, not once per model — plus an
+    id-key equi-join of two corpus-sized score tables; the in-domain
+    count tables are small (trusted cohorts are curated, not crawled)
+    and broadcast-eligible under AQE. The reference repo has no LM
+    surface (additive coverage, see module docstring).
     """
+    base = docs.select(
+        F.col(id_col), _words_expr(text_col).alias("ws")
+    ).localCheckpoint(eager=False)
     ce = lambda col: (-F.col("log_prob") / F.col("n_tokens")).alias(col)
     pin = (
-        lm_perplexity(docs, id_col, text_col, train=in_domain, k=k)
+        lm_perplexity(docs, id_col, text_col, train=in_domain, k=k,
+                      _base=base)
         .filter(F.col("n_tokens") > 0)
         .select(id_col, "n_tokens", ce("ce_in"))
     )
     pgen = (
-        lm_perplexity(docs, id_col, text_col, train=docs, k=k)
+        lm_perplexity(docs, id_col, text_col, train=docs, k=k,
+                      _base=base)
         .filter(F.col("n_tokens") > 0)
         .select(id_col, ce("ce_gen"))
     )

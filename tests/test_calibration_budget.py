@@ -161,3 +161,39 @@ def test_filter_churn_ungrouped_total(spark):
     (r,) = filter_churn(df, "v1", "v2").collect()
     assert r["n"] == 2 and r["gained"] == 1 and r["lost"] == 1
     assert abs(r["churn_frac"] - 1.0) < 1e-12
+
+
+def test_mcnemar_hand_computed(spark):
+    """b=3 lost, c=1 gained -> chi2 = (|3-1|-1)^2 / 4 = 0.25; NULL new
+    decision counts as drop (the first 'lost' row)."""
+    from baselinr_spark.operators.evalmetrics import mcnemar_filters
+
+    rows = [("s", True, None), ("s", True, False), ("s", True, False),
+            ("s", False, True), ("s", True, True), ("s", False, False)]
+    df = spark.createDataFrame(rows, ["src", "v1", "v2"])
+    (r,) = mcnemar_filters(df, "v1", "v2", "src").collect()
+    assert r["n"] == 6 and r["b_lost"] == 3 and r["c_gained"] == 1
+    assert abs(r["chi2"] - 0.25) < 1e-12
+
+
+def test_mcnemar_no_discordant_pairs_is_null(spark):
+    """Identical filters -> b+c=0 -> chi2 undefined (NULL), not 0/0."""
+    from baselinr_spark.operators.evalmetrics import mcnemar_filters
+
+    rows = [("s", True, True), ("s", False, False)]
+    df = spark.createDataFrame(rows, ["src", "v1", "v2"])
+    (r,) = mcnemar_filters(df, "v1", "v2").collect()
+    assert r["b_lost"] == 0 and r["c_gained"] == 0
+    assert r["chi2"] is None
+
+
+def test_mcnemar_symmetric_churn_small_chi2(spark):
+    """Equal discordant counts b=c=2 -> chi2 = (0-1)^2/4 = 0.25 (the
+    continuity correction's floor), far below the 3.84 alpha=.05 bar:
+    churn without direction."""
+    from baselinr_spark.operators.evalmetrics import mcnemar_filters
+
+    rows = [("s", True, False)] * 2 + [("s", False, True)] * 2
+    df = spark.createDataFrame(rows, ["src", "v1", "v2"])
+    (r,) = mcnemar_filters(df, "v1", "v2", "src").collect()
+    assert abs(r["chi2"] - 0.25) < 1e-12
