@@ -8363,6 +8363,89 @@ def _sql_mcnemar_filters() -> str:
     )
 
 
+def _shap_rules_spark() -> dict:
+    # Built lazily: F.col needs an active SparkContext in classic mode,
+    # and this module must import before any session exists.
+    return {
+        "rule_short": F.col("n_chars") < 150,
+        "rule_nonen": F.col("lang") != "en",
+        "rule_no_the": ~F.lower(F.col("text")).contains(" the "),
+    }
+
+
+_SHAP_RULES_SQL = {
+    "rule_short": "(n_chars < 150)",
+    "rule_nonen": "(lang <> 'en')",
+    "rule_no_the": "(NOT contains(lower(text), ' the '))",
+}
+
+
+def q_rule_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Shapley drop attribution across three overlapping drop
+    rules (operators/evalmetrics.py:rule_shapley_attribution): veto-
+    game credit 1/|firing| per dropped doc, so Σ credit = total drops
+    — the overlap-fair version of rule_fire_rates. ONE aggregate."""
+    from baselinr_spark.operators.evalmetrics import (
+        rule_shapley_attribution,
+    )
+
+    rules = _shap_rules_spark()
+    docs = _read(spark, sf_dir, "documents").select(
+        *[c.alias(n) for n, c in rules.items()]
+    )
+    out = rule_shapley_attribution(docs, list(rules))
+    return _r6(out, "drop_credit", "credit_share")
+
+
+def _sql_rule_shapley() -> str:
+    from baselinr_spark.operators.evalmetrics import oracle_rule_shapley_sql
+
+    rows = (
+        "SELECT "
+        + ", ".join(f"{e} AS {n}" for n, e in _SHAP_RULES_SQL.items())
+        + " FROM documents"
+    )
+    inner = oracle_rule_shapley_sql(rows, list(_SHAP_RULES_SQL))
+    return (
+        f"SELECT rule, n_fires, round(drop_credit, 6) AS drop_credit, "
+        f"round(credit_share, 6) AS credit_share FROM ({inner})"
+    )
+
+
+def q_keep_rate_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep rate per exact length-score decile
+    (operators/evalmetrics.py:keep_rate_by_score_decile): the 'is the
+    filter just a length proxy?' calibration curve; ECDF buckets on
+    the collapsed distinct-score table, never a corpus window."""
+    from baselinr_spark.operators.evalmetrics import (
+        keep_rate_by_score_decile,
+    )
+
+    docs = _read(spark, sf_dir, "documents").select(
+        F.col("n_chars").cast("double").alias("sc"),
+        ((F.col("n_chars") >= 150) & (F.col("lang") != "zh")).alias("keep"),
+    )
+    out = keep_rate_by_score_decile(docs, "sc", "keep")
+    return _r6(out, "keep_rate", "score_min", "score_max")
+
+
+def _sql_keep_rate_decile() -> str:
+    from baselinr_spark.operators.evalmetrics import (
+        oracle_keep_rate_decile_sql,
+    )
+
+    rows = (
+        "SELECT n_chars::double AS sc, "
+        "(n_chars >= 150 AND lang <> 'zh') AS keep FROM documents"
+    )
+    inner = oracle_keep_rate_decile_sql(rows, "sc", "keep")
+    return (
+        f"SELECT bucket, n, kept, round(keep_rate, 6) AS keep_rate, "
+        f"round(score_min, 6) AS score_min, "
+        f"round(score_max, 6) AS score_max FROM ({inner})"
+    )
+
+
 def q_quantile_norm_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-language quantile normalization of the length-proxy score
     (operators/selection.py:quantile_normalize_scores): rewrite each
@@ -9841,6 +9924,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "moore_lewis_docs": q_moore_lewis_docs,
         "oov_rate_docs": q_oov_rate_docs,
         "mcnemar_filters": q_mcnemar_filters,
+        "rule_shapley": q_rule_shapley,
+        "keep_rate_decile": q_keep_rate_decile,
         "range_join_events": q_range_join_events,
         "time_rollup_events": q_time_rollup_events,
         "sessionize_events": q_sessionize_events,
@@ -10040,6 +10125,8 @@ def oracle_sql() -> dict[str, str]:
         "moore_lewis_docs": _sql_moore_lewis_docs(),
         "oov_rate_docs": _sql_oov_rate_docs(),
         "mcnemar_filters": _sql_mcnemar_filters(),
+        "rule_shapley": _sql_rule_shapley(),
+        "keep_rate_decile": _sql_keep_rate_decile(),
         "shard_manifest_docs": _sql_shard_manifest_docs(),
         "rule_ablation_docs": _SQL_RULE_ABLATION,
         "shard_positions_docs": _sql_shard_positions_docs(),

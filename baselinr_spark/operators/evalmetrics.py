@@ -1020,3 +1020,155 @@ SELECT {sel}n, b_lost, c_gained,
             THEN pow(abs(b_lost - c_gained)::double - 1.0, 2)
                  / (b_lost + c_gained)::double END AS chi2
 FROM a"""
+
+
+def rule_shapley_attribution(
+    df: DataFrame, rule_cols: list[str]
+) -> DataFrame:
+    """Fair per-rule responsibility for dropped documents. Rules
+    compose as a veto game (a doc is dropped iff ≥1 rule fires), so a
+    rule's exact Shapley value for a given dropped doc is 1/|firing
+    rules on that doc| — co-firing rules split the credit equally,
+    unlike rule_fire_rates, which double-counts every overlap and can
+    make two redundant rules each look like they remove 30% of the
+    corpus when together they remove 30% total.
+
+    Returns one row per rule: (rule, n_fires, drop_credit,
+    credit_share) where Σ drop_credit over rules = total dropped docs
+    exactly, and credit_share = drop_credit / total drops (NULL when
+    nothing is dropped). NULL flags count as not-fired.
+
+    Scale design: ONE corpus aggregate (2k+1 conditional counters for
+    k rules — k is a config-sized constant), map-side combined,
+    single-row shuffle; per-rule rows are unioned k tiny selects off
+    the one agg row, never a corpus explode.
+    """
+    fires = {c: F.coalesce(F.col(c).cast("boolean"), F.lit(False))
+             for c in rule_cols}
+    nf = sum((fires[c].cast("int") for c in rule_cols), F.lit(0))
+    aggs = [F.count(F.lit(1)).alias("__n"),
+            F.sum((nf > 0).cast("int")).cast("bigint").alias("__drops")]
+    for c in rule_cols:
+        aggs.append(F.sum(fires[c].cast("int")).cast("bigint")
+                    .alias(f"__f_{c}"))
+        aggs.append(
+            F.sum(F.when(fires[c], 1.0 / nf.cast("double")).otherwise(0.0))
+            .alias(f"__s_{c}")
+        )
+    one = df.agg(*aggs)
+    parts = []
+    for c in rule_cols:
+        parts.append(one.select(
+            F.lit(c).alias("rule"),
+            F.col(f"__f_{c}").alias("n_fires"),
+            F.col(f"__s_{c}").alias("drop_credit"),
+            F.when(F.col("__drops") > 0,
+                   F.col(f"__s_{c}") / F.col("__drops").cast("double"))
+            .alias("credit_share"),
+        ))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def oracle_rule_shapley_sql(rows_sql: str, rule_cols: list[str]) -> str:
+    """DuckDB twin of :func:`rule_shapley_attribution`."""
+    nf = " + ".join(
+        f"coalesce(({c})::boolean, false)::int" for c in rule_cols
+    )
+    aggs = [f"count(*)::bigint AS n",
+            f"sum(CASE WHEN ({nf}) > 0 THEN 1 ELSE 0 END)::bigint AS drops"]
+    for c in rule_cols:
+        aggs.append(
+            f"sum(coalesce(({c})::boolean, false)::int)::bigint AS f_{c}")
+        aggs.append(
+            f"sum(CASE WHEN coalesce(({c})::boolean, false) "
+            f"THEN 1.0 / ({nf})::double ELSE 0.0 END) AS s_{c}")
+    parts = [
+        f"SELECT '{c}' AS rule, f_{c} AS n_fires, s_{c} AS drop_credit, "
+        f"CASE WHEN drops > 0 THEN s_{c} / drops::double END "
+        f"AS credit_share FROM a"
+        for c in rule_cols
+    ]
+    return (f"WITH rows_in AS ({rows_sql}),\n"
+            f"a AS (SELECT {', '.join(aggs)} FROM rows_in)\n"
+            + "\nUNION ALL\n".join(parts))
+
+
+def keep_rate_by_score_decile(
+    df: DataFrame, score_col: str, keep_col: str, n_buckets: int = 10
+) -> DataFrame:
+    """Filter-calibration audit: keep rate per exact score decile —
+    the 'is my quality filter just a length proxy?' curve. A filter
+    whose keep rate climbs monotonically with a cheap feature is that
+    feature in disguise; a calibrated one is flat-ish with a cliff at
+    the rule boundary.
+
+    Deciles are exact ECDF buckets: bucket(s) = min(ceil(F(s)·B), B)
+    with F the inclusive ECDF, so ties share a bucket and buckets are
+    reproducible across engines (no ntile order-tie ambiguity).
+    Returns (bucket, n, kept, keep_rate, score_min, score_max); NULL
+    scores are excluded, NULL keeps count as drop.
+
+    Scale design: the corpus collapses in ONE (score) groupBy
+    carrying (count, kept-count); the ECDF window runs over the
+    collapsed distinct-score table (bounded-score-cardinality
+    contract, same as selection.grouped_score_ecdf — bucket
+    corpus-cardinality scores first), then one O(distinct-scores)
+    re-aggregation. No corpus-scale window, no second corpus pass.
+    """
+    from pyspark.sql import Window as W
+
+    s = df.select(
+        F.col(score_col).cast("double").alias("s"),
+        F.coalesce(F.col(keep_col).cast("boolean"), F.lit(False))
+        .cast("int").alias("k"),
+    ).filter(F.col("s").isNotNull())
+    g = s.groupBy("s").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("k").alias("kept")
+    )
+    w = W.orderBy("s").rowsBetween(W.unboundedPreceding, W.currentRow)
+    tot = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    e = g.select(
+        "s", "cnt", "kept",
+        (F.sum("cnt").over(w).cast("double")
+         / F.sum("cnt").over(tot).cast("double")).alias("ecdf"),
+    )
+    b = F.least(F.ceil(F.col("ecdf") * n_buckets), F.lit(n_buckets))
+    return (
+        e.groupBy(b.cast("int").alias("bucket"))
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n"),
+            F.sum("kept").cast("bigint").alias("kept"),
+            (F.sum("kept").cast("double") / F.sum("cnt").cast("double"))
+            .alias("keep_rate"),
+            F.min("s").alias("score_min"),
+            F.max("s").alias("score_max"),
+        )
+    )
+
+
+def oracle_keep_rate_decile_sql(
+    rows_sql: str, score_col: str, keep_col: str, n_buckets: int = 10
+) -> str:
+    """DuckDB twin of :func:`keep_rate_by_score_decile`."""
+    return f"""
+WITH rows_in AS ({rows_sql}),
+s AS (
+  SELECT ({score_col})::double AS s,
+         coalesce(({keep_col})::boolean, false)::int AS k
+  FROM rows_in WHERE ({score_col}) IS NOT NULL
+),
+g AS (SELECT s, count(*) AS cnt, sum(k) AS kept FROM s GROUP BY 1),
+e AS (
+  SELECT s, cnt, kept,
+         sum(cnt) OVER (ORDER BY s)::double
+           / sum(cnt) OVER ()::double AS ecdf
+  FROM g
+)
+SELECT least(ceil(ecdf * {n_buckets}), {n_buckets})::int AS bucket,
+       sum(cnt)::bigint AS n, sum(kept)::bigint AS kept,
+       sum(kept)::double / sum(cnt)::double AS keep_rate,
+       min(s) AS score_min, max(s) AS score_max
+FROM e GROUP BY 1"""

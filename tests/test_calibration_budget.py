@@ -197,3 +197,59 @@ def test_mcnemar_symmetric_churn_small_chi2(spark):
     df = spark.createDataFrame(rows, ["src", "v1", "v2"])
     (r,) = mcnemar_filters(df, "v1", "v2", "src").collect()
     assert abs(r["chi2"] - 0.25) < 1e-12
+
+
+def test_rule_shapley_hand_computed(spark):
+    """doc1 fires A only (credit A+=1), doc2 fires A+B (each +=0.5),
+    doc3 fires nothing. Credits sum to total drops (2)."""
+    from baselinr_spark.operators.evalmetrics import (
+        rule_shapley_attribution,
+    )
+
+    rows = [(True, False), (True, True), (False, False)]
+    df = spark.createDataFrame(rows, ["ra", "rb"])
+    got = {r["rule"]: r
+           for r in rule_shapley_attribution(df, ["ra", "rb"]).collect()}
+    assert got["ra"]["n_fires"] == 2 and got["rb"]["n_fires"] == 1
+    assert abs(got["ra"]["drop_credit"] - 1.5) < 1e-12
+    assert abs(got["rb"]["drop_credit"] - 0.5) < 1e-12
+    assert abs(got["ra"]["credit_share"] - 0.75) < 1e-12
+    assert abs(got["rb"]["credit_share"] - 0.25) < 1e-12
+
+
+def test_rule_shapley_null_flags_and_no_drops(spark):
+    from baselinr_spark.operators.evalmetrics import (
+        rule_shapley_attribution,
+    )
+
+    df = spark.createDataFrame(
+        [(None, False)], "ra boolean, rb boolean"
+    )
+    got = {r["rule"]: r
+           for r in rule_shapley_attribution(df, ["ra", "rb"]).collect()}
+    assert got["ra"]["n_fires"] == 0 and got["ra"]["drop_credit"] == 0.0
+    assert got["ra"]["credit_share"] is None  # zero drops -> undefined
+
+
+def test_keep_rate_by_score_decile_hand_computed(spark):
+    """Scores 1..4 into 2 buckets: ECDF .25/.5/.75/1 -> buckets
+    1,1,2,2; keeps (F,T,T,T) -> rates .5 and 1.0; tied scores share a
+    bucket (all-equal-scores edge: everything lands in bucket B)."""
+    from baselinr_spark.operators.evalmetrics import (
+        keep_rate_by_score_decile,
+    )
+
+    df = spark.createDataFrame(
+        [(1.0, False), (2.0, True), (3.0, True), (4.0, True)],
+        ["sc", "keep"],
+    )
+    got = {r["bucket"]: r
+           for r in keep_rate_by_score_decile(df, "sc", "keep",
+                                              n_buckets=2).collect()}
+    assert got[1]["n"] == 2 and abs(got[1]["keep_rate"] - 0.5) < 1e-12
+    assert got[2]["n"] == 2 and abs(got[2]["keep_rate"] - 1.0) < 1e-12
+    assert got[1]["score_min"] == 1.0 and got[1]["score_max"] == 2.0
+
+    tied = spark.createDataFrame([(7.0, True)] * 3, ["sc", "keep"])
+    out = keep_rate_by_score_decile(tied, "sc", "keep", 2).collect()
+    assert len(out) == 1 and out[0]["bucket"] == 2 and out[0]["n"] == 3
