@@ -48,6 +48,44 @@ def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+# Host-contention probe (same idea as tools/bench_scaling.py's
+# calibration): a FIXED pure-CPU sha256 chain whose idle-host timing is
+# recorded below. The probe runs before the headline loop, between
+# headline and pipeline, and after the pipeline, and lands in the JSON
+# artifact — so a slow reading is attributable (probe elevated => the
+# shared VM was contended during THIS run; probe at reference => the
+# code regressed). Round-4's 2.4x driver-vs-idle bench spread was
+# unexplainable precisely because the artifact carried no such signal.
+HOST_PROBE_N = 2_000_000       # single-process chain length
+HOST_PROBE_IDLE_REF_S = 0.79   # median of 5, idle host, 2026-08-20
+HOST_SAT_PER_PROC_N = 1_000_000
+HOST_SAT_IDLE_REF_S = 0.68     # 32 procs x 1M chain, median of 3, idle, 2026-08-20
+
+
+def _sha_chain(n: int) -> int:
+    import hashlib
+
+    h = b"x"
+    for _ in range(n):
+        h = hashlib.sha256(h).digest()
+    return 1
+
+
+def _host_probe_single() -> float:
+    t0 = time.time()
+    _sha_chain(HOST_PROBE_N)
+    return round(time.time() - t0, 3)
+
+
+def _host_probe_saturated(procs: int) -> float:
+    import multiprocessing as mp
+
+    t0 = time.time()
+    with mp.Pool(procs) as pool:
+        pool.map(_sha_chain, [HOST_SAT_PER_PROC_N] * procs)
+    return round(time.time() - t0, 3)
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -60,6 +98,9 @@ def main() -> int:
     from baselinr_spark.plans.pipeline import run_pipeline
 
     spark = build_session(app_name="bench", master=f"local[{cpus}]")
+
+    host_probes = [_host_probe_single()]
+    host_sat = _host_probe_saturated(min(cpus, os.cpu_count() or cpus))
 
     qs = entrymod.queries()
     timings: dict[str, float] = {}
@@ -76,6 +117,8 @@ def main() -> int:
             _force(qs[name](spark, sf_dir))
             best = min(best, time.time() - t0)
         timings[name] = round(best, 3)
+
+    host_probes.append(_host_probe_single())
 
     # flagship pipeline: synthetic pages warehouse at this SF
     # (1M docs/SF; sf0.1 -> 100k docs over 10 daily partitions — large
@@ -101,12 +144,13 @@ def main() -> int:
         finally:
             shutil.rmtree(wdir, ignore_errors=True)
 
-    # timed: best of 2 (this shared VM shows steal-time bursts to ~20%
-    # and sys-time spikes from memory reclaim; min-of-2 reports the
-    # steady state rather than whichever pass a burst landed on)
+    # timed: best of 3 (this shared VM shows steal-time bursts to ~20%
+    # and sys-time spikes from memory reclaim; min-of-3 reports the
+    # steady state rather than whichever pass a burst landed on — the
+    # host probes bracketing the block quantify what the host offered)
     pipeline_runs: list[float] = []
     summary = None
-    for ti in range(2):
+    for ti in range(3):
         out_dir = tempfile.mkdtemp(prefix="bench_out_")
         try:
             t0 = time.time()
@@ -127,6 +171,17 @@ def main() -> int:
     timings["pipeline"] = round(pipeline_sec, 3)
     docs_per_sec = summary["doc_count"] / pipeline_sec if pipeline_sec > 0 else 0.0
 
+    host_probes.append(_host_probe_single())
+    # contention factor: >1.0 means the host delivered less CPU than the
+    # idle reference during this run (e.g. 1.4 => readings ~1.4x slow).
+    # min over the three probes: probes taken mid-bench also see our own
+    # Spark JVM's background threads (GC, shuffle cleanup), so the max
+    # overstates EXTERNAL contention; if even the min is elevated, the
+    # host was contended for the whole run. The full list is reported.
+    host_factor = round(
+        min(host_probes) / HOST_PROBE_IDLE_REF_S, 3
+    )
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline_total",
@@ -139,6 +194,11 @@ def main() -> int:
         "pipeline_phases": summary.get("phase_s", {}),
         "pipeline_runs": pipeline_runs,
         "cpus": cpus,
+        "host_probe_s": host_probes,
+        "host_probe_idle_ref_s": HOST_PROBE_IDLE_REF_S,
+        "host_probe_saturated_s": host_sat,
+        "host_probe_saturated_idle_ref_s": HOST_SAT_IDLE_REF_S,
+        "host_contention_factor": host_factor,
     }))
     spark.stop()
     return 0
