@@ -9264,6 +9264,31 @@ GROUP BY 1, 2 HAVING count(*) >= 2
 """
 
 
+def q_source_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-SOURCE trigram containment matrix (dedup.py:
+    source_containment) — syndication/mirror detection at corpus
+    granularity: fraction of source a's distinct shingles also found
+    anywhere in source b. Group-level complement of the per-document
+    ngram_containment_pairs."""
+    from baselinr_spark.operators.dedup import source_containment
+
+    docs = _read(spark, sf_dir, "documents")
+    out = source_containment(docs, "source", "text", shingle_n=3)
+    return _r6(out, "containment")
+
+
+def _sql_source_containment() -> str:
+    from baselinr_spark.operators.dedup import oracle_source_containment_sql
+
+    inner = oracle_source_containment_sql(
+        "SELECT source, text FROM documents", "source", "text", 3
+    )
+    return (
+        "SELECT src_a, src_b, n_shingles_a, n_common, "
+        f"round(containment, 6) AS containment FROM ({inner})"
+    )
+
+
 def q_ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directed bigram-set containment |A∩B|/|A| >= 0.6 (dedup.py:
     ngram_containment_pairs, Broder 1997) — the asymmetric complement
@@ -9926,6 +9951,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mcnemar_filters": q_mcnemar_filters,
         "rule_shapley": q_rule_shapley,
         "keep_rate_decile": q_keep_rate_decile,
+        "source_containment": q_source_containment,
         "range_join_events": q_range_join_events,
         "time_rollup_events": q_time_rollup_events,
         "sessionize_events": q_sessionize_events,
@@ -10127,6 +10153,7 @@ def oracle_sql() -> dict[str, str]:
         "mcnemar_filters": _sql_mcnemar_filters(),
         "rule_shapley": _sql_rule_shapley(),
         "keep_rate_decile": _sql_keep_rate_decile(),
+        "source_containment": _sql_source_containment(),
         "shard_manifest_docs": _sql_shard_manifest_docs(),
         "rule_ablation_docs": _SQL_RULE_ABLATION,
         "shard_positions_docs": _sql_shard_positions_docs(),

@@ -1359,3 +1359,92 @@ FROM inter i
 JOIN sizes sa ON sa.id = i.id_a
 JOIN sizes sb ON sb.id = i.id_b
 WHERE i.n_i::double / (sa.n + sb.n - i.n_i)::double >= {t!r}"""
+
+
+def source_containment(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+    *,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Cross-group syndication matrix: for every ordered pair of groups
+    (a, b), the fraction of a's distinct word n-gram shingles that also
+    appear anywhere in b — mirror/wire-copy detection at the corpus
+    level (a feed syndicated into b shows containment(a→b) ≈ 1 while
+    Jaccard stays low if b is much larger). Complements
+    ngram_containment_pairs, which is per-document.
+
+    Returns (src_a, src_b, n_shingles_a, n_common, containment), self
+    pairs excluded, pairs with zero common shingles omitted.
+
+    Contract: group cardinality G is config-scale (sources, langs,
+    bucketed domains — NOT raw urls): the output is at most G², and a
+    shingle shared by every group fans out to G(G-1) join rows.
+    Scale design: ONE distinct-shuffle keyed (group, shingle), then a
+    self-join keyed on shingle that reuses that partitioning; the
+    per-group size table is G rows and broadcast. No corpus-scale
+    window or collect. Reference parity: recasts the reference's
+    cross-table drift comparisons (drift/engine.py compare loop) as a
+    set-overlap matrix over text shingles.
+    """
+    sh = df.select(
+        F.col(group_col).alias("g"),
+        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle"),
+    ).distinct()
+    sizes = sh.groupBy("g").agg(F.count(F.lit(1)).alias("n_shingles"))
+    inter = (
+        sh.alias("a")
+        .join(sh.alias("b"), "shingle")
+        .filter(F.col("a.g") != F.col("b.g"))
+        .groupBy(F.col("a.g").alias("src_a"), F.col("b.g").alias("src_b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    return (
+        inter.join(
+            F.broadcast(sizes.withColumnRenamed("g", "src_a")), "src_a"
+        )
+        .select(
+            "src_a",
+            "src_b",
+            F.col("n_shingles").cast("bigint").alias("n_shingles_a"),
+            "n_common",
+            (F.col("n_common").cast("double")
+             / F.col("n_shingles").cast("double")).alias("containment"),
+        )
+    )
+
+
+def oracle_source_containment_sql(
+    rows_sql: str, group_col: str, text_col: str, shingle_n: int = 3
+) -> str:
+    """DuckDB twin of :func:`source_containment` (same shingle spec as
+    the minhash/jaccard oracles: normalize → split → n-gram windows,
+    whole-text fallback when fewer than n words)."""
+    n = shingle_n
+    return f"""
+WITH rows_in AS ({rows_sql}),
+w AS (
+  SELECT {group_col} AS g,
+         list_filter(string_split(trim(regexp_replace(lower({text_col}), '\\s+', ' ', 'g')), ' '),
+                     x -> length(x) > 0) AS words
+  FROM rows_in
+),
+sh0 AS (
+  SELECT g, unnest(list_distinct(
+           CASE WHEN len(words) - {n - 1} > 0
+                THEN list_transform(range(0, len(words) - {n - 1}),
+                                    i -> array_to_string(words[i+1:i+{n}], ' '))
+                ELSE [array_to_string(words, ' ')] END)) AS shingle
+  FROM w
+),
+sh AS (SELECT DISTINCT g, shingle FROM sh0),
+sizes AS (SELECT g, count(*)::bigint AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.g AS src_a, b.g AS src_b, count(*)::bigint AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.g <> b.g
+  GROUP BY 1, 2
+)
+SELECT src_a, src_b, s.n AS n_shingles_a, n_common,
+       n_common::double / s.n::double AS containment
+FROM inter JOIN sizes s ON s.g = inter.src_a"""

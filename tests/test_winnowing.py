@@ -179,3 +179,47 @@ def test_ngram_containment_asymmetric_quote(spark):
     assert got[(2, 1)] == pytest.approx(1.0)   # fragment -> superset
     assert (1, 2) not in got                    # 3/13 < 0.6 threshold
     assert all(3 not in p for p in got)
+
+
+def test_source_containment_hand_computed(spark):
+    """Source A: 'a b c d' -> trigrams {'a b c','b c d'}; source B:
+    'a b c x' -> {'a b c','b c x'}. Each direction shares exactly
+    'a b c': containment 1/2 both ways, asymmetric sizes verified
+    with a second B doc adding a new shingle (B grows to 3, A->B
+    stays 1/2, B->A drops to 1/3)."""
+    from baselinr_spark.operators.dedup import source_containment
+
+    df = spark.createDataFrame(
+        [("A", "a b c d"), ("B", "a b c x")], ["source", "text"]
+    )
+    got = {(r["src_a"], r["src_b"]): r
+           for r in source_containment(df, "source", "text").collect()}
+    assert got[("A", "B")]["n_shingles_a"] == 2
+    assert got[("A", "B")]["n_common"] == 1
+    assert abs(got[("A", "B")]["containment"] - 0.5) < 1e-12
+    assert abs(got[("B", "A")]["containment"] - 0.5) < 1e-12
+
+    df2 = spark.createDataFrame(
+        [("A", "a b c d"), ("B", "a b c x"), ("B", "p q r")],
+        ["source", "text"],
+    )
+    got2 = {(r["src_a"], r["src_b"]): r
+            for r in source_containment(df2, "source", "text").collect()}
+    assert got2[("B", "A")]["n_shingles_a"] == 3
+    assert abs(got2[("B", "A")]["containment"] - 1.0 / 3.0) < 1e-12
+    assert abs(got2[("A", "B")]["containment"] - 0.5) < 1e-12
+
+
+def test_source_containment_short_text_and_disjoint(spark):
+    """Docs with < n words fall back to the whole-text shingle (same
+    spec as minhash oracles); fully disjoint sources emit no rows."""
+    from baselinr_spark.operators.dedup import source_containment
+
+    df = spark.createDataFrame(
+        [("A", "hello"), ("B", "hello"), ("C", "unrelated words here")],
+        ["source", "text"],
+    )
+    got = {(r["src_a"], r["src_b"]): r
+           for r in source_containment(df, "source", "text").collect()}
+    assert abs(got[("A", "B")]["containment"] - 1.0) < 1e-12
+    assert not any("C" in k for k in got)
