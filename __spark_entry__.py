@@ -9289,6 +9289,81 @@ def _sql_source_containment() -> str:
     )
 
 
+def q_truncation_loss_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token loss under hard max-seq-len cutoffs 16/32/64
+    (packing.py:truncation_loss) — the context-length cost curve; one
+    conditional-agg corpus pass, lens unpivoted from the tiny result."""
+    from baselinr_spark.operators.packing import truncation_loss
+
+    docs = _read(spark, sf_dir, "documents")
+    out = truncation_loss(docs, "source", "text", seq_lens=(16, 32, 64))
+    return _r6(out, "loss_frac")
+
+
+def _sql_truncation_loss_docs() -> str:
+    from baselinr_spark.operators.packing import oracle_truncation_loss_sql
+
+    inner = oracle_truncation_loss_sql(
+        "SELECT source, text FROM documents", "source", "text",
+        (16, 32, 64),
+    )
+    return (
+        "SELECT source, seq_len, n_docs, total_tokens, kept_tokens, "
+        "docs_truncated, round(loss_frac, 6) AS loss_frac "
+        f"FROM ({inner})"
+    )
+
+
+# staged corpus for the split-leakage audit: documents plus literal
+# copies of every 10th doc under a fresh id — identical staging in the
+# oracle, so exact-dup groups exist and land in independent splits.
+_LEAK_STAGE_SQL = (
+    "SELECT doc_id, text, lang FROM documents "
+    "UNION ALL "
+    "SELECT doc_id + 1000000 AS doc_id, text, lang FROM documents "
+    "WHERE doc_id % 10 = 0"
+)
+
+
+def q_split_leakage_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-contamination audit (selection.py:split_leakage): exact-dup
+    groups spanning train/val/test boundaries of the lang-stratified
+    hash split, over a corpus staged with planted copies (id-hash
+    splitting cannot see content duplication — this measures it)."""
+    from baselinr_spark.operators.selection import (
+        split_leakage,
+        train_val_test_split,
+    )
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    copies = (
+        docs.filter(F.col("doc_id") % 10 == 0)
+        .withColumn("doc_id", F.col("doc_id") + F.lit(1000000))
+    )
+    staged = docs.unionByName(copies)
+    assigned = train_val_test_split(
+        staged, "doc_id", val_frac=0.1, test_frac=0.1, strata_cols=("lang",)
+    )
+    return split_leakage(assigned, "text")
+
+
+def _sql_split_leakage_docs() -> str:
+    from baselinr_spark.operators.selection import oracle_split_leakage_sql
+
+    assigned = f"""
+SELECT text,
+       CASE WHEN u < 0.1 THEN 'val'
+            WHEN u < 0.2 THEN 'test'
+            ELSE 'train' END AS split
+FROM (
+  SELECT text,
+         (('0x' || substring(md5(doc_id::varchar || '|' || lang || '|split'), 1, 8))::bigint)
+         / 4294967296.0 AS u
+  FROM ({_LEAK_STAGE_SQL})
+)"""
+    return oracle_split_leakage_sql(assigned, "text")
+
+
 def q_ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directed bigram-set containment |A∩B|/|A| >= 0.6 (dedup.py:
     ngram_containment_pairs, Broder 1997) — the asymmetric complement
@@ -9952,6 +10027,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rule_shapley": q_rule_shapley,
         "keep_rate_decile": q_keep_rate_decile,
         "source_containment": q_source_containment,
+        "truncation_loss_docs": q_truncation_loss_docs,
+        "split_leakage_docs": q_split_leakage_docs,
         "range_join_events": q_range_join_events,
         "time_rollup_events": q_time_rollup_events,
         "sessionize_events": q_sessionize_events,
@@ -10154,6 +10231,8 @@ def oracle_sql() -> dict[str, str]:
         "rule_shapley": _sql_rule_shapley(),
         "keep_rate_decile": _sql_keep_rate_decile(),
         "source_containment": _sql_source_containment(),
+        "truncation_loss_docs": _sql_truncation_loss_docs(),
+        "split_leakage_docs": _sql_split_leakage_docs(),
         "shard_manifest_docs": _sql_shard_manifest_docs(),
         "rule_ablation_docs": _SQL_RULE_ABLATION,
         "shard_positions_docs": _sql_shard_positions_docs(),

@@ -1193,3 +1193,65 @@ gq AS (
 SELECT ge.grp, ge.s, ge.p, min(gq.sg) AS s_norm
 FROM ge JOIN gq ON gq.fg >= ge.p
 GROUP BY 1, 2, 3"""
+
+
+def split_leakage(
+    assigned: DataFrame,
+    text_col: str,
+    split_col: str = "split",
+) -> DataFrame:
+    """Eval-contamination audit for a train/val/test assignment:
+    group documents by exact normalized-text hash and report, for
+    every combination of splits a duplicate group touches, how many
+    groups and documents leak across that boundary. A 'train+val'
+    row with nonzero n_groups means val examples are literal copies
+    of training examples — the eval-set contamination row-local
+    hash splitting (train_val_test_split) cannot prevent, because
+    distinct ids carrying identical text hash independently. The fix
+    this audit motivates is splitting by CONTENT key (dedup first,
+    or hash the text instead of the id); cf. ngram_contamination for
+    the n-gram (near-dup) version against benchmark suites.
+
+    Input is a DataFrame that already carries ``split_col`` (e.g. the
+    output of train_val_test_split). Returns (splits, n_groups,
+    n_docs) where splits is the sorted '+'-joined set of splits in
+    the group, over groups of size ≥ 2 only.
+
+    Scale design: ONE groupBy on the text hash (collect_set over ≤3
+    split labels, never doc ids), then a tiny re-aggregation over the
+    ≤ 2^3 split-combination rows.
+    """
+    h = F.md5(
+        F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    ).alias("__th")
+    grp = (
+        assigned.select(h, F.col(split_col).alias("__sp"))
+        .groupBy("__th")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.array_join(F.array_sort(F.collect_set("__sp")), "+")
+            .alias("splits"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+    return grp.groupBy("splits").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.sum("n_docs").cast("bigint").alias("n_docs"),
+    )
+
+
+def oracle_split_leakage_sql(
+    assigned_sql: str, text_col: str, split_col: str = "split"
+) -> str:
+    """DuckDB twin of :func:`split_leakage`; ``assigned_sql`` must
+    yield the same rows (text + split) as the Spark input."""
+    return f"""
+WITH assigned AS ({assigned_sql}),
+g AS (
+  SELECT md5(trim(regexp_replace(lower({text_col}), '\\s+', ' ', 'g'))) AS th,
+         count(*)::bigint AS n_docs,
+         array_to_string(list_sort(list_distinct(list({split_col}))), '+') AS splits
+  FROM assigned GROUP BY 1 HAVING count(*) >= 2
+)
+SELECT splits, count(*)::bigint AS n_groups, sum(n_docs)::bigint AS n_docs
+FROM g GROUP BY 1"""

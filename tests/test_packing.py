@@ -61,3 +61,21 @@ def test_pack_offsets_contiguous(spark, warehouse):
     for r in sorted(rows, key=lambda r: (r["dt"], r["url"])):
         assert r["start"] == by_key.get(r["dt"], 0)
         by_key[r["dt"]] = r["start"] + r["n_tokens"]
+
+
+def test_truncation_loss_hand_computed(spark):
+    """Group g: docs of 3 and 5 words; L=4 keeps 3+4=7 of 8 tokens
+    (loss 1/8, one doc truncated); L=8 keeps all (loss 0)."""
+    from baselinr_spark.operators.packing import truncation_loss
+
+    df = spark.createDataFrame(
+        [("g", "a b c"), ("g", "a b c d e")], ["src", "text"]
+    )
+    got = {r["seq_len"]: r
+           for r in truncation_loss(df, "src", "text",
+                                    seq_lens=(4, 8)).collect()}
+    assert got[4]["n_docs"] == 2 and got[4]["total_tokens"] == 8
+    assert got[4]["kept_tokens"] == 7 and got[4]["docs_truncated"] == 1
+    assert abs(got[4]["loss_frac"] - 0.125) < 1e-12
+    assert got[8]["kept_tokens"] == 8 and got[8]["docs_truncated"] == 0
+    assert got[8]["loss_frac"] == 0.0

@@ -522,3 +522,22 @@ def test_quantile_normalize_identity_on_single_group(spark):
     df = spark.createDataFrame(rows, ["g", "s"])
     for r in quantile_normalize_scores(df, "g", "s").collect():
         assert r["s_norm"] == r["s"]
+
+
+def test_split_leakage_hand_computed(spark):
+    """Three copies of text X across train/train/val -> one 'train+val'
+    group of 3 docs; unique text Y contributes nothing; two copies of Z
+    both in test -> a 'test' (non-leaking) group of 2."""
+    from baselinr_spark.operators.selection import split_leakage
+
+    rows = [
+        ("x words", "train"), ("X  words", "train"), ("x words", "val"),
+        ("y alone", "test"),
+        ("z dup", "test"), ("z dup", "test"),
+    ]
+    df = spark.createDataFrame(rows, ["text", "split"])
+    got = {r["splits"]: r for r in split_leakage(df, "text").collect()}
+    assert got["train+val"]["n_groups"] == 1
+    assert got["train+val"]["n_docs"] == 3
+    assert got["test"]["n_groups"] == 1 and got["test"]["n_docs"] == 2
+    assert "train" not in got  # y is unique -> filtered by group size
