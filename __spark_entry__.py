@@ -9289,6 +9289,31 @@ def _sql_source_containment() -> str:
     )
 
 
+def q_distinct_ngram_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-1/2/3 diversity per source (corpusstats.py:
+    distinct_ngram_ratio) — templated-source detector; all orders ride
+    one tagged explode + one distinct-aggregate."""
+    from baselinr_spark.operators.corpusstats import distinct_ngram_ratio
+
+    docs = _read(spark, sf_dir, "documents")
+    out = distinct_ngram_ratio(docs, "source", "text", ns=(1, 2, 3))
+    return _r6(out, "distinct_ratio")
+
+
+def _sql_distinct_ngram_docs() -> str:
+    from baselinr_spark.operators.corpusstats import (
+        oracle_distinct_ngram_ratio_sql,
+    )
+
+    inner = oracle_distinct_ngram_ratio_sql(
+        "SELECT source, text FROM documents", "source", "text", (1, 2, 3)
+    )
+    return (
+        "SELECT source, n, total_ngrams, distinct_ngrams, "
+        f"round(distinct_ratio, 6) AS distinct_ratio FROM ({inner})"
+    )
+
+
 def q_truncation_loss_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source token loss under hard max-seq-len cutoffs 16/32/64
     (packing.py:truncation_loss) — the context-length cost curve; one
@@ -10029,6 +10054,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_containment": q_source_containment,
         "truncation_loss_docs": q_truncation_loss_docs,
         "split_leakage_docs": q_split_leakage_docs,
+        "distinct_ngram_docs": q_distinct_ngram_docs,
         "range_join_events": q_range_join_events,
         "time_rollup_events": q_time_rollup_events,
         "sessionize_events": q_sessionize_events,
@@ -10233,6 +10259,7 @@ def oracle_sql() -> dict[str, str]:
         "source_containment": _sql_source_containment(),
         "truncation_loss_docs": _sql_truncation_loss_docs(),
         "split_leakage_docs": _sql_split_leakage_docs(),
+        "distinct_ngram_docs": _sql_distinct_ngram_docs(),
         "shard_manifest_docs": _sql_shard_manifest_docs(),
         "rule_ablation_docs": _SQL_RULE_ABLATION,
         "shard_positions_docs": _sql_shard_positions_docs(),

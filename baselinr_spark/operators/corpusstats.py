@@ -470,3 +470,110 @@ SELECT {sel}n_groups, n_rows,
        top_group
 FROM agg
 """
+
+
+def distinct_ngram_ratio(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+    ns: tuple[int, ...] = (1, 2, 3),
+) -> DataFrame:
+    """Per-group distinct-n diversity: for each n-gram order, the
+    fraction of the group's n-gram TOKENS that are distinct TYPES —
+    the standard distinct-1/2/3 diagnostic for templated or
+    boilerplate-heavy sources (a wire-copy or listing-page source has
+    a distinct-3 far below organic prose; complements
+    source_containment, which finds WHO shares the text, not how
+    repetitive each group is internally).
+
+    Tokens = lowercased whitespace words (same spec as term_counts /
+    zipf_fit); documents shorter than n words contribute nothing at
+    order n. Returns (group, n, total_ngrams, distinct_ngrams,
+    distinct_ratio); groups with zero n-grams at some order emit no
+    row for it.
+
+    Scale design: all orders ride ONE explode (grams tagged with their
+    n inside a flattened struct array), then one (group, n, gram)
+    distinct-aggregate — Spark plans count_distinct as a two-stage
+    partial-distinct shuffle, never a driver-side set.
+    """
+    from .textanalysis import words_expr
+
+    words = words_expr(F.lower(F.col(text_col)))
+
+    def grams(n: int):
+        if n == 1:
+            return words
+        k = F.size(words) - (n - 1)
+        return F.when(
+            k > 0,
+            F.transform(
+                F.sequence(F.lit(0), k - 1),
+                lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    def tag(n: int):
+        # single-arg lambda: a two-arg lambda would make F.transform
+        # pass the array INDEX as the second argument
+        return lambda g: F.struct(F.lit(n).alias("n"), g.alias("gram"))
+
+    tagged = F.flatten(
+        F.array(*[F.transform(grams(n), tag(n)) for n in ns])
+    )
+    ex = df.select(
+        F.col(group_col).alias("grp"), F.explode(tagged).alias("t")
+    ).select("grp", F.col("t.n").alias("n"), F.col("t.gram").alias("gram"))
+    return (
+        ex.groupBy("grp", "n")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("total_ngrams"),
+            F.count_distinct(F.col("gram")).cast("bigint")
+            .alias("distinct_ngrams"),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            F.col("n").cast("int").alias("n"),
+            "total_ngrams",
+            "distinct_ngrams",
+            (F.col("distinct_ngrams").cast("double")
+             / F.col("total_ngrams").cast("double")).alias("distinct_ratio"),
+        )
+    )
+
+
+def oracle_distinct_ngram_ratio_sql(
+    rows_sql: str,
+    group_col: str,
+    text_col: str,
+    ns: tuple[int, ...] = (1, 2, 3),
+) -> str:
+    """DuckDB twin of :func:`distinct_ngram_ratio` (one UNION ALL
+    branch per order — fine at oracle scale)."""
+    branches = []
+    for n in ns:
+        if n == 1:
+            branches.append(
+                "SELECT grp, 1 AS n, unnest(words) AS gram FROM w"
+            )
+        else:
+            branches.append(
+                f"SELECT grp, {n} AS n, "
+                f"array_to_string(words[i+1:i+{n}], ' ') AS gram "
+                f"FROM w, UNNEST(range(0, len(words) - {n - 1})) AS t(i)"
+            )
+    u = "\nUNION ALL\n".join(branches)
+    return f"""
+WITH rows_in AS ({rows_sql}),
+w AS (
+  SELECT {group_col} AS grp,
+         list_filter(string_split_regex(trim(lower({text_col})), '\\s+'),
+                     x -> length(x) > 0) AS words
+  FROM rows_in
+),
+u AS ({u})
+SELECT grp AS {group_col}, n::int AS n,
+       count(*)::bigint AS total_ngrams,
+       count(DISTINCT gram)::bigint AS distinct_ngrams,
+       count(DISTINCT gram)::double / count(*)::double AS distinct_ratio
+FROM u GROUP BY 1, 2"""

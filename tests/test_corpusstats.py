@@ -196,3 +196,20 @@ def test_concentration_uniform_is_zero_gini(spark):
     (row,) = concentration(df, "g").collect()
     assert abs(row["gini"]) < 1e-9
     assert abs(row["effective_groups"] - 3.0) < 1e-9
+
+
+def test_distinct_ngram_ratio_hand_computed(spark):
+    """'a b a b' in one group: unigrams 4 tokens/2 types (0.5);
+    bigrams 'a b','b a','a b' -> 3/2; trigrams 'a b a','b a b' -> 2/2.
+    A second one-word doc adds a unigram token but no bigram/trigram."""
+    from baselinr_spark.operators.corpusstats import distinct_ngram_ratio
+
+    df = spark.createDataFrame(
+        [("g", "a b a b"), ("g", "c")], ["src", "text"]
+    )
+    got = {r["n"]: r
+           for r in distinct_ngram_ratio(df, "src", "text").collect()}
+    assert got[1]["total_ngrams"] == 5 and got[1]["distinct_ngrams"] == 3
+    assert got[2]["total_ngrams"] == 3 and got[2]["distinct_ngrams"] == 2
+    assert got[3]["total_ngrams"] == 2 and got[3]["distinct_ngrams"] == 2
+    assert abs(got[2]["distinct_ratio"] - 2.0 / 3.0) < 1e-12
