@@ -9289,6 +9289,36 @@ def _sql_source_containment() -> str:
     )
 
 
+def q_dawid_skene_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dawid-Skene EM over three noisy keep-raters (evalmetrics.py:
+    dawid_skene_binary) — per-filter sensitivity/specificity without
+    ground truth; 2 unrolled EM iterations, each M-step ONE aggregate."""
+    from baselinr_spark.operators.evalmetrics import dawid_skene_binary
+
+    rules = _shap_rules_spark()
+    docs = _read(spark, sf_dir, "documents").select(
+        *[(~c).alias(n) for n, c in rules.items()]
+    )
+    out = dawid_skene_binary(docs, list(rules), n_iter=2)
+    return _r6(out, "sensitivity", "specificity", "prior")
+
+
+def _sql_dawid_skene_filters() -> str:
+    from baselinr_spark.operators.evalmetrics import oracle_dawid_skene_sql
+
+    rows = (
+        "SELECT "
+        + ", ".join(f"NOT {e} AS {n}" for n, e in _SHAP_RULES_SQL.items())
+        + " FROM documents"
+    )
+    inner = oracle_dawid_skene_sql(rows, list(_SHAP_RULES_SQL), n_iter=2)
+    return (
+        "SELECT rater, round(sensitivity, 6) AS sensitivity, "
+        "round(specificity, 6) AS specificity, "
+        f"round(prior, 6) AS prior FROM ({inner})"
+    )
+
+
 def q_distinct_ngram_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct-1/2/3 diversity per source (corpusstats.py:
     distinct_ngram_ratio) — templated-source detector; all orders ride
@@ -10055,6 +10085,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "truncation_loss_docs": q_truncation_loss_docs,
         "split_leakage_docs": q_split_leakage_docs,
         "distinct_ngram_docs": q_distinct_ngram_docs,
+        "dawid_skene_filters": q_dawid_skene_filters,
         "range_join_events": q_range_join_events,
         "time_rollup_events": q_time_rollup_events,
         "sessionize_events": q_sessionize_events,
@@ -10260,6 +10291,7 @@ def oracle_sql() -> dict[str, str]:
         "truncation_loss_docs": _sql_truncation_loss_docs(),
         "split_leakage_docs": _sql_split_leakage_docs(),
         "distinct_ngram_docs": _sql_distinct_ngram_docs(),
+        "dawid_skene_filters": _sql_dawid_skene_filters(),
         "shard_manifest_docs": _sql_shard_manifest_docs(),
         "rule_ablation_docs": _SQL_RULE_ABLATION,
         "shard_positions_docs": _sql_shard_positions_docs(),

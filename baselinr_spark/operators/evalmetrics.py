@@ -1172,3 +1172,146 @@ SELECT least(ceil(ecdf * {n_buckets}), {n_buckets})::int AS bucket,
        sum(kept)::double / sum(cnt)::double AS keep_rate,
        min(s) AS score_min, max(s) AS score_max
 FROM e GROUP BY 1"""
+
+
+def dawid_skene_binary(
+    df: DataFrame, rater_cols: list[str], n_iter: int = 2
+) -> DataFrame:
+    """Dawid-Skene EM (1979) over binary raters — per-filter
+    sensitivity/specificity WITHOUT ground truth. Treat each quality
+    rule / filter version / annotator as a noisy rater of the latent
+    keep label: initialize each document's posterior q as the majority
+    fraction, then alternate (M) re-estimating the prior and each
+    rater's sensitivity = P(vote|keep) and specificity =
+    P(no-vote|drop) under q, (E) recomputing q from the rater
+    parameters. A rater that mostly agrees with the consensus earns
+    high sens/spec and more weight next round; a contrarian one is
+    down-weighted — unlike kappa/MI, which only compare rater PAIRS.
+
+    ``n_iter`` M-steps with an E-step between consecutive ones
+    (q0 → M1 → E1 → M2 → … → report the last M). Laplace smoothing
+    (+1/+2) keeps every log finite. NULL votes count as no-vote.
+    Returns one row per rater: (rater, sensitivity, specificity,
+    prior) — prior is the corpus P(keep), identical on every row.
+
+    Scale design: each M-step is ONE corpus aggregate (2k+1 counters,
+    map-side combined, single-row shuffle) broadcast back for the
+    row-local E-step — n_iter is a small constant, so the whole plan
+    is n_iter aggregates over one cached projection; no window, no
+    per-doc state table. Oracle replays the exact unrolled iterations
+    as chained CTEs (same pattern as the BPE/logreg oracles,
+    operators/bpe.py:oracle_bpe_cte).
+    """
+    k = len(rater_cols)
+    votes = [
+        F.coalesce(F.col(c).cast("boolean"), F.lit(False)).cast("int")
+        .alias(f"v{i}")
+        for i, c in enumerate(rater_cols)
+    ]
+    q0 = (
+        sum((F.col(f"v{i}") for i in range(k)), F.lit(0)).cast("double")
+        / F.lit(float(k))
+    ).alias("q")
+    cur = df.select(*votes).select("*", q0)
+
+    def m_aggs():
+        aggs = [
+            F.count(F.lit(1)).cast("double").alias("__n"),
+            F.sum("q").alias("__sq"),
+        ]
+        for i in range(k):
+            aggs.append(
+                F.sum(F.col("q") * F.col(f"v{i}")).alias(f"__sv{i}")
+            )
+            aggs.append(
+                F.sum((1.0 - F.col("q")) * (1 - F.col(f"v{i}")))
+                .alias(f"__su{i}")
+            )
+        return aggs
+
+    def params(m):
+        pi = (F.col("__sq") + 1.0) / (F.col("__n") + 2.0)
+        sel = [pi.alias("prior")]
+        for i in range(k):
+            sel.append(((F.col(f"__sv{i}") + 1.0)
+                        / (F.col("__sq") + 2.0)).alias(f"se{i}"))
+            sel.append(((F.col(f"__su{i}") + 1.0)
+                        / (F.col("__n") - F.col("__sq") + 2.0))
+                       .alias(f"sp{i}"))
+        return m.select(*sel)
+
+    m = params(cur.agg(*m_aggs()))
+    for _ in range(n_iter - 1):
+        logit = F.log(F.col("prior") / (1.0 - F.col("prior")))
+        for i in range(k):
+            on = F.log(F.col(f"se{i}")) - F.log(1.0 - F.col(f"sp{i}"))
+            off = F.log(1.0 - F.col(f"se{i}")) - F.log(F.col(f"sp{i}"))
+            logit = logit + F.when(F.col(f"v{i}") == 1, on).otherwise(off)
+        cur = cur.drop("q").crossJoin(F.broadcast(m)).select(
+            *[F.col(f"v{i}") for i in range(k)],
+            (1.0 / (1.0 + F.exp(-logit))).alias("q"),
+        )
+        m = params(cur.agg(*m_aggs()))
+
+    parts = []
+    for i, c in enumerate(rater_cols):
+        parts.append(m.select(
+            F.lit(c).alias("rater"),
+            F.col(f"se{i}").alias("sensitivity"),
+            F.col(f"sp{i}").alias("specificity"),
+            F.col("prior"),
+        ))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def oracle_dawid_skene_sql(
+    rows_sql: str, rater_cols: list[str], n_iter: int = 2
+) -> str:
+    """DuckDB twin of :func:`dawid_skene_binary` — exact unrolled EM."""
+    k = len(rater_cols)
+    vsel = ", ".join(
+        f"coalesce(({c})::boolean, false)::int AS v{i}"
+        for i, c in enumerate(rater_cols)
+    )
+    qsum = " + ".join(f"v{i}" for i in range(k))
+    ctes = [
+        f"d0 AS (SELECT *, ({qsum})::double / {float(k)} AS q "
+        f"FROM (SELECT {vsel} FROM ({rows_sql})))"
+    ]
+
+    def m_cte(t: int, dsrc: str) -> str:
+        cols = ["count(*)::double AS n", "sum(q) AS sq",
+                "(sum(q) + 1.0) / (count(*)::double + 2.0) AS prior"]
+        for i in range(k):
+            cols.append(f"(sum(q * v{i}) + 1.0) / (sum(q) + 2.0) AS se{i}")
+            cols.append(
+                f"(sum((1.0 - q) * (1 - v{i})) + 1.0)"
+                f" / (count(*)::double - sum(q) + 2.0) AS sp{i}"
+            )
+        return f"m{t} AS (SELECT {', '.join(cols)} FROM {dsrc})"
+
+    ctes.append(m_cte(1, "d0"))
+    for t in range(2, n_iter + 1):
+        terms = [f"ln(prior / (1.0 - prior))"]
+        for i in range(k):
+            terms.append(
+                f"CASE WHEN v{i} = 1 THEN ln(se{i}) - ln(1.0 - sp{i}) "
+                f"ELSE ln(1.0 - se{i}) - ln(sp{i}) END"
+            )
+        logit = " + ".join(terms)
+        vcols = ", ".join(f"v{i}" for i in range(k))
+        ctes.append(
+            f"d{t-1} AS (SELECT {vcols}, "
+            f"1.0 / (1.0 + exp(-({logit}))) AS q "
+            f"FROM d{t-2} CROSS JOIN m{t-1})"
+        )
+        ctes.append(m_cte(t, f"d{t-1}"))
+    parts = [
+        f"SELECT '{c}' AS rater, se{i} AS sensitivity, "
+        f"sp{i} AS specificity, prior FROM m{n_iter}"
+        for i, c in enumerate(rater_cols)
+    ]
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(parts)

@@ -253,3 +253,49 @@ def test_keep_rate_by_score_decile_hand_computed(spark):
     tied = spark.createDataFrame([(7.0, True)] * 3, ["sc", "keep"])
     out = keep_rate_by_score_decile(tied, "sc", "keep", 2).collect()
     assert len(out) == 1 and out[0]["bucket"] == 2 and out[0]["n"] == 3
+
+
+def test_dawid_skene_perfect_raters_exact(spark):
+    """3 perfect raters on a 3-keep/3-drop corpus: q0 is exact, M1
+    gives prior .5, se=sp=4/5 (Laplace-capped); E1 posteriors are
+    64/65 vs 1/65 (logit = 3·ln4), so M2 gives se=sp=257/325 exactly
+    and prior stays .5."""
+    from baselinr_spark.operators.evalmetrics import dawid_skene_binary
+
+    rows = [(t, t, t) for t in (True,) * 3 + (False,) * 3]
+    df = spark.createDataFrame(rows, ["a", "b", "c"])
+    got = {r["rater"]: r
+           for r in dawid_skene_binary(df, ["a", "b", "c"],
+                                       n_iter=2).collect()}
+    for r in ("a", "b", "c"):
+        assert abs(got[r]["sensitivity"] - 257.0 / 325.0) < 1e-12
+        assert abs(got[r]["specificity"] - 257.0 / 325.0) < 1e-12
+        assert abs(got[r]["prior"] - 0.5) < 1e-12
+
+
+def test_dawid_skene_contrarian_downweighted(spark):
+    """Two consensus raters + one that always votes the opposite: the
+    contrarian's sensitivity and specificity land below 1/2, the
+    consensus raters' above."""
+    from baselinr_spark.operators.evalmetrics import dawid_skene_binary
+
+    rows = [(t, t, not t) for t in [True] * 5 + [False] * 5]
+    df = spark.createDataFrame(rows, ["a", "b", "contra"])
+    got = {r["rater"]: r
+           for r in dawid_skene_binary(df, ["a", "b", "contra"],
+                                       n_iter=2).collect()}
+    assert got["contra"]["sensitivity"] < 0.5 < got["a"]["sensitivity"]
+    assert got["contra"]["specificity"] < 0.5 < got["a"]["specificity"]
+
+
+def test_dawid_skene_null_votes_finite(spark):
+    from baselinr_spark.operators.evalmetrics import dawid_skene_binary
+    import math
+
+    df = spark.createDataFrame(
+        [(None, True), (True, None)], "a boolean, b boolean"
+    )
+    for r in dawid_skene_binary(df, ["a", "b"], n_iter=2).collect():
+        assert math.isfinite(r["sensitivity"])
+        assert math.isfinite(r["specificity"])
+        assert 0.0 < r["prior"] < 1.0
