@@ -9289,6 +9289,52 @@ def _sql_source_containment() -> str:
     )
 
 
+def q_pii_cooccurrence_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII co-occurrence risk tiers (functions/scrub.py:
+    pii_cooccurrence): docs grouped by WHICH PII types appear together
+    — email+phone in one page outranks either alone. PII is planted
+    in-query by doc_id mod 6 (email / phone / email+phone / email+ip /
+    ip / clean), identically in the DuckDB twin; the real scrub
+    regexes then classify."""
+    from baselinr_spark.functions.scrub import pii_cooccurrence
+
+    docs = _read(spark, sf_dir, "documents")
+    m = F.pmod(F.col("doc_id"), F.lit(6))
+    suffix = (
+        F.when(m == 0, F.lit(" a@b.example"))
+        .when(m == 1, F.lit(" +1-555-0100-0000"))
+        .when(m == 2, F.lit(" a@b.example +1-555-0100-0000"))
+        .when(m == 3, F.lit(" a@b.example 10.0.0.1"))
+        .when(m == 4, F.lit(" 10.0.0.1"))
+        .otherwise(F.lit(""))
+    )
+    staged = docs.select(
+        F.concat(F.coalesce(F.col("text"), F.lit("")), suffix).alias("text")
+    )
+    out = pii_cooccurrence(staged, "text")
+    return _r6(out, "doc_share")
+
+
+def _sql_pii_cooccurrence_docs() -> str:
+    from baselinr_spark.functions.scrub import oracle_pii_cooccurrence_sql
+
+    rows = """
+SELECT coalesce(text, '') ||
+       CASE doc_id % 6
+            WHEN 0 THEN ' a@b.example'
+            WHEN 1 THEN ' +1-555-0100-0000'
+            WHEN 2 THEN ' a@b.example +1-555-0100-0000'
+            WHEN 3 THEN ' a@b.example 10.0.0.1'
+            WHEN 4 THEN ' 10.0.0.1'
+            ELSE '' END AS text
+FROM documents"""
+    inner = oracle_pii_cooccurrence_sql(rows, "text")
+    return (
+        "SELECT pii_types, n_docs, round(doc_share, 6) AS doc_share "
+        f"FROM ({inner})"
+    )
+
+
 def q_dawid_skene_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dawid-Skene EM over three noisy keep-raters (evalmetrics.py:
     dawid_skene_binary) — per-filter sensitivity/specificity without
@@ -10086,6 +10132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_leakage_docs": q_split_leakage_docs,
         "distinct_ngram_docs": q_distinct_ngram_docs,
         "dawid_skene_filters": q_dawid_skene_filters,
+        "pii_cooccurrence_docs": q_pii_cooccurrence_docs,
         "range_join_events": q_range_join_events,
         "time_rollup_events": q_time_rollup_events,
         "sessionize_events": q_sessionize_events,
@@ -10292,6 +10339,7 @@ def oracle_sql() -> dict[str, str]:
         "split_leakage_docs": _sql_split_leakage_docs(),
         "distinct_ngram_docs": _sql_distinct_ngram_docs(),
         "dawid_skene_filters": _sql_dawid_skene_filters(),
+        "pii_cooccurrence_docs": _sql_pii_cooccurrence_docs(),
         "shard_manifest_docs": _sql_shard_manifest_docs(),
         "rule_ablation_docs": _SQL_RULE_ABLATION,
         "shard_positions_docs": _sql_shard_positions_docs(),

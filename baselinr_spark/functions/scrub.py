@@ -211,3 +211,63 @@ def oracle_pseudonymize_sql(
         f"m -> '<{label}:' || substring(md5(m), 1, 8) || '>')[i], '')"
         f"), '') END"
     )
+
+
+def pii_cooccurrence(df, text_col: str):
+    """Re-identification risk tiers: group documents by WHICH PII
+    types co-occur in them (email+phone in one page identifies a
+    person far more than either alone — the combination, not the
+    count, sets the risk tier and the right scrub/quarantine policy).
+
+    Detection reuses the exact SCRUB_PATTERNS regexes (email, phone,
+    ipv4 — the tox lexicon is toxicity, not PII, and is excluded).
+    Returns (pii_types, n_docs, doc_share): pii_types is the
+    '+'-joined sorted-by-pattern-order combination ('none' when
+    clean); doc_share sums to 1.
+
+    Scale design: detection is row-local regexp_like inside codegen
+    (no UDF); ONE groupBy over ≤2³ combination keys; the total for
+    doc_share rides a broadcast 1-row aggregate.
+    """
+    from pyspark.sql import DataFrame  # noqa: F401 (signature doc)
+
+    flags = [
+        (name, F.col(text_col).rlike(pat))
+        for name, pat, _ in SCRUB_PATTERNS
+        if name != "tox"
+    ]
+    combo = F.concat_ws(
+        "+", *[F.when(flag, F.lit(name)) for name, flag in flags]
+    )
+    combo = F.when(combo == "", F.lit("none")).otherwise(combo)
+    counts = (
+        df.select(combo.alias("pii_types"))
+        .groupBy("pii_types")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
+    total = df.agg(F.count(F.lit(1)).cast("double").alias("__t"))
+    return counts.crossJoin(F.broadcast(total)).select(
+        "pii_types",
+        "n_docs",
+        (F.col("n_docs").cast("double") / F.col("__t")).alias("doc_share"),
+    )
+
+
+def oracle_pii_cooccurrence_sql(rows_sql: str, text_col: str) -> str:
+    """DuckDB twin of :func:`pii_cooccurrence` (same regexes; RE2 and
+    Java agree on these ASCII-only patterns — see module docstring)."""
+    cases = ", ".join(
+        f"CASE WHEN regexp_matches({text_col}, '{pat}') THEN '{name}' END"
+        for name, pat, _ in SCRUB_PATTERNS
+        if name != "tox"
+    )
+    return f"""
+WITH rows_in AS ({rows_sql}),
+c AS (
+  SELECT coalesce(nullif(concat_ws('+', {cases}), ''), 'none') AS pii_types
+  FROM rows_in
+),
+t AS (SELECT count(*)::double AS tot FROM rows_in)
+SELECT pii_types, count(*)::bigint AS n_docs,
+       count(*)::double / tot AS doc_share
+FROM c, t GROUP BY pii_types, tot"""

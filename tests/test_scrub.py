@@ -43,3 +43,24 @@ def test_scrub_null_passthrough(spark):
     df = spark.createDataFrame([("u", None)], "url string, text string")
     r = df.select(scrub_pandas_udf("text").alias("a"), scrub_expr(F.col("text")).alias("b")).first()
     assert r["a"] is None and r["b"] is None
+
+
+def test_pii_cooccurrence_hand_computed(spark):
+    """email+phone doc lands in the combined tier, clean doc in
+    'none'; shares sum to 1; tox words are NOT PII."""
+    from baselinr_spark.functions.scrub import pii_cooccurrence
+
+    rows = [
+        ("mail me a@b.example or call +1-555-0100-0000",),
+        ("server at 10.0.0.1 blah",),
+        ("perfectly clean text",),
+        ("a@b.example only",),
+    ]
+    df = spark.createDataFrame(rows, ["text"])
+    got = {r["pii_types"]: r
+           for r in pii_cooccurrence(df, "text").collect()}
+    assert got["email+phone"]["n_docs"] == 1
+    assert got["ipv4"]["n_docs"] == 1
+    assert got["none"]["n_docs"] == 1
+    assert got["email"]["n_docs"] == 1
+    assert abs(sum(r["doc_share"] for r in got.values()) - 1.0) < 1e-12
