@@ -6771,6 +6771,40 @@ FROM final GROUP BY 1
 )
 
 
+def q_kmeans_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster simplified silhouette (kmeans.py:
+    simplified_silhouette) after the same two Lloyd rounds as
+    kmeans_assignments — centroid-based O(n·k), never pairwise."""
+    from baselinr_spark.operators.kmeans import simplified_silhouette
+
+    emb = _read(spark, sf_dir, "embeddings")
+    out = simplified_silhouette(
+        emb, "vec_id", "embedding", n_centroids=8, iters=2
+    )
+    return _r6(out, "avg_silhouette")
+
+
+_SQL_KMEANS_SILHOUETTE = (
+    _SQL_KMEANS_BODY
+    + """
+, ranked_d AS (
+  SELECT vec_id, centroid_id, sqrt(sqdist) AS d,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY sqdist, centroid_id) AS rn
+  FROM s3
+)
+SELECT a.centroid_id::int AS centroid_id,
+       count(*)::bigint AS n_members,
+       round(avg(CASE WHEN greatest(a.d, b.d) > 0
+                      THEN (b.d - a.d) / greatest(a.d, b.d)
+                      ELSE 0.0 END), 6) AS avg_silhouette
+FROM (SELECT * FROM ranked_d WHERE rn = 1) a
+JOIN (SELECT * FROM ranked_d WHERE rn = 2) b USING (vec_id)
+GROUP BY 1
+"""
+)
+
+
 def q_char_entropy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc character-distribution Shannon entropy in bits
     (operators/textanalysis.py:char_entropy) — the gibberish /
@@ -10133,6 +10167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_ngram_docs": q_distinct_ngram_docs,
         "dawid_skene_filters": q_dawid_skene_filters,
         "pii_cooccurrence_docs": q_pii_cooccurrence_docs,
+        "kmeans_silhouette": q_kmeans_silhouette,
         "range_join_events": q_range_join_events,
         "time_rollup_events": q_time_rollup_events,
         "sessionize_events": q_sessionize_events,
@@ -10340,6 +10375,7 @@ def oracle_sql() -> dict[str, str]:
         "distinct_ngram_docs": _sql_distinct_ngram_docs(),
         "dawid_skene_filters": _sql_dawid_skene_filters(),
         "pii_cooccurrence_docs": _sql_pii_cooccurrence_docs(),
+        "kmeans_silhouette": _SQL_KMEANS_SILHOUETTE,
         "shard_manifest_docs": _sql_shard_manifest_docs(),
         "rule_ablation_docs": _SQL_RULE_ABLATION,
         "shard_positions_docs": _sql_shard_positions_docs(),

@@ -132,3 +132,77 @@ def kmeans_inertia(assigned: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n_members"),
         F.sum("sqdist").alias("inertia"),
     )
+
+
+def simplified_silhouette(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    n_centroids: int = 8,
+    iters: int = 2,
+) -> DataFrame:
+    """Per-cluster simplified silhouette after ``iters`` Lloyd rounds:
+    s = (b − a) / max(a, b) with a = distance to the OWN centroid and
+    b = distance to the nearest OTHER centroid (Hruschka et al.'s
+    centroid-based simplification — O(n·k) instead of the classic
+    O(n²) pairwise silhouette, the only form that scales past a few
+    thousand vectors). Near +1 = compact/separated clusters worth
+    keeping for cluster-balanced sampling; near 0 = k is fiction.
+
+    Returns (centroid_id, n_members, avg_silhouette); a degenerate
+    point at distance 0 from two centroids scores 0.
+
+    Scale design: distances ride the same broadcast O(k·d) centroid
+    crossJoin as assignment; best and second-best reduce via
+    min(struct) groupBys on vec_id (the second join reuses the first's
+    hash partitioning); nothing larger than k·d is ever collected or
+    broadcast beyond the centroid table.
+    """
+    cents = ivf_centroids(df, id_col, vec_col, n_centroids=n_centroids)
+    cents = cents.select(
+        "centroid_id",
+        F.col("centroid_vec").cast("array<double>").alias("centroid_vec"),
+    )
+    for _ in range(iters):
+        assigned = assign_nearest(df, cents, id_col, vec_col)
+        cents = _update_centroids(
+            df, assigned, cents, id_col, vec_col
+        ).localCheckpoint(eager=True)
+
+    pts = df.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    )
+    dists = pts.crossJoin(
+        F.broadcast(cents.select(
+            "centroid_id", F.col("centroid_vec").alias("__c")
+        ))
+    ).select(
+        "vec_id", "centroid_id", _sqdist(F.col("__v"), F.col("__c")).alias("sqdist")
+    )
+    best = dists.groupBy("vec_id").agg(
+        F.min(F.struct("sqdist", "centroid_id")).alias("__b")
+    ).select(
+        "vec_id",
+        F.col("__b.centroid_id").alias("own_id"),
+        F.sqrt("__b.sqdist").alias("a"),
+    )
+    second = (
+        dists.join(best, "vec_id")
+        .filter(F.col("centroid_id") != F.col("own_id"))
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("sqdist", "centroid_id")).alias("__s"))
+        .select("vec_id", F.sqrt("__s.sqdist").alias("b"))
+    )
+    sil = best.join(second, "vec_id").select(
+        "own_id",
+        F.when(
+            F.greatest("a", "b") > 0,
+            (F.col("b") - F.col("a")) / F.greatest("a", "b"),
+        ).otherwise(F.lit(0.0)).alias("s"),
+    )
+    return sil.groupBy(F.col("own_id").alias("centroid_id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.avg("s").alias("avg_silhouette"),
+    )

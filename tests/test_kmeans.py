@@ -108,3 +108,33 @@ def test_iteration_never_increases_inertia(spark):
     i1, i2 = total_inertia(1), total_inertia(2)
     assert i1 <= i0 + 1e-9
     assert i2 <= i1 + 1e-9
+
+
+def test_simplified_silhouette_separated_clusters(spark):
+    """Two tight, far-apart blobs with k=2: silhouettes near 1 for
+    both clusters; every point has a = small, b = large."""
+    from baselinr_spark.operators.kmeans import simplified_silhouette
+
+    rows = [(i, [0.0 + 0.01 * i, 0.0]) for i in range(4)]
+    rows += [(10 + i, [100.0 + 0.01 * i, 0.0]) for i in range(4)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = simplified_silhouette(
+        df, "vec_id", "embedding", n_centroids=2, iters=2
+    ).collect()
+    assert len(out) == 2
+    assert sum(r["n_members"] for r in out) == 8
+    for r in out:
+        assert r["avg_silhouette"] > 0.99
+
+
+def test_simplified_silhouette_single_blob_low(spark):
+    """One blob split across k=2: points near the boundary score low,
+    so the average silhouette sits well below the separated case."""
+    from baselinr_spark.operators.kmeans import simplified_silhouette
+
+    rows = [(i, [float(i), 0.0]) for i in range(8)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = simplified_silhouette(
+        df, "vec_id", "embedding", n_centroids=2, iters=2
+    ).collect()
+    assert all(r["avg_silhouette"] < 0.9 for r in out)
