@@ -6771,6 +6771,39 @@ FROM final GROUP BY 1
 )
 
 
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg-style small-file compaction planner (maintenance.py:
+    compaction_plan) over a file listing staged from orders (one
+    'file' per order, month partitions, bytes = o_totalprice) —
+    metadata-scale input, O(partitions) output."""
+    from baselinr_spark.operators.maintenance import compaction_plan
+
+    orders = _read(spark, sf_dir, "orders")
+    files = orders.select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("part"),
+        # floor, not cast: Spark's double->bigint cast truncates while
+        # DuckDB's ::bigint rounds — floor agrees in both engines
+        F.floor("o_totalprice").cast("bigint").alias("bytes"),
+    )
+    return compaction_plan(
+        files, "part", "bytes", target_bytes=1_000_000, small_frac=0.5
+    )
+
+
+def _sql_compaction_plan() -> str:
+    from baselinr_spark.operators.maintenance import (
+        oracle_compaction_plan_sql,
+    )
+
+    rows = (
+        "SELECT strftime(o_orderdate, '%Y-%m') AS part, "
+        "floor(o_totalprice)::bigint AS bytes FROM orders"
+    )
+    return oracle_compaction_plan_sql(
+        rows, "part", "bytes", 1_000_000, 0.5
+    )
+
+
 def q_kmeans_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-cluster simplified silhouette (kmeans.py:
     simplified_silhouette) after the same two Lloyd rounds as
@@ -10168,6 +10201,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dawid_skene_filters": q_dawid_skene_filters,
         "pii_cooccurrence_docs": q_pii_cooccurrence_docs,
         "kmeans_silhouette": q_kmeans_silhouette,
+        "compaction_plan": q_compaction_plan,
         "range_join_events": q_range_join_events,
         "time_rollup_events": q_time_rollup_events,
         "sessionize_events": q_sessionize_events,
@@ -10376,6 +10410,7 @@ def oracle_sql() -> dict[str, str]:
         "dawid_skene_filters": _sql_dawid_skene_filters(),
         "pii_cooccurrence_docs": _sql_pii_cooccurrence_docs(),
         "kmeans_silhouette": _SQL_KMEANS_SILHOUETTE,
+        "compaction_plan": _sql_compaction_plan(),
         "shard_manifest_docs": _sql_shard_manifest_docs(),
         "rule_ablation_docs": _SQL_RULE_ABLATION,
         "shard_positions_docs": _sql_shard_positions_docs(),

@@ -1,0 +1,103 @@
+"""Table-maintenance planners over file-level storage metadata.
+
+The north star frames inputs as Iceberg tables; at 100 TB the silent
+killer is small-file proliferation (every streaming micro-batch and
+every skew-split task writes one), which multiplies scan task count,
+file-open cost, and manifest size. Iceberg answers with
+rewrite_data_files (bin-pack to a target file size); the reference's
+storage-metadata collector (reference
+baselinr/profiling/storage_metadata.py — per-table file counts/bytes)
+gathers exactly the inputs this planner consumes, but the reference
+never plans the rewrite. This recasts that decision as a DataFrame op
+over the file listing (our `sources/catalog.py:collect_table_metadata`
+gathers the same shape).
+
+Scale design: the input is FILE metadata (one row per data file —
+metadata-scale, not corpus-scale); ONE groupBy per partition key,
+O(partitions) output, all decisions closed-form (no bin assignment is
+materialized — ceil(total/target) IS the bin-pack output count for
+size-bounded bins).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["compaction_plan"]
+
+
+def compaction_plan(
+    files: DataFrame,
+    part_col: str,
+    size_col: str,
+    *,
+    target_bytes: int,
+    small_frac: float = 0.5,
+) -> DataFrame:
+    """Per-partition small-file compaction plan.
+
+    A file is SMALL when it is under ``small_frac * target_bytes``
+    (Iceberg's rewrite_data_files MIN_FILE_SIZE default semantics).
+    The partition needs compaction when rewriting would actually
+    reduce file count (n_files > ceil(total/target)) AND there are at
+    least 2 small files to merge. ``files_saved`` is the file-count
+    reduction the rewrite buys.
+
+    Returns (part_col, n_files, n_small_files, total_bytes,
+    n_output_files, files_saved, needs_compaction).
+    """
+    small_cut = float(small_frac) * float(target_bytes)
+    sz = F.col(size_col).cast("bigint")
+    g = files.groupBy(F.col(part_col)).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_files"),
+        F.sum((sz < F.lit(small_cut)).cast("int")).cast("bigint")
+        .alias("n_small_files"),
+        F.sum(sz).cast("bigint").alias("total_bytes"),
+    )
+    n_out = F.greatest(
+        F.lit(1).cast("bigint"),
+        F.ceil(F.col("total_bytes") / F.lit(float(target_bytes)))
+        .cast("bigint"),
+    )
+    needs = (F.col("n_files") > n_out) & (F.col("n_small_files") >= 2)
+    return g.select(
+        part_col,
+        "n_files",
+        "n_small_files",
+        "total_bytes",
+        n_out.alias("n_output_files"),
+        F.when(needs, F.col("n_files") - n_out).otherwise(F.lit(0))
+        .cast("bigint").alias("files_saved"),
+        needs.alias("needs_compaction"),
+    )
+
+
+def oracle_compaction_plan_sql(
+    rows_sql: str,
+    part_col: str,
+    size_col: str,
+    target_bytes: int,
+    small_frac: float = 0.5,
+) -> str:
+    """DuckDB twin of :func:`compaction_plan`."""
+    small_cut = float(small_frac) * float(target_bytes)
+    return f"""
+WITH rows_in AS ({rows_sql}),
+g AS (
+  SELECT {part_col},
+         count(*)::bigint AS n_files,
+         sum(({size_col}::bigint < {small_cut!r})::int)::bigint AS n_small_files,
+         sum({size_col}::bigint)::bigint AS total_bytes
+  FROM rows_in GROUP BY 1
+)
+SELECT {part_col}, n_files, n_small_files, total_bytes,
+       greatest(1, ceil(total_bytes / {float(target_bytes)!r}))::bigint
+         AS n_output_files,
+       CASE WHEN n_files > greatest(1, ceil(total_bytes / {float(target_bytes)!r}))
+                 AND n_small_files >= 2
+            THEN n_files - greatest(1, ceil(total_bytes / {float(target_bytes)!r}))
+            ELSE 0 END::bigint AS files_saved,
+       (n_files > greatest(1, ceil(total_bytes / {float(target_bytes)!r}))
+        AND n_small_files >= 2) AS needs_compaction
+FROM g"""
