@@ -6804,6 +6804,48 @@ def _sql_compaction_plan() -> str:
     )
 
 
+def q_snapshot_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg expire_snapshots twin (maintenance.py:
+    snapshot_expiry_plan) over a snapshot history staged from orders
+    (table = o_orderpriority, snapshot = o_orderkey, ts =
+    o_orderdate): retain newest 50 per table AND anything younger
+    than 180 days before the fixed now."""
+    from baselinr_spark.operators.maintenance import snapshot_expiry_plan
+
+    orders = _read(spark, sf_dir, "orders")
+    snaps = orders.select(
+        F.col("o_orderpriority").alias("tbl"),
+        F.col("o_orderkey").alias("snap_id"),
+        F.col("o_orderdate").cast("timestamp").alias("ts"),
+    )
+    out = snapshot_expiry_plan(
+        snaps, "tbl", "snap_id", "ts",
+        retain_last=50, max_age_days=180.0, now_ts="1996-06-01 00:00:00",
+    )
+    return out.select(
+        "tbl", "snap_id", F.col("ts").cast("string").alias("ts"),
+        "rank", "expire",
+    )
+
+
+def _sql_snapshot_expiry() -> str:
+    from baselinr_spark.operators.maintenance import (
+        oracle_snapshot_expiry_sql,
+    )
+
+    rows = (
+        "SELECT o_orderpriority AS tbl, o_orderkey AS snap_id, "
+        "o_orderdate AS ts FROM orders"
+    )
+    inner = oracle_snapshot_expiry_sql(
+        rows, "tbl", "snap_id", "ts", 50, 180.0, "1996-06-01 00:00:00"
+    )
+    return (
+        "SELECT tbl, snap_id, ts::VARCHAR AS ts, rank, expire "
+        f"FROM ({inner})"
+    )
+
+
 def q_kmeans_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-cluster simplified silhouette (kmeans.py:
     simplified_silhouette) after the same two Lloyd rounds as
@@ -10202,6 +10244,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_cooccurrence_docs": q_pii_cooccurrence_docs,
         "kmeans_silhouette": q_kmeans_silhouette,
         "compaction_plan": q_compaction_plan,
+        "snapshot_expiry": q_snapshot_expiry,
         "range_join_events": q_range_join_events,
         "time_rollup_events": q_time_rollup_events,
         "sessionize_events": q_sessionize_events,
@@ -10411,6 +10454,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_cooccurrence_docs": _sql_pii_cooccurrence_docs(),
         "kmeans_silhouette": _SQL_KMEANS_SILHOUETTE,
         "compaction_plan": _sql_compaction_plan(),
+        "snapshot_expiry": _sql_snapshot_expiry(),
         "shard_manifest_docs": _sql_shard_manifest_docs(),
         "rule_ablation_docs": _SQL_RULE_ABLATION,
         "shard_positions_docs": _sql_shard_positions_docs(),

@@ -101,3 +101,78 @@ SELECT {part_col}, n_files, n_small_files, total_bytes,
        (n_files > greatest(1, ceil(total_bytes / {float(target_bytes)!r}))
         AND n_small_files >= 2) AS needs_compaction
 FROM g"""
+
+
+def snapshot_expiry_plan(
+    snaps: DataFrame,
+    table_col: str,
+    snap_col: str,
+    ts_col: str,
+    *,
+    retain_last: int,
+    max_age_days: float,
+    now_ts: str,
+) -> DataFrame:
+    """Iceberg expire_snapshots twin: per-snapshot keep/expire
+    decisions. A snapshot expires only when BOTH conditions hold —
+    it is not among the table's ``retain_last`` newest (Iceberg
+    retain_last) AND it is older than ``max_age_days`` before
+    ``now_ts`` (older_than). ``now_ts`` is an explicit 'YYYY-MM-DD
+    HH:MM:SS' string so plans are deterministic and replayable.
+
+    Returns (table_col, snap_col, ts_col, rank, expire) with rank 1 =
+    newest (ties broken by snapshot id descending, so the later id of
+    two same-instant snapshots is considered newer).
+
+    Scale design: ONE window partitioned by table — per-partition work
+    is the table's snapshot count (metadata-scale, bounded by commit
+    frequency × retention, never corpus rows); the age test is
+    row-local.
+    """
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(table_col).orderBy(
+        F.col(ts_col).desc(), F.col(snap_col).desc()
+    )
+    # seconds arithmetic instead of INTERVAL: Spark rejects fractional
+    # interval units, and integer seconds replay identically in DuckDB
+    age_s = int(float(max_age_days) * 86400.0)
+    cutoff = F.timestamp_add(
+        "SECOND", F.lit(-age_s), F.to_timestamp(F.lit(now_ts))
+    )
+    ranked = snaps.select(
+        table_col, snap_col, ts_col,
+        F.row_number().over(w).alias("rank"),
+    )
+    return ranked.select(
+        table_col, snap_col, ts_col, "rank",
+        ((F.col("rank") > F.lit(int(retain_last)))
+         & (F.col(ts_col) < cutoff)).alias("expire"),
+    )
+
+
+def oracle_snapshot_expiry_sql(
+    rows_sql: str,
+    table_col: str,
+    snap_col: str,
+    ts_col: str,
+    retain_last: int,
+    max_age_days: float,
+    now_ts: str,
+) -> str:
+    """DuckDB twin of :func:`snapshot_expiry_plan`."""
+    age_s = int(float(max_age_days) * 86400.0)
+    return f"""
+WITH rows_in AS ({rows_sql}),
+r AS (
+  SELECT {table_col}, {snap_col}, {ts_col},
+         row_number() OVER (PARTITION BY {table_col}
+                            ORDER BY {ts_col} DESC, {snap_col} DESC)
+           AS rank
+  FROM rows_in
+)
+SELECT {table_col}, {snap_col}, {ts_col}, rank::int AS rank,
+       (rank > {int(retain_last)}
+        AND {ts_col} < TIMESTAMP '{now_ts}' - INTERVAL {age_s} SECONDS)
+         AS expire
+FROM r"""

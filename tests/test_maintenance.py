@@ -41,3 +41,47 @@ def test_compaction_plan_exact_target_boundary(spark):
                            small_frac=0.5).collect()
     assert r["total_bytes"] == 750 and r["n_output_files"] == 3
     assert r["files_saved"] == 2 and r["needs_compaction"]
+
+
+def test_snapshot_expiry_both_conditions_required(spark):
+    """retain_last=2, max_age=10d, now=2024-01-31: the newest two keep
+    by rank; rank-3 is only 6 days old so it survives on age; rank-4
+    is 30 days old and beyond retain_last, so it alone expires."""
+    from baselinr_spark.operators.maintenance import snapshot_expiry_plan
+
+    rows = [
+        ("t", 1, "2024-01-01 00:00:00"),  # rank 4, 30d old -> expire
+        ("t", 2, "2024-01-25 00:00:00"),  # rank 3, 6d old -> keep (age)
+        ("t", 3, "2024-01-28 00:00:00"),  # rank 2 -> keep (retain)
+        ("t", 4, "2024-01-30 00:00:00"),  # rank 1 -> keep (retain)
+    ]
+    df = spark.createDataFrame(rows, ["tbl", "snap", "ts"]).select(
+        "tbl", "snap", df_ts("ts")
+    )
+    got = {r["snap"]: r
+           for r in snapshot_expiry_plan(
+               df, "tbl", "snap", "ts", retain_last=2,
+               max_age_days=10.0, now_ts="2024-01-31 00:00:00").collect()}
+    assert got[1]["expire"] and got[1]["rank"] == 4
+    assert not got[2]["expire"]  # rank 3 but young
+    assert not got[3]["expire"] and not got[4]["expire"]
+
+
+def df_ts(col):
+    from pyspark.sql import functions as F
+    return F.to_timestamp(col).alias("ts")
+
+
+def test_snapshot_expiry_tie_breaks_by_snap_id(spark):
+    """Two snapshots at the same instant: the higher id ranks newer."""
+    from baselinr_spark.operators.maintenance import snapshot_expiry_plan
+
+    rows = [("t", 1, "2024-01-01 00:00:00"), ("t", 2, "2024-01-01 00:00:00")]
+    df = spark.createDataFrame(rows, ["tbl", "snap", "ts"]).select(
+        "tbl", "snap", df_ts("ts")
+    )
+    got = {r["snap"]: r["rank"]
+           for r in snapshot_expiry_plan(
+               df, "tbl", "snap", "ts", retain_last=1,
+               max_age_days=0.5, now_ts="2024-01-02 00:00:00").collect()}
+    assert got[2] == 1 and got[1] == 2
