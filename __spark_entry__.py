@@ -6846,6 +6846,48 @@ def _sql_snapshot_expiry() -> str:
     )
 
 
+def q_orphan_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg remove_orphan_files dry-run (maintenance.py:
+    orphan_file_audit): storage listing staged from lineitem keys,
+    manifest from orders keys — lineitem orderkeys absent from orders
+    play the zombie-write leftovers. Left-anti join, metadata-scale."""
+    from baselinr_spark.operators.maintenance import orphan_file_audit
+
+    li = _read(spark, sf_dir, "lineitem")
+    files = li.select(
+        F.concat(F.lit("data/f"),
+                 (F.col("l_orderkey") * 10 + F.col("l_linenumber"))
+                 .cast("string"),
+                 F.lit(".parquet")).alias("path"),
+        (F.col("l_quantity").cast("bigint") * 1000).alias("bytes"),
+    )
+    # manifest references only even orderkeys' files -> odd ones orphan
+    manifest = li.filter(F.col("l_orderkey") % 2 == 0).select(
+        F.concat(F.lit("data/f"),
+                 (F.col("l_orderkey") * 10 + F.col("l_linenumber"))
+                 .cast("string"),
+                 F.lit(".parquet")).alias("path"),
+    )
+    return orphan_file_audit(files, manifest, "path", size_col="bytes")
+
+
+def _sql_orphan_files() -> str:
+    from baselinr_spark.operators.maintenance import (
+        oracle_orphan_file_audit_sql,
+    )
+
+    files = (
+        "SELECT 'data/f' || (l_orderkey * 10 + l_linenumber)::varchar "
+        "|| '.parquet' AS path, l_quantity::bigint * 1000 AS bytes "
+        "FROM lineitem"
+    )
+    manifest = (
+        "SELECT 'data/f' || (l_orderkey * 10 + l_linenumber)::varchar "
+        "|| '.parquet' AS path FROM lineitem WHERE l_orderkey % 2 = 0"
+    )
+    return oracle_orphan_file_audit_sql(files, manifest, "path", "bytes")
+
+
 def q_kmeans_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-cluster simplified silhouette (kmeans.py:
     simplified_silhouette) after the same two Lloyd rounds as
@@ -10245,6 +10287,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_silhouette": q_kmeans_silhouette,
         "compaction_plan": q_compaction_plan,
         "snapshot_expiry": q_snapshot_expiry,
+        "orphan_files": q_orphan_files,
         "range_join_events": q_range_join_events,
         "time_rollup_events": q_time_rollup_events,
         "sessionize_events": q_sessionize_events,
@@ -10455,6 +10498,7 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_silhouette": _SQL_KMEANS_SILHOUETTE,
         "compaction_plan": _sql_compaction_plan(),
         "snapshot_expiry": _sql_snapshot_expiry(),
+        "orphan_files": _sql_orphan_files(),
         "shard_manifest_docs": _sql_shard_manifest_docs(),
         "rule_ablation_docs": _SQL_RULE_ABLATION,
         "shard_positions_docs": _sql_shard_positions_docs(),

@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["compaction_plan"]
+__all__ = ["compaction_plan", "snapshot_expiry_plan", "orphan_file_audit"]
 
 
 def compaction_plan(
@@ -176,3 +176,49 @@ SELECT {table_col}, {snap_col}, {ts_col}, rank::int AS rank,
         AND {ts_col} < TIMESTAMP '{now_ts}' - INTERVAL {age_s} SECONDS)
          AS expire
 FROM r"""
+
+
+def orphan_file_audit(
+    files: DataFrame,
+    manifest: DataFrame,
+    file_col: str,
+    *,
+    size_col: str | None = None,
+) -> DataFrame:
+    """Iceberg remove_orphan_files twin, audit half: files present in
+    the storage listing but referenced by NO manifest entry — the
+    leftovers of failed/zombie writes that inflate storage and (worse)
+    get double-read by naive directory-scan consumers. Returns the
+    per-file orphan table (``file_col`` plus ``size_col`` if given);
+    summarize with a count/sum downstream. The deletion half stays
+    operational (an action, not a query) — this op is the safe
+    dry-run.
+
+    Scale design: ONE left-anti join keyed on the file path — both
+    sides are METADATA-scale (one row per file, not per record);
+    Spark broadcasts the manifest side when it is small, and the
+    anti-join degrades gracefully to a shuffle join when a table has
+    millions of files.
+    """
+    cols = [file_col] + ([size_col] if size_col else [])
+    return files.select(*cols).join(
+        manifest.select(F.col(file_col)).distinct(),
+        on=file_col,
+        how="left_anti",
+    )
+
+
+def oracle_orphan_file_audit_sql(
+    files_sql: str,
+    manifest_sql: str,
+    file_col: str,
+    size_col: str | None = None,
+) -> str:
+    """DuckDB twin of :func:`orphan_file_audit`."""
+    cols = file_col + (f", {size_col}" if size_col else "")
+    return f"""
+WITH files_in AS ({files_sql}),
+manifest_in AS ({manifest_sql})
+SELECT {cols} FROM files_in
+WHERE {file_col} NOT IN (SELECT {file_col} FROM manifest_in
+                         WHERE {file_col} IS NOT NULL)"""

@@ -85,3 +85,20 @@ def test_snapshot_expiry_tie_breaks_by_snap_id(spark):
                df, "tbl", "snap", "ts", retain_last=1,
                max_age_days=0.5, now_ts="2024-01-02 00:00:00").collect()}
     assert got[2] == 1 and got[1] == 2
+
+
+def test_orphan_file_audit_hand_computed(spark):
+    """f2 is unreferenced -> orphan; manifest dupes and NULLs are
+    harmless; referenced files never appear."""
+    files = spark.createDataFrame(
+        [("f1", 10), ("f2", 20), ("f3", 30)], ["path", "bytes"]
+    )
+    manifest = spark.createDataFrame(
+        [("f1",), ("f1",), ("f3",), (None,)], "path string"
+    )
+    from baselinr_spark.operators.maintenance import orphan_file_audit
+
+    got = orphan_file_audit(files, manifest, "path",
+                            size_col="bytes").collect()
+    assert len(got) == 1
+    assert got[0]["path"] == "f2" and got[0]["bytes"] == 20
