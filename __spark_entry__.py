@@ -6846,6 +6846,28 @@ def _sql_snapshot_expiry() -> str:
     )
 
 
+def q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synchronous label propagation over the derived
+    domain link graph (linkgraph.py:label_propagation, 2 sweeps) —
+    community detection between connected_components (too coarse) and
+    pagerank (ranks, doesn't group)."""
+    from baselinr_spark.operators.linkgraph import label_propagation
+
+    edges = _derived_domain_edges(spark, sf_dir)
+    return label_propagation(edges, n_iter=2)
+
+
+def _sql_lpa_communities() -> str:
+    from baselinr_spark.operators.linkgraph import (
+        oracle_label_propagation_cte,
+    )
+
+    return (
+        oracle_label_propagation_cte(_SQL_DOMAIN_EDGES, n_iter=2)
+        + "\nSELECT node, label FROM l2"
+    )
+
+
 def q_orphan_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iceberg remove_orphan_files dry-run (maintenance.py:
     orphan_file_audit): storage listing staged from lineitem keys,
@@ -10288,6 +10310,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compaction_plan": q_compaction_plan,
         "snapshot_expiry": q_snapshot_expiry,
         "orphan_files": q_orphan_files,
+        "lpa_communities": q_lpa_communities,
         "range_join_events": q_range_join_events,
         "time_rollup_events": q_time_rollup_events,
         "sessionize_events": q_sessionize_events,
@@ -10499,6 +10522,7 @@ def oracle_sql() -> dict[str, str]:
         "compaction_plan": _sql_compaction_plan(),
         "snapshot_expiry": _sql_snapshot_expiry(),
         "orphan_files": _sql_orphan_files(),
+        "lpa_communities": _sql_lpa_communities(),
         "shard_manifest_docs": _sql_shard_manifest_docs(),
         "rule_ablation_docs": _SQL_RULE_ABLATION,
         "shard_positions_docs": _sql_shard_positions_docs(),

@@ -431,3 +431,85 @@ SELECT d.node, d.degree::bigint AS degree,
                  / (d.degree::double * (d.degree - 1)::double)
             ELSE 0.0 END AS clustering
 FROM deg d LEFT JOIN corners c ON c.node = d.node"""
+
+
+def label_propagation(
+    edges: DataFrame,
+    n_iter: int = 2,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007, the
+    deterministic synchronous variant): communities over the
+    UNDIRECTED link graph — the spam-ring / mirror-farm detector that
+    complements connected_components (which merges everything
+    touching) and pagerank (which ranks but does not group). Each node
+    starts labeled with itself; every round it adopts the most common
+    label among its neighbors, ties broken by the smallest label —
+    fully deterministic, no RNG, so the oracle replays it exactly.
+
+    Returns (node, label) after ``n_iter`` rounds.
+
+    Scale design: per round ONE join of the edge table against the
+    O(|nodes|) label table keyed on the neighbor endpoint (reusing the
+    edge key's partitioning round to round) + one (node, label)
+    groupBy; state is never larger than the node set and nothing is
+    collected. n_iter is a small constant — LPA converges in a handful
+    of sweeps on power-law graphs.
+    """
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    und = (
+        e.unionByName(e.select(F.col("dst").alias("src"),
+                               F.col("src").alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    labels = und.select(F.col("src").alias("node")).distinct() \
+                .withColumn("label", F.col("node"))
+    for _ in range(n_iter):
+        neigh = und.join(
+            labels.withColumnRenamed("node", "dst"), "dst"
+        ).groupBy(F.col("src").alias("node"), "label").agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        new = neigh.groupBy("node").agg(
+            F.min(F.struct((-F.col("c")).alias("negc"),
+                           F.col("label"))).alias("__b")
+        ).select("node", F.col("__b.label").alias("label"))
+        labels = labels.select("node").join(new, "node", "left") \
+                       .select("node", F.coalesce("label", "node")
+                               .alias("label"))
+    return labels
+
+
+def oracle_label_propagation_cte(
+    edges_cte: str, n_iter: int = 2
+) -> str:
+    """DuckDB twin of :func:`label_propagation` — exact unrolled
+    sweeps; callers append a final SELECT over l{n_iter}."""
+    parts = [
+        f"""e AS ({edges_cte}),
+und AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e
+  ) WHERE src <> dst
+),
+l0 AS (SELECT DISTINCT src AS node, src AS label FROM und)"""
+    ]
+    for t in range(1, n_iter + 1):
+        parts.append(
+            f"""c{t} AS (
+  SELECT u.src AS node, l.label, count(*) AS c
+  FROM und u JOIN l{t-1} l ON l.node = u.dst
+  GROUP BY 1, 2
+),
+l{t} AS (
+  SELECT node, label FROM (
+    SELECT node, label,
+           row_number() OVER (PARTITION BY node
+                              ORDER BY c DESC, label) AS rn
+    FROM c{t}
+  ) WHERE rn = 1
+)"""
+        )
+    return "WITH " + ",\n".join(parts)

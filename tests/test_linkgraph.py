@@ -62,3 +62,31 @@ def test_hub_collects_rank(spark):
     exp = _py_pagerank(pairs, n_iter=10)
     for v in exp:
         assert r[v] == pytest.approx(exp[v], abs=1e-12)
+
+def test_label_propagation_two_cliques(spark):
+    """Two triangles joined by nothing: each collapses onto its min
+    node label after one sweep and stays there."""
+    from baselinr_spark.operators.linkgraph import label_propagation
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"),
+         ("x", "y"), ("y", "z"), ("z", "x")],
+        ["src", "dst"],
+    )
+    got = {r["node"]: r["label"]
+           for r in label_propagation(edges, n_iter=2).collect()}
+    assert got["a"] == got["b"] == got["c"] == "a"
+    assert got["x"] == got["y"] == got["z"] == "x"
+
+
+def test_label_propagation_tie_breaks_min_label(spark):
+    """Star center with two leaves carrying labels 'a' and 'c': equal
+    neighbor counts, center adopts the smaller label."""
+    from baselinr_spark.operators.linkgraph import label_propagation
+
+    edges = spark.createDataFrame([("m", "a"), ("m", "c")], ["src", "dst"])
+    got = {r["node"]: r["label"]
+           for r in label_propagation(edges, n_iter=1).collect()}
+    assert got["m"] == "a"
+    # leaves each see only the center
+    assert got["a"] == "m" and got["c"] == "m"
