@@ -6846,6 +6846,47 @@ def _sql_snapshot_expiry() -> str:
     )
 
 
+def q_sprt_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald SPRT over daily purchase-rate cohorts (anomaly.py:
+    sprt_binomial): H0 p=0.18 vs H1 p=0.22, α=.05 β=.2 — sequential
+    early-stopping rollout monitor; first non-continue row is the
+    stopping day."""
+    from baselinr_spark.operators.anomaly import sprt_binomial
+
+    ev = _read(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("event_type") == "purchase").cast("int")).alias("k"),
+    )
+    out = sprt_binomial(
+        daily, "day", "k", "n", p0=0.18, p1=0.22, alpha=0.05, beta=0.2
+    )
+    return out.select(
+        F.col("day").cast("string").alias("day"),
+        "n_trials", "n_success",
+        F.round("llr", 6).alias("llr"),
+        F.round("lower", 6).alias("lower"),
+        F.round("upper", 6).alias("upper"),
+        "decision",
+    )
+
+
+def _sql_sprt_daily() -> str:
+    from baselinr_spark.operators.anomaly import oracle_sprt_sql
+
+    rows = (
+        "SELECT CAST(ts AS DATE) AS day, count(*)::bigint AS n, "
+        "sum((event_type = 'purchase')::int)::bigint AS k "
+        "FROM events GROUP BY 1"
+    )
+    inner = oracle_sprt_sql(rows, "day", "k", "n", 0.18, 0.22, 0.05, 0.2)
+    return (
+        "SELECT day::VARCHAR AS day, n_trials, n_success, "
+        "round(llr, 6) AS llr, round(lower, 6) AS lower, "
+        f"round(upper, 6) AS upper, decision FROM ({inner})"
+    )
+
+
 def q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic synchronous label propagation over the derived
     domain link graph (linkgraph.py:label_propagation, 2 sweeps) —
@@ -10311,6 +10352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_expiry": q_snapshot_expiry,
         "orphan_files": q_orphan_files,
         "lpa_communities": q_lpa_communities,
+        "sprt_daily": q_sprt_daily,
         "range_join_events": q_range_join_events,
         "time_rollup_events": q_time_rollup_events,
         "sessionize_events": q_sessionize_events,
@@ -10523,6 +10565,7 @@ def oracle_sql() -> dict[str, str]:
         "snapshot_expiry": _sql_snapshot_expiry(),
         "orphan_files": _sql_orphan_files(),
         "lpa_communities": _sql_lpa_communities(),
+        "sprt_daily": _sql_sprt_daily(),
         "shard_manifest_docs": _sql_shard_manifest_docs(),
         "rule_ablation_docs": _SQL_RULE_ABLATION,
         "shard_positions_docs": _sql_shard_positions_docs(),

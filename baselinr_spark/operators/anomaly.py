@@ -343,3 +343,98 @@ SELECT s.ts AS {ts_col}, s.v AS {value_col}, s.sp AS s_pos, s.sn AS s_neg,
        b.mu0 AS mu0, b.sigma0 AS sigma0
 FROM steps s CROSS JOIN base b
 """
+
+
+def sprt_binomial(
+    daily: DataFrame,
+    ts_col: str,
+    success_col: str,
+    trial_col: str,
+    *,
+    p0: float,
+    p1: float,
+    alpha: float = 0.05,
+    beta: float = 0.2,
+) -> DataFrame:
+    """Wald's sequential probability ratio test over per-cohort
+    binomial counts — "may I stop shadow-testing this filter yet?".
+    H0: success rate = p0 vs H1: = p1; each cohort (day) adds
+    k·ln(p1/p0) + (n−k)·ln((1−p1)/(1−p0)) to the cumulative
+    log-likelihood ratio; the test DECIDES the first time the LLR
+    leaves (ln(β/(1−α)), ln((1−β)/α)) — typically far earlier than a
+    fixed-horizon test with the same error rates, which is the whole
+    point for expensive rollout monitoring.
+
+    Returns one row per cohort: (ts_col, n_trials, n_success, llr,
+    lower, upper, decision) — decision is 'accept_h1' / 'accept_h0' /
+    'continue' at that cohort; the first non-continue row is the
+    stopping time.
+
+    Scale design: input is the per-cohort COUNT table (one row per
+    day — bounded by the monitoring window, same contract as the other
+    daily series ops), so the ordered cumulative window is over a
+    metadata-scale table; corpus-scale work is whatever upstream
+    aggregate produced the counts.
+    """
+    import math
+
+    from pyspark.sql import Window as W
+
+    la = math.log(p1 / p0)
+    lb = math.log((1.0 - p1) / (1.0 - p0))
+    upper = math.log((1.0 - beta) / alpha)
+    lower = math.log(beta / (1.0 - alpha))
+    w = W.orderBy(ts_col).rowsBetween(W.unboundedPreceding, W.currentRow)
+    k = F.col(success_col).cast("double")
+    n = F.col(trial_col).cast("double")
+    step = k * F.lit(la) + (n - k) * F.lit(lb)
+    out = daily.select(
+        ts_col,
+        F.col(trial_col).cast("bigint").alias("n_trials"),
+        F.col(success_col).cast("bigint").alias("n_success"),
+        F.sum(step).over(w).alias("llr"),
+    )
+    return out.select(
+        ts_col, "n_trials", "n_success", "llr",
+        F.lit(lower).alias("lower"),
+        F.lit(upper).alias("upper"),
+        F.when(F.col("llr") >= upper, F.lit("accept_h1"))
+        .when(F.col("llr") <= lower, F.lit("accept_h0"))
+        .otherwise(F.lit("continue")).alias("decision"),
+    )
+
+
+def oracle_sprt_sql(
+    rows_sql: str,
+    ts_col: str,
+    success_col: str,
+    trial_col: str,
+    p0: float,
+    p1: float,
+    alpha: float = 0.05,
+    beta: float = 0.2,
+) -> str:
+    """DuckDB twin of :func:`sprt_binomial`."""
+    import math
+
+    la = math.log(p1 / p0)
+    lb = math.log((1.0 - p1) / (1.0 - p0))
+    upper = math.log((1.0 - beta) / alpha)
+    lower = math.log(beta / (1.0 - alpha))
+    return f"""
+WITH rows_in AS ({rows_sql}),
+s AS (
+  SELECT {ts_col},
+         {trial_col}::bigint AS n_trials,
+         {success_col}::bigint AS n_success,
+         sum({success_col}::double * {la!r}
+             + ({trial_col}::double - {success_col}::double) * {lb!r})
+           OVER (ORDER BY {ts_col}) AS llr
+  FROM rows_in
+)
+SELECT {ts_col}, n_trials, n_success, llr,
+       {lower!r} AS lower, {upper!r} AS upper,
+       CASE WHEN llr >= {upper!r} THEN 'accept_h1'
+            WHEN llr <= {lower!r} THEN 'accept_h0'
+            ELSE 'continue' END AS decision
+FROM s"""

@@ -884,3 +884,31 @@ def test_feature_corr_matrix_constant_is_null(spark):
     df = spark.createDataFrame([(1.0, 5.0), (2.0, 5.0)], ["x", "c"])
     (r,) = feature_corr_matrix(df, ["x", "c"]).collect()
     assert r["r"] is None and r["n_both"] == 2
+
+
+def test_sprt_hand_computed_accepts_h1(spark):
+    """p0=.2, p1=.8 symmetric: each success adds ln4, each failure
+    subtracts ln4. Day2 (4/4 cumulative) has llr=4ln4≈5.55, safely
+    over upper=ln(16)≈2.77 -> accept_h1; day3's 4 straight failures
+    pull the llr back to exactly 0 -> continue."""
+    import math
+
+    from baselinr_spark.operators.anomaly import sprt_binomial
+
+    daily = spark.createDataFrame(
+        [("2024-01-01", 2, 2), ("2024-01-02", 2, 2), ("2024-01-03", 0, 4)],
+        ["day", "k", "n"],
+    )
+    out = {r["day"]: r
+           for r in sprt_binomial(daily, "day", "k", "n",
+                                  p0=0.2, p1=0.8,
+                                  alpha=0.05, beta=0.2).collect()}
+    ln4 = math.log(4.0)
+    assert abs(out["2024-01-01"]["llr"] - 2 * ln4) < 1e-12
+    assert abs(out["2024-01-02"]["llr"] - 4 * ln4) < 1e-12
+    assert out["2024-01-02"]["decision"] == "accept_h1"
+    # day 3: 4 failures subtract 4 ln4 -> llr back to 0 -> continue
+    assert abs(out["2024-01-03"]["llr"]) < 1e-9
+    assert out["2024-01-03"]["decision"] == "continue"
+    assert abs(out["2024-01-01"]["upper"] - math.log(0.8 / 0.05)) < 1e-12
+    assert abs(out["2024-01-01"]["lower"] - math.log(0.2 / 0.95)) < 1e-12
