@@ -6846,6 +6846,60 @@ def _sql_snapshot_expiry() -> str:
     )
 
 
+def q_state_merge_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style incremental profiling (profiling.py:metric_states +
+    merge_metric_states): per-month algebraic states over
+    lineitem.l_quantity folded into the exact table profile — the
+    no-rescan path when a new partition lands. Oracle replays the
+    identical two-level (state, then merge) computation."""
+    from baselinr_spark.operators.profiling import (
+        merge_metric_states,
+        metric_states,
+    )
+
+    li = _read(spark, sf_dir, "lineitem")
+    staged = li.select(
+        F.date_format("l_shipdate", "yyyy-MM").alias("part"),
+        # nulls planted every 13th row so n_null merge is exercised
+        F.when(F.col("l_orderkey") % 13 != 0, F.col("l_quantity"))
+        .alias("v"),
+    )
+    states = metric_states(staged, "part", "v")
+    out = merge_metric_states(states)
+    return _r6(out, "mean", "variance", "min", "max")
+
+
+def _sql_state_merge_profile() -> str:
+    return """
+WITH staged AS (
+  SELECT strftime(l_shipdate, '%Y-%m') AS part,
+         CASE WHEN l_orderkey % 13 <> 0 THEN l_quantity END AS v
+  FROM lineitem
+),
+states AS (
+  SELECT part,
+         count(*)::bigint AS n,
+         sum((v IS NULL)::int)::bigint AS n_null,
+         sum(coalesce(v::double, 0.0)) AS s,
+         sum(coalesce(v::double * v::double, 0.0)) AS ss,
+         min(v::double) AS mn, max(v::double) AS mx
+  FROM staged GROUP BY 1
+),
+g AS (
+  SELECT sum(n)::bigint AS n, sum(n_null)::bigint AS n_null,
+         sum(s) AS s, sum(ss) AS ss, min(mn) AS mn, max(mx) AS mx
+  FROM states
+)
+SELECT n, n_null,
+       round(CASE WHEN (n - n_null) > 0
+                  THEN s / (n - n_null)::double END, 6) AS mean,
+       round(CASE WHEN (n - n_null) > 1
+                  THEN (ss - s * s / (n - n_null)::double)
+                       / ((n - n_null)::double - 1.0) END, 6) AS variance,
+       round(mn, 6) AS min, round(mx, 6) AS max
+FROM g"""
+
+
 def q_sprt_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wald SPRT over daily purchase-rate cohorts (anomaly.py:
     sprt_binomial): H0 p=0.18 vs H1 p=0.22, α=.05 β=.2 — sequential
@@ -10353,6 +10407,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orphan_files": q_orphan_files,
         "lpa_communities": q_lpa_communities,
         "sprt_daily": q_sprt_daily,
+        "state_merge_profile": q_state_merge_profile,
         "range_join_events": q_range_join_events,
         "time_rollup_events": q_time_rollup_events,
         "sessionize_events": q_sessionize_events,
@@ -10566,6 +10621,7 @@ def oracle_sql() -> dict[str, str]:
         "orphan_files": _sql_orphan_files(),
         "lpa_communities": _sql_lpa_communities(),
         "sprt_daily": _sql_sprt_daily(),
+        "state_merge_profile": _sql_state_merge_profile(),
         "shard_manifest_docs": _sql_shard_manifest_docs(),
         "rule_ablation_docs": _SQL_RULE_ABLATION,
         "shard_positions_docs": _sql_shard_positions_docs(),

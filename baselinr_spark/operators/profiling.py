@@ -670,3 +670,57 @@ FROM rows_in"""
         for a, b in pairs
     )
     return f"WITH rows_in AS ({rows_sql})\n{sel}"
+
+
+def metric_states(
+    df: DataFrame, part_col: str, value_col: str
+) -> DataFrame:
+    """Per-partition ALGEBRAIC profiling state for one numeric column:
+    (partition, n, n_null, sum, sumsq, min, max). These states are the
+    mergeable representation from the incremental data-quality
+    literature (Schelter et al., "Differential Data Quality
+    Verification on Partitioned Data", ICDE 2019 — the Deequ state
+    model): compute once per NEW partition, persist next to the
+    manifest, and table-level metrics follow from the states alone —
+    no re-scan of old partitions when a new day lands.
+
+    Scale design: ONE map-side-combined groupBy on the partition key;
+    state size is O(partitions), the whole point.
+    """
+    v = F.col(value_col).cast("double")
+    return df.groupBy(F.col(part_col)).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.isnull(v).cast("int")).cast("bigint").alias("n_null"),
+        F.sum(F.coalesce(v, F.lit(0.0))).alias("sum"),
+        F.sum(F.coalesce(v * v, F.lit(0.0))).alias("sumsq"),
+        F.min(v).alias("min"),
+        F.max(v).alias("max"),
+    )
+
+
+def merge_metric_states(states: DataFrame) -> DataFrame:
+    """Fold per-partition states into the exact table-level profile:
+    (n, n_null, mean, variance, min, max) — sample variance from the
+    merged moments ((Σsumsq − (Σsum)²/N)/(N−1) over non-null N).
+    Algebraically identical to profiling the union of the partitions;
+    the proof is the whole case for persisting states.
+
+    ONE aggregate over the O(partitions) state table."""
+    g = states.agg(
+        F.sum("n").cast("bigint").alias("n"),
+        F.sum("n_null").cast("bigint").alias("n_null"),
+        F.sum("sum").alias("__s"),
+        F.sum("sumsq").alias("__ss"),
+        F.min("min").alias("min"),
+        F.max("max").alias("max"),
+    )
+    nn = (F.col("n") - F.col("n_null")).cast("double")
+    return g.select(
+        "n", "n_null",
+        F.when(nn > 0, F.col("__s") / nn).alias("mean"),
+        F.when(
+            nn > 1,
+            (F.col("__ss") - F.col("__s") * F.col("__s") / nn) / (nn - 1.0),
+        ).alias("variance"),
+        "min", "max",
+    )

@@ -912,3 +912,39 @@ def test_sprt_hand_computed_accepts_h1(spark):
     assert out["2024-01-03"]["decision"] == "continue"
     assert abs(out["2024-01-01"]["upper"] - math.log(0.8 / 0.05)) < 1e-12
     assert abs(out["2024-01-01"]["lower"] - math.log(0.2 / 0.95)) < 1e-12
+
+
+def test_metric_state_merge_equals_direct_profile(spark):
+    """Merging per-partition states reproduces the direct whole-table
+    mean/variance/min/max exactly (the algebraic-merge guarantee)."""
+    import statistics
+
+    from baselinr_spark.operators.profiling import (
+        merge_metric_states,
+        metric_states,
+    )
+
+    vals = [1.0, 2.0, 3.0, 10.0, 20.0, None, 5.5, 0.25]
+    rows = [("p%d" % (i % 3), v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "part string, v double")
+    (m,) = merge_metric_states(metric_states(df, "part", "v")).collect()
+    clean = [v for v in vals if v is not None]
+    assert m["n"] == 8 and m["n_null"] == 1
+    assert abs(m["mean"] - statistics.mean(clean)) < 1e-12
+    assert abs(m["variance"] - statistics.variance(clean)) < 1e-9
+    assert m["min"] == 0.25 and m["max"] == 20.0
+
+
+def test_metric_state_merge_degenerate(spark):
+    """All-null partition: mean/variance NULL, counts still merge."""
+    from baselinr_spark.operators.profiling import (
+        merge_metric_states,
+        metric_states,
+    )
+
+    df = spark.createDataFrame(
+        [("a", None), ("b", None)], "part string, v double"
+    )
+    (m,) = merge_metric_states(metric_states(df, "part", "v")).collect()
+    assert m["n"] == 2 and m["n_null"] == 2
+    assert m["mean"] is None and m["variance"] is None
