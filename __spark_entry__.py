@@ -9093,6 +9093,33 @@ _HLL_M = 1 << _HLL_P
 _HLL_ALPHA_M2 = (0.7213 / (1.0 + 1.079 / _HLL_M)) * _HLL_M * _HLL_M
 
 
+def q_hll_merge_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL merge correctness as a gate fact (sketch.py:hll_merge):
+    sketch the even-doc and odd-doc halves INDEPENDENTLY, merge
+    (union + max rank per register), estimate — must equal the
+    single-build estimate bit-for-bit, so the oracle IS the
+    single-build SQL. This is the per-snapshot incremental-distinct
+    path: each crawl day sketches its own keys, the union answers
+    corpus-wide."""
+    from baselinr_spark.operators.sketch import (
+        hll_build,
+        hll_estimate,
+        hll_merge,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+        ).alias("token"),
+    )
+    even = hll_build(toks.filter(F.col("doc_id") % 2 == 0), "token", p=_HLL_P)
+    odd = hll_build(toks.filter(F.col("doc_id") % 2 == 1), "token", p=_HLL_P)
+    out = hll_estimate(hll_merge(even, odd), p=_HLL_P)
+    return _r6(out, "estimate", "raw_estimate")
+
+
 def q_hll_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct-token estimate from the table-based HLL sketch —
     register construction AND the bias-corrected estimate replay
@@ -10408,6 +10435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lpa_communities": q_lpa_communities,
         "sprt_daily": q_sprt_daily,
         "state_merge_profile": q_state_merge_profile,
+        "hll_merge_distinct": q_hll_merge_distinct,
         "range_join_events": q_range_join_events,
         "time_rollup_events": q_time_rollup_events,
         "sessionize_events": q_sessionize_events,
@@ -10633,6 +10661,9 @@ def oracle_sql() -> dict[str, str]:
         "cms_heavy_tokens": _SQL_CMS_HEAVY,
         "remove_dup_spans": _SQL_REMOVE_DUP_SPANS,
         "hll_distinct_tokens": _SQL_HLL_DISTINCT,
+        # merge-of-halves must equal single-build exactly, so the
+        # single-build SQL IS the merge oracle:
+        "hll_merge_distinct": _SQL_HLL_DISTINCT,
         "shingle_novelty": _SQL_SHINGLE_NOVELTY,
         "cc_luhn_scan": _SQL_CC_LUHN,
         "domain_rate_shrunk": _SQL_DOMAIN_SHRUNK,

@@ -251,3 +251,22 @@ def test_hll_small_range_correction_exactish(spark):
     # linear counting regime: m ln(m/V) is near-exact for tiny n
     assert got["n_zero_registers"] >= 4076
     assert abs(got["estimate"] - 20) < 1.0
+
+
+def test_hll_merge_of_halves_equals_single_build(spark):
+    """Register-exact: merge(build(evens), build(odds)) == build(all)
+    — the lossless-merge property that licenses per-snapshot
+    sketching."""
+    from baselinr_spark.operators.sketch import hll_build, hll_merge
+
+    df = spark.createDataFrame(
+        [(i, f"k{i % 97}") for i in range(500)], ["i", "k"]
+    )
+    whole = hll_build(df, "k", p=8)
+    merged = hll_merge(
+        hll_build(df.filter("i % 2 = 0"), "k", p=8),
+        hll_build(df.filter("i % 2 = 1"), "k", p=8),
+    )
+    w = {r["idx"]: r["rank"] for r in whole.collect()}
+    m = {r["idx"]: r["rank"] for r in merged.collect()}
+    assert w == m
