@@ -9093,6 +9093,51 @@ _HLL_M = 1 << _HLL_P
 _HLL_ALPHA_M2 = (0.7213 / (1.0 + 1.079 / _HLL_M)) * _HLL_M * _HLL_M
 
 
+def q_embedding_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding pre-flight hygiene (embcurate.py:embedding_hygiene):
+    NULL / wrong-dim / non-finite / zero-norm counts + clean-row norm
+    stats, with defects PLANTED in-query by vec_id mod 50 (NULL vector,
+    truncated vector, NaN component, zero vector) identically in the
+    oracle — the ingest gate every ANN consumer assumes."""
+    from baselinr_spark.operators.embcurate import embedding_hygiene
+
+    emb = _read(spark, sf_dir, "embeddings")
+    m = F.pmod(F.col("vec_id"), F.lit(50))
+    v = F.col("embedding").cast("array<double>")
+    staged = emb.select(
+        F.when(m == 1, F.lit(None).cast("array<double>"))
+        .when(m == 2, F.slice(v, 1, 10))
+        .when(m == 3, F.concat(F.slice(v, 1, 63),
+                               F.array(F.lit(float("nan")))))
+        .when(m == 4, F.transform(v, lambda x: x * 0.0))
+        .otherwise(v).alias("embedding")
+    )
+    out = embedding_hygiene(staged, "embedding", expected_dim=64)
+    return _r6(out, "norm_min", "norm_mean", "norm_max")
+
+
+def _sql_embedding_hygiene() -> str:
+    from baselinr_spark.operators.embcurate import (
+        oracle_embedding_hygiene_sql,
+    )
+
+    rows = """
+SELECT CASE
+         WHEN vec_id % 50 = 1 THEN NULL
+         WHEN vec_id % 50 = 2 THEN (embedding::double[])[1:10]
+         WHEN vec_id % 50 = 3 THEN list_append((embedding::double[])[1:63], 'nan'::double)
+         WHEN vec_id % 50 = 4 THEN list_transform(embedding::double[], x -> x * 0.0)
+         ELSE embedding::double[] END AS embedding
+FROM embeddings"""
+    inner = oracle_embedding_hygiene_sql(rows, "embedding", 64)
+    return (
+        "SELECT n_vectors, n_null, n_wrong_dim, n_nonfinite, "
+        "n_zero_norm, n_clean, round(norm_min, 6) AS norm_min, "
+        "round(norm_mean, 6) AS norm_mean, "
+        f"round(norm_max, 6) AS norm_max FROM ({inner})"
+    )
+
+
 def q_hll_merge_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL merge correctness as a gate fact (sketch.py:hll_merge):
     sketch the even-doc and odd-doc halves INDEPENDENTLY, merge
@@ -10436,6 +10481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sprt_daily": q_sprt_daily,
         "state_merge_profile": q_state_merge_profile,
         "hll_merge_distinct": q_hll_merge_distinct,
+        "embedding_hygiene": q_embedding_hygiene,
         "range_join_events": q_range_join_events,
         "time_rollup_events": q_time_rollup_events,
         "sessionize_events": q_sessionize_events,
@@ -10664,6 +10710,7 @@ def oracle_sql() -> dict[str, str]:
         # merge-of-halves must equal single-build exactly, so the
         # single-build SQL IS the merge oracle:
         "hll_merge_distinct": _SQL_HLL_DISTINCT,
+        "embedding_hygiene": _sql_embedding_hygiene(),
         "shingle_novelty": _SQL_SHINGLE_NOVELTY,
         "cc_luhn_scan": _SQL_CC_LUHN,
         "domain_rate_shrunk": _SQL_DOMAIN_SHRUNK,

@@ -246,3 +246,91 @@ SELECT {id_col}, max_cosine, bench_id,
        round(max_cosine, 6) >= {threshold} AS contaminated
 FROM ranked WHERE rn = 1
 """
+
+
+def embedding_hygiene(
+    df: DataFrame,
+    vec_col: str,
+    *,
+    expected_dim: int,
+) -> DataFrame:
+    """Pre-flight hygiene audit for an embedding column — the checks
+    every ANN / SemDeDup / kNN consumer silently assumes and a broken
+    encoder batch silently violates: NULL vectors, wrong
+    dimensionality, NaN/Inf components, exact-zero norm (cosine is
+    undefined), plus the norm distribution (min/mean/max) over the
+    clean rows. One corrupt shard upstream turns into cosine=NaN
+    everywhere downstream; this is the cheap gate that catches it at
+    ingest.
+
+    Returns ONE row: (n_vectors, n_null, n_wrong_dim, n_nonfinite,
+    n_zero_norm, n_clean, norm_min, norm_mean, norm_max).
+
+    Scale design: entirely row-local expression work (size(),
+    higher-order exists/aggregate folds — no UDF, no explode) feeding
+    ONE aggregate; nothing leaves the map side but 9 counters.
+    """
+    v = F.col(vec_col).cast("array<double>")
+    is_null = v.isNull()
+    wrong_dim = ~is_null & (F.size(v) != F.lit(int(expected_dim)))
+    nonfinite = (
+        ~is_null
+        & ~wrong_dim
+        & F.exists(v, lambda x: x.isNull() | F.isnan(x) | (F.abs(x) == float("inf")))
+    )
+    sq = F.aggregate(
+        v, F.lit(0.0), lambda acc, x: acc + x * x
+    )
+    zero_norm = ~is_null & ~wrong_dim & ~nonfinite & (sq == 0.0)
+    clean = ~is_null & ~wrong_dim & ~nonfinite & ~zero_norm
+    norm = F.sqrt(sq)
+    return df.select(
+        is_null.alias("__null"), wrong_dim.alias("__wd"),
+        nonfinite.alias("__nf"), zero_norm.alias("__zn"),
+        clean.alias("__ok"),
+        F.when(clean, norm).alias("__norm"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+        F.sum(F.col("__null").cast("int")).cast("bigint").alias("n_null"),
+        F.sum(F.col("__wd").cast("int")).cast("bigint").alias("n_wrong_dim"),
+        F.sum(F.col("__nf").cast("int")).cast("bigint").alias("n_nonfinite"),
+        F.sum(F.col("__zn").cast("int")).cast("bigint").alias("n_zero_norm"),
+        F.sum(F.col("__ok").cast("int")).cast("bigint").alias("n_clean"),
+        F.min("__norm").alias("norm_min"),
+        F.avg("__norm").alias("norm_mean"),
+        F.max("__norm").alias("norm_max"),
+    )
+
+
+def oracle_embedding_hygiene_sql(
+    rows_sql: str, vec_col: str, expected_dim: int
+) -> str:
+    """DuckDB twin of :func:`embedding_hygiene`."""
+    v = f"{vec_col}::double[]"
+    nf = (f"len(list_filter({v}, x -> x IS NULL OR isnan(x) "
+          f"OR abs(x) = 'infinity'::double)) > 0")
+    sq = f"list_sum(list_transform({v}, x -> x * x))"
+    return f"""
+WITH rows_in AS ({rows_sql}),
+c AS (
+  SELECT ({vec_col} IS NULL) AS is_null,
+         ({vec_col} IS NOT NULL AND len({v}) <> {int(expected_dim)}) AS wd,
+         ({vec_col} IS NOT NULL AND len({v}) = {int(expected_dim)}
+          AND ({nf})) AS nf,
+         ({vec_col} IS NOT NULL AND len({v}) = {int(expected_dim)}
+          AND NOT ({nf}) AND {sq} = 0.0) AS zn,
+         CASE WHEN {vec_col} IS NOT NULL
+                   AND len({v}) = {int(expected_dim)}
+                   AND NOT ({nf}) AND {sq} <> 0.0
+              THEN sqrt({sq}) END AS norm
+  FROM rows_in
+)
+SELECT count(*)::bigint AS n_vectors,
+       sum(is_null::int)::bigint AS n_null,
+       sum(wd::int)::bigint AS n_wrong_dim,
+       sum(nf::int)::bigint AS n_nonfinite,
+       sum(zn::int)::bigint AS n_zero_norm,
+       sum((norm IS NOT NULL)::int)::bigint AS n_clean,
+       min(norm) AS norm_min, avg(norm) AS norm_mean,
+       max(norm) AS norm_max
+FROM c"""

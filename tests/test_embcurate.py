@@ -104,3 +104,37 @@ def test_embedding_contamination_tie_breaks_low_bench_id(spark):
     corpus = spark.createDataFrame([(1, [1.0, 0.0])], ["vec_id", "embedding"])
     (row,) = embedding_contamination(corpus, bench, threshold=0.5).collect()
     assert row["bench_id"] == 5 and row["contaminated"]
+
+
+def test_embedding_hygiene_hand_computed(spark):
+    """One clean unit vector, one NULL, one wrong-dim, one NaN, one
+    zero vector: each lands in exactly one bucket; norms come from
+    the clean row only."""
+    import math
+
+    from baselinr_spark.operators.embcurate import embedding_hygiene
+
+    rows = [
+        (1, [3.0, 4.0]),          # clean, norm 5
+        (2, None),                # null
+        (3, [1.0]),               # wrong dim
+        (4, [float("nan"), 1.0]), # non-finite
+        (5, [0.0, 0.0]),          # zero norm
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    (r,) = embedding_hygiene(df, "embedding", expected_dim=2).collect()
+    assert r["n_vectors"] == 5 and r["n_clean"] == 1
+    assert r["n_null"] == 1 and r["n_wrong_dim"] == 1
+    assert r["n_nonfinite"] == 1 and r["n_zero_norm"] == 1
+    assert math.isclose(r["norm_min"], 5.0) and math.isclose(r["norm_max"], 5.0)
+
+
+def test_embedding_hygiene_inf_is_nonfinite(spark):
+    from baselinr_spark.operators.embcurate import embedding_hygiene
+
+    df = spark.createDataFrame(
+        [(1, [float("inf"), 0.0]), (2, [float("-inf"), 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    (r,) = embedding_hygiene(df, "embedding", expected_dim=2).collect()
+    assert r["n_nonfinite"] == 2 and r["n_clean"] == 0
