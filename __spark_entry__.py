@@ -9093,6 +9093,40 @@ _HLL_M = 1 << _HLL_P
 _HLL_ALPHA_M2 = (0.7213 / (1.0 + 1.079 / _HLL_M)) * _HLL_M * _HLL_M
 
 
+def q_resolve_redirects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-hop redirect resolution (urltools.py:resolve_redirects,
+    3 hops): chains staged from doc ids (u_n -> u_{n-1} except at
+    multiples of 4, so chains ground within 3 hops) plus a planted
+    2-loop that must come back non-terminal."""
+    from baselinr_spark.functions.urltools import resolve_redirects
+
+    docs = _read(spark, sf_dir, "documents")
+    chain = docs.filter(F.col("doc_id") % 4 != 0).select(
+        F.concat(F.lit("u"), F.col("doc_id").cast("string")).alias("src"),
+        F.concat(F.lit("u"), (F.col("doc_id") - 1).cast("string"))
+        .alias("dst"),
+    )
+    loop = spark.createDataFrame(
+        [("loop_a", "loop_b"), ("loop_b", "loop_a")], ["src", "dst"]
+    )
+    return resolve_redirects(chain.unionByName(loop), max_hops=3)
+
+
+def _sql_resolve_redirects() -> str:
+    from baselinr_spark.functions.urltools import (
+        oracle_resolve_redirects_sql,
+    )
+
+    edges = (
+        "SELECT 'u' || doc_id::varchar AS src, "
+        "'u' || (doc_id - 1)::varchar AS dst "
+        "FROM documents WHERE doc_id % 4 <> 0 "
+        "UNION ALL SELECT 'loop_a', 'loop_b' "
+        "UNION ALL SELECT 'loop_b', 'loop_a'"
+    )
+    return oracle_resolve_redirects_sql(edges, max_hops=3)
+
+
 def q_embedding_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding pre-flight hygiene (embcurate.py:embedding_hygiene):
     NULL / wrong-dim / non-finite / zero-norm counts + clean-row norm
@@ -10482,6 +10516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "state_merge_profile": q_state_merge_profile,
         "hll_merge_distinct": q_hll_merge_distinct,
         "embedding_hygiene": q_embedding_hygiene,
+        "resolve_redirects": q_resolve_redirects,
         "range_join_events": q_range_join_events,
         "time_rollup_events": q_time_rollup_events,
         "sessionize_events": q_sessionize_events,
@@ -10711,6 +10746,7 @@ def oracle_sql() -> dict[str, str]:
         # single-build SQL IS the merge oracle:
         "hll_merge_distinct": _SQL_HLL_DISTINCT,
         "embedding_hygiene": _sql_embedding_hygiene(),
+        "resolve_redirects": _sql_resolve_redirects(),
         "shingle_novelty": _SQL_SHINGLE_NOVELTY,
         "cc_luhn_scan": _SQL_CC_LUHN,
         "domain_rate_shrunk": _SQL_DOMAIN_SHRUNK,

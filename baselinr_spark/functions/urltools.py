@@ -209,3 +209,82 @@ def url_dedup(
         F.col("__win.t").alias(ts_col),
         "n_dups",
     )
+
+
+def resolve_redirects(
+    edges,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    *,
+    max_hops: int = 3,
+):
+    """Bounded-hop redirect-chain resolution: follow a crawl's
+    redirect map (src url → dst url) to each source's final
+    destination, the canonicalization step AFTER per-url
+    normalization (canonical_url) — a frontier that doesn't resolve
+    redirects re-fetches every hop of every chain forever. Multiple
+    recorded redirects for one src collapse deterministically to the
+    min dst (re-crawl disagreement tie-break).
+
+    Returns (url, final_url, n_hops, terminal): terminal=False after
+    ``max_hops`` means the chain didn't ground — a longer chain or a
+    redirect LOOP, both of which a crawler should drop rather than
+    chase (RFC-style redirect caps do exactly this).
+
+    Scale design: ``max_hops`` joins of the frontier against the
+    deduped edge map, all keyed on the url — the map's partitioning is
+    reused hop to hop; state is one row per source url; no recursion,
+    no collect. max_hops is a small constant (browsers cap ~20;
+    crawlers 3-5).
+    """
+    from pyspark.sql import functions as F
+
+    emap = (
+        edges.groupBy(F.col(src_col).alias("__s"))
+        .agg(F.min(F.col(dst_col)).alias("__d"))
+    )
+    cur = emap.select(
+        F.col("__s").alias("url"),
+        F.col("__d").alias("final_url"),
+        F.lit(1).alias("n_hops"),
+    )
+    for _ in range(max_hops - 1):
+        nxt = emap.withColumnRenamed("__s", "final_url")
+        cur = cur.join(nxt, "final_url", "left").select(
+            "url",
+            F.coalesce("__d", "final_url").alias("final_url"),
+            (F.col("n_hops")
+             + F.col("__d").isNotNull().cast("int")).alias("n_hops"),
+        )
+    last = emap.withColumnRenamed("__s", "final_url")
+    return cur.join(last, "final_url", "left").select(
+        "url", "final_url",
+        F.col("n_hops").cast("int").alias("n_hops"),
+        F.col("__d").isNull().alias("terminal"),
+    )
+
+
+def oracle_resolve_redirects_sql(
+    edges_sql: str, max_hops: int = 3
+) -> str:
+    """DuckDB twin of :func:`resolve_redirects` — unrolled hops."""
+    parts = [
+        f"""e AS ({edges_sql}),
+emap AS (SELECT src AS s, min(dst) AS d FROM e GROUP BY 1),
+r1 AS (SELECT s AS url, d AS final_url, 1 AS n_hops FROM emap)"""
+    ]
+    for t in range(2, max_hops + 1):
+        parts.append(
+            f"""r{t} AS (
+  SELECT r.url, coalesce(m.d, r.final_url) AS final_url,
+         r.n_hops + (m.d IS NOT NULL)::int AS n_hops
+  FROM r{t-1} r LEFT JOIN emap m ON m.s = r.final_url
+)"""
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"""
+SELECT r.url, r.final_url, r.n_hops::int AS n_hops,
+       (m.d IS NULL) AS terminal
+FROM r{max_hops} r LEFT JOIN emap m ON m.s = r.final_url"""
+    )

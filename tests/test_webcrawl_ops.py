@@ -176,3 +176,23 @@ def test_semdedup_no_corpus_cross_join(spark, emb_df):
     for line in plan.splitlines():
         if "CartesianProduct" in line:
             raise AssertionError(f"cartesian in semdedup plan: {line}")
+
+
+def test_resolve_redirects_chain_and_loop(spark):
+    """a->b->c->d grounds in 3 hops; x<->y loops and stays
+    non-terminal at the hop cap; duplicate redirects for one src
+    collapse to the min dst."""
+    from baselinr_spark.functions.urltools import resolve_redirects
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"),
+         ("x", "y"), ("y", "x"),
+         ("m", "q"), ("m", "n")],  # dup: min dst 'n' wins
+        ["src", "dst"],
+    )
+    got = {r["url"]: r for r in resolve_redirects(edges, max_hops=3).collect()}
+    assert got["a"]["final_url"] == "d" and got["a"]["n_hops"] == 3
+    assert got["a"]["terminal"]
+    assert got["b"]["final_url"] == "d" and got["b"]["n_hops"] == 2
+    assert not got["x"]["terminal"] and not got["y"]["terminal"]
+    assert got["m"]["final_url"] == "n" and got["m"]["terminal"]
