@@ -9093,6 +9093,65 @@ _HLL_M = 1 << _HLL_P
 _HLL_ALPHA_M2 = (0.7213 / (1.0 + 1.079 / _HLL_M)) * _HLL_M * _HLL_M
 
 
+_ROBOTS_RULES = (
+    ("/admin", False),
+    ("/admin/public", True),
+    ("/static", False),
+    ("/p/0", False),
+    ("/p/0", True),  # equal-length tie: allow wins (RFC 9309)
+)
+
+
+def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 9309 robots longest-match evaluation (urltools.py:
+    robots_filter) over staged frontier urls (4 path families per
+    domain) and a per-domain directive set including a nested
+    allow-under-disallow and an equal-length tie."""
+    from baselinr_spark.functions.urltools import robots_filter
+
+    docs = _read(spark, sf_dir, "documents")
+    g = F.expr("doc_id div 5")
+    domain = F.concat(F.lit("example"), (g % 37).cast("string"),
+                      F.lit(".com"))
+    gid = g.cast("string")
+    v = F.col("doc_id") % 4
+    path = (
+        F.when(v == 0, F.concat(F.lit("/p/"), gid))
+        .when(v == 1, F.concat(F.lit("/admin/x"), gid))
+        .when(v == 2, F.concat(F.lit("/admin/public/"), gid))
+        .otherwise(F.concat(F.lit("/static/img"), gid))
+    )
+    urls = docs.select(domain.alias("domain"), path.alias("path")).distinct()
+    rules = urls.select("domain").distinct().crossJoin(
+        spark.createDataFrame(list(_ROBOTS_RULES),
+                              ["path_prefix", "allow"])
+    )
+    return robots_filter(urls, rules)
+
+
+def _sql_robots_filter() -> str:
+    from baselinr_spark.functions.urltools import oracle_robots_filter_sql
+
+    urls = """
+SELECT DISTINCT
+  'example' || ((doc_id // 5) % 37)::varchar || '.com' AS domain,
+  CASE doc_id % 4
+    WHEN 0 THEN '/p/' || (doc_id // 5)::varchar
+    WHEN 1 THEN '/admin/x' || (doc_id // 5)::varchar
+    WHEN 2 THEN '/admin/public/' || (doc_id // 5)::varchar
+    ELSE '/static/img' || (doc_id // 5)::varchar END AS path
+FROM documents"""
+    vals = ", ".join(
+        f"('{p}', {str(a).lower()})" for p, a in _ROBOTS_RULES
+    )
+    rules = f"""
+SELECT d.domain, r.path_prefix, r.allow
+FROM (SELECT DISTINCT 'example' || ((doc_id // 5) % 37)::varchar
+             || '.com' AS domain FROM documents) d
+CROSS JOIN (VALUES {vals}) AS r(path_prefix, allow)"""
+    return oracle_robots_filter_sql(urls, rules)
+
+
 def q_resolve_redirects(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded-hop redirect resolution (urltools.py:resolve_redirects,
     3 hops): chains staged from doc ids (u_n -> u_{n-1} except at
@@ -10517,6 +10576,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_merge_distinct": q_hll_merge_distinct,
         "embedding_hygiene": q_embedding_hygiene,
         "resolve_redirects": q_resolve_redirects,
+        "robots_filter": q_robots_filter,
         "range_join_events": q_range_join_events,
         "time_rollup_events": q_time_rollup_events,
         "sessionize_events": q_sessionize_events,
@@ -10747,6 +10807,7 @@ def oracle_sql() -> dict[str, str]:
         "hll_merge_distinct": _SQL_HLL_DISTINCT,
         "embedding_hygiene": _sql_embedding_hygiene(),
         "resolve_redirects": _sql_resolve_redirects(),
+        "robots_filter": _sql_robots_filter(),
         "shingle_novelty": _SQL_SHINGLE_NOVELTY,
         "cc_luhn_scan": _SQL_CC_LUHN,
         "domain_rate_shrunk": _SQL_DOMAIN_SHRUNK,

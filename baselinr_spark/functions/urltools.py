@@ -288,3 +288,82 @@ SELECT r.url, r.final_url, r.n_hops::int AS n_hops,
        (m.d IS NULL) AS terminal
 FROM r{max_hops} r LEFT JOIN emap m ON m.s = r.final_url"""
     )
+
+
+def robots_filter(
+    urls,
+    rules,
+    *,
+    domain_col: str = "domain",
+    path_col: str = "path",
+    prefix_col: str = "path_prefix",
+    allow_col: str = "allow",
+):
+    """robots.txt rule evaluation with the documented longest-match
+    semantics (REP, RFC 9309: the most specific — longest — matching
+    path prefix wins; on a length tie the allow rule wins; no matching
+    rule means allowed). The frontier-side politeness gate that runs
+    BEFORE any fetch is scheduled.
+
+    ``urls``: one row per candidate (domain, path, …); ``rules``: one
+    row per directive (domain, path_prefix, allow). Returns the urls
+    columns plus (allowed, matched_prefix) — matched_prefix NULL when
+    no rule applied.
+
+    Scale design: candidates come from ONE equi-join on the domain key
+    (prefix match is a row-local startswith, never a cross join);
+    per-url winner via ONE max(struct(len, allow, prefix)) groupBy —
+    no window over the url corpus; rules-per-domain is bounded by
+    robots.txt size, so join fan-out is a small constant.
+    """
+    from pyspark.sql import functions as F
+
+    cand = urls.select(domain_col, path_col).join(
+        rules.select(
+            F.col(domain_col),
+            F.col(prefix_col).alias("__pfx"),
+            F.col(allow_col).cast("boolean").alias("__allow"),
+        ),
+        domain_col,
+    ).filter(F.col(path_col).startswith(F.col("__pfx")))
+    best = cand.groupBy(domain_col, path_col).agg(
+        F.max(
+            F.struct(
+                F.length("__pfx").alias("l"),
+                F.col("__allow").cast("int").alias("a"),
+                F.col("__pfx").alias("p"),
+            )
+        ).alias("__b")
+    )
+    return urls.join(best, [domain_col, path_col], "left").select(
+        *urls.columns,
+        F.coalesce(F.col("__b.a") == 1, F.lit(True)).alias("allowed"),
+        F.col("__b.p").alias("matched_prefix"),
+    )
+
+
+def oracle_robots_filter_sql(
+    urls_sql: str,
+    rules_sql: str,
+    domain_col: str = "domain",
+    path_col: str = "path",
+) -> str:
+    """DuckDB twin of :func:`robots_filter`."""
+    return f"""
+WITH urls_in AS ({urls_sql}),
+rules_in AS ({rules_sql}),
+cand AS (
+  SELECT u.{domain_col}, u.{path_col}, r.path_prefix, r.allow,
+         row_number() OVER (
+           PARTITION BY u.{domain_col}, u.{path_col}
+           ORDER BY length(r.path_prefix) DESC, r.allow::int DESC,
+                    r.path_prefix DESC) AS rn
+  FROM urls_in u
+  JOIN rules_in r ON r.{domain_col} = u.{domain_col}
+   AND starts_with(u.{path_col}, r.path_prefix)
+),
+best AS (SELECT {domain_col}, {path_col}, path_prefix, allow
+         FROM cand WHERE rn = 1)
+SELECT u.*, coalesce(b.allow, true) AS allowed,
+       b.path_prefix AS matched_prefix
+FROM urls_in u LEFT JOIN best b USING ({domain_col}, {path_col})"""

@@ -53,3 +53,28 @@ def test_single_reason_is_sufficient(feats):
     # conjunction can't pass a URL that any single rule rejects
     assert not feats[2]["bad_ext"] and not feats[2]["spam_kw"]
     assert feats[2]["path_depth"] > 8
+
+
+def test_robots_filter_longest_match_semantics(spark):
+    """RFC 9309: /admin/public beats /admin; equal-length tie -> allow;
+    no matching rule -> allowed with NULL matched_prefix."""
+    from baselinr_spark.functions.urltools import robots_filter
+
+    urls = spark.createDataFrame(
+        [("d.com", "/admin/x"), ("d.com", "/admin/public/y"),
+         ("d.com", "/free"), ("d.com", "/tie/z")],
+        ["domain", "path"],
+    )
+    rules = spark.createDataFrame(
+        [("d.com", "/admin", False), ("d.com", "/admin/public", True),
+         ("d.com", "/tie/", False), ("d.com", "/tie/", True)],
+        ["domain", "path_prefix", "allow"],
+    )
+    got = {r["path"]: r for r in robots_filter(urls, rules).collect()}
+    assert not got["/admin/x"]["allowed"]
+    assert got["/admin/x"]["matched_prefix"] == "/admin"
+    assert got["/admin/public/y"]["allowed"]
+    assert got["/admin/public/y"]["matched_prefix"] == "/admin/public"
+    assert got["/free"]["allowed"]
+    assert got["/free"]["matched_prefix"] is None
+    assert got["/tie/z"]["allowed"]  # tie at same length -> allow wins
