@@ -9152,6 +9152,114 @@ CROSS JOIN (VALUES {vals}) AS r(path_prefix, allow)"""
     return oracle_robots_filter_sql(urls, rules)
 
 
+_SALT_DOMAIN_SQL = """
+SELECT CASE WHEN doc_id % 10 < 4 THEN 'hot.example.com'
+            ELSE 'd' || (doc_id % 37)::varchar || '.example.com' END
+         AS domain
+FROM documents"""
+
+
+def q_salt_plan_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-skew salt planner (skewaudit.py:salt_plan) over a staged
+    zipf-style domain key: 40% of docs land on one hot domain, the rest
+    spread across 37 cold ones. target_rows_per_task=25 forces the hot
+    key to a multi-bucket salt_factor while cold keys stay at 1."""
+    from baselinr_spark.operators.skewaudit import salt_plan
+
+    docs = _read(spark, sf_dir, "documents")
+    keyed = docs.select(
+        F.when(F.col("doc_id") % 10 < 4, F.lit("hot.example.com"))
+        .otherwise(F.concat(F.lit("d"), (F.col("doc_id") % 37).cast("string"),
+                            F.lit(".example.com")))
+        .alias("domain")
+    )
+    return salt_plan(keyed, "domain", target_rows_per_task=25, top_k=15)
+
+
+def _sql_salt_plan_domains() -> str:
+    from baselinr_spark.operators.skewaudit import oracle_salt_plan_sql
+
+    return oracle_salt_plan_sql(_SALT_DOMAIN_SQL, "domain",
+                                target_rows_per_task=25, top_k=15)
+
+
+def q_cdc_chunks_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LBFS-style content-defined chunk layout (cdc.py:cdc_chunks,
+    k=8, divisor=16): boundaries where the md5-prefix gram hash is
+    0 mod 16 — per-chunk (start, len, md5) over normalized text."""
+    from baselinr_spark.operators.cdc import cdc_chunks
+
+    docs = _read(spark, sf_dir, "documents")
+    return cdc_chunks(docs, "doc_id", "text")
+
+
+def q_cdc_dup_share_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document CDC dup exposure (cdc.py:cdc_doc_summary): share
+    of each doc's normalized bytes living in chunks that also occur
+    in other documents — sub-document mirror/boilerplate mass."""
+    from baselinr_spark.operators.cdc import cdc_chunks, cdc_doc_summary
+
+    docs = _read(spark, sf_dir, "documents")
+    return cdc_doc_summary(cdc_chunks(docs, "doc_id", "text"), "doc_id")
+
+
+def _sql_cdc_chunks_docs() -> str:
+    from baselinr_spark.operators.cdc import oracle_cdc_chunks_sql
+
+    return oracle_cdc_chunks_sql("documents", "doc_id", "text")
+
+
+def _sql_cdc_dup_share_docs() -> str:
+    from baselinr_spark.operators.cdc import oracle_cdc_doc_summary_sql
+
+    return oracle_cdc_doc_summary_sql("documents", "doc_id", "text")
+
+
+_CRAWL_URLS_SQL = """
+SELECT 'd' || (doc_id % 23)::varchar || '.com' AS domain,
+       'https://d' || (doc_id % 23)::varchar || '.com/p/'
+         || doc_id::varchar AS url,
+       n_chars AS priority,
+       0.5 + ((doc_id % 23) % 3) * 0.5 AS crawl_delay_s
+FROM documents"""
+
+
+def _crawl_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    dom_idx = (F.col("doc_id") % 23).cast("string")
+    domain = F.concat(F.lit("d"), dom_idx, F.lit(".com"))
+    return docs.select(
+        domain.alias("domain"),
+        F.concat(F.lit("https://"), domain, F.lit("/p/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.col("n_chars").alias("priority"),
+        (F.lit(0.5) + ((F.col("doc_id") % 23) % 3) * 0.5)
+        .alias("crawl_delay_s"),
+    )
+
+
+def q_crawl_schedule_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness scheduler (crawlplan.py:crawl_schedule): per-domain
+    serial slots ordered by priority desc (url tiebreak), fetch time =
+    slot x that domain's crawl delay, budget-capped at 15 pages/domain.
+    Frontier staged from documents (23 domains, 3 delay classes)."""
+    from baselinr_spark.operators.crawlplan import crawl_schedule
+
+    return crawl_schedule(
+        _crawl_urls(spark, sf_dir),
+        priority_col="priority",
+        max_per_domain=15,
+    )
+
+
+def _sql_crawl_schedule_domains() -> str:
+    from baselinr_spark.operators.crawlplan import oracle_crawl_schedule_sql
+
+    return oracle_crawl_schedule_sql(
+        _CRAWL_URLS_SQL, priority_col="priority", max_per_domain=15
+    )
+
+
 def q_resolve_redirects(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded-hop redirect resolution (urltools.py:resolve_redirects,
     3 hops): chains staged from doc ids (u_n -> u_{n-1} except at
@@ -10577,6 +10685,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_hygiene": q_embedding_hygiene,
         "resolve_redirects": q_resolve_redirects,
         "robots_filter": q_robots_filter,
+        "salt_plan_domains": q_salt_plan_domains,
+        "crawl_schedule_domains": q_crawl_schedule_domains,
+        "cdc_chunks_docs": q_cdc_chunks_docs,
+        "cdc_dup_share_docs": q_cdc_dup_share_docs,
         "range_join_events": q_range_join_events,
         "time_rollup_events": q_time_rollup_events,
         "sessionize_events": q_sessionize_events,
@@ -10808,6 +10920,10 @@ def oracle_sql() -> dict[str, str]:
         "embedding_hygiene": _sql_embedding_hygiene(),
         "resolve_redirects": _sql_resolve_redirects(),
         "robots_filter": _sql_robots_filter(),
+        "salt_plan_domains": _sql_salt_plan_domains(),
+        "crawl_schedule_domains": _sql_crawl_schedule_domains(),
+        "cdc_chunks_docs": _sql_cdc_chunks_docs(),
+        "cdc_dup_share_docs": _sql_cdc_dup_share_docs(),
         "shingle_novelty": _SQL_SHINGLE_NOVELTY,
         "cc_luhn_scan": _SQL_CC_LUHN,
         "domain_rate_shrunk": _SQL_DOMAIN_SHRUNK,
