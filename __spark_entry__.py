@@ -9183,6 +9183,48 @@ def _sql_salt_plan_domains() -> str:
                                 target_rows_per_task=25, top_k=15)
 
 
+def _gmm_x(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(F.col("doc_id").alias("id"),
+                       F.log1p("n_chars").alias("x"))
+
+
+_GMM_X_SQL = "SELECT doc_id AS id, ln(1 + n_chars) AS x FROM documents"
+
+
+def q_gmm2_quality_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-component GMM EM fit (gmm.py:gmm2_fit, 5 fixed iterations,
+    moment init, 12dp per-iteration quantization) over x =
+    ln(1+n_chars) — the data-driven low/high quality split. Oracle
+    replays the unrolled EM in MATERIALIZED CTEs."""
+    from baselinr_spark.operators.gmm import gmm2_fit
+
+    p = gmm2_fit(_gmm_x(spark, sf_dir), "x")
+    return _r6(p, *p.columns)
+
+
+def q_gmm2_posteriors_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document posterior membership under the fitted mixture
+    (gmm.py:gmm2_posteriors): p2 + MAP component per doc."""
+    from baselinr_spark.operators.gmm import gmm2_fit, gmm2_posteriors
+
+    xs = _gmm_x(spark, sf_dir)
+    return _r6(gmm2_posteriors(xs, "id", "x", gmm2_fit(xs, "x")), "x")
+
+
+def _sql_gmm2_quality_fit() -> str:
+    from baselinr_spark.operators.gmm import oracle_gmm2_fit_sql
+
+    return oracle_gmm2_fit_sql(f"SELECT x FROM ({_GMM_X_SQL})")
+
+
+def _sql_gmm2_posteriors_docs() -> str:
+    from baselinr_spark.operators.gmm import oracle_gmm2_posteriors_sql
+
+    sql = oracle_gmm2_posteriors_sql(_GMM_X_SQL)
+    return f"SELECT id, round(x, 6) AS x, p2, component FROM ({sql})"
+
+
 def q_cdc_chunks_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LBFS-style content-defined chunk layout (cdc.py:cdc_chunks,
     k=8, divisor=16): boundaries where the md5-prefix gram hash is
@@ -10689,6 +10731,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_schedule_domains": q_crawl_schedule_domains,
         "cdc_chunks_docs": q_cdc_chunks_docs,
         "cdc_dup_share_docs": q_cdc_dup_share_docs,
+        "gmm2_quality_fit": q_gmm2_quality_fit,
+        "gmm2_posteriors_docs": q_gmm2_posteriors_docs,
         "range_join_events": q_range_join_events,
         "time_rollup_events": q_time_rollup_events,
         "sessionize_events": q_sessionize_events,
@@ -10924,6 +10968,8 @@ def oracle_sql() -> dict[str, str]:
         "crawl_schedule_domains": _sql_crawl_schedule_domains(),
         "cdc_chunks_docs": _sql_cdc_chunks_docs(),
         "cdc_dup_share_docs": _sql_cdc_dup_share_docs(),
+        "gmm2_quality_fit": _sql_gmm2_quality_fit(),
+        "gmm2_posteriors_docs": _sql_gmm2_posteriors_docs(),
         "shingle_novelty": _SQL_SHINGLE_NOVELTY,
         "cc_luhn_scan": _SQL_CC_LUHN,
         "domain_rate_shrunk": _SQL_DOMAIN_SHRUNK,
