@@ -9183,6 +9183,76 @@ def _sql_salt_plan_domains() -> str:
                                 target_rows_per_task=25, top_k=15)
 
 
+_FILE_STATS_SQL = """
+SELECT strftime(o_orderdate, '%Y-%m') AS part,
+       (o_orderkey % 5)::int AS file_id,
+       min(floor(o_totalprice))::bigint AS min_v,
+       max(floor(o_totalprice))::bigint AS max_v
+FROM orders GROUP BY 1, 2"""
+
+
+def _file_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _read(spark, sf_dir, "orders")
+    return orders.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("part"),
+        (F.col("o_orderkey") % 5).cast("int").alias("file_id"),
+    ).agg(
+        F.min(F.floor("o_totalprice")).cast("bigint").alias("min_v"),
+        F.max(F.floor("o_totalprice")).cast("bigint").alias("max_v"),
+    )
+
+
+def q_partition_spec_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg partition-spec evolution advisor (maintenance.py:
+    partition_spec_plan) over the same month-partitioned file staging
+    as compaction_plan: small/large partition fractions vs a 10MB
+    target -> coarsen/split/keep verdict."""
+    from baselinr_spark.operators.maintenance import partition_spec_plan
+
+    orders = _read(spark, sf_dir, "orders")
+    files = orders.select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("part"),
+        F.floor("o_totalprice").cast("bigint").alias("bytes"),
+    )
+    return partition_spec_plan(files, "part", "bytes",
+                               target_bytes=10_000_000)
+
+
+def _sql_partition_spec_plan() -> str:
+    from baselinr_spark.operators.maintenance import (
+        oracle_partition_spec_plan_sql,
+    )
+
+    rows = (
+        "SELECT strftime(o_orderdate, '%Y-%m') AS part, "
+        "floor(o_totalprice)::bigint AS bytes FROM orders"
+    )
+    return oracle_partition_spec_plan_sql(rows, "part", "bytes", 10_000_000)
+
+
+def q_file_prune_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min/max data-skipping audit (maintenance.py:file_prune_audit):
+    per-partition files scanned vs pruned for totalprice BETWEEN
+    100k AND 150k, over per-file column stats staged from orders
+    (5 'files' per month partition)."""
+    from baselinr_spark.operators.maintenance import file_prune_audit
+
+    return file_prune_audit(
+        _file_stats(spark, sf_dir), "part", "min_v", "max_v",
+        lo=100_000, hi=150_000,
+    )
+
+
+def _sql_file_prune_audit() -> str:
+    from baselinr_spark.operators.maintenance import (
+        oracle_file_prune_audit_sql,
+    )
+
+    return oracle_file_prune_audit_sql(
+        _FILE_STATS_SQL, "part", "min_v", "max_v", 100_000, 150_000
+    )
+
+
 def _gmm_x(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
     return docs.select(F.col("doc_id").alias("id"),
@@ -10733,6 +10803,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_dup_share_docs": q_cdc_dup_share_docs,
         "gmm2_quality_fit": q_gmm2_quality_fit,
         "gmm2_posteriors_docs": q_gmm2_posteriors_docs,
+        "partition_spec_plan": q_partition_spec_plan,
+        "file_prune_audit": q_file_prune_audit,
         "range_join_events": q_range_join_events,
         "time_rollup_events": q_time_rollup_events,
         "sessionize_events": q_sessionize_events,
@@ -10970,6 +11042,8 @@ def oracle_sql() -> dict[str, str]:
         "cdc_dup_share_docs": _sql_cdc_dup_share_docs(),
         "gmm2_quality_fit": _sql_gmm2_quality_fit(),
         "gmm2_posteriors_docs": _sql_gmm2_posteriors_docs(),
+        "partition_spec_plan": _sql_partition_spec_plan(),
+        "file_prune_audit": _sql_file_prune_audit(),
         "shingle_novelty": _SQL_SHINGLE_NOVELTY,
         "cc_luhn_scan": _SQL_CC_LUHN,
         "domain_rate_shrunk": _SQL_DOMAIN_SHRUNK,

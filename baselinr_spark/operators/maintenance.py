@@ -24,7 +24,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["compaction_plan", "snapshot_expiry_plan", "orphan_file_audit"]
+__all__ = [
+    "compaction_plan",
+    "snapshot_expiry_plan",
+    "orphan_file_audit",
+    "partition_spec_plan",
+    "file_prune_audit",
+]
 
 
 def compaction_plan(
@@ -222,3 +228,148 @@ manifest_in AS ({manifest_sql})
 SELECT {cols} FROM files_in
 WHERE {file_col} NOT IN (SELECT {file_col} FROM manifest_in
                          WHERE {file_col} IS NOT NULL)"""
+
+
+def partition_spec_plan(
+    files: DataFrame,
+    part_col: str,
+    bytes_col: str,
+    *,
+    target_bytes: int,
+    small_ratio: float = 0.25,
+    large_ratio: float = 4.0,
+    coarsen_frac: float = 0.5,
+    split_frac: float = 0.2,
+) -> DataFrame:
+    """Partition-spec evolution advisor (the Iceberg docs' own sizing
+    guidance, made a query): partitions far BELOW the target size mean
+    the spec is too granular (day -> month, or drop a bucket column);
+    partitions far ABOVE it mean too coarse (month -> day, or add
+    bucket(N)). Iceberg supports in-place spec evolution, so this
+    planner's verdict is directly actionable without a rewrite.
+
+    A partition is `small` when its bytes < small_ratio x target,
+    `large` when > large_ratio x target. Verdict: ``coarsen`` when
+    more than ``coarsen_frac`` of partitions are small, else ``split``
+    when more than ``split_frac`` are large, else ``keep``.
+
+    Returns ONE row: (n_partitions, total_bytes, avg_partition_bytes,
+    small_frac, large_frac, recommendation).
+
+    Scale design: input is the file manifest (METADATA-scale, one row
+    per file); one groupBy(part) + one single-row aggregate. Never
+    touches data files.
+    """
+    per = files.groupBy(part_col).agg(
+        F.sum(bytes_col).cast("bigint").alias("pbytes")
+    )
+    small = (F.col("pbytes") < float(small_ratio) * target_bytes).cast("int")
+    large = (F.col("pbytes") > float(large_ratio) * target_bytes).cast("int")
+    agg = per.agg(
+        F.count(F.lit(1)).alias("n_partitions"),
+        F.sum("pbytes").cast("bigint").alias("total_bytes"),
+        F.round(F.avg("pbytes"), 6).alias("avg_partition_bytes"),
+        F.round(F.avg(small), 6).alias("small_frac"),
+        F.round(F.avg(large), 6).alias("large_frac"),
+    )
+    return agg.select(
+        "*",
+        F.when(F.col("small_frac") > coarsen_frac, F.lit("coarsen"))
+        .when(F.col("large_frac") > split_frac, F.lit("split"))
+        .otherwise(F.lit("keep"))
+        .alias("recommendation"),
+    )
+
+
+def oracle_partition_spec_plan_sql(
+    files_sql: str,
+    part_col: str,
+    bytes_col: str,
+    target_bytes: int,
+    small_ratio: float = 0.25,
+    large_ratio: float = 4.0,
+    coarsen_frac: float = 0.5,
+    split_frac: float = 0.2,
+) -> str:
+    """DuckDB twin of :func:`partition_spec_plan`."""
+    return f"""
+WITH files_in AS ({files_sql}),
+per AS (
+  SELECT {part_col}, sum({bytes_col})::bigint AS pbytes
+  FROM files_in GROUP BY 1
+),
+agg AS (
+  SELECT count(*)::bigint AS n_partitions,
+         sum(pbytes)::bigint AS total_bytes,
+         round(avg(pbytes), 6) AS avg_partition_bytes,
+         round(avg((pbytes < {float(small_ratio)} * {target_bytes})::int), 6)
+           AS small_frac,
+         round(avg((pbytes > {float(large_ratio)} * {target_bytes})::int), 6)
+           AS large_frac
+  FROM per
+)
+SELECT *,
+       CASE WHEN small_frac > {coarsen_frac} THEN 'coarsen'
+            WHEN large_frac > {split_frac} THEN 'split'
+            ELSE 'keep' END AS recommendation
+FROM agg"""
+
+
+def file_prune_audit(
+    file_stats: DataFrame,
+    part_col: str,
+    min_col: str,
+    max_col: str,
+    *,
+    lo,
+    hi,
+) -> DataFrame:
+    """Min/max data-skipping effectiveness for a range predicate
+    ``value BETWEEN lo AND hi`` — the scan-planning question "how many
+    files does this filter actually prune?" evaluated from manifest
+    column stats alone (Iceberg manifests / parquet footers both carry
+    per-file min/max). A file must be SCANNED when its [min, max]
+    interval intersects [lo, hi]; NULL stats force a scan
+    (stats-missing files can never be pruned).
+
+    Returns per-partition (part_col, n_files, n_scanned, prune_frac).
+
+    Scale design: metadata-only — one row per file in, one groupBy on
+    the partition key; the answer for a 100 TB table costs a manifest
+    read, not a data scan.
+    """
+    must_scan = (
+        F.col(min_col).isNull()
+        | F.col(max_col).isNull()
+        | ((F.col(min_col) <= hi) & (F.col(max_col) >= lo))
+    ).cast("int")
+    return (
+        file_stats.groupBy(part_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum(must_scan).cast("bigint").alias("n_scanned"),
+            F.round(F.lit(1.0) - F.sum(must_scan) / F.count(F.lit(1)), 6)
+            .alias("prune_frac"),
+        )
+    )
+
+
+def oracle_file_prune_audit_sql(
+    stats_sql: str,
+    part_col: str,
+    min_col: str,
+    max_col: str,
+    lo,
+    hi,
+) -> str:
+    """DuckDB twin of :func:`file_prune_audit`."""
+    scan = (
+        f"({min_col} IS NULL OR {max_col} IS NULL OR "
+        f"({min_col} <= {hi} AND {max_col} >= {lo}))::int"
+    )
+    return f"""
+WITH stats_in AS ({stats_sql})
+SELECT {part_col}, count(*)::bigint AS n_files,
+       sum({scan})::bigint AS n_scanned,
+       round(1.0 - sum({scan})::double / count(*), 6) AS prune_frac
+FROM stats_in GROUP BY 1"""

@@ -102,3 +102,58 @@ def test_orphan_file_audit_hand_computed(spark):
                             size_col="bytes").collect()
     assert len(got) == 1
     assert got[0]["path"] == "f2" and got[0]["bytes"] == 20
+
+
+def test_partition_spec_plan_coarsen(spark):
+    from baselinr_spark.operators.maintenance import partition_spec_plan
+
+    # 4 partitions of 10 bytes each, target 100 -> all small -> coarsen
+    files = spark.createDataFrame(
+        [(f"p{i}", 10) for i in range(4)], ["part", "bytes"]
+    )
+    r = partition_spec_plan(files, "part", "bytes", target_bytes=100).collect()[0]
+    assert r["n_partitions"] == 4
+    assert r["small_frac"] == 1.0
+    assert r["recommendation"] == "coarsen"
+
+
+def test_partition_spec_plan_split_and_keep(spark):
+    from baselinr_spark.operators.maintenance import partition_spec_plan
+
+    # one 500-byte partition among 3 at target 100 -> large_frac=0.25 > 0.2
+    files = spark.createDataFrame(
+        [("a", 500), ("b", 100), ("c", 120)], ["part", "bytes"]
+    )
+    r = partition_spec_plan(files, "part", "bytes", target_bytes=100).collect()[0]
+    assert r["large_frac"] > 0.2
+    assert r["recommendation"] == "split"
+    # balanced sizes -> keep
+    files2 = spark.createDataFrame(
+        [("a", 100), ("b", 110), ("c", 90)], ["part", "bytes"]
+    )
+    r2 = partition_spec_plan(files2, "part", "bytes",
+                             target_bytes=100).collect()[0]
+    assert r2["recommendation"] == "keep"
+
+
+def test_file_prune_audit(spark):
+    from baselinr_spark.operators.maintenance import file_prune_audit
+
+    stats = spark.createDataFrame(
+        [
+            ("p1", 0, 0, 50),        # below range -> pruned
+            ("p1", 1, 60, 90),       # intersects [80, 120] -> scanned
+            ("p1", 2, 130, 200),     # above -> pruned
+            ("p1", 3, None, 10),     # null stats -> must scan
+            ("p2", 0, 100, 110),     # inside -> scanned
+        ],
+        ["part", "file_id", "min_v", "max_v"],
+    )
+    got = {r["part"]: r for r in
+           file_prune_audit(stats, "part", "min_v", "max_v",
+                            lo=80, hi=120).collect()}
+    assert got["p1"]["n_files"] == 4
+    assert got["p1"]["n_scanned"] == 2  # the intersecting + the null-stats
+    assert got["p1"]["prune_frac"] == 0.5
+    assert got["p2"]["n_scanned"] == 1
+    assert got["p2"]["prune_frac"] == 0.0
