@@ -9183,6 +9183,45 @@ def _sql_salt_plan_domains() -> str:
                                 target_rows_per_task=25, top_k=15)
 
 
+_HRW_SHARDS = ["shard-a", "shard-b", "shard-c", "shard-d", "shard-e"]
+
+
+def q_hrw_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous-hash shard assignment (sharding.py:hrw_assign) of
+    documents onto 5 named shards — minimal-movement consistent
+    sharding, row-local argmax over md5 weights (zero shuffle)."""
+    from baselinr_spark.operators.sharding import hrw_assign
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    return hrw_assign(docs, "doc_id", _HRW_SHARDS)
+
+
+def _sql_hrw_assignments() -> str:
+    from baselinr_spark.operators.sharding import oracle_hrw_assign_sql
+
+    return oracle_hrw_assign_sql(
+        "SELECT doc_id FROM documents", "doc_id", _HRW_SHARDS
+    )
+
+
+def q_bloom_plan_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter sizing plan per source (sketch.py:bloom_plan,
+    target FPR 1%): optimal bits/hashes + achieved FPR from each
+    source's doc count — design-time companion to bloom_build."""
+    from baselinr_spark.operators.sketch import bloom_plan
+
+    docs = _read(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    return bloom_plan(counts, "source", "n_docs", target_fpr=0.01)
+
+
+def _sql_bloom_plan_sources() -> str:
+    from baselinr_spark.operators.sketch import oracle_bloom_plan_sql
+
+    counts = "SELECT source, count(*) AS n_docs FROM documents GROUP BY 1"
+    return oracle_bloom_plan_sql(counts, "source", "n_docs", 0.01)
+
+
 _FILE_STATS_SQL = """
 SELECT strftime(o_orderdate, '%Y-%m') AS part,
        (o_orderkey % 5)::int AS file_id,
@@ -10805,6 +10844,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gmm2_posteriors_docs": q_gmm2_posteriors_docs,
         "partition_spec_plan": q_partition_spec_plan,
         "file_prune_audit": q_file_prune_audit,
+        "hrw_assignments": q_hrw_assignments,
+        "bloom_plan_sources": q_bloom_plan_sources,
         "range_join_events": q_range_join_events,
         "time_rollup_events": q_time_rollup_events,
         "sessionize_events": q_sessionize_events,
@@ -11044,6 +11085,8 @@ def oracle_sql() -> dict[str, str]:
         "gmm2_posteriors_docs": _sql_gmm2_posteriors_docs(),
         "partition_spec_plan": _sql_partition_spec_plan(),
         "file_prune_audit": _sql_file_prune_audit(),
+        "hrw_assignments": _sql_hrw_assignments(),
+        "bloom_plan_sources": _sql_bloom_plan_sources(),
         "shingle_novelty": _SQL_SHINGLE_NOVELTY,
         "cc_luhn_scan": _SQL_CC_LUHN,
         "domain_rate_shrunk": _SQL_DOMAIN_SHRUNK,

@@ -358,3 +358,72 @@ fold AS (
   FROM fold f JOIN ordered o ON o.rn = f.rn + 1
 )
 SELECT key, size, shard, load_after FROM fold WHERE rn >= 1"""
+
+
+def hrw_assign(
+    df: DataFrame,
+    id_col: str,
+    shards: list[str],
+    *,
+    salt: str = "hrw",
+) -> DataFrame:
+    """Rendezvous (highest-random-weight) shard assignment
+    (Thaler & Ravishankar 1998; public). Unlike ``assign_shards``'
+    mod-N bucketing — where changing N remaps ~(N-1)/N of all keys —
+    HRW guarantees MINIMAL MOVEMENT: removing one shard reassigns
+    ONLY the keys that lived on it, and adding one steals only the
+    keys the new shard now wins. That is the property an incremental
+    dedup/index state store (scripts/run_dedup.py) needs to grow its
+    shard set without rehashing history.
+
+    assigned(k) = argmax_s md5(k|salt|s), ties (2^-60) broken by
+    shard name descending.
+
+    Scale design: the shard list is a LITERAL array (O(#shards),
+    constant); the argmax is a row-local array_max over
+    struct(weight, shard) inside WholeStageCodegen — zero shuffle,
+    zero join, no matter how many rows. Returns df + (shard).
+    """
+    pairs = F.array(
+        *[
+            F.struct(
+                _md5_long(
+                    F.concat(F.col(id_col).cast("string"),
+                             F.lit(f"|{salt}|{s}")),
+                    salt="",
+                    nhex=15,
+                ).alias("w"),
+                F.lit(s).alias("s"),
+            )
+            for s in shards
+        ]
+    )
+    return df.withColumn("shard", F.array_max(pairs)["s"])
+
+
+def oracle_hrw_assign_sql(
+    source_sql: str,
+    id_col: str,
+    shards: list[str],
+    *,
+    salt: str = "hrw",
+) -> str:
+    """DuckDB twin of :func:`hrw_assign` (weight replay + max_by)."""
+    terms = ", ".join(
+        "{s: '" + s + "', w: ('0x' || substring(md5("
+        f"{id_col}::varchar || '|{salt}|{s}' || '|'), 1, 15))::bigint}}"
+        for s in shards
+    )
+    return f"""
+WITH src AS ({source_sql}),
+cand AS (
+  SELECT {id_col}, unnest([{terms}]) AS c FROM src
+),
+win AS (
+  -- lpad keeps string order == numeric order (60-bit w < 10^19),
+  -- '|' separator then replays the struct(w, s) tiebreak
+  SELECT {id_col},
+         max_by(c.s, lpad(c.w::varchar, 19, '0') || '|' || c.s) AS shard
+  FROM cand GROUP BY 1
+)
+SELECT s.*, w.shard FROM src s JOIN win w USING ({id_col})"""

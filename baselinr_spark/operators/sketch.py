@@ -36,6 +36,8 @@ dedup/ANN suite.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -47,6 +49,7 @@ __all__ = [
     "cms_build",
     "cms_query",
     "cms_heavy_keys",
+    "bloom_plan",
 ]
 
 
@@ -344,3 +347,70 @@ def hll_estimate(sketch: DataFrame, *, p: int = 12) -> DataFrame:
         "raw_estimate",
         "n_zero_registers",
     )
+
+
+def bloom_plan(
+    counts: DataFrame,
+    group_col: str,
+    n_col: str,
+    *,
+    target_fpr: float,
+) -> DataFrame:
+    """Bloom-filter sizing planner (classic Bloom 1970 formulas;
+    the design-time companion to ``bloom_build``/``bloom_probe`` the
+    way ``lsh_plan_grid`` is to the MinHash band join): for each
+    group's expected item count n, the optimal bit count
+    m = ceil(-n·ln p / ln²2), hash count k = round(m/n · ln 2), and
+    the achieved FPR (1 - e^(-k·n/m))^k — so a dedup stage can size
+    its per-partition filters before building them instead of
+    discovering saturation at probe time.
+
+    Returns (group_col, n, m_bits, k_hashes, actual_fpr). Input is
+    already-aggregated counts (metadata-scale); everything here is
+    row-local arithmetic.
+    """
+    ln2 = math.log(2.0)
+    n = F.col(n_col).cast("double")
+    m = F.ceil(-n * math.log(target_fpr) / (ln2 * ln2)).cast("bigint")
+    k = F.greatest(
+        F.lit(1), F.round(m.cast("double") / n * ln2, 0).cast("int")
+    )
+    fpr = F.pow(
+        F.lit(1.0) - F.exp(-k.cast("double") * n / m.cast("double")),
+        k.cast("double"),
+    )
+    return counts.select(
+        group_col,
+        F.col(n_col).cast("bigint").alias("n"),
+        m.alias("m_bits"),
+        k.alias("k_hashes"),
+        F.round(fpr, 6).alias("actual_fpr"),
+    )
+
+
+def oracle_bloom_plan_sql(
+    counts_sql: str,
+    group_col: str,
+    n_col: str,
+    target_fpr: float,
+) -> str:
+    """DuckDB twin of :func:`bloom_plan`."""
+    ln2 = math.log(2.0)
+    lnp = math.log(target_fpr)
+    return f"""
+WITH counts_in AS ({counts_sql}),
+plan AS (
+  SELECT {group_col}, {n_col}::bigint AS n,
+         ceil(-({n_col}::double) * {lnp!r} / ({ln2!r} * {ln2!r}))::bigint
+           AS m_bits
+  FROM counts_in
+),
+withk AS (
+  SELECT *, greatest(1, round(m_bits::double / n * {ln2!r})::int)
+              AS k_hashes
+  FROM plan
+)
+SELECT {group_col}, n, m_bits, k_hashes,
+       round(pow(1.0 - exp(-(k_hashes::double) * n / m_bits),
+                 k_hashes::double), 6) AS actual_fpr
+FROM withk"""

@@ -142,3 +142,44 @@ def test_mixture_interleave_weight_column(spark):
     for r in out:
         u = _md5_long(f"{r['doc_id']}|mix") / 16**8
         assert r["interleave_key"] == pytest.approx(u / 2.0, rel=1e-12)
+
+
+def test_hrw_minimal_movement(spark):
+    """Removing a shard moves ONLY its keys; others stay put — the
+    rendezvous property mod-N sharding lacks."""
+    from baselinr_spark.operators.sharding import hrw_assign
+
+    ids = spark.range(200).withColumnRenamed("id", "doc_id")
+    all5 = {r["doc_id"]: r["shard"]
+            for r in hrw_assign(ids, "doc_id",
+                                ["a", "b", "c", "d", "e"]).collect()}
+    no_c = {r["doc_id"]: r["shard"]
+            for r in hrw_assign(ids, "doc_id",
+                                ["a", "b", "d", "e"]).collect()}
+    for k, s in all5.items():
+        if s == "c":
+            assert no_c[k] != "c"
+        else:
+            assert no_c[k] == s
+    # and each shard actually owns something (balance sanity)
+    assert len(set(all5.values())) == 5
+
+
+def test_hrw_zero_shuffle_plan(spark):
+    from baselinr_spark.operators.sharding import hrw_assign
+
+    ids = spark.range(10).withColumnRenamed("id", "doc_id")
+    out = hrw_assign(ids, "doc_id", ["a", "b"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # row-local argmax, no shuffle
+
+
+def test_bloom_plan_textbook_values(spark):
+    """n=1000, p=0.01 -> m=9586 bits, k=7, fpr ~= 0.0101."""
+    from baselinr_spark.operators.sketch import bloom_plan
+
+    counts = spark.createDataFrame([("g", 1000)], ["grp", "n"])
+    r = bloom_plan(counts, "grp", "n", target_fpr=0.01).collect()[0]
+    assert r["m_bits"] == 9586
+    assert r["k_hashes"] == 7
+    assert abs(r["actual_fpr"] - 0.01) < 0.001
