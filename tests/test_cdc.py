@@ -81,3 +81,13 @@ def test_dup_chunks_table(chunks):
     # every chunk of doc 1 is duplicated (doc 5 copy) -> appears here
     n1 = chunks.filter("doc_id = 1").count()
     assert len(dups) >= n1
+
+
+def test_cdc_layout_zero_shuffle(docs):
+    """Chunk layout is per-document HOF work — no Exchange in the
+    plan before the explode."""
+    plan = (
+        cdc_chunks(docs, "doc_id", "text")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan

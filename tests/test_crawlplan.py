@@ -51,3 +51,14 @@ def test_concurrency_histogram(frontier):
     assert got[2] == (1, 1)
     assert got[4] == (1, 1)
     assert 1 not in got and 3 not in got
+
+
+def test_schedule_single_shuffle(frontier):
+    """Exactly ONE Exchange (the inherent domain-key shuffle) feeds
+    the per-domain rank window."""
+    plan = (
+        crawl_schedule(frontier, priority_col="priority")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange rangepartitioning" not in plan  # no global sort

@@ -57,3 +57,14 @@ def test_salted_count_equals_unsalted(skewed):
     }
     plain = {r["k"]: r["count"] for r in skewed.groupBy("k").count().collect()}
     assert salted == plain
+
+
+def test_salt_plan_shape(skewed):
+    """Top-k must be TakeOrderedAndProject (no global sort) and the
+    corpus is read by exactly one aggregate."""
+    plan = (
+        salt_plan(skewed, "k", target_rows_per_task=4)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan  # 1-row totals broadcast
