@@ -9183,6 +9183,54 @@ def _sql_salt_plan_domains() -> str:
                                 target_rows_per_task=25, top_k=15)
 
 
+_TOPIC_LEX = {
+    "query_engine": ["scan", "filter", "join", "agg", "sort", "group"],
+    "storage": ["table", "row", "column", "part", "batch"],
+    "performance": ["fast", "slow", "small", "big"],
+}
+
+
+def q_topic_scores_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon topic bucketing (taxonomy.py:lexicon_topic_scores):
+    per-doc hit counts for 3 compiled alternation lexicons + MAP
+    topic (struct-max tiebreak), all row-local."""
+    from baselinr_spark.operators.taxonomy import lexicon_topic_scores
+
+    docs = _read(spark, sf_dir, "documents")
+    return lexicon_topic_scores(docs, "doc_id", "text", _TOPIC_LEX)
+
+
+def q_topic_mixture_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus topic mix (taxonomy.py:topic_mixture) — the bucket table
+    a mixing plan reweights."""
+    from baselinr_spark.operators.taxonomy import (
+        lexicon_topic_scores,
+        topic_mixture,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    return topic_mixture(
+        lexicon_topic_scores(docs, "doc_id", "text", _TOPIC_LEX)
+    )
+
+
+def _sql_topic_scores_docs() -> str:
+    from baselinr_spark.operators.taxonomy import oracle_topic_scores_sql
+
+    return oracle_topic_scores_sql("documents", "doc_id", "text", _TOPIC_LEX)
+
+
+def _sql_topic_mixture_docs() -> str:
+    from baselinr_spark.operators.taxonomy import (
+        oracle_topic_mixture_sql,
+        oracle_topic_scores_sql,
+    )
+
+    return oracle_topic_mixture_sql(
+        oracle_topic_scores_sql("documents", "doc_id", "text", _TOPIC_LEX)
+    )
+
+
 _HRW_SHARDS = ["shard-a", "shard-b", "shard-c", "shard-d", "shard-e"]
 
 
@@ -10846,6 +10894,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "file_prune_audit": q_file_prune_audit,
         "hrw_assignments": q_hrw_assignments,
         "bloom_plan_sources": q_bloom_plan_sources,
+        "topic_scores_docs": q_topic_scores_docs,
+        "topic_mixture_docs": q_topic_mixture_docs,
         "range_join_events": q_range_join_events,
         "time_rollup_events": q_time_rollup_events,
         "sessionize_events": q_sessionize_events,
@@ -11087,6 +11137,8 @@ def oracle_sql() -> dict[str, str]:
         "file_prune_audit": _sql_file_prune_audit(),
         "hrw_assignments": _sql_hrw_assignments(),
         "bloom_plan_sources": _sql_bloom_plan_sources(),
+        "topic_scores_docs": _sql_topic_scores_docs(),
+        "topic_mixture_docs": _sql_topic_mixture_docs(),
         "shingle_novelty": _SQL_SHINGLE_NOVELTY,
         "cc_luhn_scan": _SQL_CC_LUHN,
         "domain_rate_shrunk": _SQL_DOMAIN_SHRUNK,
