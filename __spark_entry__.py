@@ -9183,6 +9183,31 @@ def _sql_salt_plan_domains() -> str:
                                 target_rows_per_task=25, top_k=15)
 
 
+_TRUST_SEEDS = ["example0.com", "example7.com", "example19.com"]
+
+
+def q_trustrank_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TrustRank (linkgraph.py:trustrank, Gyöngyi et al. 2004) over
+    the derived domain graph: teleport + dangling mass concentrated
+    on 3 trusted seed domains, 5 rounds, d=0.85 — link-farm-resistant
+    authority for crawl prioritization."""
+    from baselinr_spark.operators.linkgraph import trustrank
+
+    edges = _derived_domain_edges(spark, sf_dir)
+    return _r6(trustrank(edges, _TRUST_SEEDS, n_iter=5, damping=0.85),
+               "trust")
+
+
+def _sql_trustrank_domains() -> str:
+    from baselinr_spark.operators.linkgraph import oracle_trustrank_cte
+
+    return (
+        oracle_trustrank_cte(_SQL_DOMAIN_EDGES, _TRUST_SEEDS,
+                             n_iter=5, damping=0.85)
+        + "\nSELECT node, round(trust, 6) AS trust FROM t5"
+    )
+
+
 _TOPIC_LEX = {
     "query_engine": ["scan", "filter", "join", "agg", "sort", "group"],
     "storage": ["table", "row", "column", "part", "batch"],
@@ -10896,6 +10921,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_plan_sources": q_bloom_plan_sources,
         "topic_scores_docs": q_topic_scores_docs,
         "topic_mixture_docs": q_topic_mixture_docs,
+        "trustrank_domains": q_trustrank_domains,
         "range_join_events": q_range_join_events,
         "time_rollup_events": q_time_rollup_events,
         "sessionize_events": q_sessionize_events,
@@ -11139,6 +11165,7 @@ def oracle_sql() -> dict[str, str]:
         "bloom_plan_sources": _sql_bloom_plan_sources(),
         "topic_scores_docs": _sql_topic_scores_docs(),
         "topic_mixture_docs": _sql_topic_mixture_docs(),
+        "trustrank_domains": _sql_trustrank_domains(),
         "shingle_novelty": _SQL_SHINGLE_NOVELTY,
         "cc_luhn_scan": _SQL_CC_LUHN,
         "domain_rate_shrunk": _SQL_DOMAIN_SHRUNK,

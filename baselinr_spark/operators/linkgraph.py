@@ -513,3 +513,154 @@ l{t} AS (
 )"""
         )
     return "WITH " + ",\n".join(parts)
+
+
+def trustrank(
+    edges: DataFrame,
+    seeds: list[str],
+    n_iter: int = 5,
+    damping: float = 0.85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """TrustRank (Gyöngyi, Garcia-Molina & Pedersen, VLDB 2004;
+    public): PageRank with the teleport vector CONCENTRATED on a
+    hand-vetted trusted seed set instead of uniform — trust flows out
+    of the seeds along links, so link-farm spam (which uniform
+    PageRank rewards for sheer in-link volume) gets near-zero mass
+    unless a trusted page links toward it. The anti-spam complement
+    to ``pagerank`` for crawl prioritization and sampling weights;
+    the biased teleport is also exactly "personalized PageRank", so
+    the same operator serves topic-conditioned authority.
+
+    rank'(v) = (1-d)·p(v) + d·(Σ_{u→v} rank(u)/outdeg(u)
+               + dangling·p(v)),  p = uniform over ``seeds``.
+
+    Dangling mass returns to the SEEDS (not all nodes) — the standard
+    TrustRank choice that keeps total trust = 1 without leaking mass
+    to untrusted pages. Seeds absent from the graph still receive
+    their teleport share (they are added as isolated nodes), so the
+    oracle and a seed-list typo behave identically and visibly.
+
+    Returns (node, trust). Same scale shape as ``pagerank``:
+    state O(nodes), one contribs shuffle per round, scalars as 1-row
+    broadcasts, localCheckpoint per round.
+    """
+    e = normalize_edges(edges, src_col, dst_col).localCheckpoint()
+    seed_df = e.sparkSession.createDataFrame(
+        [(s,) for s in sorted(set(seeds))], ["node"]
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .unionByName(seed_df.select("node"))
+        .distinct()
+        .localCheckpoint()
+    )
+    outdeg = e.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("outdeg")
+    )
+    nd = (
+        nodes.join(outdeg, "node", "left")
+        .withColumn("is_seed", F.col("node").isin(list(seeds)))
+        .localCheckpoint()
+    )
+    ns = F.broadcast(
+        nd.agg(F.sum(F.col("is_seed").cast("int")).cast("double").alias("__s"))
+    )
+    p_v = F.when(F.col("is_seed"), F.lit(1.0) / F.col("__s")).otherwise(0.0)
+    ranks = nd.crossJoin(ns).select(
+        "node", "outdeg", "is_seed", p_v.alias("trust")
+    )
+    for _ in range(n_iter):
+        dangling = F.broadcast(
+            ranks.agg(
+                F.coalesce(
+                    F.sum(F.when(F.col("outdeg").isNull(), F.col("trust"))),
+                    F.lit(0.0),
+                ).alias("__dangling")
+            )
+        )
+        contribs = (
+            ranks.join(e, ranks["node"] == e["src"])
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("trust") / F.col("outdeg")).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        ranks = (
+            nd.join(contribs, "node", "left")
+            .crossJoin(ns)
+            .crossJoin(dangling)
+            .select(
+                "node",
+                "outdeg",
+                "is_seed",
+                (
+                    F.lit(1.0 - damping) * p_v
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("contrib"), F.lit(0.0))
+                        + F.col("__dangling") * p_v
+                    )
+                ).alias("trust"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.select("node", "trust")
+
+
+def oracle_trustrank_cte(
+    edges_cte: str,
+    seeds: list[str],
+    n_iter: int = 5,
+    damping: float = 0.85,
+) -> str:
+    """CTE chain replaying :func:`trustrank` exactly; callers append a
+    final SELECT over t{n_iter} (node, trust)."""
+    d = damping
+    seed_vals = ", ".join(f"('{s}')" for s in sorted(set(seeds)))
+    parts = [
+        f"rawe AS ({edges_cte})",
+        "e AS MATERIALIZED (SELECT DISTINCT src, dst FROM rawe WHERE src != dst)",
+        f"seeds AS (SELECT node FROM (VALUES {seed_vals}) v(node))",
+        """nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e
+            UNION SELECT node FROM seeds)""",
+        """tnd AS MATERIALIZED (
+  SELECT n.node, od.outdeg, (n.node IN (SELECT node FROM seeds)) AS is_seed
+  FROM nodes n LEFT JOIN (SELECT src AS node, count(*) AS outdeg
+                          FROM e GROUP BY 1) od USING (node)
+)""",
+        "sn AS (SELECT sum(is_seed::int)::double AS s FROM tnd)",
+        """t0 AS MATERIALIZED (
+  SELECT node, outdeg, is_seed,
+         CASE WHEN is_seed THEN 1.0 / sn.s ELSE 0.0 END AS trust
+  FROM tnd, sn
+)""",
+    ]
+    for i in range(1, n_iter + 1):
+        parts.append(
+            f"""tdg{i} AS (
+  SELECT coalesce(sum(CASE WHEN outdeg IS NULL THEN trust END), 0.0)
+           AS dangling
+  FROM t{i-1}
+),
+tcb{i} AS (
+  SELECT e.dst AS node, sum(t.trust / t.outdeg) AS contrib
+  FROM t{i-1} t JOIN e ON t.node = e.src
+  GROUP BY 1
+),
+t{i} AS MATERIALIZED (
+  SELECT tnd.node, tnd.outdeg, tnd.is_seed,
+         (1.0 - {d}) * (CASE WHEN tnd.is_seed THEN 1.0 / sn.s
+                             ELSE 0.0 END)
+         + {d} * (coalesce(tcb{i}.contrib, 0.0)
+                  + tdg{i}.dangling * (CASE WHEN tnd.is_seed
+                                            THEN 1.0 / sn.s
+                                            ELSE 0.0 END)) AS trust
+  FROM tnd LEFT JOIN tcb{i} USING (node), sn, tdg{i}
+)"""
+        )
+    return "WITH " + ",\n".join(parts)

@@ -90,3 +90,35 @@ def test_label_propagation_tie_breaks_min_label(spark):
     assert got["m"] == "a"
     # leaves each see only the center
     assert got["a"] == "m" and got["c"] == "m"
+
+
+def test_trustrank_seeds_hold_mass(spark):
+    """Star spam farm pointing at 'spam' vs a trusted chain: spam gets
+    high uniform-PageRank in-mass but ~zero trust (no seed path)."""
+    from baselinr_spark.operators.linkgraph import pagerank, trustrank
+
+    edges = [("seed", "good1"), ("good1", "good2")]
+    edges += [(f"farm{i}", "spam") for i in range(20)]
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    tr = {r["node"]: r["trust"]
+          for r in trustrank(e, ["seed"], n_iter=8).collect()}
+    pr = {r["node"]: r["rank"] for r in pagerank(e, n_iter=8).collect()}
+    # uniform PageRank rewards the farm target...
+    assert pr["spam"] > pr["good2"]
+    # ...TrustRank does not: no trusted page links toward it
+    assert tr["spam"] < 1e-9
+    assert tr["good2"] > 0.1
+    # total trust conserved (seeds reabsorb dangling mass)
+    assert abs(sum(tr.values()) - 1.0) < 1e-9
+
+
+def test_trustrank_seed_not_in_graph(spark):
+    """A seed absent from the edge set still teleports its share —
+    added as an isolated node, not silently dropped."""
+    from baselinr_spark.operators.linkgraph import trustrank
+
+    e = spark.createDataFrame([("a", "b")], ["src", "dst"])
+    tr = {r["node"]: r["trust"]
+          for r in trustrank(e, ["a", "ghost"], n_iter=3).collect()}
+    assert "ghost" in tr and tr["ghost"] > 0
+    assert abs(sum(tr.values()) - 1.0) < 1e-9
