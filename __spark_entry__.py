@@ -9183,6 +9183,50 @@ def _sql_salt_plan_domains() -> str:
                                 target_rows_per_task=25, top_k=15)
 
 
+def q_revisit_schedule_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cho & Garcia-Molina re-crawl planner (revisit.py:
+    revisit_schedule) over the per-domain change profile: Poisson λ̂
+    from the observed change rate at a 7-day historical cadence,
+    next interval targeting P(change)=0.5, clamped [1, 365] days."""
+    from baselinr_spark.operators.revisit import (
+        revisit_change_stats,
+        revisit_schedule,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    g = F.expr("doc_id div 5")
+    rows = docs.select(
+        g.alias("page"),
+        F.concat(F.lit("example"), (g % 37).cast("string"),
+                 F.lit(".com")).alias("domain"),
+        ((F.col("doc_id") * 7) % 97).alias("t"),
+        F.md5(F.col("text")).alias("h"),
+    )
+    stats = revisit_change_stats(rows, "page", "t", "h", "domain")
+    out = revisit_schedule(stats, base_interval_days=7.0)
+    return _r6(out.withColumnRenamed("grp", "domain"), "change_rate")
+
+
+def _sql_revisit_schedule_domains() -> str:
+    from baselinr_spark.operators.revisit import (
+        oracle_revisit_change_stats_sql,
+        oracle_revisit_schedule_sql,
+    )
+
+    rows = (
+        "SELECT doc_id // 5 AS page, "
+        "'example' || ((doc_id // 5) % 37)::varchar || '.com' AS domain, "
+        "(doc_id * 7) % 97 AS t, md5(text) AS h FROM documents"
+    )
+    stats = oracle_revisit_change_stats_sql(rows, "page", "t", "h", "domain")
+    sched = oracle_revisit_schedule_sql(stats, base_interval_days=7.0)
+    return (
+        "SELECT grp AS domain, n_pages, n_visits, n_revisits, n_changes, "
+        "round(change_rate, 6) AS change_rate, lambda_per_day, "
+        f"next_interval_days FROM ({sched})"
+    )
+
+
 _TRUST_SEEDS = ["example0.com", "example7.com", "example19.com"]
 
 
@@ -10922,6 +10966,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topic_scores_docs": q_topic_scores_docs,
         "topic_mixture_docs": q_topic_mixture_docs,
         "trustrank_domains": q_trustrank_domains,
+        "revisit_schedule_domains": q_revisit_schedule_domains,
         "range_join_events": q_range_join_events,
         "time_rollup_events": q_time_rollup_events,
         "sessionize_events": q_sessionize_events,
@@ -11166,6 +11211,7 @@ def oracle_sql() -> dict[str, str]:
         "topic_scores_docs": _sql_topic_scores_docs(),
         "topic_mixture_docs": _sql_topic_mixture_docs(),
         "trustrank_domains": _sql_trustrank_domains(),
+        "revisit_schedule_domains": _sql_revisit_schedule_domains(),
         "shingle_novelty": _SQL_SHINGLE_NOVELTY,
         "cc_luhn_scan": _SQL_CC_LUHN,
         "domain_rate_shrunk": _SQL_DOMAIN_SHRUNK,

@@ -124,3 +124,74 @@ SELECT grp, count(DISTINCT key)::bigint AS n_pages,
             THEN sum(changed)::double / sum((visit_no > 1)::int)::double
             ELSE 0.0 END AS change_rate
 FROM v GROUP BY 1"""
+
+
+def revisit_schedule(
+    stats: DataFrame,
+    *,
+    base_interval_days: float,
+    target_change_prob: float = 0.5,
+    min_interval_days: float = 1.0,
+    max_interval_days: float = 365.0,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Re-crawl interval planner over :func:`revisit_change_stats`
+    output (Cho & Garcia-Molina, TOIT 2003 — Poisson change model;
+    public). Observed: change_rate r per revisit at the historical
+    cadence ``base_interval_days``. Estimated Poisson rate
+    λ̂ = -ln(1 - r) / base_interval (capped at 1-eps so all-change
+    groups stay finite); next interval chosen so the change
+    probability per visit hits ``target_change_prob``:
+    I = -ln(1 - p_target) / λ̂, clamped to [min, max]. Never-changing
+    groups (r = 0) go straight to the max interval.
+
+    Returns stats + (lambda_per_day, next_interval_days). Row-local
+    arithmetic over the O(groups) stats table — metadata-scale.
+    """
+    import math
+
+    r = F.least(F.col("change_rate"), F.lit(1.0 - eps))
+    lam = -F.log(F.lit(1.0) - r) / F.lit(float(base_interval_days))
+    target = -math.log(1.0 - target_change_prob)
+    interval = F.when(F.col("change_rate") <= 0.0,
+                      F.lit(float(max_interval_days))).otherwise(
+        F.least(
+            F.greatest(F.lit(target) / lam, F.lit(float(min_interval_days))),
+            F.lit(float(max_interval_days)),
+        )
+    )
+    return stats.select(
+        "*",
+        F.round(lam, 6).alias("lambda_per_day"),
+        F.round(interval, 6).alias("next_interval_days"),
+    )
+
+
+def oracle_revisit_schedule_sql(
+    stats_sql: str,
+    *,
+    base_interval_days: float,
+    target_change_prob: float = 0.5,
+    min_interval_days: float = 1.0,
+    max_interval_days: float = 365.0,
+    eps: float = 1e-6,
+) -> str:
+    """DuckDB twin of :func:`revisit_schedule`."""
+    import math
+
+    target = -math.log(1.0 - target_change_prob)
+    return f"""
+WITH stats_in AS ({stats_sql}),
+lam AS (
+  SELECT *,
+         -ln(1.0 - least(change_rate, {1.0 - eps!r}))
+           / {float(base_interval_days)!r} AS l
+  FROM stats_in
+)
+SELECT * EXCLUDE (l), round(l, 6) AS lambda_per_day,
+       round(CASE WHEN change_rate <= 0.0 THEN {float(max_interval_days)!r}
+                  ELSE least(greatest({target!r} / l,
+                                      {float(min_interval_days)!r}),
+                             {float(max_interval_days)!r}) END,
+             6) AS next_interval_days
+FROM lam"""
