@@ -9183,6 +9183,67 @@ def _sql_salt_plan_domains() -> str:
                                 target_rows_per_task=25, top_k=15)
 
 
+def q_keep_rate_parity_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-fairness audit (evalmetrics.py:keep_rate_parity): per
+    language, Wilson-interval keep rate for the n_chars>=200 keep rule
+    vs the global rate — flags languages the filter treats
+    disparately beyond binomial noise."""
+    from baselinr_spark.operators.evalmetrics import keep_rate_parity
+
+    docs = _read(spark, sf_dir, "documents")
+    flags = docs.select("lang", (F.col("n_chars") >= 200).alias("keep"))
+    return keep_rate_parity(flags, "lang", "keep")
+
+
+def _sql_keep_rate_parity_lang() -> str:
+    from baselinr_spark.operators.evalmetrics import (
+        oracle_keep_rate_parity_sql,
+    )
+
+    rows = "SELECT lang, (n_chars >= 200) AS keep FROM documents"
+    return oracle_keep_rate_parity_sql(rows, "lang", "keep")
+
+
+def q_snapshot_diff_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-snapshot diff (revisit.py:snapshot_diff): old = docs with
+    doc_id%10!=0, new = docs with doc_id%10!=1 where every 7th page's
+    content hash changed — per-domain added/removed/changed/unchanged
+    and churn."""
+    from baselinr_spark.operators.revisit import snapshot_diff
+
+    docs = _read(spark, sf_dir, "documents")
+    domain = F.concat(F.lit("d"), (F.col("doc_id") % 23).cast("string"),
+                      F.lit(".com"))
+    old = docs.filter(F.col("doc_id") % 10 != 0).select(
+        F.col("doc_id").alias("page"),
+        F.md5("text").alias("h"),
+        domain.alias("domain"),
+    )
+    new = docs.filter(F.col("doc_id") % 10 != 1).select(
+        F.col("doc_id").alias("page"),
+        F.when(F.col("doc_id") % 7 == 0,
+               F.md5(F.concat(F.col("text"), F.lit("v2"))))
+        .otherwise(F.md5("text")).alias("h"),
+        domain.alias("domain"),
+    )
+    return snapshot_diff(old, new, "page", "h", "domain")
+
+
+def _sql_snapshot_diff_domains() -> str:
+    from baselinr_spark.operators.revisit import oracle_snapshot_diff_sql
+
+    dom = "'d' || (doc_id % 23)::varchar || '.com'"
+    old = (f"SELECT doc_id AS page, md5(text) AS h, {dom} AS domain "
+           "FROM documents WHERE doc_id % 10 != 0")
+    new = (
+        "SELECT doc_id AS page, "
+        "CASE WHEN doc_id % 7 = 0 THEN md5(text || 'v2') "
+        f"ELSE md5(text) END AS h, {dom} AS domain "
+        "FROM documents WHERE doc_id % 10 != 1"
+    )
+    return oracle_snapshot_diff_sql(old, new, "page", "h", "domain")
+
+
 def q_revisit_schedule_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cho & Garcia-Molina re-crawl planner (revisit.py:
     revisit_schedule) over the per-domain change profile: Poisson λ̂
@@ -10967,6 +11028,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topic_mixture_docs": q_topic_mixture_docs,
         "trustrank_domains": q_trustrank_domains,
         "revisit_schedule_domains": q_revisit_schedule_domains,
+        "keep_rate_parity_lang": q_keep_rate_parity_lang,
+        "snapshot_diff_domains": q_snapshot_diff_domains,
         "range_join_events": q_range_join_events,
         "time_rollup_events": q_time_rollup_events,
         "sessionize_events": q_sessionize_events,
@@ -11212,6 +11275,8 @@ def oracle_sql() -> dict[str, str]:
         "topic_mixture_docs": _sql_topic_mixture_docs(),
         "trustrank_domains": _sql_trustrank_domains(),
         "revisit_schedule_domains": _sql_revisit_schedule_domains(),
+        "keep_rate_parity_lang": _sql_keep_rate_parity_lang(),
+        "snapshot_diff_domains": _sql_snapshot_diff_domains(),
         "shingle_novelty": _SQL_SHINGLE_NOVELTY,
         "cc_luhn_scan": _SQL_CC_LUHN,
         "domain_rate_shrunk": _SQL_DOMAIN_SHRUNK,

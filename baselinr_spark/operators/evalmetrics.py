@@ -1315,3 +1315,91 @@ def oracle_dawid_skene_sql(
         for i, c in enumerate(rater_cols)
     ]
     return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(parts)
+
+
+def keep_rate_parity(
+    df: DataFrame,
+    group_col: str,
+    keep_col: str,
+    *,
+    z: float = 1.959963984540054,
+) -> DataFrame:
+    """Filter-fairness audit: per-group keep rate with a Wilson score
+    interval, flagged ``disparate`` when the group's interval excludes
+    the GLOBAL keep rate — the statistically-honest version of "this
+    filter keeps 20% less Swahili" (raw rate gaps on small groups are
+    noise; Wilson is the standard small-n binomial interval, Brown,
+    Cai & DasGupta 2001). The audit every per-language quality filter
+    should ship next to its keep/drop decision (score_ecdf_lang shows
+    the score distributions; this tests the DECISIONS).
+
+    Returns (group_col, n, n_kept, keep_rate, ci_lo, ci_hi,
+    global_rate, disparate).
+
+    Scale design: ONE map-side-combined groupBy over the corpus; the
+    global rate is a 1-row broadcast; the interval is row-local
+    closed-form arithmetic on the O(groups) table.
+    """
+    per = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col(keep_col).cast("int")).cast("bigint").alias("n_kept"),
+    )
+    tot = per.agg(
+        (F.sum("n_kept") / F.sum("n")).alias("__g")
+    )
+    nn = F.col("n").cast("double")
+    p = F.col("n_kept") / nn
+    z2 = z * z
+    denom = 1.0 + z2 / nn
+    center = (p + z2 / (2.0 * nn)) / denom
+    half = (
+        F.lit(z)
+        * F.sqrt(p * (1.0 - p) / nn + z2 / (4.0 * nn * nn))
+        / denom
+    )
+    out = per.crossJoin(F.broadcast(tot)).select(
+        group_col,
+        "n",
+        "n_kept",
+        F.round(p, 6).alias("keep_rate"),
+        F.round(center - half, 6).alias("ci_lo"),
+        F.round(center + half, 6).alias("ci_hi"),
+        F.round(F.col("__g"), 6).alias("global_rate"),
+        (
+            (center + half < F.col("__g")) | (center - half > F.col("__g"))
+        ).alias("disparate"),
+    )
+    return out
+
+
+def oracle_keep_rate_parity_sql(
+    rows_sql: str,
+    group_col: str,
+    keep_col: str,
+    *,
+    z: float = 1.959963984540054,
+) -> str:
+    """DuckDB twin of :func:`keep_rate_parity`."""
+    return f"""
+WITH rows_in AS ({rows_sql}),
+per AS (
+  SELECT {group_col}, count(*)::bigint AS n,
+         sum({keep_col}::int)::bigint AS n_kept
+  FROM rows_in GROUP BY 1
+),
+tot AS (SELECT sum(n_kept)::double / sum(n) AS g FROM per),
+w AS (
+  SELECT per.*, tot.g,
+         n_kept::double / n AS p,
+         (n_kept::double / n + {z!r} * {z!r} / (2.0 * n))
+           / (1.0 + {z!r} * {z!r} / n) AS center,
+         ({z!r} * sqrt((n_kept::double / n) * (1.0 - n_kept::double / n) / n
+                       + {z!r} * {z!r} / (4.0 * n::double * n::double)))
+           / (1.0 + {z!r} * {z!r} / n) AS half
+  FROM per, tot
+)
+SELECT {group_col}, n, n_kept, round(p, 6) AS keep_rate,
+       round(center - half, 6) AS ci_lo, round(center + half, 6) AS ci_hi,
+       round(g, 6) AS global_rate,
+       (center + half < g OR center - half > g) AS disparate
+FROM w"""

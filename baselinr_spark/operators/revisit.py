@@ -195,3 +195,109 @@ SELECT * EXCLUDE (l), round(l, 6) AS lambda_per_day,
                              {float(max_interval_days)!r}) END,
              6) AS next_interval_days
 FROM lam"""
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_col: str,
+    hash_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Crawl-snapshot diff: per group, how many pages were added,
+    removed, changed, or unchanged between two corpus snapshots — the
+    crawl-ops health view ("did this month's crawl actually refresh
+    the corpus, or re-fetch identical bytes?") and the input to
+    incremental-processing sizing (only added+changed pages need to
+    flow through the filter again).
+
+    Returns (group_col, n_old, n_new, added, removed, changed,
+    unchanged, churn_rate) with churn = (added+removed+changed) /
+    max(n_old+added, 1) — the fraction of the union the diff touched.
+
+    Scale design: ONE full-outer equi-join on the page key (both
+    sides shuffle once; AQE splits skew), then a map-side-combined
+    groupBy on the group key. Hashes compare row-locally; text never
+    moves, only (key, hash, group).
+    """
+    o = old.select(
+        F.col(key_col).alias("k"),
+        F.col(hash_col).alias("oh"),
+        F.col(group_col).alias("og"),
+    )
+    n = new.select(
+        F.col(key_col).alias("k"),
+        F.col(hash_col).alias("nh"),
+        F.col(group_col).alias("ng"),
+    )
+    j = o.join(n, "k", "full_outer").select(
+        F.coalesce(F.col("ng"), F.col("og")).alias("grp"),
+        F.col("oh").isNull().cast("int").alias("added"),
+        F.col("nh").isNull().cast("int").alias("removed"),
+        (
+            F.col("oh").isNotNull()
+            & F.col("nh").isNotNull()
+            & (F.col("oh") != F.col("nh"))
+        ).cast("int").alias("changed"),
+        (F.col("oh") == F.col("nh")).cast("int").alias("unchanged"),
+        F.col("oh").isNotNull().cast("int").alias("in_old"),
+        F.col("nh").isNotNull().cast("int").alias("in_new"),
+    )
+    agg = j.groupBy("grp").agg(
+        F.sum("in_old").cast("bigint").alias("n_old"),
+        F.sum("in_new").cast("bigint").alias("n_new"),
+        F.sum("added").cast("bigint").alias("added"),
+        F.sum("removed").cast("bigint").alias("removed"),
+        F.sum("changed").cast("bigint").alias("changed"),
+        F.sum("unchanged").cast("bigint").alias("unchanged"),
+    )
+    union_n = F.greatest(F.col("n_old") + F.col("added"), F.lit(1))
+    return agg.select(
+        F.col("grp").alias(group_col),
+        "n_old",
+        "n_new",
+        "added",
+        "removed",
+        "changed",
+        "unchanged",
+        F.round(
+            (F.col("added") + F.col("removed") + F.col("changed"))
+            / union_n.cast("double"),
+            6,
+        ).alias("churn_rate"),
+    )
+
+
+def oracle_snapshot_diff_sql(
+    old_sql: str,
+    new_sql: str,
+    key_col: str,
+    hash_col: str,
+    group_col: str,
+) -> str:
+    """DuckDB twin of :func:`snapshot_diff`."""
+    return f"""
+WITH old_in AS ({old_sql}),
+new_in AS ({new_sql}),
+j AS (
+  SELECT coalesce(n.{group_col}, o.{group_col}) AS grp,
+         (o.{hash_col} IS NULL)::int AS added,
+         (n.{hash_col} IS NULL)::int AS removed,
+         (o.{hash_col} IS NOT NULL AND n.{hash_col} IS NOT NULL
+          AND o.{hash_col} <> n.{hash_col})::int AS changed,
+         (o.{hash_col} = n.{hash_col})::int AS unchanged,
+         (o.{hash_col} IS NOT NULL)::int AS in_old,
+         (n.{hash_col} IS NOT NULL)::int AS in_new
+  FROM old_in o FULL OUTER JOIN new_in n ON o.{key_col} = n.{key_col}
+),
+agg AS (
+  SELECT grp, sum(in_old)::bigint AS n_old, sum(in_new)::bigint AS n_new,
+         sum(added)::bigint AS added, sum(removed)::bigint AS removed,
+         sum(changed)::bigint AS changed,
+         sum(unchanged)::bigint AS unchanged
+  FROM j GROUP BY 1
+)
+SELECT grp AS {group_col}, n_old, n_new, added, removed, changed, unchanged,
+       round((added + removed + changed)
+             / greatest(n_old + added, 1)::double, 6) AS churn_rate
+FROM agg"""
