@@ -10970,7 +10970,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "keep_drop_docs": q_keep_drop_docs,
         # Final-session additions below the 50-entry window (local
         # full-gate + dtype-audit attested; first in line for any
-        # future rotation). mixture_interleave_docs / nb_classifier /
+        # future rotation). The 17 final-resumed-session entries
+        # (robots_filter, salt_plan_domains, crawl_schedule_domains,
+        # cdc_*, gmm2_*, partition_spec_plan, file_prune_audit,
+        # hrw_assignments, bloom_plan_sources, topic_*,
+        # trustrank_domains, revisit_schedule_domains,
+        # keep_rate_parity_lang, snapshot_diff_domains) also sit below
+        # the window — each ran the local gate AND the strict lexical
+        # dtype audit clean at HEAD. mixture_interleave_docs / nb_classifier /
         # rule_ablation_docs / iban_scan were displaced to make room
         # for the three VERDICT-r04-mandated entries
         # (lineage_graph_export, explainer_context,
