@@ -9244,6 +9244,39 @@ def _sql_snapshot_diff_domains() -> str:
     return oracle_snapshot_diff_sql(old, new, "page", "h", "domain")
 
 
+def q_simpson_guard_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson's-paradox guard (evalmetrics.py:simpson_guard): filter
+    A/B keep-rate comparison stratified by language, with the
+    Mantel-Haenszel common risk ratio next to the naive pooled
+    direction. Arms staged by doc_id thirds; arm b's rule is 30 chars
+    laxer so rates differ per stratum."""
+    from baselinr_spark.operators.evalmetrics import simpson_guard
+
+    docs = _read(spark, sf_dir, "documents")
+    arm = F.when(F.col("doc_id") % 3 < 1, F.lit("a")).otherwise(F.lit("b"))
+    rows = docs.select(
+        "lang",
+        arm.alias("arm"),
+        (
+            F.col("n_chars")
+            + F.when(arm == "b", F.lit(30)).otherwise(F.lit(0))
+            >= 300
+        ).alias("keep"),
+    )
+    return simpson_guard(rows, "lang", "arm", "keep", arm_a="a", arm_b="b")
+
+
+def _sql_simpson_guard_lang() -> str:
+    from baselinr_spark.operators.evalmetrics import oracle_simpson_guard_sql
+
+    rows = (
+        "SELECT lang, CASE WHEN doc_id % 3 < 1 THEN 'a' ELSE 'b' END AS arm, "
+        "(n_chars + CASE WHEN doc_id % 3 < 1 THEN 0 ELSE 30 END >= 300) "
+        "AS keep FROM documents"
+    )
+    return oracle_simpson_guard_sql(rows, "lang", "arm", "keep", "a", "b")
+
+
 def q_revisit_schedule_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cho & Garcia-Molina re-crawl planner (revisit.py:
     revisit_schedule) over the per-domain change profile: Poisson λ̂
@@ -11037,6 +11070,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revisit_schedule_domains": q_revisit_schedule_domains,
         "keep_rate_parity_lang": q_keep_rate_parity_lang,
         "snapshot_diff_domains": q_snapshot_diff_domains,
+        "simpson_guard_lang": q_simpson_guard_lang,
         "range_join_events": q_range_join_events,
         "time_rollup_events": q_time_rollup_events,
         "sessionize_events": q_sessionize_events,
@@ -11284,6 +11318,7 @@ def oracle_sql() -> dict[str, str]:
         "revisit_schedule_domains": _sql_revisit_schedule_domains(),
         "keep_rate_parity_lang": _sql_keep_rate_parity_lang(),
         "snapshot_diff_domains": _sql_snapshot_diff_domains(),
+        "simpson_guard_lang": _sql_simpson_guard_lang(),
         "shingle_novelty": _SQL_SHINGLE_NOVELTY,
         "cc_luhn_scan": _SQL_CC_LUHN,
         "domain_rate_shrunk": _SQL_DOMAIN_SHRUNK,

