@@ -9244,6 +9244,70 @@ def _sql_snapshot_diff_domains() -> str:
     return oracle_snapshot_diff_sql(old, new, "page", "h", "domain")
 
 
+_APB_COLS = ["l_quantity", "l_extendedprice", "l_discount"]
+_APB_QS = [0.5, 0.95, 0.99]
+
+
+def q_approx_percentile_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-engine sketch sanity for approx_percentile (the profiling
+    engine's quantile path at 100 TB): each engine runs its OWN sketch
+    (Spark Greenwald-Khanna, DuckDB t-digest) next to the exact
+    interpolated percentile and asserts relative error <= 10%. The
+    sketch estimates are engine-specific and never compared; the
+    hashed output is (column_name, q, exact_value, within_bound) —
+    the same tolerance-check shape as approx_distinct_bound."""
+    df = _read(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in _APB_COLS:
+        for q in _APB_QS:
+            tag = f"{c}_{int(q * 100)}"
+            aggs.append(
+                F.expr(f"percentile({c}, {q})").alias(f"__e_{tag}")
+            )
+            aggs.append(
+                F.expr(f"approx_percentile({c}, {q})").alias(f"__a_{tag}")
+            )
+    one = df.agg(*aggs)
+    rows = []
+    for c in _APB_COLS:
+        for q in _APB_QS:
+            tag = f"{c}_{int(q * 100)}"
+            e = F.col(f"__e_{tag}").cast("double")
+            a = F.col(f"__a_{tag}").cast("double")
+            rows.append(
+                one.select(
+                    F.lit(c).alias("column_name"),
+                    F.lit(q).alias("q"),
+                    F.round(e, 6).alias("exact_value"),
+                    (F.abs(a - e) <= 0.10 * F.abs(e)).alias("within_bound"),
+                )
+            )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def _sql_approx_percentile_bound() -> str:
+    sel = ", ".join(
+        f"quantile_cont({c}, {q}) AS e_{c}_{int(q*100)}, "
+        f"approx_quantile({c}, {q}) AS a_{c}_{int(q*100)}"
+        for c in _APB_COLS
+        for q in _APB_QS
+    )
+    parts = [
+        f"SELECT '{c}' AS column_name, {q} AS q, "
+        f"round(e_{c}_{int(q*100)}::double, 6) AS exact_value, "
+        f"(abs(a_{c}_{int(q*100)}::double - e_{c}_{int(q*100)}::double) "
+        f"<= 0.10 * abs(e_{c}_{int(q*100)}::double)) AS within_bound FROM s"
+        for c in _APB_COLS
+        for q in _APB_QS
+    ]
+    return f"WITH s AS (SELECT {sel} FROM lineitem)\n" + "\nUNION ALL\n".join(
+        parts
+    )
+
+
 def q_simpson_guard_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Simpson's-paradox guard (evalmetrics.py:simpson_guard): filter
     A/B keep-rate comparison stratified by language, with the
@@ -11071,6 +11135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "keep_rate_parity_lang": q_keep_rate_parity_lang,
         "snapshot_diff_domains": q_snapshot_diff_domains,
         "simpson_guard_lang": q_simpson_guard_lang,
+        "approx_percentile_bound": q_approx_percentile_bound,
         "range_join_events": q_range_join_events,
         "time_rollup_events": q_time_rollup_events,
         "sessionize_events": q_sessionize_events,
@@ -11319,6 +11384,7 @@ def oracle_sql() -> dict[str, str]:
         "keep_rate_parity_lang": _sql_keep_rate_parity_lang(),
         "snapshot_diff_domains": _sql_snapshot_diff_domains(),
         "simpson_guard_lang": _sql_simpson_guard_lang(),
+        "approx_percentile_bound": _sql_approx_percentile_bound(),
         "shingle_novelty": _SQL_SHINGLE_NOVELTY,
         "cc_luhn_scan": _SQL_CC_LUHN,
         "domain_rate_shrunk": _SQL_DOMAIN_SHRUNK,
