@@ -9244,6 +9244,58 @@ def _sql_snapshot_diff_domains() -> str:
     return oracle_snapshot_diff_sql(old, new, "page", "h", "domain")
 
 
+def q_histogram_bin_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram bin-count advisor (profiling.py:histogram_bin_plan):
+    Sturges / Scott / Freedman-Diaconis from ONE agg pass, FD-first
+    choice clamped [1, 200] — sizes the reference's fixed 10-bin knob
+    per column."""
+    from baselinr_spark.operators.profiling import histogram_bin_plan
+
+    li = _read(spark, sf_dir, "lineitem")
+    return histogram_bin_plan(
+        li, ["l_quantity", "l_extendedprice", "l_discount"]
+    )
+
+
+def _sql_histogram_bin_plan() -> str:
+    from baselinr_spark.operators.profiling import (
+        oracle_histogram_bin_plan_sql,
+    )
+
+    return oracle_histogram_bin_plan_sql(
+        "lineitem", ["l_quantity", "l_extendedprice", "l_discount"]
+    )
+
+
+def q_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive (anchor, positive, negative) mining (triplets.py):
+    staged near-dup pairs (doc_id, doc_id+250) with md5-derived
+    re-rolled negative sampling over the dense doc-id space."""
+    from baselinr_spark.operators.triplets import contrastive_triplets
+
+    docs = _read(spark, sf_dir, "documents")
+    pairs = docs.filter("doc_id < 250").select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 250).alias("id_b")
+    )
+    return contrastive_triplets(
+        pairs, docs.select("doc_id"), "doc_id", ids_are_dense=True
+    )
+
+
+def _sql_contrastive_triplets() -> str:
+    from baselinr_spark.operators.triplets import (
+        oracle_contrastive_triplets_sql,
+    )
+
+    return oracle_contrastive_triplets_sql(
+        "SELECT doc_id AS id_a, doc_id + 250 AS id_b FROM documents "
+        "WHERE doc_id < 250",
+        "SELECT doc_id FROM documents",
+        "doc_id",
+        ids_are_dense=True,
+    )
+
+
 _APB_COLS = ["l_quantity", "l_extendedprice", "l_discount"]
 _APB_QS = [0.5, 0.95, 0.99]
 
@@ -11136,6 +11188,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff_domains": q_snapshot_diff_domains,
         "simpson_guard_lang": q_simpson_guard_lang,
         "approx_percentile_bound": q_approx_percentile_bound,
+        "contrastive_triplets": q_contrastive_triplets,
+        "histogram_bin_plan": q_histogram_bin_plan,
         "range_join_events": q_range_join_events,
         "time_rollup_events": q_time_rollup_events,
         "sessionize_events": q_sessionize_events,
@@ -11385,6 +11439,8 @@ def oracle_sql() -> dict[str, str]:
         "snapshot_diff_domains": _sql_snapshot_diff_domains(),
         "simpson_guard_lang": _sql_simpson_guard_lang(),
         "approx_percentile_bound": _sql_approx_percentile_bound(),
+        "contrastive_triplets": _sql_contrastive_triplets(),
+        "histogram_bin_plan": _sql_histogram_bin_plan(),
         "shingle_novelty": _SQL_SHINGLE_NOVELTY,
         "cc_luhn_scan": _SQL_CC_LUHN,
         "domain_rate_shrunk": _SQL_DOMAIN_SHRUNK,

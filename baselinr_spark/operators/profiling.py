@@ -724,3 +724,104 @@ def merge_metric_states(states: DataFrame) -> DataFrame:
         ).alias("variance"),
         "min", "max",
     )
+
+
+def histogram_bin_plan(
+    df: DataFrame,
+    cols: list[str],
+    *,
+    max_bins: int = 200,
+) -> DataFrame:
+    """Histogram bin-count advisor for the profiling engine: the three
+    classic rules (Sturges 1926; Scott 1979; Freedman–Diaconis 1981 —
+    all public) computed from ONE aggregate pass, with the chosen
+    count = FD when the IQR is positive (robust to outliers), else
+    Scott, else 1, clamped to [1, max_bins]. The reference profiles
+    with a fixed 10-bin histogram (config/schema.py:537); this planner
+    is what sizes that knob per column instead of guessing.
+
+    Returns one row per column: (column_name, n, stddev, iqr,
+    sturges_bins, scott_bins, fd_bins, chosen_bins). All inputs come
+    from a single agg over the corpus (exact interpolated percentiles
+    for the IQR); the per-rule arithmetic is row-local on the
+    O(columns) result.
+    """
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.col(c)).alias(f"__n_{c}"),
+            F.stddev_samp(F.col(c)).alias(f"__s_{c}"),
+            F.expr(f"percentile({c}, 0.75) - percentile({c}, 0.25)").alias(
+                f"__iqr_{c}"
+            ),
+            (F.max(F.col(c)) - F.min(F.col(c))).alias(f"__r_{c}"),
+        ]
+    one = df.agg(*aggs)
+    rows = []
+    for c in cols:
+        n = F.col(f"__n_{c}").cast("double")
+        s = F.col(f"__s_{c}")
+        iqr = F.col(f"__iqr_{c}").cast("double")
+        rng = F.col(f"__r_{c}").cast("double")
+        cbrt = F.pow(n, 1.0 / 3.0)
+        sturges = (F.ceil(F.log2(n)) + 1).cast("int")
+        scott_h = 3.5 * s / cbrt
+        scott = F.when(
+            (s > 0) & (rng > 0), F.ceil(rng / scott_h).cast("int")
+        )
+        fd_h = 2.0 * iqr / cbrt
+        fd = F.when((iqr > 0) & (rng > 0), F.ceil(rng / fd_h).cast("int"))
+        chosen = F.least(
+            F.greatest(
+                F.coalesce(fd, scott, F.lit(1)).cast("int"), F.lit(1)
+            ),
+            F.lit(max_bins),
+        )
+        rows.append(
+            one.select(
+                F.lit(c).alias("column_name"),
+                F.col(f"__n_{c}").cast("bigint").alias("n"),
+                F.round(s, 6).alias("stddev"),
+                F.round(iqr, 6).alias("iqr"),
+                sturges.alias("sturges_bins"),
+                scott.alias("scott_bins"),
+                fd.alias("fd_bins"),
+                chosen.alias("chosen_bins"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def oracle_histogram_bin_plan_sql(
+    table: str,
+    cols: list[str],
+    max_bins: int = 200,
+) -> str:
+    """DuckDB twin of :func:`histogram_bin_plan`."""
+    aggs = ", ".join(
+        f"count({c}) AS n_{c}, stddev_samp({c}) AS s_{c}, "
+        f"quantile_cont({c}, 0.75) - quantile_cont({c}, 0.25) AS iqr_{c}, "
+        f"max({c}) - min({c}) AS r_{c}"
+        for c in cols
+    )
+    parts = []
+    for c in cols:
+        scott = (f"CASE WHEN s_{c} > 0 AND r_{c} > 0 THEN "
+                 f"ceil(r_{c}::double / (3.5 * s_{c} / pow(n_{c}::double, "
+                 f"1.0/3.0)))::int END")
+        fd = (f"CASE WHEN iqr_{c} > 0 AND r_{c} > 0 THEN "
+              f"ceil(r_{c}::double / (2.0 * iqr_{c}::double / "
+              f"pow(n_{c}::double, 1.0/3.0)))::int END")
+        parts.append(
+            f"SELECT '{c}' AS column_name, n_{c}::bigint AS n, "
+            f"round(s_{c}, 6) AS stddev, round(iqr_{c}::double, 6) AS iqr, "
+            f"(ceil(log2(n_{c}::double)) + 1)::int AS sturges_bins, "
+            f"{scott} AS scott_bins, {fd} AS fd_bins, "
+            f"least(greatest(coalesce({fd}, {scott}, 1)::int, 1), "
+            f"{max_bins}) AS chosen_bins FROM s"
+        )
+    return (f"WITH s AS (SELECT {aggs} FROM {table})\n"
+            + "\nUNION ALL\n".join(parts))
