@@ -9244,6 +9244,36 @@ def _sql_snapshot_diff_domains() -> str:
     return oracle_snapshot_diff_sql(old, new, "page", "h", "domain")
 
 
+def q_dedup_shard_spillover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-locality audit (dedup.py:shard_spillover): fraction of
+    staged near-dup pairs that CROSS rendezvous-shard boundaries —
+    the loss rate a shard-local dedup pass would eat vs the global
+    band join."""
+    from baselinr_spark.operators.dedup import shard_spillover
+    from baselinr_spark.operators.sharding import hrw_assign
+
+    docs = _read(spark, sf_dir, "documents")
+    pairs = docs.filter("doc_id < 250").select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 250).alias("id_b")
+    )
+    asg = hrw_assign(docs.select("doc_id"), "doc_id", _HRW_SHARDS)
+    return shard_spillover(pairs, asg, "doc_id")
+
+
+def _sql_dedup_shard_spillover() -> str:
+    from baselinr_spark.operators.dedup import oracle_shard_spillover_sql
+    from baselinr_spark.operators.sharding import oracle_hrw_assign_sql
+
+    asg = oracle_hrw_assign_sql(
+        "SELECT doc_id FROM documents", "doc_id", _HRW_SHARDS
+    )
+    pairs = (
+        "SELECT doc_id AS id_a, doc_id + 250 AS id_b FROM documents "
+        "WHERE doc_id < 250"
+    )
+    return oracle_shard_spillover_sql(pairs, asg, "doc_id")
+
+
 def q_histogram_bin_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Histogram bin-count advisor (profiling.py:histogram_bin_plan):
     Sturges / Scott / Freedman-Diaconis from ONE agg pass, FD-first
@@ -11190,6 +11220,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_percentile_bound": q_approx_percentile_bound,
         "contrastive_triplets": q_contrastive_triplets,
         "histogram_bin_plan": q_histogram_bin_plan,
+        "dedup_shard_spillover": q_dedup_shard_spillover,
         "range_join_events": q_range_join_events,
         "time_rollup_events": q_time_rollup_events,
         "sessionize_events": q_sessionize_events,
@@ -11441,6 +11472,7 @@ def oracle_sql() -> dict[str, str]:
         "approx_percentile_bound": _sql_approx_percentile_bound(),
         "contrastive_triplets": _sql_contrastive_triplets(),
         "histogram_bin_plan": _sql_histogram_bin_plan(),
+        "dedup_shard_spillover": _sql_dedup_shard_spillover(),
         "shingle_novelty": _SQL_SHINGLE_NOVELTY,
         "cc_luhn_scan": _SQL_CC_LUHN,
         "domain_rate_shrunk": _SQL_DOMAIN_SHRUNK,

@@ -1448,3 +1448,70 @@ inter AS (
 SELECT src_a, src_b, s.n AS n_shingles_a, n_common,
        n_common::double / s.n::double AS containment
 FROM inter JOIN sizes s ON s.g = inter.src_a"""
+
+
+def shard_spillover(
+    pairs: DataFrame,
+    assignment: DataFrame,
+    id_col: str,
+    shard_col: str = "shard",
+    *,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+) -> DataFrame:
+    """Shard-locality audit for distributed dedup: given near-dup
+    pairs and a shard assignment, what fraction of pairs CROSS shard
+    boundaries — i.e. would be missed by a shard-local dedup pass?
+    This is the number that decides between shard-local dedup (cheap,
+    lossy by exactly this fraction) and the global LSH band join, and
+    it scores sharding functions against each other (content-derived
+    shards co-locate near-dups; hash shards split them ~uniformly).
+
+    Returns ONE row: (n_pairs, n_same_shard, spillover_frac).
+
+    Scale design: two equi-joins on the id key (pairs ⋈ assignment,
+    assignment is O(docs) but joins shuffle only the pair ids), one
+    1-row aggregate. No corpus-wide window, no cross join.
+    """
+    asg = assignment.select(
+        F.col(id_col).alias("__id"), F.col(shard_col).alias("__s")
+    )
+    j = (
+        pairs.select(a_col, b_col)
+        .join(asg.withColumnRenamed("__s", "__sa"),
+              F.col(a_col) == F.col("__id"))
+        .drop("__id")
+        .join(asg.withColumnRenamed("__s", "__sb"),
+              F.col(b_col) == F.col("__id"))
+    )
+    same = (F.col("__sa") == F.col("__sb")).cast("int")
+    return j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum(same).cast("bigint").alias("n_same_shard"),
+        F.round(F.lit(1.0) - F.sum(same) / F.count(F.lit(1)), 6).alias(
+            "spillover_frac"
+        ),
+    )
+
+
+def oracle_shard_spillover_sql(
+    pairs_sql: str,
+    assignment_sql: str,
+    id_col: str,
+    shard_col: str = "shard",
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+) -> str:
+    """DuckDB twin of :func:`shard_spillover`."""
+    return f"""
+WITH pairs_in AS ({pairs_sql}),
+asg AS ({assignment_sql}),
+j AS (
+  SELECT (sa.{shard_col} = sb.{shard_col})::int AS same
+  FROM pairs_in p
+  JOIN asg sa ON sa.{id_col} = p.{a_col}
+  JOIN asg sb ON sb.{id_col} = p.{b_col}
+)
+SELECT count(*)::bigint AS n_pairs, sum(same)::bigint AS n_same_shard,
+       round(1.0 - sum(same)::double / count(*), 6) AS spillover_frac
+FROM j"""

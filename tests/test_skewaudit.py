@@ -68,3 +68,22 @@ def test_salt_plan_shape(skewed):
     )
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan  # 1-row totals broadcast
+
+
+def test_shard_spillover_values(spark):
+    from baselinr_spark.operators.dedup import shard_spillover
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (3, 4), (5, 6), (7, 8)], ["id_a", "id_b"]
+    )
+    asg = spark.createDataFrame(
+        [(1, "x"), (2, "x"),          # same shard
+         (3, "x"), (4, "y"),          # cross
+         (5, "y"), (6, "y"),          # same
+         (7, "y"), (8, "x")],         # cross
+        ["doc_id", "shard"],
+    )
+    r = shard_spillover(pairs, asg, "doc_id").collect()[0]
+    assert r["n_pairs"] == 4
+    assert r["n_same_shard"] == 2
+    assert r["spillover_frac"] == 0.5
