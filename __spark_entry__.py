@@ -9244,6 +9244,53 @@ def _sql_snapshot_diff_domains() -> str:
     return oracle_snapshot_diff_sql(old, new, "page", "h", "domain")
 
 
+def q_spearman_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation with tie-averaged ranks
+    (evalmetrics.py:spearman_corr) between l_quantity and
+    l_extendedprice — the monotone-bias diagnostic Pearson misses."""
+    from baselinr_spark.operators.evalmetrics import spearman_corr
+
+    li = _read(spark, sf_dir, "lineitem")
+    return spearman_corr(li, "l_quantity", "l_extendedprice")
+
+
+def _sql_spearman_lineitem() -> str:
+    from baselinr_spark.operators.evalmetrics import oracle_spearman_sql
+
+    return oracle_spearman_sql(
+        "SELECT l_quantity, l_extendedprice FROM lineitem",
+        "l_quantity",
+        "l_extendedprice",
+    )
+
+
+def q_chao1_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chao1 unseen-content estimate (corpusstats.py:
+    chao1_dup_estimate) from the exact duplicate-class histogram over
+    staged revisits (each doc's text repeated doc_id%3+1 times via a
+    self-union) — the 'is the crawl still finding new pages?' signal."""
+    from baselinr_spark.operators.corpusstats import chao1_dup_estimate
+
+    docs = _read(spark, sf_dir, "documents")
+    staged = docs.select("doc_id", "text").unionByName(
+        docs.filter(F.col("doc_id") % 3 != 0).select("doc_id", "text")
+    ).unionByName(
+        docs.filter(F.col("doc_id") % 3 == 2).select("doc_id", "text")
+    )
+    return chao1_dup_estimate(staged, "doc_id", "text")
+
+
+def _sql_chao1_docs() -> str:
+    from baselinr_spark.operators.corpusstats import oracle_chao1_sql
+
+    staged = (
+        "(SELECT doc_id, text FROM documents "
+        "UNION ALL SELECT doc_id, text FROM documents WHERE doc_id % 3 != 0 "
+        "UNION ALL SELECT doc_id, text FROM documents WHERE doc_id % 3 = 2)"
+    )
+    return oracle_chao1_sql(staged, "doc_id", "text")
+
+
 def q_dedup_shard_spillover(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shard-locality audit (dedup.py:shard_spillover): fraction of
     staged near-dup pairs that CROSS rendezvous-shard boundaries —
@@ -11221,6 +11268,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contrastive_triplets": q_contrastive_triplets,
         "histogram_bin_plan": q_histogram_bin_plan,
         "dedup_shard_spillover": q_dedup_shard_spillover,
+        "spearman_lineitem": q_spearman_lineitem,
+        "chao1_docs": q_chao1_docs,
         "range_join_events": q_range_join_events,
         "time_rollup_events": q_time_rollup_events,
         "sessionize_events": q_sessionize_events,
@@ -11473,6 +11522,8 @@ def oracle_sql() -> dict[str, str]:
         "contrastive_triplets": _sql_contrastive_triplets(),
         "histogram_bin_plan": _sql_histogram_bin_plan(),
         "dedup_shard_spillover": _sql_dedup_shard_spillover(),
+        "spearman_lineitem": _sql_spearman_lineitem(),
+        "chao1_docs": _sql_chao1_docs(),
         "shingle_novelty": _SQL_SHINGLE_NOVELTY,
         "cc_luhn_scan": _SQL_CC_LUHN,
         "domain_rate_shrunk": _SQL_DOMAIN_SHRUNK,

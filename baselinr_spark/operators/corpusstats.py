@@ -577,3 +577,90 @@ SELECT grp AS {group_col}, n::int AS n,
        count(DISTINCT gram)::bigint AS distinct_ngrams,
        count(DISTINCT gram)::double / count(*)::double AS distinct_ratio
 FROM u GROUP BY 1, 2"""
+
+
+def chao1_dup_estimate(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Chao1 unseen-class estimate applied to dedup coverage (Chao
+    1984; the standard species-richness lower bound): from the exact
+    duplicate-class size histogram, estimate how many DISTINCT text
+    classes the crawl has NOT yet seen — the "is more crawling still
+    finding new content?" stopping signal. f1 = singleton classes,
+    f2 = doubleton classes; unseen ≈ f1²/(2·f2) (f1·(f1-1)/2 when
+    f2 = 0, the bias-corrected form).
+
+    Returns ONE row: (n_docs, n_classes, f1, f2, est_unseen,
+    est_total_classes, coverage) with coverage = n_classes /
+    est_total_classes.
+
+    Scale design: ONE groupBy on the text hash (map-side combine),
+    ONE tiny groupBy on class size, one single-row fold. No windows,
+    no joins.
+    """
+    classes = (
+        df.select(
+            F.md5(
+                F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+            ).alias("__h")
+        )
+        .groupBy("__h")
+        .agg(F.count(F.lit(1)).alias("__sz"))
+    )
+    hist = classes.groupBy("__sz").agg(F.count(F.lit(1)).alias("__f"))
+    agg = hist.agg(
+        F.sum(F.col("__sz") * F.col("__f")).cast("bigint").alias("n_docs"),
+        F.sum("__f").cast("bigint").alias("n_classes"),
+        F.coalesce(
+            F.sum(F.when(F.col("__sz") == 1, F.col("__f"))), F.lit(0)
+        ).cast("bigint").alias("f1"),
+        F.coalesce(
+            F.sum(F.when(F.col("__sz") == 2, F.col("__f"))), F.lit(0)
+        ).cast("bigint").alias("f2"),
+    )
+    f1 = F.col("f1").cast("double")
+    f2 = F.col("f2").cast("double")
+    unseen = F.when(F.col("f2") > 0, f1 * f1 / (2.0 * f2)).otherwise(
+        f1 * (f1 - 1.0) / 2.0
+    )
+    return agg.select(
+        "n_docs",
+        "n_classes",
+        "f1",
+        "f2",
+        F.round(unseen, 6).alias("est_unseen"),
+        F.round(F.col("n_classes") + unseen, 6).alias("est_total_classes"),
+        F.round(
+            F.col("n_classes") / (F.col("n_classes") + unseen), 6
+        ).alias("coverage"),
+    )
+
+
+def oracle_chao1_sql(table: str, id_col: str, text_col: str) -> str:
+    """DuckDB twin of :func:`chao1_dup_estimate`."""
+    return f"""
+WITH classes AS (
+  SELECT md5(trim(regexp_replace(lower({text_col}), '\\s+', ' ', 'g')))
+           AS h,
+         count(*) AS sz
+  FROM {table} GROUP BY 1
+),
+hist AS (SELECT sz, count(*) AS f FROM classes GROUP BY 1),
+agg AS (
+  SELECT sum(sz * f)::bigint AS n_docs, sum(f)::bigint AS n_classes,
+         coalesce(sum(CASE WHEN sz = 1 THEN f END), 0)::bigint AS f1,
+         coalesce(sum(CASE WHEN sz = 2 THEN f END), 0)::bigint AS f2
+  FROM hist
+)
+SELECT n_docs, n_classes, f1, f2,
+       round(CASE WHEN f2 > 0 THEN f1::double * f1 / (2.0 * f2)
+                  ELSE f1::double * (f1 - 1.0) / 2.0 END, 6) AS est_unseen,
+       round(n_classes + CASE WHEN f2 > 0 THEN f1::double * f1 / (2.0 * f2)
+                              ELSE f1::double * (f1 - 1.0) / 2.0 END, 6)
+         AS est_total_classes,
+       round(n_classes / (n_classes
+             + CASE WHEN f2 > 0 THEN f1::double * f1 / (2.0 * f2)
+                    ELSE f1::double * (f1 - 1.0) / 2.0 END), 6) AS coverage
+FROM agg"""

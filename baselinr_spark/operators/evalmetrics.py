@@ -1551,3 +1551,99 @@ SELECT p.{group_col}, p.n_a, p.keep_a,
          AS rate_b,
        p.group_dir, s.pooled_dir, s.mh_ratio, s.paradox
 FROM perd p CROSS JOIN summary s"""
+
+
+def spearman_corr(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Spearman rank correlation with tie-averaged ranks (the textbook
+    definition: Pearson over average ranks). The filter-bias
+    diagnostic Pearson misses — e.g. perplexity vs document length is
+    monotone-but-nonlinear, so a length-biased scorer shows up in
+    Spearman while Pearson underreports it. Complements
+    feature_corr's Pearson matrix.
+
+    Returns ONE row (n, spearman).
+
+    Scale note: exact Spearman inherently needs a GLOBAL ranking of
+    each variable — two single-partition sorts. Fine at the metric/
+    sample scale this audit runs at; for corpus-scale columns, rank
+    against exact percentile grids first (percentile_profile) and run
+    this on the bucketed values.
+    """
+    from pyspark.sql import Window as W
+
+    pairs = df.select(
+        F.col(x_col).cast("double").alias("x"),
+        F.col(y_col).cast("double").alias("y"),
+    ).filter(F.col("x").isNotNull() & F.col("y").isNotNull())
+
+    def avg_rank(c: str) -> DataFrame:
+        # average rank of tied values = min_rank + (cnt - 1) / 2
+        w = W.orderBy(F.col(c))
+        return (
+            pairs.groupBy(F.col(c).alias("__v"))
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .select(
+                "__v",
+                (
+                    F.sum("__c").over(
+                        w.orderBy("__v").rowsBetween(
+                            W.unboundedPreceding, -1
+                        )
+                    ).cast("double")
+                ).alias("__before"),
+                "__c",
+            )
+            .select(
+                F.col("__v").alias(c + "_v"),
+                (
+                    F.coalesce(F.col("__before"), F.lit(0.0))
+                    + 1.0
+                    + (F.col("__c") - 1.0) / 2.0
+                ).alias(c + "_r"),
+            )
+        )
+    rx, ry = avg_rank("x"), avg_rank("y")
+    ranked = (
+        pairs.join(F.broadcast(rx), pairs["x"] == rx["x_v"])
+        .join(F.broadcast(ry), pairs["y"] == ry["y_v"])
+        .select("x_r", "y_r")
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.corr("x_r", "y_r"), 6).alias("spearman"),
+    )
+
+
+def oracle_spearman_sql(rows_sql: str, x_col: str, y_col: str) -> str:
+    """DuckDB twin of :func:`spearman_corr`."""
+    return f"""
+WITH rows_in AS (
+  SELECT {x_col}::double AS x, {y_col}::double AS y FROM ({rows_sql})
+  WHERE {x_col} IS NOT NULL AND {y_col} IS NOT NULL
+),
+rxv AS (
+  SELECT x AS v, count(*) AS c FROM rows_in GROUP BY 1
+),
+rx AS (
+  SELECT v,
+         coalesce(sum(c) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + 1.0 + (c - 1.0) / 2.0 AS r
+  FROM rxv
+),
+ryv AS (
+  SELECT y AS v, count(*) AS c FROM rows_in GROUP BY 1
+),
+ry AS (
+  SELECT v,
+         coalesce(sum(c) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + 1.0 + (c - 1.0) / 2.0 AS r
+  FROM ryv
+)
+SELECT count(*)::bigint AS n, round(corr(rx.r, ry.r), 6) AS spearman
+FROM rows_in JOIN rx ON rx.v = rows_in.x JOIN ry ON ry.v = rows_in.y"""

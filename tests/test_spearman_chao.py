@@ -1,0 +1,76 @@
+"""Spearman (tie-averaged ranks) and Chao1 unseen-class estimator."""
+
+import pytest
+
+
+def test_spearman_perfect_monotone(spark):
+    from baselinr_spark.operators.evalmetrics import spearman_corr
+
+    # y = x^3 : nonlinear but perfectly monotone -> spearman exactly 1
+    df = spark.createDataFrame(
+        [(float(i), float(i) ** 3) for i in range(-5, 6)], ["x", "y"]
+    )
+    r = spearman_corr(df, "x", "y").collect()[0]
+    assert r["spearman"] == 1.0
+    assert r["n"] == 11
+
+
+def test_spearman_with_ties_textbook(spark):
+    from baselinr_spark.operators.evalmetrics import spearman_corr
+    import numpy as np
+
+    xs = [1.0, 2.0, 2.0, 3.0, 4.0, 4.0, 5.0]
+    ys = [2.0, 1.0, 3.0, 3.0, 5.0, 4.0, 5.0]
+    df = spark.createDataFrame(list(zip(xs, ys)), ["x", "y"])
+    got = spearman_corr(df, "x", "y").collect()[0]["spearman"]
+
+    def avg_ranks(v):
+        import collections
+        order = sorted(v)
+        first = {}
+        cnt = collections.Counter(v)
+        for i, val in enumerate(order):
+            first.setdefault(val, i + 1)
+        return [first[val] + (cnt[val] - 1) / 2.0 for val in v]
+
+    rx, ry = np.array(avg_ranks(xs)), np.array(avg_ranks(ys))
+    exp = np.corrcoef(rx, ry)[0, 1]
+    assert abs(got - round(float(exp), 6)) < 1e-9
+
+
+def test_spearman_anticorrelation(spark):
+    from baselinr_spark.operators.evalmetrics import spearman_corr
+
+    df = spark.createDataFrame(
+        [(float(i), float(10 - i)) for i in range(10)], ["x", "y"]
+    )
+    assert spearman_corr(df, "x", "y").collect()[0]["spearman"] == -1.0
+
+
+def test_chao1_textbook(spark):
+    from baselinr_spark.operators.corpusstats import chao1_dup_estimate
+
+    # 4 singletons, 2 doubletons, 1 tripleton -> f1=4 f2=2
+    # unseen = 16/4 = 4; classes = 7; total = 11; coverage = 7/11
+    texts = [f"single {i}" for i in range(4)]
+    texts += [f"double {i}" for i in range(2)] * 2
+    texts += ["triple"] * 3
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    r = chao1_dup_estimate(df, "doc_id", "text").collect()[0]
+    assert (r["n_docs"], r["n_classes"], r["f1"], r["f2"]) == (11, 7, 4, 2)
+    assert r["est_unseen"] == 4.0
+    assert r["est_total_classes"] == 11.0
+    assert abs(r["coverage"] - round(7 / 11, 6)) < 1e-9
+
+
+def test_chao1_no_doubletons_bias_corrected(spark):
+    from baselinr_spark.operators.corpusstats import chao1_dup_estimate
+
+    texts = ["a", "b", "c"]  # f1=3, f2=0 -> unseen = 3*2/2 = 3
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    r = chao1_dup_estimate(df, "doc_id", "text").collect()[0]
+    assert r["est_unseen"] == 3.0
