@@ -9244,6 +9244,24 @@ def _sql_snapshot_diff_domains() -> str:
     return oracle_snapshot_diff_sql(old, new, "page", "h", "domain")
 
 
+def q_bigram_entropy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token predictability (corpusstats.py:bigram_entropy):
+    exact unigram entropy, bigram conditional entropy, and their gap
+    (mutual information) — templated corpora read LOW H(Y|X)."""
+    from baselinr_spark.operators.corpusstats import bigram_entropy
+
+    docs = _read(spark, sf_dir, "documents")
+    return bigram_entropy(docs, "text")
+
+
+def _sql_bigram_entropy_docs() -> str:
+    from baselinr_spark.operators.corpusstats import (
+        oracle_bigram_entropy_sql,
+    )
+
+    return oracle_bigram_entropy_sql("documents", "text")
+
+
 def q_spearman_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spearman rank correlation with tie-averaged ranks
     (evalmetrics.py:spearman_corr) between l_quantity and
@@ -11270,6 +11288,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_shard_spillover": q_dedup_shard_spillover,
         "spearman_lineitem": q_spearman_lineitem,
         "chao1_docs": q_chao1_docs,
+        "bigram_entropy_docs": q_bigram_entropy_docs,
         "range_join_events": q_range_join_events,
         "time_rollup_events": q_time_rollup_events,
         "sessionize_events": q_sessionize_events,
@@ -11524,6 +11543,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_shard_spillover": _sql_dedup_shard_spillover(),
         "spearman_lineitem": _sql_spearman_lineitem(),
         "chao1_docs": _sql_chao1_docs(),
+        "bigram_entropy_docs": _sql_bigram_entropy_docs(),
         "shingle_novelty": _SQL_SHINGLE_NOVELTY,
         "cc_luhn_scan": _SQL_CC_LUHN,
         "domain_rate_shrunk": _SQL_DOMAIN_SHRUNK,

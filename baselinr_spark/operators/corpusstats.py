@@ -664,3 +664,118 @@ SELECT n_docs, n_classes, f1, f2,
              + CASE WHEN f2 > 0 THEN f1::double * f1 / (2.0 * f2)
                     ELSE f1::double * (f1 - 1.0) / 2.0 END), 6) AS coverage
 FROM agg"""
+
+
+def bigram_entropy(
+    df: DataFrame,
+    text_col: str,
+) -> DataFrame:
+    """Corpus token predictability: unigram entropy H(Y), bigram
+    conditional entropy H(Y|X) = -Σ p(x,y)·ln p(y|x), and their gap
+    I(X;Y) (mutual information, nats) — all exact from token/bigram
+    counts (Shannon 1951's printed-English measurement; public).
+    Template-heavy corpora show LOW conditional entropy (the next
+    token is predictable from the previous one) long before a dedup
+    pass can see it; natural prose sits high. Complements
+    distinct_ngram_docs (which counts types) with the
+    information-theoretic view (which weighs probabilities).
+
+    Returns ONE row: (n_tokens, n_bigrams, h_unigram, h_cond,
+    mutual_info).
+
+    Scale design: one explode over token positions, ONE (x, y) groupBy
+    with map-side combine, one O(vocab) rollup to c_x (a second small
+    groupBy over bigram TYPES, not tokens), one fold. No windows, no
+    self-joins.
+    """
+    words = F.filter(
+        F.split(
+            F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")),
+            " ",
+        ),
+        lambda w: F.length(w) > 0,
+    )
+    k = F.size(words) - 1
+    bigrams = F.when(
+        k > 0,
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.struct(
+                F.element_at(words, i).alias("x"),
+                F.element_at(words, i + 1).alias("y"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<x:string,y:string>>"))
+    bg = df.select(F.explode(bigrams).alias("b")).select("b.x", "b.y")
+    cxy = bg.groupBy("x", "y").agg(F.count(F.lit(1)).alias("cxy"))
+    cx = cxy.groupBy("x").agg(F.sum("cxy").alias("cx"))
+    joined = cxy.join(cx, "x")
+    n = F.broadcast(cxy.agg(F.sum("cxy").alias("__n")))
+    hc = (
+        joined.crossJoin(n)
+        .agg(
+            F.sum(
+                -(F.col("cxy") / F.col("__n"))
+                * F.log(F.col("cxy") / F.col("cx"))
+            ).alias("h_cond"),
+            F.coalesce(F.sum("cxy"), F.lit(0)).cast("bigint").alias(
+                "n_bigrams"
+            ),
+        )
+    )
+    # unigram entropy over ALL tokens (not just bigram members): count
+    # every token once
+    toks = df.select(F.explode(words).alias("w"))
+    cw = toks.groupBy("w").agg(F.count(F.lit(1)).alias("cw"))
+    nt = F.broadcast(cw.agg(F.sum("cw").alias("__t")))
+    hu = cw.crossJoin(nt).agg(
+        F.sum(
+            -(F.col("cw") / F.col("__t")) * F.log(F.col("cw") / F.col("__t"))
+        ).alias("h_unigram"),
+        F.coalesce(F.sum("cw"), F.lit(0)).cast("bigint").alias("n_tokens"),
+    )
+    return hu.crossJoin(hc).select(
+        "n_tokens",
+        "n_bigrams",
+        F.round("h_unigram", 6).alias("h_unigram"),
+        F.round("h_cond", 6).alias("h_cond"),
+        F.round(F.col("h_unigram") - F.col("h_cond"), 6).alias(
+            "mutual_info"
+        ),
+    )
+
+
+def oracle_bigram_entropy_sql(table: str, text_col: str) -> str:
+    """DuckDB twin of :func:`bigram_entropy`."""
+    return f"""
+WITH s AS (
+  SELECT list_filter(string_split(
+           trim(regexp_replace(lower({text_col}), '\\s+', ' ', 'g')), ' '),
+           w -> length(w) > 0) AS ws
+  FROM {table}
+),
+bg AS (
+  SELECT ws[i] AS x, ws[i + 1] AS y
+  FROM s, UNNEST(range(1, len(ws))) AS t(i)
+  WHERE len(ws) > 1
+),
+cxy AS (SELECT x, y, count(*) AS cxy FROM bg GROUP BY 1, 2),
+cx AS (SELECT x, sum(cxy) AS cx FROM cxy GROUP BY 1),
+nn AS (SELECT sum(cxy)::double AS n FROM cxy),
+hc AS (
+  SELECT sum(-(c.cxy / nn.n) * ln(c.cxy / x.cx)) AS h_cond,
+         coalesce(sum(c.cxy), 0)::bigint AS n_bigrams
+  FROM cxy c JOIN cx x USING (x), nn
+),
+tok AS (SELECT unnest(ws) AS w FROM s),
+cw AS (SELECT w, count(*) AS cw FROM tok GROUP BY 1),
+tt AS (SELECT sum(cw)::double AS t FROM cw),
+hu AS (
+  SELECT sum(-(cw / tt.t) * ln(cw / tt.t)) AS h_unigram,
+         coalesce(sum(cw), 0)::bigint AS n_tokens
+  FROM cw, tt
+)
+SELECT n_tokens, n_bigrams, round(h_unigram, 6) AS h_unigram,
+       round(h_cond, 6) AS h_cond,
+       round(h_unigram - h_cond, 6) AS mutual_info
+FROM hu, hc"""

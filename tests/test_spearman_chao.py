@@ -74,3 +74,38 @@ def test_chao1_no_doubletons_bias_corrected(spark):
     )
     r = chao1_dup_estimate(df, "doc_id", "text").collect()[0]
     assert r["est_unseen"] == 3.0
+
+
+def test_bigram_entropy_deterministic_text(spark):
+    """'a b a b a b': H(Y|X)=0 (next token fully determined);
+    unigram entropy = ln 2 (two equiprobable tokens)."""
+    import math
+    from baselinr_spark.operators.corpusstats import bigram_entropy
+
+    df = spark.createDataFrame([("a b a b a b",)], ["text"])
+    r = bigram_entropy(df, "text").collect()[0]
+    assert r["n_tokens"] == 6 and r["n_bigrams"] == 5
+    assert r["h_cond"] == 0.0
+    assert abs(r["h_unigram"] - round(math.log(2), 6)) < 1e-9
+    assert r["mutual_info"] == r["h_unigram"]
+
+
+def test_bigram_entropy_hand_computed(spark):
+    """'a a a b': bigrams (a,a)x2 (a,b)x1; H(Y|X) =
+    -[2/3·ln(2/3) + 1/3·ln(1/3)] (all mass conditioned on x='a')."""
+    import math
+    from baselinr_spark.operators.corpusstats import bigram_entropy
+
+    df = spark.createDataFrame([("a a a b",)], ["text"])
+    r = bigram_entropy(df, "text").collect()[0]
+    exp = -(2 / 3 * math.log(2 / 3) + 1 / 3 * math.log(1 / 3))
+    assert abs(r["h_cond"] - round(exp, 6)) < 1e-9
+
+
+def test_bigram_entropy_single_token_docs(spark):
+    from baselinr_spark.operators.corpusstats import bigram_entropy
+
+    df = spark.createDataFrame([("hello",), ("",)], ["text"])
+    r = bigram_entropy(df, "text").collect()[0]
+    assert r["n_bigrams"] == 0
+    assert r["n_tokens"] == 1
