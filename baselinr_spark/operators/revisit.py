@@ -243,13 +243,18 @@ def snapshot_diff(
         F.col("oh").isNotNull().cast("int").alias("in_old"),
         F.col("nh").isNotNull().cast("int").alias("in_new"),
     )
+    # every flag coalesces to 0: a one-sided snapshot makes the
+    # null-propagating (oh = nh) flag NULL on every row, and an
+    # all-NULL sum is NULL in both engines
     agg = j.groupBy("grp").agg(
-        F.sum("in_old").cast("bigint").alias("n_old"),
-        F.sum("in_new").cast("bigint").alias("n_new"),
-        F.sum("added").cast("bigint").alias("added"),
-        F.sum("removed").cast("bigint").alias("removed"),
-        F.sum("changed").cast("bigint").alias("changed"),
-        F.sum("unchanged").cast("bigint").alias("unchanged"),
+        *[
+            F.coalesce(F.sum(c), F.lit(0)).cast("bigint").alias(c2)
+            for c, c2 in [
+                ("in_old", "n_old"), ("in_new", "n_new"),
+                ("added", "added"), ("removed", "removed"),
+                ("changed", "changed"), ("unchanged", "unchanged"),
+            ]
+        ]
     )
     union_n = F.greatest(F.col("n_old") + F.col("added"), F.lit(1))
     return agg.select(
@@ -291,10 +296,12 @@ j AS (
   FROM old_in o FULL OUTER JOIN new_in n ON o.{key_col} = n.{key_col}
 ),
 agg AS (
-  SELECT grp, sum(in_old)::bigint AS n_old, sum(in_new)::bigint AS n_new,
-         sum(added)::bigint AS added, sum(removed)::bigint AS removed,
-         sum(changed)::bigint AS changed,
-         sum(unchanged)::bigint AS unchanged
+  SELECT grp, coalesce(sum(in_old), 0)::bigint AS n_old,
+         coalesce(sum(in_new), 0)::bigint AS n_new,
+         coalesce(sum(added), 0)::bigint AS added,
+         coalesce(sum(removed), 0)::bigint AS removed,
+         coalesce(sum(changed), 0)::bigint AS changed,
+         coalesce(sum(unchanged), 0)::bigint AS unchanged
   FROM j GROUP BY 1
 )
 SELECT grp AS {group_col}, n_old, n_new, added, removed, changed, unchanged,
