@@ -91,3 +91,45 @@ def test_spillover_bounds_any_pairs(spark, pairs):
     assert r["n_pairs"] == len(pairs)
     assert 0 <= r["n_same_shard"] <= r["n_pairs"]
     assert 0.0 <= r["spillover_frac"] <= 1.0
+
+
+from baselinr_spark.operators.crawlplan import crawl_schedule
+from baselinr_spark.operators.linkgraph import trustrank
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(st.tuples(st.sampled_from(["a.com", "b.com", "c.com"]),
+                          st.integers(0, 999), st.integers(0, 5)),
+                min_size=1, max_size=25, unique_by=lambda t: (t[0], t[1])))
+def test_crawl_slots_are_dense_permutation(spark, rows):
+    """Per domain: slots are exactly 0..n-1 and fetch times strictly
+    increase with slot — for ANY frontier and priorities."""
+    df = spark.createDataFrame(
+        [(d, f"https://{d}/p/{u}", pr, 1.5) for d, u, pr in rows],
+        ["domain", "url", "priority", "crawl_delay_s"],
+    )
+    per = {}
+    for r in crawl_schedule(df, priority_col="priority").collect():
+        per.setdefault(r["domain"], []).append((r["slot"], r["fetch_time_s"]))
+    for dom, sl in per.items():
+        slots = sorted(s for s, _ in sl)
+        assert slots == list(range(len(sl)))
+        ordered = sorted(sl)
+        times = [t for _, t in ordered]
+        assert times == sorted(times)
+        assert times[0] == 0.0
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 7), st.integers(0, 7)),
+                min_size=1, max_size=20).map(
+                    lambda es: [(f"n{a}", f"n{b}") for a, b in es if a != b]))
+def test_trustrank_mass_conservation_any_graph(spark, edges):
+    """Total trust == 1 and no negative trust for ANY digraph."""
+    if not edges:
+        return
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    tr = trustrank(e, ["n0", "n3"], n_iter=4).collect()
+    total = sum(r["trust"] for r in tr)
+    assert abs(total - 1.0) < 1e-9
+    assert all(r["trust"] >= 0.0 for r in tr)
