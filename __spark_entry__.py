@@ -9244,6 +9244,48 @@ def _sql_snapshot_diff_domains() -> str:
     return oracle_snapshot_diff_sql(old, new, "page", "h", "domain")
 
 
+def q_benford_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit (corpusstats.py:benford_audit) over
+    o_totalprice: per-digit observed vs log10(1+1/d) shares +
+    chi-square terms — the synthetic-numeric-column screen."""
+    from baselinr_spark.operators.corpusstats import benford_audit
+
+    orders = _read(spark, sf_dir, "orders")
+    return benford_audit(orders, "o_totalprice")
+
+
+def _sql_benford_totalprice() -> str:
+    from baselinr_spark.operators.corpusstats import oracle_benford_sql
+
+    return oracle_benford_sql("orders", "o_totalprice")
+
+
+def q_stump_threshold_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CART decision stump (classifier.py:stump_threshold): the
+    Gini-optimal single threshold on ln(1+n_chars) separating the
+    lang='en' label — the supervised keep-cutoff learner."""
+    from baselinr_spark.operators.classifier import stump_threshold
+
+    docs = _read(spark, sf_dir, "documents")
+    rows = docs.select(
+        F.round(F.log1p("n_chars"), 3).alias("score"),
+        (F.col("lang") == "en").alias("label"),
+    )
+    return stump_threshold(rows, "score", "label")
+
+
+def _sql_stump_threshold_docs() -> str:
+    from baselinr_spark.operators.classifier import (
+        oracle_stump_threshold_sql,
+    )
+
+    rows = (
+        "SELECT round(ln(1 + n_chars), 3) AS score, (lang = 'en') AS label "
+        "FROM documents"
+    )
+    return oracle_stump_threshold_sql(rows, "score", "label")
+
+
 def q_bigram_entropy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus token predictability (corpusstats.py:bigram_entropy):
     exact unigram entropy, bigram conditional entropy, and their gap
@@ -11289,6 +11331,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spearman_lineitem": q_spearman_lineitem,
         "chao1_docs": q_chao1_docs,
         "bigram_entropy_docs": q_bigram_entropy_docs,
+        "benford_totalprice": q_benford_totalprice,
+        "stump_threshold_docs": q_stump_threshold_docs,
         "range_join_events": q_range_join_events,
         "time_rollup_events": q_time_rollup_events,
         "sessionize_events": q_sessionize_events,
@@ -11544,6 +11588,8 @@ def oracle_sql() -> dict[str, str]:
         "spearman_lineitem": _sql_spearman_lineitem(),
         "chao1_docs": _sql_chao1_docs(),
         "bigram_entropy_docs": _sql_bigram_entropy_docs(),
+        "benford_totalprice": _sql_benford_totalprice(),
+        "stump_threshold_docs": _sql_stump_threshold_docs(),
         "shingle_novelty": _SQL_SHINGLE_NOVELTY,
         "cc_luhn_scan": _SQL_CC_LUHN,
         "domain_rate_shrunk": _SQL_DOMAIN_SHRUNK,

@@ -281,3 +281,124 @@ def logreg_score(
             F.lit(1.0) / (F.lit(1.0) + F.exp(-F.coalesce(F.col("__m"), F.lit(0.0))))
         ).alias("prob"),
     ).withColumn("pred", F.col("prob") > 0.5)
+
+
+def stump_threshold(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """1-D decision stump: the single threshold t on a score that
+    best separates a boolean label under Gini impurity (CART's split
+    criterion, Breiman et al. 1984; public) — "learn the keep/drop
+    cutoff from labels" as one aggregation, the supervised
+    counterpart of the unsupervised GMM split (operators/gmm.py) and
+    conformal threshold (selection.py). Split form: predict positive
+    when score <= t.
+
+    Returns ONE row: (threshold, n_left, n_right, gini_parent,
+    gini_split, gain) for the argmax-gain threshold (ties -> smallest
+    threshold).
+
+    Scale design: ONE groupBy collapses the corpus to per-distinct-
+    score (pos, neg) counts; the cumulative scan + argmax run on the
+    O(distinct scores) table (a single-partition window — fine for
+    scores with bounded cardinality; QUANTIZE the score first at
+    corpus scale, e.g. round to 3 decimals, which changes candidate
+    thresholds but not the plan shape).
+    """
+    from pyspark.sql import Window as W
+
+    per = (
+        df.select(
+            F.col(score_col).cast("double").alias("s"),
+            F.col(label_col).cast("int").alias("y"),
+        )
+        .filter(F.col("s").isNotNull() & F.col("y").isNotNull())
+        .groupBy("s")
+        .agg(
+            F.sum("y").alias("pos"),
+            F.sum(F.lit(1) - F.col("y")).alias("neg"),
+        )
+    )
+    tot = per.agg(
+        F.sum("pos").alias("__P"), F.sum("neg").alias("__N")
+    )
+    w = W.orderBy("s").rowsBetween(W.unboundedPreceding, 0)
+    cum = per.select(
+        "s",
+        F.sum("pos").over(w).alias("pl"),
+        F.sum("neg").over(w).alias("nl"),
+    ).crossJoin(F.broadcast(tot))
+    nl = F.col("pl") + F.col("nl")
+    nr = F.col("__P") + F.col("__N") - nl
+    pr = F.col("__P") - F.col("pl")
+    nrr = F.col("__N") - F.col("nl")
+
+    def gini(p, n, tot_):
+        return F.when(
+            tot_ > 0,
+            1.0
+            - (p / tot_) * (p / tot_)
+            - (n / tot_) * (n / tot_),
+        ).otherwise(0.0)
+
+    total = F.col("__P") + F.col("__N")
+    g_split = (nl / total) * gini(F.col("pl"), F.col("nl"), nl) + (
+        nr / total
+    ) * gini(pr, nrr, nr)
+    g_parent = gini(F.col("__P"), F.col("__N"), total)
+    scored = cum.filter(nr > 0).select(
+        F.col("s").alias("threshold"),
+        nl.cast("bigint").alias("n_left"),
+        nr.cast("bigint").alias("n_right"),
+        F.round(g_parent, 6).alias("gini_parent"),
+        F.round(g_split, 6).alias("gini_split"),
+        F.round(g_parent - g_split, 6).alias("gain"),
+    )
+    return scored.orderBy(F.desc("gain"), F.asc("threshold")).limit(1)
+
+
+def oracle_stump_threshold_sql(
+    rows_sql: str, score_col: str, label_col: str
+) -> str:
+    """DuckDB twin of :func:`stump_threshold`."""
+    return f"""
+WITH rows_in AS (
+  SELECT {score_col}::double AS s, {label_col}::int AS y
+  FROM ({rows_sql})
+  WHERE {score_col} IS NOT NULL AND {label_col} IS NOT NULL
+),
+per AS (
+  SELECT s, sum(y) AS pos, sum(1 - y) AS neg FROM rows_in GROUP BY 1
+),
+tot AS (SELECT sum(pos)::double AS P, sum(neg)::double AS N FROM per),
+cum AS (
+  SELECT s,
+         sum(pos) OVER (ORDER BY s)::double AS pl,
+         sum(neg) OVER (ORDER BY s)::double AS nl
+  FROM per
+),
+scored AS (
+  SELECT s AS threshold,
+         (pl + nl)::bigint AS n_left,
+         (tot.P + tot.N - pl - nl)::bigint AS n_right,
+         1.0 - (tot.P / (tot.P + tot.N)) ^ 2
+             - (tot.N / (tot.P + tot.N)) ^ 2 AS gp,
+         ((pl + nl) / (tot.P + tot.N)) *
+           (CASE WHEN pl + nl > 0 THEN
+              1.0 - (pl / (pl + nl)) ^ 2 - (nl / (pl + nl)) ^ 2
+            ELSE 0.0 END)
+         + ((tot.P + tot.N - pl - nl) / (tot.P + tot.N)) *
+           (CASE WHEN tot.P + tot.N - pl - nl > 0 THEN
+              1.0 - ((tot.P - pl) / (tot.P + tot.N - pl - nl)) ^ 2
+                  - ((tot.N - nl) / (tot.P + tot.N - pl - nl)) ^ 2
+            ELSE 0.0 END) AS gs
+  FROM cum, tot
+  WHERE tot.P + tot.N - pl - nl > 0
+)
+SELECT threshold, n_left, n_right, round(gp, 6) AS gini_parent,
+       round(gs, 6) AS gini_split, round(gp - gs, 6) AS gain
+FROM scored
+ORDER BY round(gp - gs, 6) DESC, threshold
+LIMIT 1"""

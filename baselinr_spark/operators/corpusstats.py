@@ -779,3 +779,81 @@ SELECT n_tokens, n_bigrams, round(h_unigram, 6) AS h_unigram,
        round(h_cond, 6) AS h_cond,
        round(h_unigram - h_cond, 6) AS mutual_info
 FROM hu, hc"""
+
+
+def benford_audit(
+    df: DataFrame,
+    col: str,
+) -> DataFrame:
+    """Benford first-significant-digit audit (Newcomb 1881 / Benford
+    1938; public): natural multi-scale numeric data follows
+    P(d) = log10(1 + 1/d); synthetic, capped, or fabricated columns
+    deviate. The standard forensic screen for machine-generated
+    numeric fields — here a data-quality signal for suspicious
+    numeric columns (prices, counts) before they feed training
+    features. Statistic: chi-square distance against the Benford
+    expectation plus per-digit observed/expected shares.
+
+    Returns 9 rows: (digit, n, observed, expected, chi_term) — sum
+    chi_term downstream for the test statistic (8 dof). Zeros/nulls
+    are excluded (no first significant digit).
+
+    Scale design: first digit is a row-local string expression; ONE
+    9-bucket groupBy with map-side combine; expectation is a literal.
+    """
+    import math
+
+    d = F.substring(
+        F.regexp_replace(
+            F.format_number(F.abs(F.col(col).cast("double")), 10),
+            r"[0.,]", ""
+        ),
+        1,
+        1,
+    ).cast("int")
+    counts = (
+        df.filter(F.col(col).isNotNull() & (F.abs(F.col(col)) > 0))
+        .select(d.alias("digit"))
+        .filter(F.col("digit").between(1, 9))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = counts.agg(F.sum("n").alias("__t"))
+    exp = F.log10(F.lit(1.0) + 1.0 / F.col("digit"))
+    obs = F.col("n") / F.col("__t")
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.col("n").cast("bigint").alias("n"),
+            F.round(obs, 6).alias("observed"),
+            F.round(exp, 6).alias("expected"),
+            F.round(
+                (obs - exp) * (obs - exp) / exp * F.col("__t"), 6
+            ).alias("chi_term"),
+        )
+    )
+
+
+def oracle_benford_sql(table: str, col: str) -> str:
+    """DuckDB twin of :func:`benford_audit`."""
+    return f"""
+WITH src AS (
+  SELECT substring(regexp_replace(
+           format('{{:.10f}}', abs({col}::double)), '[0.,]', '', 'g'),
+         1, 1)::int AS digit
+  FROM {table}
+  WHERE {col} IS NOT NULL AND abs({col}) > 0
+),
+counts AS (
+  SELECT digit, count(*) AS n FROM src
+  WHERE digit BETWEEN 1 AND 9 GROUP BY 1
+),
+tot AS (SELECT sum(n)::double AS t FROM counts)
+SELECT digit, n::bigint AS n,
+       round(n / tot.t, 6) AS observed,
+       round(log10(1.0 + 1.0 / digit), 6) AS expected,
+       round((n / tot.t - log10(1.0 + 1.0 / digit))
+             * (n / tot.t - log10(1.0 + 1.0 / digit))
+             / log10(1.0 + 1.0 / digit) * tot.t, 6) AS chi_term
+FROM counts, tot"""

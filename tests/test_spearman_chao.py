@@ -109,3 +109,60 @@ def test_bigram_entropy_single_token_docs(spark):
     r = bigram_entropy(df, "text").collect()[0]
     assert r["n_bigrams"] == 0
     assert r["n_tokens"] == 1
+
+
+def test_benford_on_exponential_scale_data(spark):
+    """Powers spanning several decades follow Benford closely; the
+    expected column is exactly log10(1 + 1/d) and chi terms are
+    finite/nonnegative."""
+    import math
+    from baselinr_spark.operators.corpusstats import benford_audit
+
+    # 2^k for k=0..199 is a classic Benford-conforming sequence
+    df = spark.createDataFrame(
+        [(float(2 ** k),) for k in range(200)], ["v"]
+    )
+    rows = {r["digit"]: r for r in benford_audit(df, "v").collect()}
+    assert set(rows) == set(range(1, 10))
+    for d, r in rows.items():
+        assert abs(r["expected"] - round(math.log10(1 + 1 / d), 6)) < 1e-9
+        assert r["chi_term"] >= 0
+    # digit 1 most common, monotone-ish decline
+    assert rows[1]["n"] > rows[9]["n"]
+    total_chi = sum(r["chi_term"] for r in rows.values())
+    assert total_chi < 16.0  # chi2(8df) 95% crit ~ 15.5: conforms
+
+
+def test_benford_first_significant_digit_extraction(spark):
+    from baselinr_spark.operators.corpusstats import benford_audit
+
+    df = spark.createDataFrame(
+        [(0.00052,), (1024.0,), (-92.0,), (0.0,), (None,)], ["v"]
+    )
+    rows = {r["digit"]: r["n"] for r in benford_audit(df, "v").collect()}
+    assert rows == {5: 1, 1: 1, 9: 1}  # zero/null excluded, abs taken
+
+
+def test_stump_finds_planted_threshold(spark):
+    from baselinr_spark.operators.classifier import stump_threshold
+
+    # perfectly separable at score <= 4.0 -> label True
+    rows = [(float(s), s <= 4) for s in range(10)]
+    df = spark.createDataFrame(rows, ["score", "label"])
+    r = stump_threshold(df, "score", "label").collect()[0]
+    assert r["threshold"] == 4.0
+    assert r["gini_split"] == 0.0
+    assert r["gain"] == r["gini_parent"] == 0.5
+    assert (r["n_left"], r["n_right"]) == (5, 5)
+
+
+def test_stump_tiebreak_smallest_threshold(spark):
+    from baselinr_spark.operators.classifier import stump_threshold
+
+    # all labels identical: every split has gain 0 -> smallest score
+    df = spark.createDataFrame(
+        [(1.0, True), (2.0, True), (3.0, True)], ["score", "label"]
+    )
+    r = stump_threshold(df, "score", "label").collect()[0]
+    assert r["gain"] == 0.0
+    assert r["threshold"] == 1.0
