@@ -220,32 +220,26 @@ def perplexity_batch(texts, model=None) -> list[float]:
     """Score a batch of documents, bit-identical to `perplexity` per doc.
 
     Shape: tokenize each doc (single-regex pass), flatten to one token
-    stream with lagged context columns, factorize each n-gram family to
-    its unique strings, crc32+searchsorted lookups on the uniques only,
-    then resolve the stupid-backoff cascade with numpy masks. The only
-    remaining per-token Python is the order-preserving logprob sum (the
-    scalar path sums sequentially; numpy's pairwise sum would drift in
-    the last ulp)."""
+    stream, factorize the WORDS once (object hashing touches each token
+    exactly once), then derive every n-gram family as an int64 code pair
+    — context codes are lag-shifts of the word codes, so bigram/trigram
+    keys factorize through pandas' int64 hash table instead of building
+    and hashing per-token join strings. N-gram strings are materialized
+    only for the (far fewer) UNIQUE keys, where the crc32+searchsorted
+    count lookups happen; the cascade then resolves with numpy masks.
+    The only remaining per-token Python is the order-preserving logprob
+    sum (the scalar path sums sequentially; numpy's pairwise sum would
+    drift in the last ulp)."""
     ks, vs, total = _model_arrays(model if model is not None else build_model())
 
     tok_lists = [tokenize_fast(t) if t else [] for t in texts]
 
     words: list[str] = []
-    p1: list[str] = []
-    p2: list[str] = []
     lens = []
     for toks in tok_lists:
-        n = len(toks)
-        lens.append(n)
-        if n == 0:
-            continue
-        words.extend(toks)
-        p1.append(_SENT)
-        p1.extend(toks[:-1])
-        p2.append(_SENT)
-        if n > 1:
-            p2.append(_SENT)
-            p2.extend(toks[:-2])
+        lens.append(len(toks))
+        if toks:
+            words.extend(toks)
     N = len(words)
     if N == 0:
         return [float("inf")] * len(texts)
@@ -261,22 +255,54 @@ def perplexity_batch(texts, model=None) -> list[float]:
     cls2[second[second < N]] = False
 
     w_arr = np.array(words, dtype=object)
-    # unigrams of w (c1) and of p1 (order-2 denominator) share one vocab
-    uni_codes, uni_uniq = pd.factorize(
-        np.concatenate([w_arr, np.array(p1, dtype=object)])
-    )
-    c_uni = _lookup(ks, vs, _crc_arr(uni_uniq))
-    c1 = c_uni[uni_codes[:N]]
-    d2 = c_uni[uni_codes[N:]]
+    wcodes, wuniq = pd.factorize(w_arr)
+    wcodes = wcodes.astype(np.int64, copy=False)
+    nv = len(wuniq) + 1  # +1 for the sentinel code
+    sent_code = nv - 1
+    uniq_ext = np.append(wuniq, _SENT)
 
-    big_strs = [f"{a} {b}" for a, b in zip(p1, words)]
-    big_codes, big_uniq = pd.factorize(np.array(big_strs, dtype=object))
+    # lagged context codes: p1 = previous word (sentinel at doc start),
+    # p2 = word before that (sentinel at doc start and start+1)
+    p1c = np.empty(N, dtype=np.int64)
+    p1c[1:] = wcodes[:-1]
+    p1c[starts] = sent_code
+    p2c = np.empty(N, dtype=np.int64)
+    p2c[2:] = wcodes[:-2]
+    p2c[starts] = sent_code
+    p2c[second[second < N]] = sent_code
+
+    # unigrams of w (c1) and of p1 (order-2 denominator) share one vocab
+    c_uni = _lookup(ks, vs, _crc_arr(uniq_ext))
+    c1 = c_uni[wcodes]
+    d2 = c_uni[p1c]
+
+    # bigram (p1, w): int64 pair key; strings built per UNIQUE pair only.
+    # NOTE: every unique key must be hashed and looked up — the count
+    # table is keyed by crc32, and the scalar spec "finds" hash-colliding
+    # entries too, so semantic pruning (skip n-grams with unseen parts)
+    # would diverge from it on collisions.
+    big_codes, big_keys = pd.factorize(p1c * nv + wcodes)
+    big_uniq = np.array(
+        [f"{a} {b}" for a, b in
+         zip(uniq_ext[big_keys // nv], uniq_ext[big_keys % nv])],
+        dtype=object,
+    )
     c2 = _lookup(ks, vs, _crc_arr(big_uniq))[big_codes]
 
-    tri_strs = [f"{a} {b}" for a, b in zip(p2, big_strs)]
-    ctx_strs = [f"{a} {b}" for a, b in zip(p2, p1)]
-    tri_codes, tri_uniq = pd.factorize(np.array(tri_strs, dtype=object))
-    ctx_codes, ctx_uniq = pd.factorize(np.array(ctx_strs, dtype=object))
+    # trigram (p2, p1, w) keyed as (p2, bigram-code); ctx = (p2, p1)
+    nb = len(big_keys) + 1
+    tri_codes, tri_keys = pd.factorize(p2c * nb + big_codes)
+    tri_uniq = np.array(
+        [f"{a} {b}" for a, b in
+         zip(uniq_ext[tri_keys // nb], big_uniq[tri_keys % nb])],
+        dtype=object,
+    )
+    ctx_codes, ctx_keys = pd.factorize(p2c * nv + p1c)
+    ctx_uniq = np.array(
+        [f"{a} {b}" for a, b in
+         zip(uniq_ext[ctx_keys // nv], uniq_ext[ctx_keys % nv])],
+        dtype=object,
+    )
     c3 = _lookup(ks, vs, _crc_arr(tri_uniq))[tri_codes]
     d3 = _lookup(ks, vs, _crc_arr(ctx_uniq))[ctx_codes]
 
@@ -296,15 +322,16 @@ def perplexity_batch(texts, model=None) -> list[float]:
     vl = v.tolist()
     out = []
     pos = 0
+    exp = math.exp
     for t, n in zip(texts, lens):
         if not t or n == 0:
             out.append(float("inf"))
             continue
-        lp = 0.0
-        for j in range(pos, pos + n):
-            lp += vl[j]
+        # builtin sum over a list slice adds left-to-right sequentially —
+        # the same float op order as the scalar path's running total
+        lp = sum(vl[pos:pos + n], 0.0)
         pos += n
-        out.append(math.exp(-lp / n))
+        out.append(exp(-lp / n))
     return out
 
 
