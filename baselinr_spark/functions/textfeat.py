@@ -54,22 +54,49 @@ def _lines(text: Column) -> Column:
     )
 
 
-def with_features(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Append the FEATURE_COLS to df. One projection, no shuffle."""
-    text = F.coalesce(F.col(text_col), F.lit(""))
-    stop_arr = F.array(*[F.lit(w) for w in sorted(sl.all_stopwords())])
+def _stopword_count_pattern(stopwords) -> str:
+    """Whole-token case-insensitive alternation: a match must span an
+    entire whitespace-delimited token (lookbehind/lookahead anchors), so
+    `regexp_count` over the raw text equals counting split tokens whose
+    lower() is in the list. (?i) is ASCII case folding, which is exact
+    for these a-z lists; the anchored-both-sides alternation makes match
+    order irrelevant (a prefix alternative fails the lookahead and the
+    engine backtracks to the full-token one)."""
+    return r"(?i)(?:^|(?<=\s))(?:" + "|".join(sorted(stopwords)) + r")(?=\s|$)"
 
-    words = _words(text)
+
+#: one \n-delimited segment whose space-trimmed form is non-empty:
+#: (?d) pins ^ to \n boundaries (Java multiline otherwise also breaks at
+#: \r), then optional leading spaces, one non-space, rest of the line.
+#: Deliberately dot-free — Spark compiles regexp_* patterns with dot
+#: matching newlines, so `.` would glue lines together.
+_NONEMPTY_LINE_PATTERN = r"(?dm)^ *[^ \n][^\n]*"
+
+
+def with_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append the FEATURE_COLS to df. One projection, no shuffle.
+
+    Every per-WORD quantity is computed by a codegen'd regexp over the
+    raw text (count of \\S+ runs, non-whitespace char count, anchored
+    stopword alternation) instead of the split → higher-order
+    filter/aggregate/array_contains chain: HOFs are CodegenFallback, so
+    the old form interpreted ~n_words × n_stopwords expression nodes per
+    document — the dominant JVM cost of the feature stage (guide §1/§4:
+    prefer built-ins inside codegen). Values are identical (equivalences
+    asserted by the pandas-oracle parity tests); only the per-LINE
+    distinct count still builds an array, over ~10× fewer elements."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
+
     lines = _lines(text)
 
-    n_words = F.size(words)
+    n_words = F.regexp_count(text, F.lit(r"\S+"))
     n_chars = F.length(text)
-    total_word_chars = F.aggregate(
-        words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
-    )
+    total_word_chars = F.length(F.regexp_replace(text, r"\s+", ""))
     n_symbols = F.length(F.regexp_replace(text, r"[A-Za-z0-9\s]", ""))
-    n_stop = F.size(F.filter(words, lambda w: F.array_contains(stop_arr, F.lower(w))))
-    n_lines = F.size(lines)
+    n_stop = F.regexp_count(
+        text, F.lit(_stopword_count_pattern(sl.all_stopwords()))
+    )
+    n_lines = F.regexp_count(text, F.lit(_NONEMPTY_LINE_PATTERN))
     n_distinct_lines = F.size(F.array_distinct(lines))
 
     return (

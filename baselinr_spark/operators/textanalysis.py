@@ -21,18 +21,35 @@ def words_expr(text_col):
 
 def doc_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Per-document stats: n_words, n_chars, mean_word_length,
-    distinct_word_ratio (type/token), stopword_fraction (EN list)."""
-    words = words_expr(F.col(text_col))
-    n_words = F.size(words)
-    stop_arr = F.array(*[F.lit(w) for w in EN_STOPWORDS])
-    n_stop = F.size(F.filter(words, lambda w: F.array_contains(stop_arr, F.lower(w))))
-    total_chars = F.aggregate(words, F.lit(0).cast("long"), lambda a, w: a + F.length(w))
+    distinct_word_ratio (type/token), stopword_fraction (EN list).
+
+    Word counts/lengths and stopword hits are codegen'd regexps over the
+    raw text (count of \\S+ runs, non-whitespace char count, anchored
+    whole-token alternation) rather than the split → higher-order
+    filter/aggregate chain, whose CodegenFallback interpretation
+    dominated this operator's runtime. Only the distinct-word ratio
+    still materializes the split array (codegen'd array_distinct; the
+    possibly-empty leading/trailing split segment is subtracted via
+    array_contains instead of a filter pass). Values are unchanged —
+    the DuckDB oracles replay identically."""
+    text = F.col(text_col)
+    n_words = F.regexp_count(text, F.lit(r"\S+"))
+    stop_pat = (
+        r"(?i)(?:^|(?<=\s))(?:" + "|".join(sorted(EN_STOPWORDS)) + r")(?=\s|$)"
+    )
+    n_stop = F.regexp_count(text, F.lit(stop_pat))
+    total_chars = F.length(F.regexp_replace(text, r"\s+", ""))
+    sp = F.split(F.trim(text), r"\s+")
+    n_distinct = (
+        F.size(F.array_distinct(sp))
+        - F.array_contains(sp, "").cast("int")
+    )
     return df.select(
         F.col(id_col),
         n_words.alias("n_words"),
-        F.length(F.col(text_col)).alias("n_chars"),
+        F.length(text).alias("n_chars"),
         F.when(n_words > 0, total_chars / n_words).otherwise(0.0).alias("mean_word_length"),
-        F.when(n_words > 0, F.size(F.array_distinct(words)) / n_words)
+        F.when(n_words > 0, n_distinct / n_words)
         .otherwise(0.0)
         .alias("distinct_word_ratio"),
         F.when(n_words > 0, n_stop / n_words).otherwise(0.0).alias("stopword_fraction"),
@@ -62,7 +79,7 @@ def token_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Whitespace tokens + BPE-ish subword proxy: runs of letters, runs
     of digits, or single other non-space chars (the classic pre-tokenizer
     regex), counted via regexp_count — no UDF, no explode."""
-    ws = F.size(words_expr(F.col(text_col)))
+    ws = F.regexp_count(F.col(text_col), F.lit(r"\S+"))
     bpe = F.regexp_count(F.col(text_col), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"))
     return df.select(
         F.col(id_col),
