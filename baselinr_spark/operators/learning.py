@@ -12,8 +12,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .anomaly import ewma_series
-
 MIN_SAMPLES = 5  # expectation_learner.py:93-115
 
 
@@ -27,6 +25,10 @@ def learn_expectations(
 ) -> DataFrame:
     key_cols = key_cols or []
     v = F.col(value_col).cast("double")
+    # the EWMA series is collected in the SAME groupBy as the moment
+    # aggregates (one shuffle instead of two plus a join): the fold over
+    # the ts-sorted array is identical to ewma_series' and the reference's
+    # iterative recursion (expectation_learner.py:281-300)
     agg = history.groupBy(*key_cols).agg(
         F.count(F.lit(1)).alias("n_samples"),
         F.avg(v).alias("expected_mean"),
@@ -38,6 +40,11 @@ def learn_expectations(
         F.sum(v * v).alias("__s2"),
         F.sum(v * v * v).alias("__s3"),
         F.expr(f"percentile({value_col}, 0.5)").alias("median"),
+        F.array_sort(
+            F.collect_list(
+                F.struct(F.col(ts_col).alias("ts"), v.alias("v"))
+            )
+        ).alias("__series"),
     )
     # sample skewness G1 = n/((n−1)(n−2)) · Σ((x−μ)/s)³ — the reference's
     # formula (expectation_learner.py:302-354), expanded to moment sums so
@@ -51,8 +58,14 @@ def learn_expectations(
         (n > 2) & (s > 0), n / ((n - 1) * (n - 2)) * m3 / (s * s * s)
     ).otherwise(F.lit(0.0))
     agg = agg.withColumn("skewness", g1).drop("__s1", "__s2", "__s3")
-    ew = ewma_series(history, ts_col, value_col, key_cols, lam)
-    out = agg.join(ew, key_cols) if key_cols else agg.crossJoin(ew)
+    ew = F.aggregate(
+        F.col("__series"),
+        F.lit(None).cast("double"),
+        lambda acc, x: F.when(acc.isNull(), x["v"]).otherwise(
+            F.lit(lam) * x["v"] + F.lit(1.0 - lam) * acc
+        ),
+    )
+    out = agg.withColumn("ewma", ew).drop("__series")
     sd = F.coalesce(F.col("expected_stddev"), F.lit(0.0))
     mean_med_ratio = F.when(
         F.abs(F.col("expected_mean")) > 0,

@@ -101,17 +101,37 @@ def write_schema_snapshot(
     spark: SparkSession, df: DataFrame, schema_dir: str, run_id: str
 ) -> None:
     """Record the docs schema for this run (append; latest run wins on
-    read). The snapshot is a handful of rows per run."""
-    import pandas as pd
+    read). The snapshot is O(columns) METADATA — written driver-side
+    with pyarrow (a new file per call = append semantics) instead of
+    launching a Spark job for a handful of rows (guide §1.2: fixed
+    per-job scheduling cost dwarfs metadata-scale work)."""
+    import datetime as _dt
+    import os
+    import uuid as _uuid
 
-    rows = pd.DataFrame(
-        [(run_id, f.name, f.dataType.simpleString()) for f in df.schema.fields],
-        columns=["run_id", "column_name", "data_type"],
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(schema_dir, exist_ok=True)
+    now = _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
+    names = [f.name for f in df.schema.fields]
+    types = [f.dataType.simpleString() for f in df.schema.fields]
+    tbl = pa.table({
+        "run_id": pa.array([run_id] * len(names), type=pa.string()),
+        "column_name": pa.array(names, type=pa.string()),
+        "data_type": pa.array(types, type=pa.string()),
+        "ts": pa.array([now] * len(names), type=pa.timestamp("us")),
+    })
+    pq.write_table(
+        tbl, os.path.join(schema_dir, f"part-{_uuid.uuid4().hex}.parquet")
     )
-    snap = spark.createDataFrame(
-        rows, schema="run_id string, column_name string, data_type string"
-    ).withColumn("ts", F.current_timestamp())
-    snap.coalesce(1).write.mode("append").parquet(schema_dir)
+
+
+def _normalize_type_py(t: str) -> str:
+    from ..operators.schema_drift import _TYPE_SYNONYMS
+
+    t = t.lower()
+    return _TYPE_SYNONYMS.get(t, t)
 
 
 def schema_change_events(
@@ -120,49 +140,84 @@ def schema_change_events(
     """SchemaChangeDetected analogue (reference events.py:62-95): diff
     this run's schema snapshot against the most recent previous run's.
     change_type ∈ column_added / column_removed / type_changed, severity
-    medium / high / high (type changes break downstream readers)."""
-    from ..operators.schema_drift import schema_diff
+    medium / high / high (type changes break downstream readers).
 
-    snaps = spark.read.parquet(schema_dir)
-    prev_runs = (
-        snaps.filter(F.col("run_id") != run_id)
-        .groupBy("run_id").agg(F.max("ts").alias("ts"))
-        .orderBy(F.desc("ts")).limit(1)
-    )
-    prev_id = [r["run_id"] for r in prev_runs.collect()]
+    Snapshots are O(runs × columns) metadata, so the read and the diff
+    run driver-side (pyarrow + dict compare — the same normalize/full-
+    outer semantics as operators/schema_drift.schema_diff) instead of a
+    collect + full-outer-join Spark plan, which cost ~2s of fixed
+    scheduling per run at any scale."""
+    import json as _json
+
     empty = spark.createDataFrame(
         [], schema="partition string, metric_name string, baseline_value double,"
         " current_value double, score double, severity string, metadata_json string",
     )
-    if not prev_id:
+    try:
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(
+            schema_dir, columns=["run_id", "column_name", "data_type", "ts"]
+        )
+    except Exception:
         return _finish(empty, run_id, "schema_change")
-    # distinct: re-runs append duplicate snapshot rows per run_id
-    cur = snaps.filter(F.col("run_id") == run_id).select(
-        "column_name", "data_type"
-    ).distinct()
-    base = snaps.filter(F.col("run_id") == prev_id[0]).select(
-        "column_name", "data_type"
-    ).distinct()
-    diff = schema_diff(cur, base).filter(F.col("status") != "unchanged")
-    change_type = (
-        F.when(F.col("status") == "added", "column_added")
-        .when(F.col("status") == "removed", "column_removed")
-        .otherwise("type_changed")
-    )
-    sev = F.when(F.col("status") == "added", "medium").otherwise("high")
-    ev = diff.select(
-        F.lit("__schema__").alias("partition"),
-        F.col("column_name").alias("metric_name"),
-        F.lit(None).cast("double").alias("baseline_value"),
-        F.lit(None).cast("double").alias("current_value"),
-        F.lit(None).cast("double").alias("score"),
-        sev.alias("severity"),
-        F.to_json(F.struct(
-            change_type.alias("change_type"),
-            F.col("base_type").alias("old_type"),
-            F.col("cur_type").alias("new_type"),
-            F.lit(prev_id[0]).alias("baseline_run_id"),
-        )).alias("metadata_json"),
+    rows = tbl.to_pylist()
+
+    def _naive(ts):
+        return ts.astimezone(None).replace(tzinfo=None) if ts.tzinfo else ts
+
+    latest: dict[str, object] = {}
+    for r in rows:
+        if r["run_id"] == run_id or r["ts"] is None:
+            continue
+        ts = _naive(r["ts"])
+        if r["run_id"] not in latest or ts > latest[r["run_id"]]:
+            latest[r["run_id"]] = ts
+    if not latest:
+        return _finish(empty, run_id, "schema_change")
+    prev_id = max(latest.items(), key=lambda kv: (kv[1], kv[0]))[0]
+
+    cur = {r["column_name"]: _normalize_type_py(r["data_type"])
+           for r in rows if r["run_id"] == run_id}
+    base = {r["column_name"]: _normalize_type_py(r["data_type"])
+            for r in rows if r["run_id"] == prev_id}
+    ev_rows = []
+    for col in sorted(set(cur) | set(base)):
+        in_c, in_b = col in cur, col in base
+        if in_c and in_b and cur[col] == base[col]:
+            continue
+        if in_c and not in_b:
+            change, sev, old_t, new_t = "column_added", "medium", None, cur[col]
+        elif in_b and not in_c:
+            change, sev, old_t, new_t = "column_removed", "high", base[col], None
+        else:
+            change, sev, old_t, new_t = "type_changed", "high", base[col], cur[col]
+        meta = {"change_type": change}
+        if old_t is not None:
+            meta["old_type"] = old_t
+        if new_t is not None:
+            meta["new_type"] = new_t
+        meta["baseline_run_id"] = prev_id
+        ev_rows.append((
+            "__schema__", col, None, None, None, sev,
+            _json.dumps(meta, separators=(",", ":")),
+        ))
+    if not ev_rows:
+        return _finish(empty, run_id, "schema_change")
+    # pandas → Arrow-backed local relation: a plain python-list
+    # createDataFrame executes through per-partition Python-worker round
+    # trips, which serialize brutally under the single-writer-task event
+    # sink; the Arrow path materializes rows JVM-side
+    import pandas as pd
+
+    ev = spark.createDataFrame(
+        pd.DataFrame(
+            ev_rows,
+            columns=["partition", "metric_name", "baseline_value",
+                     "current_value", "score", "severity", "metadata_json"],
+        ),
+        schema="partition string, metric_name string, baseline_value double,"
+        " current_value double, score double, severity string, metadata_json string",
     )
     return _finish(ev, run_id, "schema_change")
 

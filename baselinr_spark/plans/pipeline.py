@@ -128,15 +128,25 @@ def transform_pages(
 def partition_metrics(docs: DataFrame, run_id: str) -> DataFrame:
     """Long-format per-partition metrics (FIXTURES.md §2 `metrics` shape):
     (run_id, partition, column_name, metric_name, metric_value,
-    metric_json, profiled_at). One aggregation pass for scalars + one for
-    the histogram + one for PSI buckets, all over the (tiny) projected
-    read-back of docs_out."""
+    metric_json, profiled_at).
+
+    TWO aggregation passes over the (narrow) read-back of docs_out
+    instead of the previous three: pass A computes every scalar, the
+    four perplexity percentiles from ONE shared t-digest sketch (an
+    array-quantile call builds the identical deterministic sketch a
+    per-quantile call would, so the estimates are unchanged), the fixed
+    PSI bucket counts as conditional aggregates (a row per bucket is
+    emitted only when its count > 0 — exactly the rows the old
+    groupBy(bucket) produced), and the per-partition perplexity min/max
+    that pass B's equi-width histogram needs — so the histogram skips
+    its own min/max scan and broadcast-joins pass A's."""
     part = F.col("dt").cast("string")
 
     has_text = (
         F.col("__has_text") if "__has_text" in docs.columns
         else F.col("scrubbed_text").isNotNull()
     )
+    pq_names = ("p25", "p50", "p75", "p95")
     scalar_exprs = [
         F.count(F.lit(1)).cast("double").alias("count"),
         F.sum(F.col("keep").cast("long")).cast("double").alias("kept_count"),
@@ -155,34 +165,85 @@ def partition_metrics(docs: DataFrame, run_id: str) -> DataFrame:
         scalar_exprs.append(
             F.avg((F.col("lang") == lang).cast("double")).alias(f"lang_frac:{lang}")
         )
-    for q, name in ((0.25, "p25"), (0.5, "p50"), (0.75, "p75"), (0.95, "p95")):
-        scalar_exprs.append(
-            F.percentile_approx("perplexity", q).alias(f"perplexity_{name}")
+    scalar_names = [
+        "count", "kept_count", "keep_rate", "null_count", "null_ratio",
+        "perplexity_mean",
+    ] + [f"rule_fire_rate:{r}" for r in RULE_NAMES] + [
+        f"lang_frac:{lang}" for lang in CLASSES
+    ]
+    extra_exprs = [
+        F.percentile_approx(
+            "perplexity", [0.25, 0.5, 0.75, 0.95]
+        ).alias("__pq"),
+        F.min(F.col("perplexity").cast("double")).alias("__hmin"),
+        F.max(F.col("perplexity").cast("double")).alias("__hmax"),
+    ]
+    bucket = psi_bucket_expr()
+    psi_exprs = [
+        F.count(F.when(bucket == b, F.lit(1))).alias(f"__b{b}")
+        for b in range(10)
+    ]
+
+    agg = docs.groupBy(part.alias("partition")).agg(
+        *scalar_exprs, *extra_exprs, *psi_exprs
+    )
+
+    def _scalar_struct(name, col):
+        return F.struct(
+            F.lit("document").alias("column_name"),
+            F.lit(name).alias("metric_name"),
+            col.cast("double").alias("metric_value"),
+            F.lit(None).cast("string").alias("metric_json"),
         )
 
-    scalars = docs.groupBy(part.alias("partition")).agg(*scalar_exprs)
-    names = [c for c in scalars.columns if c != "partition"]
-    long_scalars = scalars.select(
+    structs = [_scalar_struct(n, F.col(n)) for n in scalar_names]
+    structs += [
+        _scalar_struct(f"perplexity_{n}", F.col("__pq")[i])
+        for i, n in enumerate(pq_names)
+    ]
+    # fixed-bucket perplexity distribution for PSI between cohorts: a
+    # zero count means the bucket had no rows, i.e. the old per-bucket
+    # groupBy emitted no row — filtered out below
+    structs += [
+        F.when(
+            F.col(f"__b{b}") > 0,
+            F.struct(
+                F.lit("perplexity").alias("column_name"),
+                F.lit(f"ppl_bucket:{b}").alias("metric_name"),
+                F.col(f"__b{b}").cast("double").alias("metric_value"),
+                F.lit(None).cast("string").alias("metric_json"),
+            ),
+        )
+        for b in range(10)
+    ]
+    long_rows = agg.select(
         "partition",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit("document").alias("column_name"),
-                    F.lit(n).alias("metric_name"),
-                    F.col(n).cast("double").alias("metric_value"),
-                    F.lit(None).cast("string").alias("metric_json"),
-                )
-                for n in names
-            ])
-        ).alias("kv"),
+        F.explode(F.array_compact(F.array(*structs))).alias("kv"),
     ).select("partition", "kv.*")
 
-    # per-partition equi-width perplexity histogram (reference semantics)
-    hist = profiling.histogram(
-        docs.select(part.alias("partition"), "perplexity"),
-        "perplexity",
-        bins=10,
-        group_cols=["partition"],
+    # per-partition equi-width perplexity histogram (reference semantics:
+    # bins over [min,max], bin i = [min+i*w, min+(i+1)*w), last closed,
+    # empty when max == min) reusing pass A's min/max
+    mm = F.broadcast(agg.select("partition", "__hmin", "__hmax"))
+    x = F.col("perplexity").cast("double")
+    w = (F.col("__hmax") - F.col("__hmin")) / F.lit(10.0)
+    bin_col = F.least(
+        F.floor((x - F.col("__hmin")) / w).cast("int"), F.lit(9)
+    )
+    hist = (
+        docs.select(part.alias("partition"), "perplexity")
+        .join(mm, "partition")
+        .filter(x.isNotNull() & (F.col("__hmax") > F.col("__hmin")))
+        .withColumn("bin", bin_col)
+        .groupBy("partition", "bin", "__hmin", "__hmax")
+        .agg(F.count(F.lit(1)).alias("count"))
+        .select(
+            "partition",
+            "bin",
+            (F.col("__hmin") + F.col("bin") * w).alias("bin_start"),
+            (F.col("__hmin") + (F.col("bin") + 1) * w).alias("bin_end"),
+            "count",
+        )
     )
     hist_json = hist.groupBy("partition").agg(
         F.to_json(
@@ -196,21 +257,7 @@ def partition_metrics(docs: DataFrame, run_id: str) -> DataFrame:
         "metric_json",
     )
 
-    # fixed-bucket perplexity distribution for PSI between cohorts
-    psi_buckets = (
-        docs.select(part.alias("partition"), psi_bucket_expr().alias("bucket"))
-        .groupBy("partition", "bucket")
-        .count()
-        .select(
-            "partition",
-            F.lit("perplexity").alias("column_name"),
-            F.concat(F.lit("ppl_bucket:"), F.col("bucket")).alias("metric_name"),
-            F.col("count").cast("double").alias("metric_value"),
-            F.lit(None).cast("string").alias("metric_json"),
-        )
-    )
-
-    out = long_scalars.unionByName(hist_json).unionByName(psi_buckets)
+    out = long_rows.unionByName(hist_json)
     return out.select(
         F.lit(run_id).alias("run_id"),
         "partition",
@@ -531,150 +578,172 @@ def run_pipeline(
             spark.conf.set("spark.sql.files.maxPartitionBytes", prior_split)
         t0 = _tick("transform_write", t0)
 
+        # Post-transform phases operate on metadata-scale frames (metric
+        # rows are O(|chunk| x metrics), events O(cohorts)): 32+ shuffle
+        # partitions and AQE's per-stage re-optimization rounds are pure
+        # scheduling overhead there (measured ~11s of fixed cost per
+        # chunk at local[32] regardless of SF — guide §1.2 step 3). Pin
+        # a small shuffle width and plan each tiny query in one pass;
+        # restored before the next chunk's transform. Parameterised via
+        # SPARK_GRAFT_META_SHUFFLE for clusters where cohort counts are
+        # genuinely large.
+        prior_parts = spark.conf.get("spark.sql.shuffle.partitions", "200")
+        prior_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+        meta_parts = os.environ.get("SPARK_GRAFT_META_SHUFFLE", "8")
+        spark.conf.set("spark.sql.shuffle.partitions", meta_parts)
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+
         # metrics from the written output (columnar projection; avoids
         # recomputing UDF scores and avoids caching the full text at scale).
-        # The metrics union scans docs 3x (scalars, histogram, PSI buckets)
-        # — cache the narrow projection once so the parquet is read once.
-        docs_back = spark.read.parquet(docs_dir).filter(
-            F.col("dt").cast("string").isin(chunk)
-        ).select("dt", "keep", "drop_reasons", "lang", "perplexity",
-                 F.col("scrubbed_text").isNotNull().alias("__has_text"))
-        docs_back = docs_back.persist()
-        mrows = partition_metrics(docs_back, run_id).withColumn(
-            "partition_key", F.col("partition")
-        ).persist()
-        # metric rows are tiny (hundreds); coalesce so the commit moves
-        # |dts| files, not |dts|·shuffle_partitions
-        mrows.coalesce(1).write.mode("overwrite").partitionBy("partition_key").option(
-            "partitionOverwriteMode", "dynamic"
-        ).parquet(metrics_dir)
-        docs_back.unpersist()
-        t0 = _tick("metrics", t0)
+        # The metrics pair of passes scans docs twice (scalars+buckets,
+        # histogram) — cache the narrow projection once.
+        try:
+            docs_back = spark.read.parquet(docs_dir).filter(
+                F.col("dt").cast("string").isin(chunk)
+            ).select("dt", "keep", "drop_reasons", "lang", "perplexity",
+                     F.col("scrubbed_text").isNotNull().alias("__has_text"))
+            docs_back = docs_back.persist()
+            mrows = partition_metrics(docs_back, run_id).withColumn(
+                "partition_key", F.col("partition")
+            ).persist()
+            # metric rows are tiny (hundreds); coalesce so the commit moves
+            # |dts| files, not |dts|·shuffle_partitions
+            mrows.repartition(1).write.mode("overwrite").partitionBy("partition_key").option(
+                "partitionOverwriteMode", "dynamic"
+            ).parquet(metrics_dir)
+            docs_back.unpersist()
+            t0 = _tick("metrics", t0)
 
-        # event taxonomy (reference events/events.py:31-349): drift events
-        # for the processed cohorts need all stored metrics; validation +
-        # anomaly events come straight from the cached metric rows; schema
-        # events diff this run's snapshot vs the previous run's.
-        from . import events as ev_mod
+            # event taxonomy (reference events/events.py:31-349): drift events
+            # for the processed cohorts need all stored metrics; validation +
+            # anomaly events come straight from the cached metric rows; schema
+            # events diff this run's snapshot vs the previous run's.
+            from . import events as ev_mod
 
-        chunk_strs = [str(p) for p in chunk]
-        # drift (PSI lag) needs only the chunk cohorts plus each one's
-        # immediate predecessor — prune the metrics scan to those dt
-        # partitions so the read stays O(chunk), not O(history): a year
-        # of daily cohorts would otherwise be rescanned on every chunk.
-        # anomaly (leave-one-out rowcount control limits) genuinely needs
-        # every cohort's count, but only the metric_name='count' rows —
-        # it gets its OWN scan with that filter pushed to parquet instead
-        # of sharing the (now-pruned) drift frame.
-        drift_metrics = spark.read.parquet(metrics_dir).filter(
-            F.col("partition_key").isin(
-                _needed_metric_partitions(metrics_dir, chunk_strs)
+            chunk_strs = [str(p) for p in chunk]
+            # drift (PSI lag) needs only the chunk cohorts plus each one's
+            # immediate predecessor — prune the metrics scan to those dt
+            # partitions so the read stays O(chunk), not O(history): a year
+            # of daily cohorts would otherwise be rescanned on every chunk.
+            # anomaly (leave-one-out rowcount control limits) genuinely needs
+            # every cohort's count, but only the metric_name='count' rows —
+            # it gets its OWN scan with that filter pushed to parquet instead
+            # of sharing the (now-pruned) drift frame.
+            # no persist: the pruned frame feeds exactly one plan (the
+            # events write; the hook dispatch re-reads it only when hooks
+            # are configured), and a cache materialization is itself a
+            # full job on this metadata-scale frame
+            drift_metrics = spark.read.parquet(metrics_dir).filter(
+                F.col("partition_key").isin(
+                    _needed_metric_partitions(metrics_dir, chunk_strs)
+                )
             )
-        ).persist()
-        ev = drift_events(spark, output_root, run_id,
-                          metrics=drift_metrics).filter(
-            F.col("partition").isin(chunk_strs)
-        )
-        ev = ev.unionByName(
-            ev_mod.validation_events(mrows, run_id)
-        )
-        ev = ev.unionByName(
-            ev_mod.anomaly_events(spark, metrics_dir, run_id).filter(
+            ev = drift_events(spark, output_root, run_id,
+                              metrics=drift_metrics).filter(
                 F.col("partition").isin(chunk_strs)
             )
-        )
-        if ci == 0:
-            ev_mod.write_schema_snapshot(spark, docs, schema_dir, run_id)
             ev = ev.unionByName(
-                ev_mod.schema_change_events(spark, schema_dir, run_id)
+                ev_mod.validation_events(mrows, run_id)
             )
-        ev = ev.withColumn("partition_key", F.col("partition"))
-        ev.coalesce(1).write.mode("overwrite").partitionBy("partition_key").option(
-            "partitionOverwriteMode", "dynamic"
-        ).parquet(events_dir)
-        if hooks:
-            # alert on THIS run's event plan, not a read-back of the
-            # events dir: the '__schema__' partition is only overwritten
-            # when a run produces schema events, so a disk read would
-            # re-alert a previous run's (or previous chunk's) stale
-            # schema changes as if they just happened
-            from .hooks import dispatch_events
-
-            dispatch_events(ev, hooks, min_severity=hook_min_severity)
-        drift_metrics.unpersist()
-        t0 = _tick("drift", t0)
-
-        # per-partition (doc, kept) counts come straight from the cached
-        # metrics rows — no extra scan of docs
-        counts: dict[str, tuple[int, int]] = {}
-        for r in mrows.filter(
-            F.col("metric_name").isin("count", "kept_count")
-        ).collect():
-            n, k = counts.get(r["partition"], (0, 0))
-            if r["metric_name"] == "count":
-                n = int(r["metric_value"])
-            else:
-                k = int(r["metric_value"])
-            counts[r["partition"]] = (n, k)
-        mrows.unpersist()
-
-        import pandas as pd
-
-        lineage_pdf = pd.DataFrame(
-            [
-                (
-                    run_id,
-                    p,
-                    os.path.join(input_path, f"dt={p}"),
-                    os.path.join(docs_dir, f"dt={p}"),
-                    counts.get(p, (0, 0))[0],
-                    counts.get(p, (0, 0))[1],
+            ev = ev.unionByName(
+                ev_mod.anomaly_events(spark, metrics_dir, run_id).filter(
+                    F.col("partition").isin(chunk_strs)
                 )
-                for p in chunk
-            ],
-            columns=["run_id", "partition", "input_path", "output_path",
-                     "doc_count", "kept_count"],
-        )
-        lineage = spark.createDataFrame(
-            lineage_pdf,
-            schema="run_id string, partition string, input_path string, "
-            "output_path string, doc_count long, kept_count long",
-        ).withColumn("ts", F.current_timestamp()).withColumn(
-            "partition_key", F.col("partition")
-        )
-        lineage.write.mode("overwrite").partitionBy("partition_key").option(
-            "partitionOverwriteMode", "dynamic"
-        ).parquet(lineage_dir)
-        t0 = _tick("counts_lineage", t0)
+            )
+            if ci == 0:
+                ev_mod.write_schema_snapshot(spark, docs, schema_dir, run_id)
+                ev = ev.unionByName(
+                    ev_mod.schema_change_events(spark, schema_dir, run_id)
+                )
+            ev = ev.withColumn("partition_key", F.col("partition"))
+            ev.repartition(1).write.mode("overwrite").partitionBy("partition_key").option(
+                "partitionOverwriteMode", "dynamic"
+            ).parquet(events_dir)
+            if hooks:
+                # alert on THIS run's event plan, not a read-back of the
+                # events dir: the '__schema__' partition is only overwritten
+                # when a run produces schema events, so a disk read would
+                # re-alert a previous run's (or previous chunk's) stale
+                # schema changes as if they just happened
+                from .hooks import dispatch_events
 
-        if _fail_before_commit_chunk is not None and ci == _fail_before_commit_chunk:
-            raise RuntimeError(f"injected failure before manifest commit of chunk {ci}")
+                dispatch_events(ev, hooks, min_severity=hook_min_severity)
+            t0 = _tick("drift", t0)
 
-        now = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
-        # cost-cap downgraded chunks commit as status='sampled' with the
-        # fraction recorded, NOT 'done': the planner skips them only
-        # while the same cap+fraction still applies and promotes them to
-        # a full run once caps are lifted — a 'done' commit would
-        # silently freeze the partition at ~fraction of its docs forever
-        manifest.commit_partitions(
-            spark,
-            output_root,
-            run_id,
-            [
-                {
-                    "partition": p,
-                    "status": "done" if chunk_frac is None else "sampled",
-                    "doc_count": counts.get(p, (0, 0))[0],
-                    "kept_count": counts.get(p, (0, 0))[1],
-                    "completed_at": now,
-                    "snapshot_id": f"{run_id}:{ci}",
-                    "fingerprint": chunk_fps[p],
-                    "sample_fraction": chunk_frac,
-                }
-                for p in chunk
-            ],
-        )
-        _tick("manifest", t0)
+            # per-partition (doc, kept) counts come straight from the cached
+            # metrics rows — no extra scan of docs
+            counts: dict[str, tuple[int, int]] = {}
+            for r in mrows.filter(
+                F.col("metric_name").isin("count", "kept_count")
+            ).collect():
+                n, k = counts.get(r["partition"], (0, 0))
+                if r["metric_name"] == "count":
+                    n = int(r["metric_value"])
+                else:
+                    k = int(r["metric_value"])
+                counts[r["partition"]] = (n, k)
+            mrows.unpersist()
+
+            import pandas as pd
+
+            lineage_pdf = pd.DataFrame(
+                [
+                    (
+                        run_id,
+                        p,
+                        os.path.join(input_path, f"dt={p}"),
+                        os.path.join(docs_dir, f"dt={p}"),
+                        counts.get(p, (0, 0))[0],
+                        counts.get(p, (0, 0))[1],
+                    )
+                    for p in chunk
+                ],
+                columns=["run_id", "partition", "input_path", "output_path",
+                         "doc_count", "kept_count"],
+            )
+            lineage = spark.createDataFrame(
+                lineage_pdf,
+                schema="run_id string, partition string, input_path string, "
+                "output_path string, doc_count long, kept_count long",
+            ).withColumn("ts", F.current_timestamp()).withColumn(
+                "partition_key", F.col("partition")
+            )
+            lineage.write.mode("overwrite").partitionBy("partition_key").option(
+                "partitionOverwriteMode", "dynamic"
+            ).parquet(lineage_dir)
+            t0 = _tick("counts_lineage", t0)
+
+            if _fail_before_commit_chunk is not None and ci == _fail_before_commit_chunk:
+                raise RuntimeError(f"injected failure before manifest commit of chunk {ci}")
+
+            now = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
+            # cost-cap downgraded chunks commit as status='sampled' with the
+            # fraction recorded, NOT 'done': the planner skips them only
+            # while the same cap+fraction still applies and promotes them to
+            # a full run once caps are lifted — a 'done' commit would
+            # silently freeze the partition at ~fraction of its docs forever
+            manifest.commit_partitions(
+                spark,
+                output_root,
+                run_id,
+                [
+                    {
+                        "partition": p,
+                        "status": "done" if chunk_frac is None else "sampled",
+                        "doc_count": counts.get(p, (0, 0))[0],
+                        "kept_count": counts.get(p, (0, 0))[1],
+                        "completed_at": now,
+                        "snapshot_id": f"{run_id}:{ci}",
+                        "fingerprint": chunk_fps[p],
+                        "sample_fraction": chunk_frac,
+                    }
+                    for p in chunk
+                ],
+            )
+            _tick("manifest", t0)
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prior_parts)
+            spark.conf.set("spark.sql.adaptive.enabled", prior_aqe)
         summary["partitions_processed"].extend(chunk)
         summary["doc_count"] += sum(v[0] for v in counts.values())
         summary["kept_count"] += sum(v[1] for v in counts.values())

@@ -151,11 +151,11 @@ def mode_stages(n_docs: int = 100000) -> None:
     stages = [
         ("scan", st_scan),
         ("features", st_features),
-        ("repetition", st_repetition),
-        ("line_cc", st_line_cc),
         ("udf_only", st_udf_only),
         ("transform", st_transform),
     ]
+    if os.environ.get("BENCH_EXTRA_OPTIN_STAGES"):
+        stages += [("repetition", st_repetition), ("line_cc", st_line_cc)]
     out = {}
     for name, fn in stages:
         spark.sparkContext.setJobDescription(f"stage:{name}")
@@ -167,16 +167,22 @@ def mode_stages(n_docs: int = 100000) -> None:
             best = min(best, time.time() - t0)
         out[name] = round(best, 3)
 
-    # full pipeline run for reference
-    wdir = tempfile.mkdtemp(prefix="bx_out_")
-    try:
-        t0 = time.time()
-        s = run_pipeline(spark, pages_dir, wdir, run_id="prof-full",
-                         skew_mode="split")
-        out["pipeline_full"] = round(time.time() - t0, 3)
-        out["pipeline_phases"] = s.get("phase_s", {})
-    finally:
-        shutil.rmtree(wdir, ignore_errors=True)
+    # full pipeline: one untimed warmup (codegen/JIT/worker spin-up),
+    # then best-of-2 timed, reporting the best run's phase split
+    best, phases = float("inf"), {}
+    for i in range(3):
+        wdir = tempfile.mkdtemp(prefix="bx_out_")
+        try:
+            t0 = time.time()
+            s = run_pipeline(spark, pages_dir, wdir, run_id=f"prof{i}",
+                             skew_mode="split")
+            took = time.time() - t0
+            if i > 0 and took < best:
+                best, phases = took, s.get("phase_s", {})
+        finally:
+            shutil.rmtree(wdir, ignore_errors=True)
+    out["pipeline_full"] = round(best, 3)
+    out["pipeline_phases"] = phases
 
     print(json.dumps({"mode": "stages", "n_docs": n_docs, "stages": out}))
     spark.stop()
