@@ -51,7 +51,16 @@ def make_scoring_udf(spark, include_scrub: bool = True):
         langs, confs = langid_batch(tl, bc_lid.value)
         out = {"lang_pred": langs, "lang_conf": confs, "perplexity": ppls}
         if include_scrub:
-            out["scrubbed_text"] = [scrub_python(t) for t in tl]
+            # most documents carry no PII, so the scrub is the identity:
+            # return NULL for them and let the caller coalesce with the
+            # original column JVM-side — the unchanged text then never
+            # crosses the Python→JVM boundary a second time (guide §4:
+            # minimize bytes over the Arrow channel). scrubbed == text
+            # → NULL → coalesce restores text: byte-identical output.
+            out["scrubbed_text"] = [
+                s if s != t else None
+                for s, t in zip((scrub_python(t) for t in tl), tl)
+            ]
         return pd.DataFrame(out)
 
     return scoring_udf

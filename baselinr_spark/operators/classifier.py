@@ -324,11 +324,12 @@ def stump_threshold(
     tot = per.agg(
         F.sum("pos").alias("__P"), F.sum("neg").alias("__N")
     )
-    w = W.orderBy("s").rowsBetween(W.unboundedPreceding, 0)
-    cum = per.select(
+    from .windows import running_sums
+
+    cum = running_sums(per, ["s"], ["pos", "neg"]).select(
         "s",
-        F.sum("pos").over(w).alias("pl"),
-        F.sum("neg").over(w).alias("nl"),
+        F.col("__cum_pos").alias("pl"),
+        F.col("__cum_neg").alias("nl"),
     ).crossJoin(F.broadcast(tot))
     nl = F.col("pl") + F.col("nl")
     nr = F.col("__P") + F.col("__N") - nl

@@ -494,14 +494,17 @@ def roc_auc(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
             F.sum((~F.col("y")).cast("long")).alias("n0"),
         )
     )
-    win = W.orderBy("s").rowsBetween(W.unboundedPreceding, W.currentRow)
-    ranked = g.select(
+    from .windows import running_sums
+
+    r = running_sums(
+        g.withColumn("__nt", F.col("n1") + F.col("n0")), ["s"], ["__nt"]
+    )
+    ranked = r.select(
         "n1",
         "n0",
         (
-            (F.sum(F.col("n1") + F.col("n0")).over(win) - (F.col("n1") + F.col("n0")))
-            .cast("double")
-            + (F.col("n1") + F.col("n0") + 1).cast("double") / F.lit(2.0)
+            (F.col("__cum___nt") - F.col("__nt")).cast("double")
+            + (F.col("__nt") + 1).cast("double") / F.lit(2.0)
         ).alias("midrank"),
     )
     tot = ranked.agg(
@@ -1128,12 +1131,12 @@ def keep_rate_by_score_decile(
     g = s.groupBy("s").agg(
         F.count(F.lit(1)).alias("cnt"), F.sum("k").alias("kept")
     )
-    w = W.orderBy("s").rowsBetween(W.unboundedPreceding, W.currentRow)
-    tot = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
-    e = g.select(
+    from .windows import running_sums
+
+    e = running_sums(g, ["s"], ["cnt"]).select(
         "s", "cnt", "kept",
-        (F.sum("cnt").over(w).cast("double")
-         / F.sum("cnt").over(tot).cast("double")).alias("ecdf"),
+        (F.col("__cum_cnt").cast("double")
+         / F.col("__tot_cnt").cast("double")).alias("ecdf"),
     )
     b = F.least(F.ceil(F.col("ecdf") * n_buckets), F.lit(n_buckets))
     return (

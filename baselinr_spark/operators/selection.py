@@ -1143,21 +1143,14 @@ def quantile_normalize_scores(
     from pyspark.sql import Window as W
 
     g = grouped_score_ecdf(df, group_col, score_col)
-    glob_w = W.orderBy("s").rowsBetween(W.unboundedPreceding, W.currentRow)
-    glob = (
-        g.groupBy("s")
-        .agg(F.sum("cnt").alias("c"))
-        .select(
-            F.col("s").alias("sg"),
-            (
-                F.sum("c").over(glob_w).cast("double")
-                / F.sum("c").over(
-                    W.rowsBetween(
-                        W.unboundedPreceding, W.unboundedFollowing
-                    )
-                ).cast("double")
-            ).alias("fg"),
-        )
+    from .windows import running_sums
+
+    glob = running_sums(
+        g.groupBy("s").agg(F.sum("cnt").alias("c")), ["s"], ["c"]
+    ).select(
+        F.col("s").alias("sg"),
+        (F.col("__cum_c").cast("double")
+         / F.col("__tot_c").cast("double")).alias("fg"),
     )
     return (
         g.select("grp", "s", F.col("ecdf").alias("p"))

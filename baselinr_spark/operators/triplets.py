@@ -19,11 +19,11 @@ table via an equi-join on the sampled rank (pairs ⋈ ranked ids on
 rank, shuffle bounded by the pair count) — never a cross join. With
 ``ids_are_dense=True`` (ids already 0..n-1, the shard-export layout
 this package produces) the rank table is the id projection itself:
-zero extra work. The generic-id fallback builds the rank table with a
-GLOBAL row_number — a single-partition sort that is fine at metadata
-scale but is the honest bottleneck at 10^12 generic ids; at that
-scale, export dense ids first (operators/sharding.py gives every doc
-a stable (shard, position) which linearizes to one).
+zero extra work. The generic-id fallback derives global sorted ranks
+with a distributed range-repartition + per-partition offsets
+(``_sorted_ranks``): no unpartitioned window, so generic ids scale the
+same as dense ones (the only global window is over O(partitions)
+count rows).
 """
 
 from __future__ import annotations
@@ -31,6 +31,40 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
+
+
+def _sorted_ranks(distinct_ids: DataFrame) -> DataFrame:
+    """(__nid, __rank) where __rank is the 0-based position of __nid in
+    global sorted order — the same assignment as
+    ``row_number().over(W.orderBy("__nid")) - 1`` but WITHOUT the
+    unpartitioned window that funnels every distinct corpus id through
+    one task. Two-level construction: range-repartition + local sort put
+    ids in globally sorted partition order; ``monotonically_increasing_id``
+    then encodes (partition, position); per-partition counts (O(num
+    partitions) rows) yield cumulative offsets via a metadata-scale
+    window; rank = partition offset + position. The rank values are
+    identical for any choice of range boundaries, so the sampling inside
+    the range partitioner cannot affect results."""
+    spark = distinct_ids.sparkSession
+    k = max(2, spark.sparkContext.defaultParallelism)
+    part = (
+        distinct_ids.repartitionByRange(k, "__nid")
+        .sortWithinPartitions("__nid")
+        .withColumn("__mono", F.monotonically_increasing_id())
+    )
+    pid = F.shiftrightunsigned(F.col("__mono"), 33)
+    counts = part.groupBy(pid.alias("__pid")).agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    w = W.orderBy("__pid").rowsBetween(W.unboundedPreceding, -1)
+    offs = counts.select(
+        "__pid", F.coalesce(F.sum("__c").over(w), F.lit(0)).alias("__off")
+    )
+    return part.join(F.broadcast(offs), pid == F.col("__pid")).select(
+        "__nid",
+        (F.col("__off")
+         + F.col("__mono").bitwiseAND(F.lit((1 << 33) - 1))).alias("__rank"),
+    )
 
 
 def _h(cols, salt: str):
@@ -69,10 +103,7 @@ def contrastive_triplets(
             "__nid", F.col("__nid").cast("long").alias("__rank")
         )
     else:
-        ranked = distinct_ids.select(
-            "__nid",
-            (F.row_number().over(W.orderBy("__nid")) - 1).alias("__rank"),
-        )
+        ranked = _sorted_ranks(distinct_ids)
     n = F.broadcast(ranked.agg(F.count(F.lit(1)).alias("__n")))
     p = pairs.select(
         F.col(a_col).alias("anchor"), F.col(b_col).alias("positive")

@@ -103,6 +103,13 @@ def transform_pages(
     df = df.withColumn("_score", scoring_udf(F.col("text"))).select(
         "*", *[F.col(f"_score.{c}").alias(c) for c in score_cols]
     ).drop("_score")
+    if include_scrub:
+        # the fused UDF returns NULL when the scrub was the identity so
+        # unchanged text never crosses the Python→JVM boundary twice;
+        # restore the original here (byte-identical to scrubbing in place)
+        df = df.withColumn(
+            "scrubbed_text", F.coalesce(F.col("scrubbed_text"), F.col("text"))
+        )
 
     rules = {**textfeat.rule_columns(cfg), **textfeat.model_rule_columns(cfg)}
     if cfg.repetition_rules:

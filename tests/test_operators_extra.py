@@ -142,7 +142,10 @@ def test_fused_scoring_matches_individual_udfs(spark, pages_pdf):
         assert g["lang_pred"] == lang
         assert g["lang_conf"] == pytest.approx(conf, rel=1e-12)
         assert g["perplexity"] == pytest.approx(perplexity(row["text"], pm), rel=1e-12)
-        assert g["scrubbed_text"] == scrub_python(row["text"])
+        # fused-UDF contract: NULL scrubbed_text means "scrub was the
+        # identity" (the caller coalesces with the original column)
+        gs = g["scrubbed_text"]
+        assert (row["text"] if gs is None else gs) == scrub_python(row["text"])
 
 
 def test_langid_batch_matches_dense_reference(pages_pdf):

@@ -57,3 +57,38 @@ def test_dense_and_ranked_agree_on_dense_ids(corpus):
     ranked = sorted(map(tuple, contrastive_triplets(
         pairs, ids, "doc_id", ids_are_dense=False).collect()))
     assert dense == ranked  # rank of a dense id IS the id
+
+
+def test_sorted_ranks_match_global_window(spark):
+    """The distributed rank construction must reproduce the exact
+    row_number-over-sorted-order assignment for generic (string) ids."""
+    from pyspark.sql import Window as W
+
+    from baselinr_spark.operators.triplets import _sorted_ranks
+
+    vals = [f"doc-{i:03d}" for i in (7, 3, 19, 0, 42, 8, 15, 1, 99, 23)]
+    ids = spark.createDataFrame([(v,) for v in vals], ["__nid"])
+    got = {r["__nid"]: r["__rank"] for r in _sorted_ranks(ids).collect()}
+    expect = {v: i for i, v in enumerate(sorted(vals))}
+    assert got == expect
+
+
+def test_ranked_path_has_no_corpus_window(spark):
+    """Plan shape: the generic-id rank path must range-repartition the
+    id table instead of funnelling it through an unpartitioned
+    row_number window (the only Window allowed is over the
+    O(partitions) per-bucket count rows)."""
+    import io
+    from contextlib import redirect_stdout
+
+    ids = spark.range(100).withColumnRenamed("id", "doc_id")
+    pairs = spark.createDataFrame([(0, 1)], ["id_a", "id_b"])
+    out = contrastive_triplets(pairs, ids, "doc_id", ids_are_dense=False)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "rangepartitioning" in plan.lower()
+    # any window in the plan must consume the per-partition count
+    # aggregate, never a row_number over the raw id projection
+    assert "row_number" not in plan.lower()
