@@ -683,6 +683,15 @@ def bigram_entropy(
     Returns ONE row: (n_tokens, n_bigrams, h_unigram, h_cond,
     mutual_info).
 
+    Definition note (round-5 advisor): mutual_info is reported as
+    h_unigram − h_cond with h_unigram over ALL tokens while h_cond is
+    over the bigram population (each doc contributes n−1 bigrams), so
+    it is an approximation of the bigram joint's I(X;Y) that can go
+    slightly negative on short-doc corpora. The exact form would take
+    H(Y) from the bigram y-marginal; both engines compute the same
+    (approximate) quantity, and the oracle text is hash-frozen, so the
+    approximation is documented rather than changed.
+
     Scale design: one explode over token positions, ONE (x, y) groupBy
     with map-side combine, one O(vocab) rollup to c_x (a second small
     groupBy over bigram TYPES, not tokens), one fold. No windows, no

@@ -904,7 +904,10 @@ def dedup_threshold_sweep(
     whole sweep reads off one aggregate); the T thresholds explode from
     a literal array against the O(docs)-sized per-doc maxima, never
     against the corpus text. Returns (threshold, n_pairs, n_dropped)
-    with one row per threshold (0 rows only for an empty corpus)."""
+    with one row per threshold WHEN the corpus yields at least one LSH
+    candidate pair at the loosest threshold; a corpus with zero
+    candidate pairs returns 0 rows (the grid explodes off the pair
+    table — matching the DuckDB twin, which is empty then too)."""
     t_min = min(thresholds)
     pairs = minhash_lsh_pairs(
         df, id_col, text_col, k=k, bands=bands, shingle_n=shingle_n,

@@ -832,7 +832,11 @@ def conformal_keep_threshold(
             .agg(F.min("s").alias("threshold"))
         )
     body = df.select(s.alias("s")).crossJoin(F.broadcast(thr))
-    return body.agg(
+    # group by a constant instead of a global agg: zero input rows then
+    # produce zero output rows, matching the DuckDB twin's GROUP BY
+    # (which emits nothing from an empty corpus) instead of a
+    # (0, NULL)-row — the round-5 advisor's empty-corpus parity gap
+    return body.groupBy(F.lit(1).alias("__g")).agg(
         F.lit(float(alpha)).alias("alpha"),
         F.lit(n).cast("bigint").alias("n_cal"),
         F.lit(k).cast("bigint").alias("k"),
@@ -849,7 +853,7 @@ def conformal_keep_threshold(
             ).cast("double")
             / F.count(F.lit(1)).cast("double")
         ).alias("kept_frac"),
-    )
+    ).drop("__g")
 
 
 def oracle_conformal_keep_threshold_sql(

@@ -546,6 +546,10 @@ def trustrank(
     state O(nodes), one contribs shuffle per round, scalars as 1-row
     broadcasts, localCheckpoint per round.
     """
+    if not seeds:
+        # createDataFrame([]) cannot infer a schema, and a 0-seed
+        # teleport vector would divide by zero — fail loudly instead
+        raise ValueError("trustrank requires at least one seed node")
     e = normalize_edges(edges, src_col, dst_col).localCheckpoint()
     seed_df = e.sparkSession.createDataFrame(
         [(s,) for s in sorted(set(seeds))], ["node"]

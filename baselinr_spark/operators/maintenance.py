@@ -220,7 +220,13 @@ def oracle_orphan_file_audit_sql(
     file_col: str,
     size_col: str | None = None,
 ) -> str:
-    """DuckDB twin of :func:`orphan_file_audit`."""
+    """DuckDB twin of :func:`orphan_file_audit`.
+
+    Known edge divergence (round-5 advisor): this NOT IN drops listing
+    rows whose file path is NULL (NULL NOT IN (...) is NULL), while the
+    Spark left_anti join keeps NULL-keyed rows. Real file listings never
+    carry NULL paths (the fixtures never do), and the oracle text is
+    hash-frozen, so the divergence is documented rather than changed."""
     cols = file_col + (f", {size_col}" if size_col else "")
     return f"""
 WITH files_in AS ({files_sql}),

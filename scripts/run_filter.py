@@ -54,11 +54,13 @@ def main() -> int:
     ap.add_argument("--sample-fraction", type=float, default=0.1,
                     help="hash-sample fraction for fallback-strategy="
                          "sample")
-    ap.add_argument("--skew-mode", default="rebalance",
-                    choices=["rebalance", "split"],
-                    help="UDF-stage balancing: AQE REBALANCE shuffle, or "
-                         "shuffle-free scan-split sizing (for warehouses "
-                         "with bounded/splittable files)")
+    ap.add_argument("--skew-mode", default="auto",
+                    choices=["auto", "rebalance", "split"],
+                    help="UDF-stage balancing: 'auto' (default) probes the "
+                         "chunk's parquet footers and picks shuffle-free "
+                         "scan-split sizing when the layout is bounded and "
+                         "splittable, else the AQE REBALANCE shuffle — the "
+                         "same choice the benchmark path exercises")
     ap.add_argument("--warmup", action="store_true",
                     help="run one partition into a throwaway dir first "
                          "(JIT + python-worker warmup; excluded from "
