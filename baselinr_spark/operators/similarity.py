@@ -49,16 +49,27 @@ def brute_force_topk(
     as |Q| is bounded. Returns (query_id, neighbor_id, cosine, rank)."""
     from pyspark.sql import Window as W
 
+    # norms are staged per SIDE before the join: cosine_expr inline would
+    # re-fold each corpus vector's norm once per query (and each query's
+    # per corpus row). Same float ops in the same order — dot / (q_norm *
+    # c_norm) — so the value is bit-identical; only the redundant
+    # re-evaluation goes away (|Q|+|C| norm folds instead of 2·|Q|·|C|).
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"),
+        norm_expr(F.col(vec_col)).alias("__q_norm"),
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"),
+        norm_expr(F.col(vec_col)).alias("__c_norm"),
     )
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", cosine_expr(F.col("q_vec"), F.col("c_vec")))
+        .withColumn(
+            "cosine",
+            dot_expr(F.col("q_vec"), F.col("c_vec"))
+            / (F.col("__q_norm") * F.col("__c_norm")),
+        )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (

@@ -47,6 +47,19 @@ def build_session(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # open-cost models per-file seek overhead when packing scan
+        # splits. The 4 MB default FLOORS the split size (maxSplitBytes =
+        # max(openCost, bytes/minPartitionNum) when under
+        # maxPartitionBytes), so a single-file table smaller than
+        # 4 MB x cores scans with a fraction of the available slots —
+        # measured 1-2 tasks for the small profiling tables. 512 KB is a
+        # truer seek model on local SSD/page cache and leaves large-file
+        # layouts untouched (their bytes/minPartitionNum dominates).
+        # Override per deployment via SPARK_GRAFT_OPEN_COST_BYTES.
+        .config(
+            "spark.sql.files.openCostInBytes",
+            os.environ.get("SPARK_GRAFT_OPEN_COST_BYTES", str(512 * 1024)),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
