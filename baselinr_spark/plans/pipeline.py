@@ -77,7 +77,7 @@ def transform_pages(
     All model scores (langid, perplexity) and the pandas-mode scrub run in
     ONE fused pandas UDF (functions/scoring.py) so the text column crosses
     the JVM↔Python boundary once instead of three times."""
-    from ..functions.scoring import make_scoring_udf
+    from ..functions.scoring import FEATURE_FIELDS, make_scoring_udf
 
     include_scrub = scrub_mode != "native"
     scoring_udf = make_scoring_udf(spark, include_scrub=include_scrub)
@@ -86,7 +86,18 @@ def transform_pages(
     if "dt" not in df.columns:
         df = df.withColumn("dt", F.to_date("warc_ts"))
 
-    df = textfeat.with_features(df)
+    # n_chars/symbol_ratio are cheap JVM expressions; the word/line
+    # features ride the fused UDF (functions/scoring.py — the text is
+    # already crossing the boundary for the model scores, and a python
+    # split+set pass beats the anchored stopword regexp ~7x). Values are
+    # identical to textfeat.with_features (parity-tested).
+    text = F.coalesce(F.col("text"), F.lit(""))
+    n_chars = F.length(text)
+    n_symbols = F.length(F.regexp_replace(text, r"[A-Za-z0-9\s]", ""))
+    df = df.withColumn("n_chars", n_chars).withColumn(
+        "symbol_ratio",
+        F.when(n_chars > 0, n_symbols / n_chars).otherwise(F.lit(0.0)),
+    )
     if cfg.repetition_rules:
         df = textfeat.with_repetition_features(
             df,
@@ -97,7 +108,7 @@ def transform_pages(
         df = textfeat.with_line_features(df)
     if cfg.cc_rule:
         df = textfeat.with_cc_features(df)
-    score_cols = ["lang_pred", "lang_conf", "perplexity"] + (
+    score_cols = ["lang_pred", "lang_conf", "perplexity", *FEATURE_FIELDS] + (
         ["scrubbed_text"] if include_scrub else []
     )
     df = df.withColumn("_score", scoring_udf(F.col("text"))).select(

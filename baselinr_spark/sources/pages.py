@@ -143,7 +143,7 @@ PAGES_DDL = "url string, warc_ts timestamp, html binary, text string, lang strin
 # bump whenever write_pages_warehouse changes the on-disk layout (file
 # counts, repartitioning, schema) — bench caches key on it so a stale
 # warehouse from older generator code is never silently reused
-PAGES_LAYOUT_VERSION = 2
+PAGES_LAYOUT_VERSION = 3
 
 
 def write_pages_warehouse(spark, out_dir: str, n_docs: int, seed: int = 42) -> None:
@@ -161,4 +161,13 @@ def write_pages_warehouse(spark, out_dir: str, n_docs: int, seed: int = 42) -> N
     salt = F.pmod(F.xxhash64("url"), F.lit(8))
     (df.withColumn("dt", F.to_date("warc_ts"))
        .repartition(80, F.col("dt"), salt)
-       .write.mode("overwrite").partitionBy("dt").parquet(out_dir))
+       .write.mode("overwrite").partitionBy("dt")
+       # bounded row groups: a parquet scan split can never be smaller
+       # than a row group, so the default 128 MB groups make every file
+       # ONE scan granule and cap split-mode balancing at the file
+       # count (2.5 uneven waves at 1M docs on 32 cores). 4 MB groups
+       # give split mode real granularity — the same bounded-granule
+       # guarantee Iceberg's target-file-size maintenance provides at
+       # scale (and what _resolve_skew_mode's footer probe assumes).
+       .option("parquet.block.size", str(4 * 1024 * 1024))
+       .parquet(out_dir))

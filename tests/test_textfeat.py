@@ -144,3 +144,25 @@ def test_repetition_fold_matches_counter_reference(spark):
         for n in (2, 5):
             _, dup = ref(t, n)
             assert abs(out[i][f"dup_{n}gram_char_fraction"] - dup) < 1e-12, (i, n, t)
+
+
+def test_udf_features_match_jvm_features(spark, pages_pdf):
+    """The fused-UDF word/line features (functions/scoring.feature_batch)
+    must equal textfeat.with_features' JVM expressions value-for-value —
+    the pipeline computes them python-side since round 6."""
+    from pyspark.sql import functions as F
+
+    from baselinr_spark.functions import synthlang as sl
+    from baselinr_spark.functions.scoring import FEATURE_FIELDS, feature_batch
+    from baselinr_spark.functions.textfeat import with_features
+
+    rows = list(pages_pdf["text"].head(300)) + [
+        None, "", "   \n\n  ", "a", " the ", "x\t\ty", "l1\n\nl2\n \n\t\nx",
+        "a\rb", "\r", "THE the The", "one\ntwo\ntwo\n", "\ta\t", "a\na\na\nb",
+    ]
+    df = spark.createDataFrame([(t,) for t in rows], "text string")
+    jvm = with_features(df).select("text", *FEATURE_FIELDS).collect()
+    py = feature_batch(rows, frozenset(sl.all_stopwords()))
+    for i, r in enumerate(jvm):
+        for f in FEATURE_FIELDS:
+            assert r[f] == py[f][i], (i, f, r["text"], r[f], py[f][i])
