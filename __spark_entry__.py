@@ -11190,7 +11190,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # mixture_interleave_docs, nb_classifier, rule_ablation_docs and
     # iban_scan (see the below-window comment for the family-coverage
     # argument for each).
-    return {
+    qs = {
         # --- r05 front block = the driver gate's 50-sample window ---
         # Round-5 session additions (isotonic PAV calibration, κ agreement
         # matrix, token-budget threshold, PMI collocations, DP term
@@ -11495,6 +11495,199 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_top_terms_domains": q_anchor_top_terms_domains,
         "js_divergence_events": q_js_divergence_events,
         "f1_sweep_docs": q_f1_sweep_docs,
+    }
+    # --- r06 driver-attestation rotation (round-5 verdict item 1) ---
+    # The driver samples the FIRST 50 entries each round. 108 registry
+    # entries have no driver CORRECTNESS row from rounds 1-5 (the
+    # registry grew 116->270 in round 5 against a fixed 50-entry
+    # window); this round's window front-loads 50 of them, preferring
+    # the operators whose internals round 6 changed (stump/AUC/ECDF
+    # running-sum rewrite, conformal empty-input parity, triplets
+    # rank, trustrank guard, threshold-sweep) so the optimization
+    # round's edits get driver attestation, then the remaining
+    # never-sampled entries in registry order. All 270 replay green
+    # in the local full gate at HEAD either way.
+    _prefer = [
+        'contrastive_triplets',
+        'keep_rate_decile',
+        'quantile_norm_lang',
+        'stump_threshold_docs',
+        'conformal_threshold_docs',
+        'dedup_threshold_sweep',
+        'trustrank_domains',
+        'orphan_files',
+        'bigram_entropy_docs',
+    ]
+    _sampled_r1_r5 = {
+        'active_drift_summary',
+        'approx_distinct_bound',
+        'asof_events',
+        'auc_nb',
+        'authority_weights',
+        'auto_baseline_daily',
+        'best_keeper_events',
+        'bpe_merges',
+        'bpe_pair_counts',
+        'bpe_token_counts',
+        'bpe_vocab',
+        'budget_threshold_docs',
+        'c4_line_rules_docs',
+        'calibration_nb',
+        'canonical_urls',
+        'cc_luhn_scan',
+        'ccnet_bucket_rates',
+        'ccnet_buckets_docs',
+        'chi_square_event_type',
+        'cluster_balanced_sample',
+        'cms_heavy_tokens',
+        'column_confidence',
+        'column_stability',
+        'connected_components',
+        'control_limits_daily',
+        'daily_ma7',
+        'dedup_exact_summary',
+        'doc_stats',
+        'domain_blocklist',
+        'domain_kl_docs',
+        'domain_pagerank',
+        'domain_rate_shrunk',
+        'domain_stats',
+        'doremi_weights',
+        'drift_absolute_threshold',
+        'drift_stddev_strategy',
+        'drift_typed_thresholds',
+        'dsir_topk',
+        'dsir_weights',
+        'duplicate_samples',
+        'duplicate_spans',
+        'embedding_near_dups',
+        'entropy_event_type',
+        'ewma_daily',
+        'exact_dup_groups',
+        'explainer_context',
+        'fingerprint_docs',
+        'freshness_scores',
+        'gopher_repetition_docs',
+        'hash_sample_orders',
+        'histogram_quantity',
+        'hll_distinct_tokens',
+        'html_extract_docs',
+        'incremental_dedup',
+        'iqr_outlier_days',
+        'isotonic_nb',
+        'ivf_assign',
+        'ivf_topk',
+        'ivfpq_refined_topk',
+        'ivfpq_topk',
+        'jl_distortion_emb',
+        'kappa_filters',
+        'keep_drop_docs',
+        'kn_bigram_probs',
+        'knn_cosine',
+        'ks_value',
+        'lang_id_heuristic',
+        'langid_prf',
+        'learn_categorical_freqs',
+        'learn_expectations',
+        'learn_patterns',
+        'line_dedup_pages',
+        'lineage_aware_scores',
+        'lineage_graph_export',
+        'lineage_impact',
+        'lineage_path',
+        'lineage_upstream',
+        'logreg_classifier',
+        'lpt_shard_plan_domains',
+        'lsh_plan_grid',
+        'lsh_topk',
+        'lsh_verified_pairs',
+        'mad_outlier_days',
+        'minhash_lsh_pairs',
+        'minhash_signatures',
+        'mixture_rates',
+        'mixture_sample_counts',
+        'moving_avg_baseline',
+        'ngram_containment_pairs',
+        'ngram_contamination',
+        'ngram_jaccard_pairs',
+        'ngram_lm_counts',
+        'ngram_lm_perplexity',
+        'paragraph_dedup_docs',
+        'pareto_quality_sample',
+        'partition_latest_day',
+        'partition_recent_days',
+        'pmi_collocations_docs',
+        'pq_adc_topk',
+        'pq_encode',
+        'prior_period_baseline',
+        'prioritize_checks',
+        'profile_lineitem',
+        'profile_orders_minmax',
+        'profile_wildcard_columns',
+        'pseudonymize_docs',
+        'psi_source_attrib',
+        'psi_value',
+        'quality_score_docs',
+        'quality_score_full',
+        'quality_score_orders',
+        'query_runs_paginated',
+        'rca_impact_analysis',
+        'rca_pipeline_causes',
+        'rca_ranked_causes',
+        'rca_recurring_patterns',
+        'rca_upstream_causes',
+        'recommend_checks',
+        'regime_shift_daily',
+        'remove_dup_spans',
+        'revisit_change_rates',
+        'robust_stats_lineitem',
+        'rowcount_stability',
+        'rule_fire_rates_docs',
+        'rule_mi_filters',
+        'schema_diff_orders',
+        'schema_rename_candidates',
+        'score_ecdf_lang',
+        'script_profile_docs',
+        'seasonal_residual_days',
+        'seasonality_check_daily',
+        'semdedup_keepers',
+        'sequence_packing',
+        'shard_manifest_docs',
+        'shingle_novelty',
+        'simhash_docs',
+        'simhash_near_pairs',
+        'smart_selection',
+        'soft_dedup_weights',
+        'sq_stats_emb',
+        'stable_window_baseline',
+        'stratified_sample_orders',
+        'string_lengths_part',
+        'table_matcher_counts',
+        'term_dispersion_docs',
+        'textrank_words',
+        'theil_sen_daily',
+        'token_budget_mix',
+        'token_counts',
+        'token_fertility_langs',
+        'top_customers_revenue',
+        'topk_jaccard_event_type',
+        'tpch_q1',
+        'triangle_stats_domains',
+        'type_inference_orders',
+        'url_dedup',
+        'validation_samples',
+        'validation_suite',
+        'vocab_growth_docs',
+        'vocabulary_docs',
+        'winnow_summary_docs',
+        'zscore_value',
+    }
+    _front = [n for n in _prefer if n in qs]
+    _front += [n for n in qs
+               if n not in _sampled_r1_r5 and n not in _front][: 50 - len(_front)]
+    _fs = set(_front)
+    return {n: qs[n] for n in _front} | {
+        n: f for n, f in qs.items() if n not in _fs
     }
 
 

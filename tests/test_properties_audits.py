@@ -41,7 +41,13 @@ def test_gmm_posterior_laws(spark, xs):
     assert p["var1"] >= 1e-9 and p["var2"] >= 1e-9
     for r in gmm2_posteriors(df, "id", "x", params).collect():
         assert 0.0 <= r["p2"] <= 1.0
-        assert r["component"] == (2 if r["p2"] >= 0.5 else 1)
+        # component is MAP over the RAW posterior; the returned p2 is
+        # rounded to 6dp, so within half an ulp of the 0.5 boundary the
+        # rounded value can land on the other side (hypothesis found
+        # p2_raw=0.49999996 -> component 1, p2=0.5) — only assert
+        # consistency away from the rounding boundary
+        if abs(r["p2"] - 0.5) > 1e-6:
+            assert r["component"] == (2 if r["p2"] >= 0.5 else 1)
 
 
 _page = st.integers(min_value=0, max_value=15)
