@@ -613,23 +613,23 @@ def run_pipeline(
 
         # metrics from the written output (columnar projection; avoids
         # recomputing UDF scores and avoids caching the full text at scale).
-        # The metrics pair of passes scans docs twice (scalars+buckets,
-        # histogram) — cache the narrow projection once.
+        # No cache on the narrow read-back: its two aggregation passes
+        # (scalars+buckets, histogram) re-scan cheap columnar parquet,
+        # and a persist costs a full materialization job plus cache
+        # memory — measured 1-4s SLOWER than the double scan at 1M docs.
         try:
             docs_back = spark.read.parquet(docs_dir).filter(
                 F.col("dt").cast("string").isin(chunk)
             ).select("dt", "keep", "drop_reasons", "lang", "perplexity",
                      F.col("scrubbed_text").isNotNull().alias("__has_text"))
-            docs_back = docs_back.persist()
             mrows = partition_metrics(docs_back, run_id).withColumn(
                 "partition_key", F.col("partition")
             ).persist()
-            # metric rows are tiny (hundreds); coalesce so the commit moves
-            # |dts| files, not |dts|·shuffle_partitions
+            # metric rows are tiny (hundreds); single writer task so the
+            # commit moves |dts| files, not |dts|·shuffle_partitions
             mrows.repartition(1).write.mode("overwrite").partitionBy("partition_key").option(
                 "partitionOverwriteMode", "dynamic"
             ).parquet(metrics_dir)
-            docs_back.unpersist()
             t0 = _tick("metrics", t0)
 
             # event taxonomy (reference events/events.py:31-349): drift events
